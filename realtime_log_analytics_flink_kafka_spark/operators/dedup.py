@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design (the point of each):
+
+- **exact**: hash-groupBy — one shuffle on the normalized-text hash; at
+  100 TB, group keys are 16-byte digests, never the documents themselves.
+- **minhash_lsh**: shingle -> k min-hashes -> band buckets -> equi-join on
+  (band, bucket).  Candidate generation is an equi-join (shuffle on bucket
+  key), NOT an O(n^2) cross join; only bucket-colliding pairs pay the
+  exact-Jaccard verification.
+- **simhash**: 32-bit fingerprint; candidate pairs must share one of 4
+  8-bit chunks (pigeonhole: hamming<=3 over 4 chunks forces an equal
+  chunk), again an equi-join.
+- **ngram_jaccard**: the exact verifier, also usable standalone on small
+  candidate sets.
+
+Everything is built-in expressions (explode/groupBy/array ops); hashing is
+md5-folded for DuckDB-oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
+from .text import ws_tokens
+
+#: MinHash signature size and banding (k = bands * rows_per_band).
+MINHASH_K = 8
+LSH_BANDS = 4
+LSH_ROWS = 2
+
+#: SimHash chunking: 32-bit fingerprint, 4 chunks of 8 bits.
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — the exact-dedup key."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group by normalized-text digest; emit one row per distinct text with
+    the canonical (min) doc_id and the duplicate count."""
+    return (
+        docs.select("doc_id", F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """doc_id -> exploded n-token shingle hash (mod HASH_PRIME).
+
+    Shingles via sequence+slice (pure Catalyst); docs shorter than n
+    tokens drop out, matching the oracle.
+    """
+    toks = ws_tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", (md5_long(F.col("shingle")) % HASH_PRIME).alias("h"))
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(affine_hashes(MINHASH_K))
+    ]
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """One row per doc: k min-hash columns.  Partial aggregation combines
+    map-side, so the shuffle carries k longs per doc, not the shingles."""
+    return shingle_hashes(docs, text_col, n).groupBy("doc_id").agg(*_minhash_cols())
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
+                      n: int = 3, threshold: float = 0.4) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    band bucket = concat of the band's min-hashes; candidates are pairs
+    sharing any band bucket; verification joins each side's distinct
+    shingle-hash set and computes exact Jaccard.
+    """
+    sh = shingle_hashes(docs, text_col, n)
+    sigs = minhash_signatures(docs, text_col, n)
+
+    band_structs = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_structs.append(F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+        ))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bucket")
+
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset")))
+    union = F.size(F.col("a.hset")) + F.size(F.col("b.hset")) - inter
+    return (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", *,
+                        n: int = 3, threshold: float = 0.2,
+                        block_col: str = "lang") -> DataFrame:
+    """Exact n-gram Jaccard within blocking-key groups (here: language).
+
+    Blocking keeps the pair space per-block; the unblocked all-pairs
+    variant is exactly minhash_lsh_pairs' verification stage.
+    """
+    sets = (
+        shingle_hashes(docs, text_col, n)
+        .join(docs.select("doc_id", block_col), "doc_id")
+        .groupBy("doc_id", block_col)
+        .agg(F.collect_set("h").alias("hset"))
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset")))
+    union = F.size(F.col("a.hset")) + F.size(F.col("b.hset")) - inter
+    return (
+        a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{block_col}").alias(block_col),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc: each token hash votes +-1 on each bit."""
+    tok = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col(text_col))).alias("t"))
+        .select("doc_id", md5_long(F.col("t")).alias("h"))
+    )
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{bit}")
+        for bit in range(SIMHASH_BITS)
+    ])
+    sim = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", *,
+                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, chunk-bucketed:
+    hamming <= 3 over 4 chunks implies at least one identical 8-bit chunk
+    (pigeonhole), so candidates come from 4 equi-joins, not a cross join."""
+    fps = simhash_fingerprints(docs, text_col)
+    chunked = fps.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255))
+                    .alias("ckey"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.chunk", "b.ckey")
+    x, y = chunked.alias("x"), chunked.alias("y")
+    return (
+        x.join(y, (F.col("x.chunk") == F.col("y.chunk"))
+               & (F.col("x.ckey") == F.col("y.ckey"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,80 @@
+"""Windowed incident-metrics queries (SURVEY §2.4 A4-A8, §2.6 W3/W7).
+
+Ports of the two Spark Structured Streaming notebooks — already Spark in
+the reference, re-homed here as batch/stream-polymorphic operators:
+
+- alert metrics   (spark/spark_incident_alerts_metrics.ipynb:124-146)
+- escalation metrics (spark/spark_incident_escalations_metrics.ipynb:158-180)
+
+Key semantics preserved: conditional counts via CASE-WHEN-1-END (count
+skips the NULL else-branch, nb:130-131), null-skipping avg over
+p95_latency (error-rate alerts contribute NULLs, nb:132 — SURVEY §1.2b),
+and the ratio-of-aggregates critical_ratio (nb:134).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import guarded_ratio
+
+
+def _count_if(cond) -> F.Column:
+    """count(CASE WHEN cond THEN 1 END) — the notebooks' conditional count."""
+    return F.count(F.when(cond, F.lit(1)))
+
+
+def alert_metrics(alerts: DataFrame, *, size: str = "1 minute",
+                  key: str = "service") -> DataFrame:
+    """Per (service, tumbling window) operational metrics over the alert
+    stream — 1:1 with alerts nb:124-146 (window size parameterized; the
+    reference pins 1 minute)."""
+    return (
+        alerts.groupBy(F.col(key), F.window("ts", size).alias("window"))
+        .agg(
+            F.count("*").alias("total_alerts"),
+            _count_if(F.col("type") == "LATENCY_SLO_BREACH").alias("latency_breaches"),
+            _count_if(F.col("type") == "ERROR_RATE_SPIKE").alias("error_spikes"),
+            F.round(F.avg("p95_latency"), 4).alias("avg_p95_latency"),
+            F.max("breach_count").alias("max_breach_count"),
+            guarded_ratio(
+                F.sum(F.when(F.col("severity") == "CRITICAL", 1).otherwise(0)),
+                F.count("*"),
+            ).alias("critical_ratio"),
+        )
+        .select(
+            key,
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "total_alerts", "latency_breaches", "error_spikes",
+            "avg_p95_latency", "max_breach_count", "critical_ratio",
+        )
+    )
+
+
+def escalation_metrics(escalations: DataFrame, *, size: str = "1 minute",
+                       key: str = "service") -> DataFrame:
+    """Escalation-stream variant (escal nb:158-180): adds escalated count
+    and escalation_ratio over the pass-through stream."""
+    return (
+        escalations.groupBy(F.col(key), F.window("ts", size).alias("window"))
+        .agg(
+            F.count("*").alias("total_events"),
+            _count_if(F.col("severity") == "ESCALATED").alias("escalated"),
+            _count_if(F.col("escalation_reason") == "MULTIPLE_INCIDENTS")
+                .alias("multiple_incident_escalations"),
+            F.round(F.avg("p95_latency"), 4).alias("avg_p95_latency"),
+            guarded_ratio(
+                F.sum(F.when(F.col("severity") == "ESCALATED", 1).otherwise(0)),
+                F.count("*"),
+            ).alias("escalation_ratio"),
+        )
+        .select(
+            key,
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "total_events", "escalated", "multiple_incident_escalations",
+            "avg_p95_latency", "escalation_ratio",
+        )
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/higher-order functions) — no
+Python UDFs, so the whole stage stays inside whole-stage codegen and
+scales linearly with input splits.  Hashing is md5-folded for cross-engine
+oracle parity (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+#: Fingerprint modulus (1e9+7, prime): acc*31 + h stays < 2^35, no overflow.
+FP_MOD = 1_000_000_007
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword langid
+#: heuristic.  Deterministic tie-break: first list wins.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "men5"),
+}
+
+
+def ws_tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (split on leading /
+    trailing whitespace yields '' on both engines)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counting: whitespace tokens + BPE-ish regex
+    tokens + character count."""
+    toks = ws_tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
+            .alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean token length.  Integer-ratio arithmetic throughout so the
+    doubles are cross-engine exact."""
+    toks = ws_tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+    n_chars = F.length(text_col)
+    return docs.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(tok_chars.cast("double") / n_toks, 4).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_toks, 4).alias("stopword_ratio"),
+        # simple composite: long docs with some stopwords and low
+        # punctuation score higher; clamped [0, 1]
+        F.round(
+            F.least(F.lit(1.0),
+                    F.lit(0.5) * F.least(F.lit(1.0), n_toks.cast("double") / 50)
+                    + F.lit(0.5) * (n_stop.cast("double") / n_toks)
+                    - F.lit(0.25) * (n_punct.cast("double") / n_chars)),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID.  Scores = stopword hits per language;
+    argmax with deterministic tie-break in STOPWORDS insertion order."""
+    toks = ws_tokens(F.col(text_col))
+
+    def stop_hits(ws: tuple[str, ...]):
+        # closure factory: a default-arg lambda would look like the
+        # two-param (element, index) form to F.filter
+        return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
+
+    scored = docs.select(
+        "doc_id", "lang",
+        *[stop_hits(ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()],
+    )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    # reversed fold => earlier languages win ties
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial hash over token hashes — an order-sensitive
+    document fingerprint (reordered tokens change it, unlike a bag hash)."""
+    toks = ws_tokens(F.col(text_col))
+    token_hashes = F.transform(toks, lambda t: md5_long(t) % FP_MOD)
+    fp = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

@@ -1,0 +1,448 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal metadata — over the ``documents`` and ``embeddings``
+fixture tables.
+
+Oracle SQL mirrors every deterministic operator; the md5-folded hashing
+(functions/hashing.py) and explicit left-fold float arithmetic make even
+MinHash signatures and cosine scores bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_PRIME, affine_hashes
+from ..operators import dedup, multimodal, similarity, text
+from ..sources.batch import load_table
+from . import QuerySpec
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept in lockstep with the operators' constants)
+# ---------------------------------------------------------------------------
+
+MD5_LONG = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+TOKENS_CTE = r"""
+tok AS (
+    SELECT *, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                          t -> t <> '') AS toks
+    FROM documents
+)
+"""
+
+_N = 3  # shingle size
+SHINGLE_CTES = TOKENS_CTE + f""",
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - {_N} + 1),
+                                 i -> array_to_string(array_slice(toks, i + 1, i + {_N}),
+                                                      ' '))) AS shingle
+    FROM tok WHERE len(toks) >= {_N}
+),
+hs AS (
+    SELECT doc_id, {MD5_LONG.format(x='shingle')} % {HASH_PRIME} AS h FROM sh
+),
+hsets AS (
+    SELECT doc_id, list_distinct(list(h)) AS hset FROM hs GROUP BY doc_id
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- MinHash + LSH near-dup --------------------------------------------------
+
+MINHASH_THRESHOLD = 0.4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                   threshold=MINHASH_THRESHOLD)
+
+
+def _minhash_sql() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(affine_hashes(dedup.MINHASH_K))
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {key} AS bucket FROM mh")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {SHINGLE_CTES},
+mh AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+verified AS (
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+                 / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
+                 4) AS jaccard
+    FROM cand
+    JOIN hsets a ON cand.doc_a = a.doc_id
+    JOIN hsets b ON cand.doc_b = b.doc_id
+)
+SELECT * FROM verified WHERE jaccard >= {MINHASH_THRESHOLD}
+"""
+
+
+# --- exact n-gram Jaccard within language blocks -----------------------------
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                     threshold=JACCARD_THRESHOLD)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SHINGLE_CTES},
+blocked AS (
+    SELECT h.doc_id, d.lang, h.hset
+    FROM hsets h JOIN documents d ON h.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+             / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
+             4) AS jaccard
+FROM blocked a JOIN blocked b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+            / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
+            4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        for bit in range(dedup.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END"
+        for bit in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH {TOKENS_CTE},
+tokh AS (
+    SELECT doc_id, {MD5_LONG.format(x='t')} AS h
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM tokh GROUP BY doc_id
+)
+SELECT doc_id, {sim} AS simhash FROM votes
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _simhash_pairs_sql() -> str:
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {8 * c}) & 255 AS ckey FROM fp"
+        for c in range(dedup.SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH fp AS ({_simhash_sql()}),
+chunked AS (
+{chunk_selects}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM chunked x JOIN chunked y
+  ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- embedding near-dup + ANN ------------------------------------------------
+
+#: Left-fold dot product in DuckDB, matching Spark's F.aggregate order.
+def _fold_sql(prods: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+
+
+DOT_SQL = _fold_sql(
+    "list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
+NORM_SQL = ("sqrt(" + _fold_sql(
+    "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") + ")")
+
+NEAR_DUP_COSINE = 0.18
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir),
+                                               threshold=NEAR_DUP_COSINE)
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH v AS (
+    SELECT vec_id, embedding, {NORM_SQL.format(v='embedding')} AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+           AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+      >= {NEAR_DUP_COSINE}
+"""
+
+KNN_K = 5
+KNN_N_QUERIES = 5
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.cosine_topk(
+        embs, embs.filter(F.col("vec_id") < KNN_N_QUERIES), k=KNN_K)
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH v AS (
+    SELECT vec_id, embedding, {NORM_SQL.format(v='embedding')} AS nrm
+    FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < {KNN_N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round({DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / (q.nrm * c.nrm), 6) AS cosine
+    FROM v c CROSS JOIN q
+    WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, corpus_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+IVF_K = 3
+IVF_CENTROID_EVERY = 97
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_embs(spark, sf_dir), k=IVF_K,
+                               centroid_every=IVF_CENTROID_EVERY,
+                               n_queries=KNN_N_QUERIES)
+
+
+DIST2_SQL = _fold_sql(
+    "list_transform(range(1, 65), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))")
+
+SQL_KNN_IVF = f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id % {IVF_CENTROID_EVERY} = 0
+),
+dists AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {DIST2_SQL.format(a='e.embedding', b='c.cvec')} AS dist2
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        FROM dists
+    ) t WHERE rn = 1
+),
+n AS (
+    SELECT vec_id, embedding, centroid_id,
+           {NORM_SQL.format(v='embedding')} AS nrm
+    FROM assigned
+),
+q AS (SELECT * FROM n WHERE vec_id < {KNN_N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round({DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / (q.nrm * c.nrm), 6) AS cosine
+    FROM n c JOIN q ON c.centroid_id = q.centroid_id
+    WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, corpus_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNTS = f"""
+WITH {TOKENS_CTE}
+SELECT doc_id, len(toks) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM tok
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+SQL_QUALITY_SCORES = f"""
+WITH {TOKENS_CTE},
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                       (acc, x) -> acc + x) AS tok_chars,
+           len(list_filter(toks, t -> t IN ({_EN_STOPS}))) AS n_stop,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           length(text) AS n_chars
+    FROM tok
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       round(least(1.0,
+             0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50)
+             + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+             - 0.25 * (CAST(n_punct AS DOUBLE) / n_chars)), 4) AS quality_score
+FROM m
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+def _langid_sql() -> str:
+    scores = ",\n           ".join(
+        "CAST(len(list_filter(toks, t -> t IN ({}))) AS BIGINT) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang)
+        for lang, ws in text.STOPWORDS.items()
+    )
+    langs = list(text.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CAST(NULL AS VARCHAR)"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH {TOKENS_CTE},
+scored AS (
+    SELECT doc_id, lang,
+           {scores}
+    FROM tok
+)
+SELECT *, {pred} AS pred_lang FROM scored
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINTS = f"""
+WITH {TOKENS_CTE}
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> {MD5_LONG.format(x='t')} % {text.FP_MOD})),
+           (acc, x) -> (acc * 31 + x) % {text.FP_MOD}) AS fingerprint,
+       len(toks) AS n_tokens
+FROM tok
+"""
+
+
+# --- multimodal metadata -----------------------------------------------------
+
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_summary(multimodal.as_media(_docs(spark, sf_dir)))
+
+
+SQL_MEDIA_SUMMARY = """
+WITH media AS (
+    SELECT doc_id,
+           (['jpeg', 'png', 'webp'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+)
+SELECT fmt, count(*) AS n_files,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       min(byte_len) AS min_bytes,
+       max(byte_len) AS max_bytes
+FROM media GROUP BY fmt
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),
+    "simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
+    "embedding_near_dups": QuerySpec(q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "knn_bruteforce": QuerySpec(q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
+    "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_scores": QuerySpec(q_quality_scores, SQL_QUALITY_SCORES),
+    "language_id": QuerySpec(q_language_id, _langid_sql()),
+    "doc_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS),
+    "media_summary": QuerySpec(q_media_summary, SQL_MEDIA_SUMMARY),
+}

@@ -1,0 +1,403 @@
+"""Reference-parity queries (SURVEY §2): the Flink detectors, the stateful
+escalation operators, and the notebook metrics queries, run as batch
+queries over the ``events`` fixture (FIXTURES.md §4 mapping, window sizes
+scaled from seconds to days to fit the fixture's event density — the
+operators themselves are size-parameterized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.logs import LOGS_CTE, as_logs
+from ..operators.detect import error_rate_alerts, latency_p95
+from ..operators.escalate import consecutive_breaches, escalate_every_nth
+from ..operators.metrics import alert_metrics, escalation_metrics
+from ..sources.batch import load_table
+from . import QuerySpec
+
+DAY = 86400
+
+#: Fixture-scaled thresholds (reference values: support 100, rate 0.02,
+#: p95 limit 100 ms — flink/error_rate_detector.py:89,93,
+#: flink/latency_slo_monitor.py:22-23).
+SLIDING_MIN_SUPPORT = 20
+SLIDING_RATE_THRESHOLD = 0.18
+TUMBLING_MIN_SUPPORT = 10
+TUMBLING_RATE_THRESHOLD = 0.2
+P95_LIMIT = 130.0
+LAT_CRITICAL = 100.0
+
+
+def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return as_logs(load_table(spark, sf_dir, "events"))
+
+
+# --- 1. sliding-window error-rate detector (W1 + A1/A2 + P9/P10) -----------
+
+def q_error_rate_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error_rate_alerts(
+        _logs(spark, sf_dir), size="2 days", slide="1 day",
+        min_support=SLIDING_MIN_SUPPORT, threshold=SLIDING_RATE_THRESHOLD,
+    )
+
+
+# DuckDB oracle: a sliding window (size 2d, slide 1d) is the union of the
+# k=0 and k=1 day-offset tumbling bucketings; every event lands in both.
+SQL_ERROR_RATE_SLIDING = f"""
+WITH {LOGS_CTE},
+exploded AS (
+    SELECT service, is_error,
+           (CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) - o.k) * {DAY} AS window_start
+    FROM logs CROSS JOIN (VALUES (0), (1)) o(k)
+),
+agg AS (
+    SELECT service, window_start, window_start + {2 * DAY} AS window_end,
+           count(*) AS total_logs,
+           CAST(sum(is_error) AS BIGINT) AS error_logs
+    FROM exploded GROUP BY service, window_start
+)
+SELECT service, window_start, window_end, total_logs, error_logs,
+       round(CASE WHEN total_logs > 0
+                  THEN CAST(error_logs AS DOUBLE) / total_logs ELSE 0.0 END, 4) AS error_rate,
+       'ERROR_RATE_SPIKE' AS type, 'HIGH' AS severity
+FROM agg
+WHERE total_logs >= {SLIDING_MIN_SUPPORT}
+  AND round(CASE WHEN total_logs > 0
+                 THEN CAST(error_logs AS DOUBLE) / total_logs ELSE 0.0 END, 4)
+      >= {SLIDING_RATE_THRESHOLD}
+"""
+
+
+# --- 2. tumbling-window error-rate detector (W2 variant) -------------------
+
+def q_error_rate_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error_rate_alerts(
+        _logs(spark, sf_dir), size="1 day",
+        min_support=TUMBLING_MIN_SUPPORT, threshold=TUMBLING_RATE_THRESHOLD,
+    )
+
+
+SQL_ERROR_RATE_TUMBLING = f"""
+WITH {LOGS_CTE},
+agg AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} AS window_start,
+           count(*) AS total_logs,
+           CAST(sum(is_error) AS BIGINT) AS error_logs
+    FROM logs GROUP BY 1, 2
+)
+SELECT service, window_start, window_start + {DAY} AS window_end,
+       total_logs, error_logs,
+       round(CAST(error_logs AS DOUBLE) / total_logs, 4) AS error_rate,
+       'ERROR_RATE_SPIKE' AS type, 'HIGH' AS severity
+FROM agg
+WHERE total_logs >= {TUMBLING_MIN_SUPPORT}
+  AND round(CAST(error_logs AS DOUBLE) / total_logs, 4) >= {TUMBLING_RATE_THRESHOLD}
+"""
+
+
+# --- 3. exact nearest-rank-low p95 per tumbling window (A3 + W2) ------------
+
+def q_latency_p95_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latency_p95(_logs(spark, sf_dir), size="1 day")
+
+
+P95_SQL_EXPR = ("(list_sort(list(latency_ms)))"
+                "[CAST(floor(0.95 * (count(latency_ms) - 1)) AS INT) + 1]")
+
+SQL_LATENCY_P95_DAILY = f"""
+WITH {LOGS_CTE}
+SELECT service,
+       CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} AS window_start,
+       CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} + {DAY} AS window_end,
+       {P95_SQL_EXPR} AS p95_latency,
+       count(*) AS total_logs
+FROM logs GROUP BY 1, 2, 3
+"""
+
+
+# --- 4. consecutive-breach SLO detector (A10/W10-W12, batch islands) --------
+
+def q_slo_breach_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p95 = latency_p95(_logs(spark, sf_dir), size="1 day")
+    out = consecutive_breaches(p95, breach=F.col("p95_latency") > P95_LIMIT)
+    return out.select("service", "window_start", "window_end", "p95_latency",
+                      "total_logs", "breach_count", "type", "severity")
+
+
+SQL_SLO_BREACH_STREAKS = f"""
+WITH {LOGS_CTE},
+p95 AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} AS window_start,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} + {DAY} AS window_end,
+           {P95_SQL_EXPR} AS p95_latency,
+           count(*) AS total_logs
+    FROM logs GROUP BY 1, 2, 3
+),
+flagged AS (
+    SELECT *, CASE WHEN p95_latency > {P95_LIMIT} THEN 1 ELSE 0 END AS is_breach FROM p95
+),
+islands AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY service ORDER BY window_start)
+         - row_number() OVER (PARTITION BY service, is_breach ORDER BY window_start) AS island
+    FROM flagged
+),
+streaks AS (
+    SELECT *, row_number() OVER (PARTITION BY service, island, is_breach
+                                 ORDER BY window_start) AS streak
+    FROM islands
+)
+SELECT service, window_start, window_end, p95_latency, total_logs,
+       3 AS breach_count, 'LATENCY_SLO_BREACH' AS type, 'CRITICAL' AS severity
+FROM streaks WHERE is_breach = 1 AND streak % 3 = 0
+"""
+
+
+# --- 5. every-3rd-alert escalation (A11/W9, batch row_number) ---------------
+
+def q_escalations_every_third(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alerts = (
+        _logs(spark, sf_dir)
+        .filter(F.col("is_error") == 1)
+        .select("event_id", "service", "ts", F.lit("HIGH").alias("severity"))
+    )
+    return escalate_every_nth(alerts).select(
+        "event_id", "service", F.col("alert_seq").cast("long").alias("alert_seq"),
+        "severity", "escalation_reason",
+    )
+
+
+SQL_ESCALATIONS_EVERY_THIRD = f"""
+WITH {LOGS_CTE},
+alerts AS (SELECT event_id, service, ts FROM logs WHERE is_error = 1),
+seq AS (
+    SELECT event_id, service,
+           row_number() OVER (PARTITION BY service ORDER BY ts, event_id) AS alert_seq
+    FROM alerts
+)
+SELECT event_id, service, CAST(alert_seq AS BIGINT) AS alert_seq,
+       CASE WHEN alert_seq % 3 = 0 THEN 'ESCALATED' ELSE 'HIGH' END AS severity,
+       CASE WHEN alert_seq % 3 = 0 THEN 'MULTIPLE_INCIDENTS' END AS escalation_reason
+FROM seq
+"""
+
+
+# --- 6/7. the notebook metrics queries (A4-A8) ------------------------------
+
+#: Deterministic alert derivation shared by Spark and oracle: error logs
+#: become alerts; high-latency ones play LATENCY_SLO_BREACH / CRITICAL with
+#: an int p95 (floor: Spark double->int cast truncates, DuckDB rounds, so
+#: floor() is applied explicitly on both sides).
+ALERTS_CTE = f"""
+alerts AS (
+    SELECT ts, service,
+           CASE WHEN latency_ms > {LAT_CRITICAL} THEN 'LATENCY_SLO_BREACH'
+                ELSE 'ERROR_RATE_SPIKE' END AS type,
+           CASE WHEN latency_ms > {LAT_CRITICAL} THEN 'CRITICAL' ELSE 'HIGH' END AS severity,
+           CASE WHEN latency_ms > {LAT_CRITICAL}
+                THEN CAST(floor(latency_ms) AS INT) END AS p95_latency,
+           CASE WHEN latency_ms > {LAT_CRITICAL} THEN 3 END AS breach_count
+    FROM logs WHERE is_error = 1
+)
+"""
+
+
+def _derived_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    crit = F.col("latency_ms") > LAT_CRITICAL
+    return (
+        _logs(spark, sf_dir)
+        .filter(F.col("is_error") == 1)
+        .select(
+            "ts", "service",
+            F.when(crit, F.lit("LATENCY_SLO_BREACH"))
+             .otherwise(F.lit("ERROR_RATE_SPIKE")).alias("type"),
+            F.when(crit, F.lit("CRITICAL")).otherwise(F.lit("HIGH")).alias("severity"),
+            F.when(crit, F.floor("latency_ms").cast("int")).alias("p95_latency"),
+            F.when(crit, F.lit(3)).alias("breach_count"),
+        )
+    )
+
+
+def q_alert_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alert_metrics(_derived_alerts(spark, sf_dir), size="1 day")
+
+
+SQL_ALERT_METRICS_DAILY = f"""
+WITH {LOGS_CTE},
+{ALERTS_CTE}
+SELECT service,
+       CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} AS window_start,
+       CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} + {DAY} AS window_end,
+       count(*) AS total_alerts,
+       count(CASE WHEN type = 'LATENCY_SLO_BREACH' THEN 1 END) AS latency_breaches,
+       count(CASE WHEN type = 'ERROR_RATE_SPIKE' THEN 1 END) AS error_spikes,
+       round(avg(p95_latency), 4) AS avg_p95_latency,
+       max(breach_count) AS max_breach_count,
+       round(CASE WHEN count(*) > 0 THEN
+             CAST(CAST(sum(CASE WHEN severity = 'CRITICAL' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS DOUBLE) / count(*) ELSE 0.0 END, 4) AS critical_ratio
+FROM alerts GROUP BY 1, 2, 3
+"""
+
+
+def q_escalation_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    crit = F.col("latency_ms") > LAT_CRITICAL
+    alerts = (
+        _logs(spark, sf_dir)
+        .filter(F.col("is_error") == 1)
+        .select(
+            "event_id", "ts", "service",
+            F.when(crit, F.lit("CRITICAL")).otherwise(F.lit("HIGH")).alias("severity"),
+            F.when(crit, F.floor("latency_ms").cast("int")).alias("p95_latency"),
+        )
+    )
+    esc = escalate_every_nth(alerts)
+    return escalation_metrics(esc, size="1 day")
+
+
+SQL_ESCALATION_METRICS_DAILY = f"""
+WITH {LOGS_CTE},
+alerts AS (
+    SELECT event_id, ts, service,
+           CASE WHEN latency_ms > {LAT_CRITICAL} THEN 'CRITICAL' ELSE 'HIGH' END AS severity,
+           CASE WHEN latency_ms > {LAT_CRITICAL}
+                THEN CAST(floor(latency_ms) AS INT) END AS p95_latency
+    FROM logs WHERE is_error = 1
+),
+esc AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY service ORDER BY ts, event_id) AS alert_seq
+    FROM alerts
+),
+enriched AS (
+    SELECT ts, service, p95_latency,
+           CASE WHEN alert_seq % 3 = 0 THEN 'ESCALATED' ELSE severity END AS severity,
+           CASE WHEN alert_seq % 3 = 0 THEN 'MULTIPLE_INCIDENTS' END AS escalation_reason
+    FROM esc
+)
+SELECT service,
+       CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} AS window_start,
+       CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} + {DAY} AS window_end,
+       count(*) AS total_events,
+       count(CASE WHEN severity = 'ESCALATED' THEN 1 END) AS escalated,
+       count(CASE WHEN escalation_reason = 'MULTIPLE_INCIDENTS' THEN 1 END)
+           AS multiple_incident_escalations,
+       round(avg(p95_latency), 4) AS avg_p95_latency,
+       round(CASE WHEN count(*) > 0 THEN
+             CAST(CAST(sum(CASE WHEN severity = 'ESCALATED' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS DOUBLE) / count(*) ELSE 0.0 END, 4) AS escalation_ratio
+FROM enriched GROUP BY 1, 2, 3
+"""
+
+
+# --- 8. heterogeneous alert union + normalization (§1.2b + §2.5) ------------
+
+def q_alert_union_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two detectors write different JSON shapes to one topic: the
+    error-rate producer emits numerics as strings
+    (flink/error_rate_detector.py:99-102), the SLO producer as ints.  We
+    union-by-name and normalize with try_cast at ingest (SURVEY §7.3 #4)."""
+    logs = _logs(spark, sf_dir).filter(F.col("is_error") == 1)
+    day_start = (F.unix_timestamp("ts") / DAY).cast("long") * DAY
+    spike_shape = logs.filter(F.col("latency_ms") <= LAT_CRITICAL).select(
+        "service",
+        F.lit("ERROR_RATE_SPIKE").alias("type"),
+        day_start.cast("string").alias("window_start"),   # string-typed numeric
+        F.lit(None).cast("int").alias("p95_latency"),
+    )
+    slo_shape = logs.filter(F.col("latency_ms") > LAT_CRITICAL).select(
+        "service",
+        F.lit("LATENCY_SLO_BREACH").alias("type"),
+        day_start.alias("window_start"),                   # long-typed
+        F.floor("latency_ms").cast("int").alias("p95_latency"),
+    )
+    unioned = spike_shape.unionByName(
+        slo_shape.withColumn("window_start", F.col("window_start").cast("string")),
+        allowMissingColumns=True,
+    )
+    normalized = unioned.withColumn(
+        "window_start", F.expr("try_cast(window_start AS BIGINT)"))
+    return (
+        normalized.groupBy("type")
+        .agg(
+            F.count("*").alias("n_alerts"),
+            F.min("window_start").alias("min_window_start"),
+            F.max("window_start").alias("max_window_start"),
+            F.count("p95_latency").alias("n_with_p95"),
+        )
+    )
+
+
+SQL_ALERT_UNION_NORMALIZED = f"""
+WITH {LOGS_CTE},
+spikes AS (
+    SELECT service, 'ERROR_RATE_SPIKE' AS type,
+           CAST(CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} AS VARCHAR)
+               AS window_start,
+           CAST(NULL AS INT) AS p95_latency
+    FROM logs WHERE is_error = 1 AND latency_ms <= {LAT_CRITICAL}
+),
+slo AS (
+    SELECT service, 'LATENCY_SLO_BREACH' AS type,
+           CAST(CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY} AS VARCHAR)
+               AS window_start,
+           CAST(floor(latency_ms) AS INT) AS p95_latency
+    FROM logs WHERE is_error = 1 AND latency_ms > {LAT_CRITICAL}
+),
+unioned AS (SELECT * FROM spikes UNION ALL SELECT * FROM slo),
+normalized AS (SELECT service, type, TRY_CAST(window_start AS BIGINT) AS window_start,
+                      p95_latency FROM unioned)
+SELECT type, count(*) AS n_alerts,
+       min(window_start) AS min_window_start,
+       max(window_start) AS max_window_start,
+       count(p95_latency) AS n_with_p95
+FROM normalized GROUP BY type
+"""
+
+
+# --- 9. JSON property extraction (P1 on the props column) -------------------
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_PROPS_JSON_EXTRACT = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "error_rate_sliding": QuerySpec(q_error_rate_sliding, SQL_ERROR_RATE_SLIDING),
+    "error_rate_tumbling": QuerySpec(q_error_rate_tumbling, SQL_ERROR_RATE_TUMBLING),
+    "latency_p95_daily": QuerySpec(q_latency_p95_daily, SQL_LATENCY_P95_DAILY),
+    "slo_breach_streaks": QuerySpec(q_slo_breach_streaks, SQL_SLO_BREACH_STREAKS),
+    "escalations_every_third": QuerySpec(q_escalations_every_third,
+                                         SQL_ESCALATIONS_EVERY_THIRD),
+    "alert_metrics_daily": QuerySpec(q_alert_metrics_daily, SQL_ALERT_METRICS_DAILY),
+    "escalation_metrics_daily": QuerySpec(q_escalation_metrics_daily,
+                                          SQL_ESCALATION_METRICS_DAILY),
+    "alert_union_normalized": QuerySpec(q_alert_union_normalized,
+                                        SQL_ALERT_UNION_NORMALIZED),
+    "props_json_extract": QuerySpec(q_props_json_extract, SQL_PROPS_JSON_EXTRACT),
+}

@@ -1,0 +1,363 @@
+"""Relational extensions (SURVEY §7.2 step 7): joins, grouped and windowed
+aggregation, set semantics over the TPC-H-ish star schema.
+
+The reference has no joins at all (SURVEY §2.5) — these are the engine
+capabilities a user needs beyond topic-chaining, designed shuffle-aware:
+dimension joins broadcast, fact-fact joins shuffle on the join key, top-k
+is a windowed rank (no global sort of the fact table).
+
+Cross-engine float determinism: money sums go through DECIMAL(20,6)
+(exact, order-independent) and surface as DOUBLE; averages are exact
+decimal sums divided by counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from . import QuerySpec
+
+
+def _dec_sum(col: Column) -> Column:
+    """Order-independent money sum: exact decimal accumulate, double out."""
+    return F.sum(col.cast("decimal(20,6)")).cast("double")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- pricing summary (TPC-H Q1 shape: scan + 8 aggs, no join) ---------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            (_dec_sum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            (_dec_sum(F.col("l_extendedprice")) / F.count("l_extendedprice"))
+                .alias("avg_price"),
+            (_dec_sum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6)))
+            AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(l_quantity)
+           AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(l_extendedprice)
+           AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(l_discount)
+           AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- shipping priority (TPC-H Q3 shape: 3-way join + top-k) -----------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          # customer is the small dimension: broadcast it instead of
+          # shuffling the fact side (at 100 TB orders/lineitem shuffle on
+          # l_orderkey once; customer never moves).
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                       "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- regional revenue (TPC-H Q5 shape: 5-way join through dims) -------------
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join where every dimension (region, nation, supplier, customer)
+    broadcasts; only lineitem x orders shuffles."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+          .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+          # TPC-H Q5's "local supplier" semantics: customer and supplier in
+          # the same nation.
+          .filter(customer.c_nationkey == supplier.s_nationkey)
+          .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+# --- top-k per group (windowed rank, no global sort) ------------------------
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("price_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("price_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "price_rank")
+    )
+
+
+SQL_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, price_rank
+FROM (
+    SELECT p_brand, p_partkey, p_name, p_retailprice,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey ASC) AS price_rank
+    FROM part
+) t WHERE price_rank <= 3
+"""
+
+
+# --- semi / anti joins -------------------------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti — at scale this is a shuffle on the key with
+    early row elimination, never a fact-side materialization."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi against the fact table."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_SUPPLIERS_WITH_SHIPMENTS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+"""
+
+
+# --- rollup ------------------------------------------------------------------
+
+def q_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"),
+             _dec_sum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+SQL_RETURNS_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- window functions: running totals per customer ---------------------------
+
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).over(running)
+            .cast("double").alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_totalprice"),
+    )
+
+
+SQL_CUSTOMER_RUNNING_SPEND = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS order_seq,
+       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS prev_totalprice
+FROM orders
+"""
+
+
+# --- pivot (conditional aggregation) -----------------------------------------
+
+def q_orders_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({
+            "1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+            "4-NOT SPECIFIED": "not_specified", "5-LOW": "low",
+        })
+        # pivot yields NULL for empty cells where a conditional count gives 0
+        .na.fill(0, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+
+
+SQL_ORDERS_BY_PRIORITY_PIVOT = """
+SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS not_specified,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- sessionization over the events stream -----------------------------------
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min inactivity gap) per user over events.
+    ``session_window`` is the streaming-native operator (SURVEY §2.6 notes
+    the reference lacks sessions; we ship them anyway); end = last event +
+    gap, matching the oracle's islands construction."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM ordered
+)
+SELECT user_id,
+       CAST(floor(epoch_us(min(ts)) / 1000000) AS BIGINT) AS session_start,
+       CAST(floor(epoch_us(max(ts)) / 1000000) AS BIGINT) + 1800 AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "shipping_priority": QuerySpec(q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "regional_revenue": QuerySpec(q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND),
+    "customers_without_orders": QuerySpec(q_customers_without_orders,
+                                          SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "suppliers_with_shipments": QuerySpec(q_suppliers_with_shipments,
+                                          SQL_SUPPLIERS_WITH_SHIPMENTS),
+    "returns_rollup": QuerySpec(q_returns_rollup, SQL_RETURNS_ROLLUP),
+    "customer_running_spend": QuerySpec(q_customer_running_spend,
+                                        SQL_CUSTOMER_RUNNING_SPEND),
+    "orders_by_priority_pivot": QuerySpec(q_orders_by_priority_pivot,
+                                          SQL_ORDERS_BY_PRIORITY_PIVOT),
+    "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS),
+}

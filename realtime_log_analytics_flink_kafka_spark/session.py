@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that
+also matter on a real cluster (AQE, shuffle partitions, Arrow, UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference parity: the notebooks pin spark.sql.shuffle.partitions=6
+# (spark_incident_alerts_metrics.ipynb:50).  For our engine the default
+# scales with the machine; at cluster scale this is overridden by AQE.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "realtime_log_analytics_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    UTC session timezone is load-bearing: the DuckDB oracle compares
+    epoch-derived window boundaries, and DuckDB timestamps are UTC-naive.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    return (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the events fixture stores timestamp[ns]; Spark has no nanos
+        # timestamp type — read as long and convert in the source layer
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )

@@ -1,0 +1,86 @@
+"""Kafka source/sink wrappers (SURVEY §2.1 S1-S7).
+
+The reference moves every record through Kafka as a JSON-string message
+keyed by ``service`` (kafka/log_producer.py:86-92); its Flink jobs consume
+with value-only string deserialization (flink/incident_aggregator.py:76-84)
+and the notebooks use the Spark Kafka source verbatim (alerts nb:99-106).
+
+Spark's Kafka connector jar is not on the classpath in this test image, so
+these wrappers are exercised for plan construction only; the JSON
+encode/decode halves (the part with actual semantics) are plain column
+expressions and fully unit-tested batch-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def decode_json_stream(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Kafka value bytes -> typed columns.
+
+    Mirrors the notebook pipeline (alerts nb:110-112):
+    ``CAST(value AS STRING)`` -> ``from_json`` -> struct flatten.
+    from_json's lenient coercion handles the reference's heterogeneous
+    producers (string-typed numerics from flink/error_rate_detector.py:99-102
+    landing in LongType fields — SURVEY §1.2b).
+    """
+    return (
+        df.selectExpr("CAST(value AS STRING) AS json")
+        .select(F.from_json(F.col("json"), schema).alias("data"))
+        .select("data.*")
+    )
+
+
+def encode_json_keyed(df: DataFrame, key_col: str = "service") -> DataFrame:
+    """Typed columns -> Kafka (key, value) pair, key = service.
+
+    Mirrors the producer contract (kafka/log_producer.py:86-91): value is
+    the full row as a JSON string, key partitions the topic by service so
+    per-service ordering is preserved — the property the reference's
+    stateful operators rely on.
+    """
+    payload = [c for c in df.columns if c != key_col] + [key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload)).alias("value"),
+    )
+
+
+def read_kafka_stream(spark: SparkSession, topic: str, *,
+                      brokers: str = "localhost:9092",
+                      starting_offsets: str = "latest") -> DataFrame:
+    """S2/S3/S4: value-only Kafka source.  ``earliest`` for replay consumers
+    (flink/incident_aggregator.py:82), ``latest`` for live detectors."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def write_kafka_stream(df: DataFrame, topic: str, *,
+                       brokers: str = "localhost:9092",
+                       checkpoint: str):
+    """S5 + S7: keyed JSON sink with checkpointing.  The reference
+    checkpoints 2 of its 3 jobs (30 s, flink/error_rate_detector.py:116) and
+    silently loses state in the third; we checkpoint every query."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def foreach_batch_non_empty(fn):
+    """S6: the notebooks' empty-batch-skipping foreachBatch console sink
+    (alerts nb:149-159)."""
+    def _wrapped(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            fn(batch_df, epoch_id)
+    return _wrapped
