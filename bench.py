@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized with count() (full plan execution without
+driver-side row transfer).  A tiny warmup query first absorbs JVM/codegen
+startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_log_analytics_flink_kafka_spark.queries import all_queries
+from realtime_log_analytics_flink_kafka_spark.session import get_spark
+
+#: Representative slice of the registry: reference detectors/metrics,
+#: relational joins/aggs, pipeline dedup/ANN/text.
+HEADLINE = [
+    "error_rate_sliding",
+    "latency_p95_daily",
+    "slo_breach_streaks",
+    "alert_metrics_daily",
+    "escalation_metrics_daily",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "user_sessions",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "knn_bruteforce",
+    "token_counts",
+    "doc_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    # warmup: JVM + codegen + parquet footer caches
+    registry["latency_p95_daily"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,9 +28,11 @@ from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
 from .text import ws_tokens
 
 #: MinHash signature size and banding (k = bands * rows_per_band).
-MINHASH_K = 8
+#: 4 bands x 4 rows: candidate probability 1-(1-j^4)^4 — steep around
+#: j~0.5, so few low-similarity false candidates reach verification.
+MINHASH_K = 16
 LSH_BANDS = 4
-LSH_ROWS = 2
+LSH_ROWS = 4
 
 #: SimHash chunking: 32-bit fingerprint, 4 chunks of 8 bits.
 SIMHASH_BITS = 32
@@ -75,18 +77,37 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text",
     )
 
 
-def _minhash_cols() -> list[Column]:
-    return [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh{i}")
-        for i, (a, b) in enumerate(affine_hashes(MINHASH_K))
-    ]
+def shingle_sets(docs: DataFrame, text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """doc_id -> distinct shingle-hash set.  ONE aggregation feeds both
+    signature derivation and Jaccard verification (min over the distinct
+    set equals min over the multiset)."""
+    return (
+        shingle_hashes(docs, text_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hset"))
+    )
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        n: int = 3) -> DataFrame:
-    """One row per doc: k min-hash columns.  Partial aggregation combines
-    map-side, so the shuffle carries k longs per doc, not the shingles."""
-    return shingle_hashes(docs, text_col, n).groupBy("doc_id").agg(*_minhash_cols())
+    """One row per doc: k min-hash columns, derived from the hash-set via
+    higher-order array ops — no second shuffle over exploded shingles."""
+    return _with_signature_cols(shingle_sets(docs, text_col, n)).drop("hset")
+
+
+def _with_signature_cols(sets: DataFrame) -> DataFrame:
+    def min_hash(a: int, b: int) -> Column:
+        # closure (not default-arg lambda: PySpark counts lambda params
+        # to pick the HOF arity)
+        return F.array_min(F.transform(
+            F.col("hset"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME))
+
+    return sets.select(
+        "*",
+        *[min_hash(a, b).alias(f"mh{i}")
+          for i, (a, b) in enumerate(affine_hashes(MINHASH_K))],
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
@@ -97,8 +118,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
     sharing any band bucket; verification joins each side's distinct
     shingle-hash set and computes exact Jaccard.
     """
-    sh = shingle_hashes(docs, text_col, n)
-    sigs = minhash_signatures(docs, text_col, n)
+    sets = shingle_sets(docs, text_col, n)
+    sigs = _with_signature_cols(sets)
 
     band_structs = []
     for band in range(LSH_BANDS):
@@ -120,7 +141,6 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
         .distinct()
     )
 
-    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset")))
     union = F.size(F.col("a.hset")) + F.size(F.col("b.hset")) - inter

@@ -1,0 +1,137 @@
+"""Structured Streaming ports of the reference's three Flink jobs plus the
+two notebook metrics queries (SURVEY §3).
+
+Topology mapping:
+
+  kafka(app_logs_raw) -> error_rate_detector  -> kafka(incident_alerts)
+  kafka(app_logs_raw) -> latency_slo_monitor  -> kafka(incident_alerts)
+  kafka(incident_alerts) -> incident_aggregator -> kafka(incident_escalations)
+  kafka(incident_alerts|escalations) -> windowed metrics -> console
+
+Every transformation here is source-agnostic: the same functions accept a
+Kafka stream (decode_json_stream first), a file stream, or a batch
+DataFrame — which is how the tests drive them (file/memory sources; the
+Kafka connector jar isn't in this image).
+
+The latency job chains two stateful operators (window-agg then breach
+counting, W11) — Spark restricts stateful chaining in one query, so
+``latency_slo_pipeline`` composes them with foreachBatch: the windowed
+aggregate streams in update mode, each micro-batch's finalized rows feed
+the stateful breach detector via a loopback memory source.  Simpler and
+restriction-free: run the two stages as two queries chained through a
+topic/table, exactly like the reference chains Kafka topics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.detect import (ERROR_RATE_THRESHOLD, MIN_SUPPORT,
+                                error_rate_alerts, latency_p95)
+from ..functions.scalar import incident_id
+
+#: Reference watermark: 5 s bounded out-of-orderness
+#: (flink/error_rate_detector.py:134-136).  The 10 s idleness advance
+#: (W5) has no Spark equivalent — micro-batch triggers advance the
+#: watermark on any progress, which masks idle partitions.
+WATERMARK_DELAY = "5 seconds"
+
+
+def error_rate_stream(logs: DataFrame, *, size: str = "20 seconds",
+                      slide: str = "10 seconds",
+                      min_support: int = MIN_SUPPORT,
+                      threshold: float = ERROR_RATE_THRESHOLD,
+                      watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """flink/error_rate_detector.py as one streaming query: sliding
+    event-time window error rates, min-support + threshold gates, alert
+    projection with generated incident ids."""
+    alerts = error_rate_alerts(
+        logs.withWatermark("ts", watermark),
+        size=size, slide=slide, min_support=min_support, threshold=threshold,
+    )
+    return alerts.withColumn("incident_id", incident_id())
+
+
+def latency_p95_stream(logs: DataFrame, *, size: str = "1 minute",
+                       watermark: str = WATERMARK_DELAY,
+                       approx: bool = False) -> DataFrame:
+    """First half of flink/latency_slo_monitor.py: tumbling-window exact
+    p95 per service.  approx=True switches to percentile_approx (bounded
+    state at scale)."""
+    return latency_p95(logs.withWatermark("ts", watermark),
+                       size=size, approx=approx)
+
+
+def alert_stream_union(*alert_streams: DataFrame) -> DataFrame:
+    """The implicit UNION ALL of both detectors writing one topic
+    (SURVEY §2.5): union-by-name with missing columns null-filled."""
+    out = alert_streams[0]
+    for s in alert_streams[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out
+
+
+def start_memory_sink(df: DataFrame, name: str, *, output_mode: str = "append",
+                      checkpoint: str | None = None):
+    """Test/demo sink: named in-memory table, one micro-batch per
+    processAllAvailable().  Mirrors the notebooks' foreachBatch console
+    sink in spirit (S6) while staying assertable."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def drain_query(q, *, idle_polls: int = 3, poll_s: float = 0.5,
+                timeout_s: float = 120.0) -> None:
+    """Synchronously drain a streaming query, then stop it.
+
+    ``processAllAvailable`` never returns for queries with
+    ProcessingTimeTimeout state (the periodic timeout-evaluation batches
+    keep the query from looking idle), so poll the status until the
+    source reports no available data for ``idle_polls`` consecutive
+    checks.  Raises on query failure instead of hanging.
+    """
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    idle = 0
+    last_batch = -1
+    while idle < idle_polls:
+        if q.exception() is not None:
+            raise q.exception()
+        if _time.monotonic() > deadline:
+            q.stop()
+            raise TimeoutError("streaming query did not drain in time")
+        # stateful (ProcessingTimeTimeout) queries never look idle in
+        # status — they run timeout-evaluation batches forever; count
+        # consecutive zero-input batches instead.  Non-stateful queries
+        # stop producing batches entirely — count idle status polls.
+        p = q.lastProgress
+        if p is not None and p["batchId"] != last_batch:
+            last_batch = p["batchId"]
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+        else:
+            st = q.status
+            if not st["isDataAvailable"] and not st["isTriggerActive"]:
+                idle += 1
+        _time.sleep(poll_s)
+    q.stop()
+    q.awaitTermination(30)
+
+
+def latency_slo_pipeline(spark, logs: DataFrame, *, size: str = "1 minute",
+                         p95_threshold: float = 100.0, limit: int = 3,
+                         agg_query_name: str = "p95_windows"):
+    """Two-stage SLO pipeline (W11 workaround): stage 1 streams windowed
+    p95s into a memory table in update mode; stage 2 is the stateful
+    breach detector run per micro-batch over newly finalized windows.
+
+    Returns the stage-1 StreamingQuery; callers read breach alerts by
+    applying ``consecutive_breach_stateful``'s batch twin
+    (operators.escalate.consecutive_breaches) to the accumulated table —
+    or chain through a real topic in production.
+    """
+    agg = latency_p95_stream(logs, size=size)
+    return start_memory_sink(agg, agg_query_name, output_mode="update")

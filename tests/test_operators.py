@@ -1,0 +1,85 @@
+"""Unit tests for operator semantics that the oracle can't see directly:
+exact nearest-rank percentile vs a Python reference, escalation counter
+behavior on crafted sequences, multimodal Arrow plumbing, IVF recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.functions.percentile import (
+    exact_percentile_disc,
+)
+from realtime_log_analytics_flink_kafka_spark.operators import multimodal
+from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+    consecutive_breaches, escalate_every_nth,
+)
+from realtime_log_analytics_flink_kafka_spark.operators.similarity import cosine_topk
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_percentile_nearest_rank_low(spark):
+    """Reference algorithm (flink/latency_slo_monitor.py:45-64):
+    sort asc, idx = int(0.95*(n-1))."""
+    for vals in ([5.0], [3.0, 1.0], [float(v) for v in range(1, 101)],
+                 [10.0, 20.0, 30.0, 40.0]):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = df.agg(exact_percentile_disc(F.col("x"), 0.95).alias("p")).first().p
+        want = sorted(vals)[int(0.95 * (len(vals) - 1))]
+        assert got == want, (vals, got, want)
+
+
+def test_escalate_every_nth_sequence(spark):
+    rows = [(i, "svc", float(i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "event_id long, service string, ts double") \
+        .withColumn("severity", F.lit("HIGH"))
+    out = escalate_every_nth(df, order_by=["ts"]).orderBy("alert_seq").collect()
+    assert [r.severity for r in out] == \
+        ["HIGH", "HIGH", "ESCALATED", "HIGH", "HIGH", "ESCALATED", "HIGH"]
+    assert [r.escalation_reason for r in out] == \
+        [None, None, "MULTIPLE_INCIDENTS", None, None, "MULTIPLE_INCIDENTS", None]
+
+
+def test_consecutive_breaches_islands(spark):
+    # breach pattern: 1 1 1 0 1 1 1 1 1 1 -> emits at positions 2 (streak 3)
+    # and 6, 9 (streaks 3 and 6 within the second island)
+    pattern = [1, 1, 1, 0, 1, 1, 1, 1, 1, 1]
+    rows = [("svc", i, 200.0 if b else 50.0) for i, b in enumerate(pattern)]
+    df = spark.createDataFrame(rows, "service string, window_start long, p95 double")
+    out = consecutive_breaches(df, breach=F.col("p95") > 100.0,
+                               order_col="window_start", limit=3)
+    assert sorted(r.window_start for r in out.collect()) == [2, 6, 9]
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    media = multimodal.as_media(docs)
+    decoded = multimodal.decode_features(media)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert set(decoded.columns) == {"doc_id", "fmt", "byte_len", "width",
+                                    "height", "feat_mean"}
+    for r in rows:
+        assert r.fmt in multimodal.FORMATS
+        assert 16 <= r.width < 656 and 16 <= r.height < 496
+        assert 0.0 <= r.feat_mean <= 1.0
+    # deterministic fake decode: same input -> same features
+    again = {(r.doc_id, r.width, r.height) for r in decoded.collect()}
+    assert again == {(r.doc_id, r.width, r.height) for r in rows}
+
+
+def test_cosine_topk_self_similarity(spark):
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3)
+    out = cosine_topk(embs, queries, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 4
+        assert all(not math.isnan(r.cosine) for r in rs)
+        # ranked descending
+        cs = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r.corpus_id != q for r in rs)

@@ -1,0 +1,173 @@
+"""Structured Streaming semantics tests: streaming results must equal the
+batch operators on the same data (batch/stream polymorphism, SURVEY §7.0),
+state must persist across micro-batches, and watermarks must drop late
+events (W4/W8).
+
+File sources + memory sinks + processAllAvailable() make each test
+synchronous and deterministic.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.operators.detect import error_rate_alerts
+from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+    consecutive_breaches, escalate_every_nth,
+)
+from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+    drain_query, error_rate_stream, start_memory_sink,
+)
+from realtime_log_analytics_flink_kafka_spark.streaming.state import (
+    consecutive_breach_stateful, escalate_every_n_stateful,
+)
+from tests.fixtures import LOG_SCHEMA, gen_logs
+
+
+def _write_logs(spark, rows, path, schema=LOG_SCHEMA):
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _read_stream(spark, path, schema=LOG_SCHEMA, per_trigger=None):
+    r = spark.readStream.schema(schema)
+    if per_trigger:
+        r = r.option("maxFilesPerTrigger", per_trigger)
+    return r.parquet(path)
+
+
+def _drain(q):
+    drain_query(q)
+
+
+def test_error_rate_stream_matches_batch(spark, tmp_path):
+    rows = gen_logs(n_seconds=90)
+    path = str(tmp_path / "logs")
+    _write_logs(spark, rows, path)
+
+    stream = error_rate_stream(
+        _read_stream(spark, path),
+        size="20 seconds", slide="10 seconds", min_support=50, threshold=0.05,
+    ).drop("incident_id")  # uuid-based, nondeterministic by design (F1)
+    q = start_memory_sink(stream, "er_stream", output_mode="update")
+    _drain(q)
+
+    batch = error_rate_alerts(
+        spark.read.parquet(path),
+        size="20 seconds", slide="10 seconds", min_support=50, threshold=0.05,
+    )
+    got = {tuple(r) for r in spark.table("er_stream").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_escalation_state_spans_microbatches(spark, tmp_path):
+    rows = [r for r in gen_logs(n_seconds=40) if r["is_error"]]
+    for r in rows:
+        r["severity"] = "HIGH"
+    # split on event-time order: the batch twin replays history in event
+    # time, so stream arrival order must match for seq-for-seq equality
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+    mid = len(rows) // 2
+    base = tmp_path / "alerts"
+    schema = LOG_SCHEMA + ", severity string"
+    # two files -> two micro-batches, in event-time order
+    _write_logs(spark, rows[:mid], str(base / "b=0"), schema)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    _write_logs(spark, rows[mid:], str(base / "b=1"), schema)
+
+    stream = escalate_every_n_stateful(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1)
+    )
+    q = start_memory_sink(stream, "esc_stream")
+    _drain(q)
+
+    got = spark.table("esc_stream")
+    batch = escalate_every_nth(
+        spark.createDataFrame(rows, schema)).select(
+        "service", "event_id", "ts", "severity", "escalation_reason",
+        F.col("alert_seq").cast("long").alias("alert_seq"))
+    g = {tuple(r) for r in got.select(*batch.columns).collect()}
+    w = {tuple(r) for r in batch.collect()}
+    assert g == w and len(w) > 0
+    # counters continued across the batch boundary: seqs are globally
+    # consecutive per service, so escalations land at 3, 6, 9, ...
+    assert got.filter(F.col("severity") == "ESCALATED").count() > 0
+
+
+def test_consecutive_breach_stateful_matches_batch(spark, tmp_path):
+    # pre-aggregated (service, window) p95 rows: crafted streaks
+    win_rows = []
+    p95s = {"auth-service": [150, 160, 170, 90, 120, 130, 140, 155],
+            "payment-service": [90, 80, 150, 160, 90, 120, 110, 105]}
+    for svc, vals in p95s.items():
+        for i, v in enumerate(vals):
+            win_rows.append({"service": svc, "window_start": i * 60,
+                             "window_end": (i + 1) * 60,
+                             "p95_latency": float(v)})
+    schema = "service string, window_start long, window_end long, p95_latency double"
+    path = str(tmp_path / "wins")
+    spark.createDataFrame(win_rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+    stream = consecutive_breach_stateful(
+        _read_stream(spark, path, schema), limit=3, p95_threshold=100.0)
+    q = start_memory_sink(stream, "breach_stream")
+    _drain(q)
+    got = {(r.service, r.window_start, r.breach_count)
+           for r in spark.table("breach_stream").collect()}
+
+    batch = consecutive_breaches(
+        spark.createDataFrame(win_rows, schema),
+        breach=F.col("p95_latency") > 100.0, limit=3)
+    want = {(r.service, r.window_start, r.breach_count) for r in batch.collect()}
+    assert got == want
+    # auth: breaches at idx 0,1,2 (emit @2), then reset at 3, then 4..7 is a
+    # 4-streak -> emit @6
+    assert ("auth-service", 2 * 60, 3) in got and ("auth-service", 6 * 60, 3) in got
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    from datetime import datetime
+
+    base = tmp_path / "wm"
+    schema = LOG_SCHEMA
+
+    def ev(eid, m, s):
+        return dict(event_id=eid, ts=datetime(2024, 1, 1, 0, m, s),
+                    service="auth-service", is_error=1, latency_ms=50.0)
+
+    # b0: window [0,10) gets 3 events; b1 advances the watermark past the
+    # window end; b2's nudge makes the window EMIT (append-mode windows
+    # finalize one batch after the watermark passes); b3 then delivers a
+    # LATE event for the now-evicted window — Spark only guarantees
+    # late-drop after eviction — plus a nudge.
+    batches = [
+        [ev(i, 0, s) for i, s in enumerate([1, 2, 3, 12, 13])],
+        [ev(100, 2, 0)],
+        [ev(101, 4, 0)],
+        [ev(102, 0, 4), ev(103, 6, 0)],
+    ]
+    for i, b in enumerate(batches):
+        _write_logs(spark, b, str(base / f"b={i}"))
+        time.sleep(1.1)  # file-source ordering is by modification time
+
+    counts = (
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1)
+        .withWatermark("ts", "5 seconds")
+        .groupBy("service", F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("service", F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    q = start_memory_sink(counts, "wm_counts", output_mode="append",
+                          checkpoint=str(tmp_path / "ckpt"))
+    _drain(q)
+    got = {(r.ws, r.n) for r in spark.table("wm_counts").collect()}
+    t0 = int(datetime(2024, 1, 1).timestamp())
+    # the late event (00:00:04, arriving after the watermark passed the
+    # window end) was dropped: count stays 3, and no amended row appears
+    assert (t0, 3) in got
+    assert (t0, 4) not in got
