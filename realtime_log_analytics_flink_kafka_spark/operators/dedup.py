@@ -111,14 +111,24 @@ def _with_signature_cols(sets: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
-                      n: int = 3, threshold: float = 0.4) -> DataFrame:
+                      n: int = 3, threshold: float = 0.4,
+                      reuse_sets: bool = True) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     band bucket = concat of the band's min-hashes; candidates are pairs
     sharing any band bucket; verification joins each side's distinct
     shingle-hash set and computes exact Jaccard.
+
+    The shingle-set aggregate feeds four plan subtrees (two self-join
+    sides twice); ``reuse_sets`` persists it once (MEMORY_AND_DISK,
+    LRU-evicted) instead of recomputing the explode+aggregate 4x.  The
+    100 TB equivalent is checkpointing this intermediate to storage
+    between the signature and verification stages.
     """
     sets = shingle_sets(docs, text_col, n)
+    if reuse_sets:
+        from pyspark import StorageLevel
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _with_signature_cols(sets)
 
     band_structs = []

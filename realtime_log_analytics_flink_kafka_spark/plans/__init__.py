@@ -1,0 +1,4 @@
+from .inspect import (  # noqa: F401
+    formatted_plan, has_broadcast_join, pushed_filters, python_eval_nodes,
+    scan_read_schemas,
+)

@@ -18,20 +18,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def decode_json_stream(df: DataFrame, schema: T.StructType) -> DataFrame:
+def decode_json_stream(df: DataFrame, schema: T.StructType, *,
+                       coerce_strings: bool = True) -> DataFrame:
     """Kafka value bytes -> typed columns.
 
     Mirrors the notebook pipeline (alerts nb:110-112):
     ``CAST(value AS STRING)`` -> ``from_json`` -> struct flatten.
-    from_json's lenient coercion handles the reference's heterogeneous
-    producers (string-typed numerics from flink/error_rate_detector.py:99-102
-    landing in LongType fields — SURVEY §1.2b).
+
+    The reference's two alert producers emit *different JSON types* for
+    the same logical fields (epoch seconds as strings from
+    flink/error_rate_detector.py:99-102, as ints from
+    flink/latency_slo_monitor.py:94-103 — SURVEY §1.2b).  The notebooks'
+    fixed LongType schema silently nulls the string-typed shape on
+    Spark 4 (from_json does not coerce string->long), so with
+    ``coerce_strings`` we parse numeric fields as strings and try_cast
+    to the declared type — both producer shapes land typed, malformed
+    values become null instead of poisoning the row.
     """
-    return (
+    if not coerce_strings:
+        return (
+            df.selectExpr("CAST(value AS STRING) AS json")
+            .select(F.from_json(F.col("json"), schema).alias("data"))
+            .select("data.*")
+        )
+    stringly = T.StructType([
+        T.StructField(
+            f.name,
+            T.StringType() if isinstance(f.dataType, T.NumericType) else f.dataType,
+            True,
+        )
+        for f in schema.fields
+    ])
+    parsed = (
         df.selectExpr("CAST(value AS STRING) AS json")
-        .select(F.from_json(F.col("json"), schema).alias("data"))
+        .select(F.from_json(F.col("json"), stringly).alias("data"))
         .select("data.*")
     )
+    return parsed.select(*[
+        F.expr(f"try_cast({f.name} AS {f.dataType.simpleString()})").alias(f.name)
+        if isinstance(f.dataType, T.NumericType) else F.col(f.name)
+        for f in schema.fields
+    ])
 
 
 def encode_json_keyed(df: DataFrame, key_col: str = "service") -> DataFrame:
