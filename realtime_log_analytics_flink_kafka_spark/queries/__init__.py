@@ -30,9 +30,9 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import reference, relational, pipeline
+    from . import advanced, reference, relational, pipeline
     out: dict[str, QuerySpec] = {}
-    for mod in (reference, relational, pipeline):
+    for mod in (reference, relational, pipeline, advanced):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

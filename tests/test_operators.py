@@ -69,6 +69,50 @@ def test_multimodal_decode_plumbing(spark):
     assert again == {(r.doc_id, r.width, r.height) for r in rows}
 
 
+def test_approx_distinct_accuracy(spark):
+    """approx_count_distinct (rsd=0.02) within 5% of exact — the
+    bounded-state scale path for distinct aggregation."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    exact = {r.o_orderstatus: r.n for r in
+             orders.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    approx = {r.o_orderstatus: r.n for r in
+              orders.groupBy("o_orderstatus")
+              .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n"))
+              .collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
+def test_approx_p95_within_order_statistics(spark):
+    """percentile_approx's estimate must land in the p90..max band of
+    each window — the actual guarantee of a rank-error sketch (a fixed
+    relative-value tolerance is NOT guaranteed on small windows)."""
+    from realtime_log_analytics_flink_kafka_spark.functions.percentile import (
+        exact_percentile_disc,
+    )
+    from realtime_log_analytics_flink_kafka_spark.operators.detect import latency_p95
+    from realtime_log_analytics_flink_kafka_spark.operators.logs import as_logs
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+    from tests.conftest import SF_ORACLE
+
+    logs = as_logs(load_table(spark, SF_ORACLE, "events"))
+    bounds = {
+        (r.service, r.window_start): (r.p90, r.mx)
+        for r in logs.groupBy("service", F.window("ts", "1 day").alias("w"))
+        .agg(exact_percentile_disc(F.col("latency_ms"), 0.90).alias("p90"),
+             F.max("latency_ms").alias("mx"))
+        .select("service", F.col("w.start").cast("long").alias("window_start"),
+                "p90", "mx").collect()
+    }
+    approx = {(r.service, r.window_start): r.p95_latency
+              for r in latency_p95(logs, size="1 day", approx=True).collect()}
+    assert approx.keys() == bounds.keys() and len(approx) > 0
+    for k, v in approx.items():
+        p90, mx = bounds[k]
+        assert p90 <= v <= mx, (k, p90, v, mx)
+
+
 def test_cosine_topk_self_similarity(spark):
     embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     queries = embs.filter(F.col("vec_id") < 3)
