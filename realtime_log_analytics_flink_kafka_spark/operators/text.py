@@ -104,6 +104,64 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", pred)
 
 
+def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> (term, tf).  One explode + one aggregation; partial
+    aggregation combines map-side so the shuffle carries (doc, term)
+    pairs, not token instances."""
+    return (
+        docs.select("doc_id", F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf_top_terms(docs: DataFrame, text_col: str = "text", *,
+                     k: int = 3) -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf (ln(N/df)).
+
+    N and df are data-dependent aggregates: df by a term-keyed
+    aggregation, N as a broadcast single-row cross join (never a driver
+    collect).  Ranking happens on the rounded score so ordering is
+    reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    tf = term_frequencies(docs, text_col)
+    df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "term_rank")
+    )
+
+
+def top_terms_per_source(docs: DataFrame, text_col: str = "text", *,
+                         k: int = 5) -> DataFrame:
+    """Most frequent terms per corpus source — integer counts only, rank
+    ties broken lexicographically."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("source", F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling polynomial hash over token hashes — an order-sensitive
     document fingerprint (reordered tokens change it, unlike a bag hash)."""

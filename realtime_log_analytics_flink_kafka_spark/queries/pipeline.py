@@ -410,6 +410,54 @@ FROM tok
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tf_idf_top_terms(_docs(spark, sf_dir))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {TOKENS_CTE},
+tf AS (
+    SELECT doc_id, unnest(toks) AS term FROM tok
+),
+tfc AS (
+    SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+),
+dfc AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tfc.doc_id, tfc.term, tfc.tf,
+           round(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+    FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, term_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS term_rank
+    FROM scored
+) t WHERE term_rank <= 3
+"""
+
+
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_terms_per_source(_docs(spark, sf_dir))
+
+
+SQL_TOP_TERMS_PER_SOURCE = f"""
+WITH {TOKENS_CTE},
+counts AS (
+    SELECT source, term, count(*) AS n
+    FROM (SELECT source, unnest(toks) AS term FROM tok)
+    GROUP BY source, term
+)
+SELECT source, term, n, term_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, term ASC) AS term_rank
+    FROM counts
+) t WHERE term_rank <= 5
+"""
+
+
 # --- multimodal metadata -----------------------------------------------------
 
 def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,5 +492,8 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_scores": QuerySpec(q_quality_scores, SQL_QUALITY_SCORES),
     "language_id": QuerySpec(q_language_id, _langid_sql()),
     "doc_fingerprints": QuerySpec(q_fingerprints, SQL_FINGERPRINTS),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "top_terms_per_source": QuerySpec(q_top_terms_per_source,
+                                      SQL_TOP_TERMS_PER_SOURCE),
     "media_summary": QuerySpec(q_media_summary, SQL_MEDIA_SUMMARY),
 }

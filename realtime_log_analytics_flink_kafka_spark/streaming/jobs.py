@@ -83,6 +83,29 @@ def start_memory_sink(df: DataFrame, name: str, *, output_mode: str = "append",
     return writer.start()
 
 
+def dedup_stream(df: DataFrame, keys: list[str], *, ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: dropDuplicates within the watermark horizon.
+
+    State holds one entry per key seen in the last ``watermark`` of event
+    time and is evicted as the watermark advances — the streaming
+    complement of the batch ``dedup_exact`` operator (bounded state; an
+    unbounded-horizon dedup would grow state forever at 100 TB/day).
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def alert_metrics_stream(alerts: DataFrame, *, size: str = "1 minute",
+                         watermark: str = "2 minutes") -> DataFrame:
+    """The alerts-notebook metrics query in streaming form, verbatim
+    semantics (alerts nb:123-146): 2-minute watermark, per-service
+    tumbling windows, update output mode pairs with a processing-time
+    trigger at the caller (W13/W14)."""
+    from ..operators.metrics import alert_metrics
+
+    return alert_metrics(alerts.withWatermark("ts", watermark), size=size)
+
+
 def drain_query(q, *, idle_polls: int = 3, poll_s: float = 0.5,
                 timeout_s: float = 120.0) -> None:
     """Synchronously drain a streaming query, then stop it.

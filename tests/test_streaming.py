@@ -19,7 +19,8 @@ from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
     consecutive_breaches, escalate_every_nth,
 )
 from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
-    drain_query, error_rate_stream, start_memory_sink,
+    alert_metrics_stream, dedup_stream, drain_query, error_rate_stream,
+    start_memory_sink,
 )
 from realtime_log_analytics_flink_kafka_spark.streaming.state import (
     consecutive_breach_stateful, escalate_every_n_stateful,
@@ -128,6 +129,58 @@ def test_consecutive_breach_stateful_matches_batch(spark, tmp_path):
     # auth: breaches at idx 0,1,2 (emit @2), then reset at 3, then 4..7 is a
     # 4-streak -> emit @6
     assert ("auth-service", 2 * 60, 3) in got and ("auth-service", 6 * 60, 3) in got
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicates state spans micro-batches: a duplicate event_id
+    redelivered in a later batch is suppressed."""
+    from datetime import datetime
+
+    base = tmp_path / "dd"
+    rows1 = [dict(event_id=i, ts=datetime(2024, 1, 1, 0, 0, i), service="auth",
+                  is_error=1, latency_ms=1.0) for i in range(5)]
+    rows2 = ([dict(event_id=3, ts=datetime(2024, 1, 1, 0, 0, 3), service="auth",
+                   is_error=1, latency_ms=1.0)]          # exact redelivery
+             + [dict(event_id=i, ts=datetime(2024, 1, 1, 0, 0, i), service="auth",
+                     is_error=1, latency_ms=1.0) for i in (7, 8)])
+    _write_logs(spark, rows1, str(base / "b=0"))
+    time.sleep(1.1)
+    _write_logs(spark, rows2, str(base / "b=1"))
+
+    out = dedup_stream(
+        _read_stream(spark, str(base / "b=*"), per_trigger=1), ["event_id"])
+    q = start_memory_sink(out, "dd_stream")
+    _drain(q)
+    got = sorted(r.event_id for r in spark.table("dd_stream").collect())
+    assert got == [0, 1, 2, 3, 4, 7, 8]  # 3 delivered once despite redelivery
+
+
+def test_alert_metrics_stream_update_mode(spark, tmp_path):
+    """The notebook metrics query under update mode + processing-time
+    trigger (W13/W14): streamed result equals the batch operator."""
+    from realtime_log_analytics_flink_kafka_spark.operators.metrics import alert_metrics
+
+    rows = [r for r in gen_logs(n_seconds=90) if r["is_error"]]
+    for r in rows:
+        r["severity"] = "CRITICAL" if r["latency_ms"] > 150 else "HIGH"
+        r["type"] = ("LATENCY_SLO_BREACH" if r["latency_ms"] > 150
+                     else "ERROR_RATE_SPIKE")
+        r["p95_latency"] = int(r["latency_ms"]) if r["latency_ms"] > 150 else None
+        r["breach_count"] = 3 if r["latency_ms"] > 150 else None
+    schema = (LOG_SCHEMA + ", severity string, type string, "
+              "p95_latency int, breach_count int")
+    path = str(tmp_path / "alerts")
+    _write_logs(spark, rows, path, schema)
+
+    stream = alert_metrics_stream(_read_stream(spark, path, schema))
+    q = (stream.writeStream.format("memory").queryName("am_stream")
+         .outputMode("update").trigger(processingTime="1 second").start())
+    _drain(q)
+
+    got = {tuple(r) for r in spark.table("am_stream").collect()}
+    want = {tuple(r) for r in
+            alert_metrics(spark.createDataFrame(rows, schema)).collect()}
+    assert got == want and len(want) > 0
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
