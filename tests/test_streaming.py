@@ -183,6 +183,59 @@ def test_alert_metrics_stream_update_mode(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_latency_slo_two_stage_pipeline(spark, tmp_path):
+    """W11 (two chained stateful ops) via the topic-chain split: stage 1
+    streams windowed p95s; stage 2 runs the stateful breach counter over
+    stage 1's output stream — the reference's exact topology
+    (flink/latency_slo_monitor.py:139-146) with the Kafka hop replaced by
+    a table hop."""
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        latency_slo_pipeline,
+    )
+
+    rows = gen_logs(n_seconds=240)  # 4 one-minute windows, spikes at 0 and 60
+    path = str(tmp_path / "logs")
+    _write_logs(spark, rows, path)
+    logs = _read_stream(spark, path)
+
+    q1 = latency_slo_pipeline(spark, logs, size="1 minute",
+                              agg_query_name="p95_two_stage")
+    _drain(q1)
+    wins = spark.table("p95_two_stage") \
+        .select("service", "window_start", "window_end",
+                F.col("p95_latency").cast("double").alias("p95_latency"))
+    assert wins.count() > 0
+
+    hop = str(tmp_path / "hop")
+    wins.coalesce(1).write.parquet(hop)
+    stream2 = consecutive_breach_stateful(
+        _read_stream(spark, hop,
+                     "service string, window_start long, window_end long, "
+                     "p95_latency double"),
+        limit=2, p95_threshold=200.0)
+    q2 = start_memory_sink(stream2, "breach_two_stage")
+    _drain(q2)
+
+    got = {(r.service, r.window_start) for r in
+           spark.table("breach_two_stage").collect()}
+    want = {(r.service, r.window_start) for r in consecutive_breaches(
+        wins, breach=F.col("p95_latency") > 200.0, limit=2).collect()}
+    assert got == want
+
+
+def test_foreach_batch_skips_empty(spark):
+    """S6: the notebooks' empty-batch console guard (alerts nb:149-159)."""
+    from realtime_log_analytics_flink_kafka_spark.sources.kafka import (
+        foreach_batch_non_empty,
+    )
+
+    seen = []
+    fn = foreach_batch_non_empty(lambda df, epoch: seen.append(epoch))
+    fn(spark.range(0), 1)   # empty batch -> skipped
+    fn(spark.range(3), 2)   # non-empty -> forwarded
+    assert seen == [2]
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     from datetime import datetime
 
