@@ -33,6 +33,15 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def _md5_int(s: str) -> int:
+    """Driver-side twin of md5_long for generating deterministic
+    constants (e.g. Rademacher hyperplanes) — folds the same 15 hex
+    chars, so a SQL oracle can regenerate identical values."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def affine_hashes(n: int) -> list[tuple[int, int]]:
     """n fixed affine permutations (a, b) for MinHash: h_i(x) = (a_i*(x mod P) + b_i) mod P.
 

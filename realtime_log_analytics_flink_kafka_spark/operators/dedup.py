@@ -168,28 +168,42 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", *,
                         n: int = 3, threshold: float = 0.2,
                         block_col: str = "lang") -> DataFrame:
-    """Exact n-gram Jaccard within blocking-key groups (here: language).
+    """Exact n-gram Jaccard within blocking-key groups (here: language),
+    via the shared-shingle equi-join: |A∩B| comes from self-joining the
+    exploded (doc, shingle-hash) relation on the hash, so pairs with no
+    common shingle never materialize at all.
 
-    Blocking keeps the pair space per-block; the unblocked all-pairs
-    variant is exactly minhash_lsh_pairs' verification stage.
+    Cost is Σ_s d_s² over per-shingle doc-frequencies — at 100 TB this is
+    the scalable formulation (equi-join + count aggregation; hot
+    shingles are ordinary join skew, handled by AQE/salting), where the
+    block-cross-join with per-pair array intersects is quadratic in block
+    size regardless of actual overlap.
     """
-    sets = (
+    sh = (
         shingle_hashes(docs, text_col, n)
         .join(docs.select("doc_id", block_col), "doc_id")
-        .groupBy("doc_id", block_col)
-        .agg(F.collect_set("h").alias("hset"))
+        .distinct()
     )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset")))
-    union = F.size(F.col("a.hset")) + F.size(F.col("b.hset")) - inter
-    return (
-        a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col(f"a.{block_col}").alias(block_col))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col(f"a.{block_col}").alias(block_col),
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            "doc_a", "doc_b", block_col,
+            F.round(F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
+                .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

