@@ -30,6 +30,34 @@ def test_exact_percentile_nearest_rank_low(spark):
         assert got == want, (vals, got, want)
 
 
+def test_iso_timestamp_malformed_fallback(spark):
+    """P5: malformed timestamps silently become epoch 0, matching the
+    reference's extract_ts fallback (flink/error_rate_detector.py:34-36)."""
+    from realtime_log_analytics_flink_kafka_spark.functions.scalar import (
+        iso_to_timestamp,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01T12:30:45",), ("not-a-timestamp",), ("",), (None,)],
+        "raw string",
+    ).select(iso_to_timestamp(F.col("raw")).cast("long").alias("epoch"))
+    got = [r.epoch for r in df.collect()]
+    assert got[0] == 1704112245
+    assert got[1:] == [0, 0, 0]
+
+
+def test_incident_id_shape(spark):
+    """F1: inc- + 8 hex chars (flink/error_rate_detector.py:95),
+    nondeterministic by design — shape-only assertion."""
+    import re
+
+    from realtime_log_analytics_flink_kafka_spark.functions.scalar import incident_id
+
+    ids = [r.i for r in spark.range(50).select(incident_id().alias("i")).collect()]
+    assert all(re.fullmatch(r"inc-[0-9a-f]{8}", i) for i in ids)
+    assert len(set(ids)) == len(ids)  # uuid-backed: no collisions in 50
+
+
 def test_escalate_every_nth_sequence(spark):
     rows = [(i, "svc", float(i)) for i in range(1, 8)]
     df = spark.createDataFrame(rows, "event_id long, service string, ts double") \

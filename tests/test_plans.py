@@ -6,8 +6,6 @@ or a dimension join that fell back to shuffle — these can.
 
 from __future__ import annotations
 
-import pytest
-
 from realtime_log_analytics_flink_kafka_spark.plans import (
     formatted_plan, has_broadcast_join, pushed_filters, python_eval_nodes,
     scan_read_schemas,

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from realtime_log_analytics_flink_kafka_spark.operators.detect import error_rate_alerts
@@ -221,6 +220,42 @@ def test_latency_slo_two_stage_pipeline(spark, tmp_path):
     want = {(r.service, r.window_start) for r in consecutive_breaches(
         wins, breach=F.col("p95_latency") > 200.0, limit=2).collect()}
     assert got == want
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window under streaming (append mode): sessions split on
+    the 30 s inactivity gap and match the batch operator."""
+    from datetime import datetime
+
+    rows = []
+    # user 1: two sessions (gap 60 s); user 2: one session
+    for i, (u, s) in enumerate([(1, 0), (1, 5), (1, 10), (1, 70), (1, 75),
+                                (2, 0), (2, 20)]):
+        rows.append(dict(event_id=i, ts=datetime(2024, 1, 1, 0, 1 + s // 60, s % 60),
+                         service=f"u{u}", is_error=0, latency_ms=1.0))
+    nudge = [dict(event_id=99, ts=datetime(2024, 1, 1, 1, 0, 0),
+                  service="u1", is_error=0, latency_ms=1.0)]
+    base = tmp_path / "sess"
+    _write_logs(spark, rows, str(base / "b=0"))
+    time.sleep(1.1)
+    _write_logs(spark, nudge, str(base / "b=1"))
+    time.sleep(1.1)
+    _write_logs(spark, [dict(event_id=100, ts=datetime(2024, 1, 1, 2, 0, 0),
+                             service="u1", is_error=0, latency_ms=1.0)],
+                str(base / "b=2"))
+
+    sessions = (
+        _read_stream(spark, str(base / "b=*"), per_trigger=1)
+        .withWatermark("ts", "5 seconds")
+        .groupBy("service", F.session_window("ts", "30 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("service", F.col("w.start").cast("long").alias("ss"), "n")
+    )
+    q = start_memory_sink(sessions, "sess_stream", output_mode="append")
+    _drain(q)
+    got = {(r.service, r.ss, r.n) for r in spark.table("sess_stream").collect()}
+    t0 = int(datetime(2024, 1, 1, 0, 1).timestamp())
+    assert {("u1", t0, 3), ("u1", t0 + 70, 2), ("u2", t0, 2)} <= got
 
 
 def test_foreach_batch_skips_empty(spark):
