@@ -64,15 +64,28 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text",
 
     Shingles via sequence+slice (pure Catalyst); docs shorter than n
     tokens drop out, matching the oracle.
+
+    The token array is materialized in its own projection first: if the
+    tokenizer expression (regex split + filter HOF) were inlined inside
+    the ``transform`` lambda, interpreted HOF evaluation would re-run it
+    once per shingle index — O(tokens^2) regex work per document.
+    CollapseProject leaves the projection alone (non-cheap expression
+    referenced more than once), so tokenization runs once per row.
     """
-    toks = ws_tokens(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # short docs yield an empty array, which explode() drops — same rows
+    # as a size()>=n filter but without a second tokenizer evaluation
+    # (predicate pushdown would substitute the alias into the filter).
     return (
-        docs.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(sh).alias("shingle"))
+        toked.select("doc_id", F.explode(sh).alias("shingle"))
         .select("doc_id", (md5_long(F.col("shingle")) % HASH_PRIME).alias("h"))
     )
 
