@@ -73,6 +73,97 @@ def decode_features(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, fmt string, src_width long, src_height long, "
+    "out_width long, out_height long"
+)
+
+#: Fake "video" timing for the frame-sample stub: fixed 33 ms/frame
+#: (~30 fps) keeps ts_ms pure-integer arithmetic — no float parity risk
+#: in the DuckDB oracle.
+FRAME_MS = 33
+
+FRAMES_SCHEMA = "doc_id long, fmt string, n_frames long, frame_idx long, ts_ms long"
+
+
+def resize_images(media: DataFrame, target_w: int = 256, target_h: int = 256,
+                  *, decode_stub: bool = True) -> DataFrame:
+    """Aspect-preserving thumbnail resize via mapInPandas.
+
+    The fit-within-box math (min of the two scale ratios, floor to int,
+    clamp >=1) is the real algorithm; only the pixel decode/encode is
+    stubbed — source dims derive from byte_len exactly as
+    :func:`decode_features` does, so the two stubs agree.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resizing needs codecs not present in this "
+                    "environment; run with decode_stub=True")
+            n = pdf["byte_len"].astype("int64")
+            src_w = (n % 640) + 16
+            src_h = ((n * 7) % 480) + 16
+            # fit-within-box: scale both dims by min ratio, never upscale
+            ratio = pd.concat([target_w / src_w, target_h / src_h], axis=1
+                              ).min(axis=1).clip(upper=1.0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "fmt": pdf["fmt"],
+                "src_width": src_w,
+                "src_height": src_h,
+                "out_width": (src_w * ratio).astype("int64").clip(lower=1),
+                "out_height": (src_h * ratio).astype("int64").clip(lower=1),
+            })
+
+    return _meta_only(media, decode_stub).mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 10,
+                  *, decode_stub: bool = True) -> DataFrame:
+    """Every-k-th frame sampling: one input payload fans out to N frame
+    rows *inside* the Arrow batch (index-repeat, no Python row loop) —
+    the real shape of a video-frame extractor, where output cardinality
+    is data-dependent and decided per payload.
+
+    Stub frame count is ``byte_len % 90 + 30`` (a real decoder would read
+    the container header); ``ts_ms = frame_idx * 33`` (~30 fps).
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction needs video codecs not present "
+                    "in this environment; run with decode_stub=True")
+            n_frames = (pdf["byte_len"].astype("int64") % 90) + 30
+            reps = ((n_frames - 1) // every + 1).to_numpy()
+            idx = np.repeat(np.arange(len(pdf)), reps)
+            offsets = np.concatenate([np.arange(r) * every for r in reps]) \
+                if len(reps) else np.array([], dtype="int64")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[idx],
+                "fmt": pdf["fmt"].to_numpy()[idx],
+                "n_frames": n_frames.to_numpy()[idx],
+                "frame_idx": offsets,
+                "ts_ms": offsets * FRAME_MS,
+            })
+
+    return _meta_only(media, decode_stub).mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+def _meta_only(media: DataFrame, decode_stub: bool) -> DataFrame:
+    """Stub paths read only metadata — dropping the binary column here
+    lets parquet column pruning skip the blob pages entirely and keeps it
+    out of the Arrow transfer.  The real-codec path ships the payload."""
+    if decode_stub and "payload" in media.columns:
+        return media.drop("payload")
+    return media
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Metadata-only rollup — runs without touching payload bytes (column
     pruning drops the blob from the scan)."""

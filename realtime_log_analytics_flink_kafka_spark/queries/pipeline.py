@@ -533,6 +533,55 @@ FROM media GROUP BY fmt
 """
 
 
+MEDIA_CTE = """
+media AS (
+    SELECT doc_id,
+           (['jpeg', 'png', 'webp'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+)
+"""
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(multimodal.as_media(_docs(spark, sf_dir)))
+
+
+SQL_FRAME_SAMPLES = f"""
+WITH {MEDIA_CTE},
+fr AS (
+    SELECT doc_id, fmt, byte_len % 90 + 30 AS n_frames FROM media
+)
+SELECT doc_id, fmt, n_frames,
+       unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS frame_idx,
+       unnest(range(0, CAST(n_frames AS BIGINT), 10)) * 33 AS ts_ms
+FROM fr
+"""
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_images(multimodal.as_media(_docs(spark, sf_dir)))
+
+
+SQL_MEDIA_RESIZE = f"""
+WITH {MEDIA_CTE},
+dims AS (
+    SELECT doc_id, fmt,
+           byte_len % 640 + 16 AS src_width,
+           (byte_len * 7) % 480 + 16 AS src_height
+    FROM media
+),
+scaled AS (
+    SELECT *, least(256.0 / src_width, 256.0 / src_height, 1.0) AS ratio
+    FROM dims
+)
+SELECT doc_id, fmt, src_width, src_height,
+       greatest(CAST(trunc(src_width * ratio) AS BIGINT), 1) AS out_width,
+       greatest(CAST(trunc(src_height * ratio) AS BIGINT), 1) AS out_height
+FROM scaled
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
@@ -552,4 +601,6 @@ QUERIES: dict[str, QuerySpec] = {
     "top_terms_per_source": QuerySpec(q_top_terms_per_source,
                                       SQL_TOP_TERMS_PER_SOURCE),
     "media_summary": QuerySpec(q_media_summary, SQL_MEDIA_SUMMARY),
+    "frame_samples": QuerySpec(q_frame_samples, SQL_FRAME_SAMPLES),
+    "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
 }

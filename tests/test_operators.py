@@ -97,6 +97,41 @@ def test_multimodal_decode_plumbing(spark):
     assert again == {(r.doc_id, r.width, r.height) for r in rows}
 
 
+def test_multimodal_resize_fit_within_box(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    resized = multimodal.resize_images(multimodal.as_media(docs),
+                                       target_w=256, target_h=256)
+    rows = resized.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 1 <= r.out_width <= 256 and 1 <= r.out_height <= 256
+        # never upscale: output dims bounded by source dims
+        assert r.out_width <= r.src_width and r.out_height <= r.src_height
+        # aspect preserved within integer-floor tolerance
+        if r.out_width < r.src_width:  # actually scaled
+            ratio = min(256 / r.src_width, 256 / r.src_height)
+            assert r.out_width == int(r.src_width * ratio)
+            assert r.out_height == int(r.src_height * ratio)
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(20)
+    frames = multimodal.sample_frames(multimodal.as_media(docs), every=10)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 20
+    for doc_rows in by_doc.values():
+        n_frames = doc_rows[0].n_frames
+        assert 30 <= n_frames < 120
+        idxs = sorted(r.frame_idx for r in doc_rows)
+        # every-10th frame, starting at 0, strictly below n_frames
+        assert idxs == list(range(0, n_frames, 10))
+        for r in doc_rows:
+            assert r.ts_ms == r.frame_idx * multimodal.FRAME_MS
+
+
 def test_approx_distinct_accuracy(spark):
     """approx_count_distinct (rsd=0.02) within 5% of exact — the
     bounded-state scale path for distinct aggregation."""
