@@ -208,9 +208,56 @@ def q_latency_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                        size="1 day", approx=True)
 
 
+def q_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for every error event, the same user's clicks in
+    the preceding hour — ``operators.joins.range_join`` (bucketed
+    equi-join on (user_id, time-bucket), ≤2× left fan-out, exact-range
+    post-filter) instead of the theta-join Spark would otherwise plan as
+    a per-key nested loop."""
+    from ..operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.unix_micros(F.col("ts")).alias("e_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.unix_micros(F.col("ts")).alias("c_us"),
+    )
+    hour = 3_600_000_000  # microseconds
+    return (
+        range_join(errors, clicks, ["user_id"], "e_us", "c_us",
+                   lower=-hour, upper=-1)
+        .select(
+            "user_id", "error_event_id", "click_event_id",
+            (F.col("e_us") - F.col("c_us")).alias("lag_us"),
+        )
+    )
+
+
+SQL_ERROR_CLICK_PAIRS = """
+SELECT e.user_id,
+       e.event_id AS error_event_id,
+       c.event_id AS click_event_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error'
+ AND c.event_type = 'click'
+ AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                        AND epoch_us(e.ts) - 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "purchase_attribution": QuerySpec(q_purchase_attribution,
                                       SQL_PURCHASE_ATTRIBUTION),
+    "error_click_pairs": QuerySpec(q_error_click_pairs,
+                                   SQL_ERROR_CLICK_PAIRS),
     "segment_distinct_nations": QuerySpec(q_segment_distinct_nations,
                                           SQL_SEGMENT_DISTINCT_NATIONS),
     "segment_approx_distinct": QuerySpec(q_segment_approx_distinct, None),

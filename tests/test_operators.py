@@ -97,6 +97,28 @@ def test_multimodal_decode_plumbing(spark):
     assert again == {(r.doc_id, r.width, r.height) for r in rows}
 
 
+def test_range_join_boundaries(spark):
+    """Bucketed range join is exact at interval endpoints and across
+    bucket boundaries, and never duplicates a matching pair."""
+    from realtime_log_analytics_flink_kafka_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [("k", 1, 1000)], "key string, lid int, lp long")
+    # lower=-100, upper=-1 -> match window [900, 999]
+    right = spark.createDataFrame(
+        [("k", 1, 899),   # just below
+         ("k", 2, 900),   # lower endpoint (inclusive)
+         ("k", 3, 950),   # interior, different bucket than 999
+         ("k", 4, 999),   # upper endpoint (inclusive)
+         ("k", 5, 1000),  # just above
+         ("x", 6, 950)],  # wrong key
+        "key string, rid int, rp long")
+    out = range_join(left, right, ["key"], "lp", "rp", lower=-100, upper=-1)
+    rows = sorted((r.rid, r.rp) for r in out.collect())
+    assert rows == [(2, 900), (3, 950), (4, 999)]
+    assert out.columns.count("_rj_bucket") == 0
+
+
 def test_multimodal_resize_fit_within_box(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
     resized = multimodal.resize_images(multimodal.as_media(docs),
