@@ -6,6 +6,8 @@ or a dimension join that fell back to shuffle — these can.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from realtime_log_analytics_flink_kafka_spark.plans import (
     formatted_plan, has_broadcast_join, pushed_filters, python_eval_nodes,
     scan_read_schemas,
@@ -16,13 +18,21 @@ from tests.conftest import SF_SMOKE
 QUERIES = all_queries()
 
 
+#: Queries allowed to carry Arrow-vectorized Python (mapInPandas): the
+#: multimodal codec stubs, whose whole point is the Pandas-UDF batch
+#: plumbing.  Row-at-a-time BatchEvalPython is banned with no exceptions.
+ARROW_SANCTIONED = {"frame_samples", "media_resize"}
+
+
 def test_no_python_in_any_registry_query(spark):
-    """Every registry operator is pure Catalyst — no Python eval nodes at
-    all (Pandas-UDF paths like the multimodal decoder are deliberately
-    outside the registry)."""
+    """Every registry operator is pure Catalyst — no Python eval nodes —
+    except the explicitly sanctioned Arrow-vectorized multimodal stubs,
+    which may use MapInPandas but never row-at-a-time BatchEvalPython."""
     offenders = {}
     for name, spec in QUERIES.items():
         nodes = python_eval_nodes(spec.fn(spark, SF_SMOKE))
+        if name in ARROW_SANCTIONED:
+            nodes = [n for n in nodes if n == "BatchEvalPython"]
         if nodes:
             offenders[name] = nodes
     assert not offenders, f"Python in hot path: {offenders}"
@@ -68,3 +78,60 @@ def test_semi_anti_join_strategies(spark):
     assert "LeftSemi" in plan_semi
     assert any("l_quantity" in f for f in
                pushed_filters(QUERIES["suppliers_with_shipments"].fn(spark, SF_SMOKE)))
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """Partition-directory filters never reach the row reader: the scan's
+    PartitionFilters handle them and data files of other partitions are
+    skipped entirely."""
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+    from realtime_log_analytics_flink_kafka_spark.sources.sinks import write_partitioned
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, ["event_type"])
+
+    back = spark.read.parquet(out).filter("event_type = 'error'")
+    assert back.count() == ev.filter("event_type = 'error'").count()
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    # the predicate is consumed by partition pruning, not a data filter
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join with no Exchange on
+    either side — the write-once shuffle is reused by every later join."""
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+    from realtime_log_analytics_flink_kafka_spark.sources.sinks import (
+        read_bucketed, write_bucketed,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders") \
+        .select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, SF_SMOKE, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at fixture scale both sides broadcast, which bypasses bucketing;
+        # disable broadcast to exercise the big-joins-big path bucketing
+        # exists for (at 100 TB neither side fits in memory)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, "t_orders_b", str(tmp_path / "ob"),
+                       ["o_orderkey"], 4, sort_by=["o_orderkey"])
+        write_bucketed(li, "t_lineitem_b", str(tmp_path / "lb"),
+                       ["l_orderkey"], 4, sort_by=["l_orderkey"])
+        joined = read_bucketed(spark, "t_orders_b").join(
+            read_bucketed(spark, "t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == orders.join(
+            li, orders.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
