@@ -41,6 +41,8 @@ HEADLINE = [
     "knn_bruteforce",
     "token_counts",
     "doc_fingerprints",
+    "error_click_pairs",
+    "frame_samples",
 ]
 
 

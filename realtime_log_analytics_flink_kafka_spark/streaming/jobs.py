@@ -158,3 +158,34 @@ def latency_slo_pipeline(spark, logs: DataFrame, *, size: str = "1 minute",
     """
     agg = latency_p95_stream(logs, size=size)
     return start_memory_sink(agg, agg_query_name, output_mode="update")
+
+
+def interval_join_streams(left: DataFrame, right: DataFrame, keys: list[str],
+                          left_ts: str = "ts", right_ts: str = "ts", *,
+                          lookback: str = "1 hour", strict_past: bool = True,
+                          watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Stream-stream event-time interval join — Flink's interval join
+    (absent from the reference, which chains topics instead; SURVEY §2.5)
+    expressed Spark-natively: watermarks on BOTH inputs plus a time-range
+    join condition, which is exactly what lets Spark bound the join state
+    (each side's buffered rows are evicted once the other side's
+    watermark passes their range).
+
+    Emits (l, r) where r[right_ts] ∈ [l[left_ts] - lookback, l[left_ts])
+    and all key columns match; the batch twin is
+    ``operators.joins.range_join`` (bucketed equi-join), proven
+    pair-identical in tests/test_streaming.py.
+    """
+    l, r = left.withWatermark(left_ts, watermark), \
+        right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
+    cond = cond & ((r[right_ts] < l[left_ts]) if strict_past
+                   else (r[right_ts] <= l[left_ts]))
+    out = l.join(r, cond)
+    for k in keys:
+        out = out.drop(r[k])
+    return out

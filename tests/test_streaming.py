@@ -10,6 +10,7 @@ synchronous and deterministic.
 from __future__ import annotations
 
 import time
+from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -312,3 +313,51 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # window end) was dropped: count stays 3, and no amended row appears
     assert (t0, 3) in got
     assert (t0, 4) not in got
+
+
+def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join emits exactly the pairs the batch
+    bucketed range_join finds (clicks in the hour before each error)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.joins import range_join
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        interval_join_streams, start_memory_sink,
+    )
+
+    base = 1_700_000_000  # epoch seconds
+    def ev(eid, uid, off_s):
+        return (eid, uid, datetime.fromtimestamp(base + off_s, tz=timezone.utc)
+                .replace(tzinfo=None))
+
+    err_schema = "error_event_id long, user_id long, ts timestamp"
+    clk_schema = "click_event_id long, user_id long, cts timestamp"
+    # user 1: clicks at 0s, 1800s, 3599s, 3600s; error at 3600s
+    #   -> pairs with clicks at 1800 (in window) and 3599; 0s is exactly
+    #      3600s before -> inside closed lower bound; 3600s is not strict past
+    # user 2: click after its error only -> no pair
+    errors = [ev(100, 1, 3600), ev(200, 2, 100)]
+    clicks = [ev(10, 1, 0), ev(11, 1, 1800), ev(12, 1, 3599), ev(13, 1, 3600),
+              ev(20, 2, 200)]
+    epath, cpath = str(tmp_path / "errs"), str(tmp_path / "clicks")
+    spark.createDataFrame(errors, err_schema).write.parquet(epath)
+    spark.createDataFrame(clicks, clk_schema).write.parquet(cpath)
+
+    joined = interval_join_streams(
+        _read_stream(spark, epath, err_schema),
+        _read_stream(spark, cpath, clk_schema),
+        ["user_id"], left_ts="ts", right_ts="cts", lookback="1 hour",
+    ).select("user_id", "error_event_id", "click_event_id")
+    q = start_memory_sink(joined, "ij_stream", output_mode="append")
+    _drain(q)
+    got = {tuple(r) for r in spark.table("ij_stream").collect()}
+
+    batch = range_join(
+        spark.read.parquet(epath).select(
+            "user_id", "error_event_id", F.unix_micros("ts").alias("e_us")),
+        spark.read.parquet(cpath).select(
+            "user_id", "click_event_id", F.unix_micros("cts").alias("c_us")),
+        ["user_id"], "e_us", "c_us", lower=-3_600_000_000, upper=-1,
+    ).select("user_id", "error_event_id", "click_event_id")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert (1, 100, 10) in got and (1, 100, 11) in got and (1, 100, 12) in got
+    assert (1, 100, 13) not in got and all(u != 2 for u, *_ in got)
