@@ -242,6 +242,51 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of rollup/cube: exactly the
+    requested aggregation levels, one shuffle, no union-of-groupbys
+    re-scan.  Spark plans Expand (row replication per set) feeding a
+    single hash aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double")
+                .alias("total_price"),
+        )
+    )
+
+
+SQL_GROUPING_SETS_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans TakeOrderedAndProject —
+    per-partition heaps then a k-row merge on the driver, never a full
+    global sort.  Tiebreak on o_orderkey makes the result set
+    deterministic across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
 # --- window functions: running totals per customer ---------------------------
 
 def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +400,10 @@ QUERIES: dict[str, QuerySpec] = {
     "suppliers_with_shipments": QuerySpec(q_suppliers_with_shipments,
                                           SQL_SUPPLIERS_WITH_SHIPMENTS),
     "returns_rollup": QuerySpec(q_returns_rollup, SQL_RETURNS_ROLLUP),
+    "grouping_sets_orders": QuerySpec(q_grouping_sets_orders,
+                                      SQL_GROUPING_SETS_ORDERS),
+    "top_revenue_orders": QuerySpec(q_top_revenue_orders,
+                                    SQL_TOP_REVENUE_ORDERS),
     "customer_running_spend": QuerySpec(q_customer_running_spend,
                                         SQL_CUSTOMER_RUNNING_SPEND),
     "orders_by_priority_pivot": QuerySpec(q_orders_by_priority_pivot,
