@@ -361,3 +361,55 @@ def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
     assert got == want
     assert (1, 100, 10) in got and (1, 100, 11) in got and (1, 100, 12) in got
     assert (1, 100, 13) not in got and all(u != 2 for u, *_ in got)
+
+
+def test_checkpoint_recovery_resumes_state(spark, tmp_path):
+    """S7 fault-tolerance parity: a checkpointed windowed aggregation,
+    stopped mid-stream and restarted, resumes from the offset log and
+    produces exactly the batch result — no lost or double-counted rows
+    (the Flink jobs checkpoint every 30 s for the same guarantee;
+    flink/error_rate_detector.py:116)."""
+    from datetime import datetime
+
+    src = str(tmp_path / "cksrc")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(eid, m, s, err):
+        return dict(event_id=eid, ts=datetime(2024, 1, 1, 0, m, s),
+                    service="auth-service", is_error=err, latency_ms=50.0)
+
+    first = [ev(i, 0, i, i % 2) for i in range(20)]
+    second = [ev(100 + i, 1, i, 1) for i in range(10)]
+    _write_logs(spark, first, f"{src}/b=0")
+    time.sleep(1.1)
+
+    def counts_stream():
+        return (
+            _read_stream(spark, f"{src}/b=*", per_trigger=1)
+            .groupBy("service", F.window("ts", "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("is_error").alias("errs"))
+            .select("service", F.col("w.start").cast("long").alias("ws"),
+                    "n", "errs")
+        )
+
+    def run(name):
+        q = (counts_stream().writeStream.format("memory").queryName(name)
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .start())
+        drain_query(q)
+
+    run("ck_run1")
+    assert spark.table("ck_run1").count() == 1  # only minute-0 so far
+
+    _write_logs(spark, second, f"{src}/b=1")  # arrives while query is DOWN
+    run("ck_run2")  # restart from the same checkpoint
+
+    got = {(r.ws, r.n, r.errs) for r in spark.table("ck_run2").collect()}
+    batch = (
+        spark.read.parquet(f"{src}/b=*")
+        .groupBy("service", F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("is_error").alias("errs"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n", "errs")
+    )
+    want = {(r.ws, r.n, r.errs) for r in batch.collect()}
+    assert got == want and len(want) == 2
