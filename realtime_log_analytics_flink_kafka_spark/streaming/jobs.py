@@ -189,3 +189,18 @@ def interval_join_streams(left: DataFrame, right: DataFrame, keys: list[str],
     for k in keys:
         out = out.drop(r[k])
     return out
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame,
+                  keys: list[str], *, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join (Flink's lookup join): each
+    micro-batch joins against the static dimension with an explicit
+    broadcast hint — no shuffle of the stream, no state, the dimension
+    ships once per executor.
+
+    The static side is re-read per micro-batch by Spark, so a dimension
+    backed by a mutable table picks up slowly-changing updates between
+    batches; at 100 TB keep it broadcast-sized (or pre-bucket both sides
+    and drop the hint).
+    """
+    return stream.join(F.broadcast(dim), on=keys, how=how)

@@ -413,3 +413,31 @@ def test_checkpoint_recovery_resumes_state(spark, tmp_path):
     )
     want = {(r.ws, r.n, r.errs) for r in batch.collect()}
     assert got == want and len(want) == 2
+
+
+def test_stream_static_enrichment_broadcasts(spark, tmp_path):
+    """Stream-static lookup join: every micro-batch row is enriched from
+    the static dimension without shuffling the stream side."""
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import enrich_stream
+
+    path = str(tmp_path / "enrich_src")
+    rows = gen_logs(n_seconds=30)
+    _write_logs(spark, rows, path)
+    dim = spark.createDataFrame(
+        [("auth-service", "team-a", 1), ("payment-service", "team-b", 2),
+         ("order-service", "team-c", 3)],
+        "service string, owner string, tier int")
+
+    out = enrich_stream(_read_stream(spark, path), dim, ["service"])
+    q = start_memory_sink(out, "enriched")
+    _drain(q)
+
+    got = spark.table("enriched")
+    assert got.count() == len(rows)  # left join keeps unmatched services
+    matched = got.filter(F.col("owner").isNotNull())
+    assert matched.count() == sum(
+        1 for r in rows if r["service"] in
+        ("auth-service", "payment-service", "order-service"))
+    # single-row spot check: enrichment values came from the dimension
+    one = matched.filter(F.col("service") == "auth-service").first()
+    assert one.owner == "team-a" and one.tier == 1
