@@ -582,6 +582,43 @@ FROM scaled
 """
 
 
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    doc-id hash — the sampling/splitting primitive of a training-data
+    pipeline.  Hash-mod bucketing (not rand()) makes the split stable
+    across runs, engines, and re-partitioning: the same doc always lands
+    in the same split, so downstream dedup/shuffles can't leak val into
+    train.  80/10/10 via md5-folded bucket in [0, 100)."""
+    from ..functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir)
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_DOC_SPLIT_COUNTS = f"""
+WITH assigned AS (
+    SELECT lang,
+           CASE WHEN {MD5_LONG.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 80
+                THEN 'train'
+                WHEN {MD5_LONG.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT lang, split, count(*) AS n_docs FROM assigned GROUP BY lang, split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
@@ -603,4 +640,5 @@ QUERIES: dict[str, QuerySpec] = {
     "media_summary": QuerySpec(q_media_summary, SQL_MEDIA_SUMMARY),
     "frame_samples": QuerySpec(q_frame_samples, SQL_FRAME_SAMPLES),
     "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
+    "doc_split_counts": QuerySpec(q_doc_split_counts, SQL_DOC_SPLIT_COUNTS),
 }
