@@ -387,8 +387,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_synthetic_log_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's synthetic producer (kafka/log_producer.py:18-64)
+    as a deterministic JVM-side generator: per-(service, level, spike)
+    event counts and latency mass over 10k ticks.  The DuckDB oracle
+    regenerates the identical stream from range() + the same md5 draws —
+    proving the workload (error rates, 10x spike windows, 3x spike
+    latency) is reproduced exactly, not just in distribution."""
+    from ..sources.producer import synthetic_log_batch
+
+    logs = synthetic_log_batch(spark, n=10_000)
+    return (
+        logs.groupBy("service", "level", ((F.col("ts_s") % 60) < 5).alias("spike"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("latency_ms").alias("sum_latency_ms"),
+        )
+    )
+
+
+_MD5L = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+SQL_SYNTHETIC_LOG_PROFILE = f"""
+WITH t AS (SELECT range AS v FROM range(10000)),
+logs AS (
+    SELECT (1700000000 + v) AS ts_s,
+           (['auth-service', 'payment-service', 'order-service',
+             'notification-service'])[CAST(v % 4 AS INT) + 1] AS service,
+           CASE WHEN {_MD5L.format(x="v || ':lvl'")} % 10000
+                     < (CASE WHEN (1700000000 + v) % 60 < 5 THEN 10 ELSE 1 END)
+                       * ([50, 2000, 100, 3000])[CAST(v % 4 AS INT) + 1]
+                THEN 'ERROR' ELSE 'INFO' END AS level,
+           greatest(10,
+                    (CASE WHEN (1700000000 + v) % 60 < 5 THEN 3 ELSE 1 END)
+                      * ([50, 120, 80, 40])[CAST(v % 4 AS INT) + 1]
+                    + {_MD5L.format(x="v || ':lat'")} % 61 - 30) AS latency_ms
+    FROM t
+)
+SELECT service, level, (ts_s % 60) < 5 AS spike,
+       count(*) AS n_events,
+       CAST(sum(latency_ms) AS BIGINT) AS sum_latency_ms
+FROM logs GROUP BY service, level, spike
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "error_rate_sliding": QuerySpec(q_error_rate_sliding, SQL_ERROR_RATE_SLIDING),
+    "synthetic_log_profile": QuerySpec(q_synthetic_log_profile,
+                                       SQL_SYNTHETIC_LOG_PROFILE),
     "error_rate_tumbling": QuerySpec(q_error_rate_tumbling, SQL_ERROR_RATE_TUMBLING),
     "latency_p95_daily": QuerySpec(q_latency_p95_daily, SQL_LATENCY_P95_DAILY),
     "slo_breach_streaks": QuerySpec(q_slo_breach_streaks, SQL_SLO_BREACH_STREAKS),

@@ -441,3 +441,28 @@ def test_stream_static_enrichment_broadcasts(spark, tmp_path):
     # single-row spot check: enrichment values came from the dimension
     one = matched.filter(F.col("service") == "auth-service").first()
     assert one.owner == "team-a" and one.tier == 1
+
+
+def test_synthetic_log_stream_matches_batch_generator(spark):
+    """The rate-source producer emits exactly the rows the batch
+    generator derives for the same tick ids — the workload is one
+    deterministic function of the tick, regardless of source."""
+    from realtime_log_analytics_flink_kafka_spark.sources.producer import (
+        BASE_EPOCH, synthetic_log_batch, synthetic_log_stream,
+    )
+
+    q = start_memory_sink(synthetic_log_stream(spark, rows_per_second=500),
+                          "synlogs")
+    deadline = time.time() + 20
+    while time.time() < deadline and spark.table("synlogs").count() < 200:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    got = spark.table("synlogs").collect()
+    assert len(got) >= 200
+    n = max(r.ts_s for r in got) - BASE_EPOCH + 1
+    want = {tuple(r) for r in synthetic_log_batch(spark, n=n).collect()}
+    assert {tuple(r) for r in got} <= want
+    svcs = {r.service for r in got}
+    assert "auth-service" in svcs and all(r.latency_ms >= 10 for r in got)
