@@ -194,34 +194,58 @@ def lsh_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.15,
 
 
 def label_centroids(vecs: DataFrame, *, vec_col: str = "embedding",
-                    label_col: str = "label") -> DataFrame:
-    """Per-label centroid of the embedding column.
+                    label_col: str = "label", id_col: str = "vec_id",
+                    n_chunks: int = 64) -> DataFrame:
+    """Per-label centroid of the embedding column, emitted as scalar rows
+    ``(label, pos, mean_v)`` — one row per (label, dimension).
 
-    Element-wise mean via posexplode -> per-(label, pos) aggregation.
-    The sum folds over the SORTED per-group values (array_sort +
-    left-fold) so the float result is order-deterministic — groupBy+avg
-    would give run-to-run ulp drift under different partitionings, which
-    both breaks the oracle and makes pipelines non-reproducible.
+    Scalar rows (not an array<double> column) so any downstream consumer
+    — including hash/sort-based result canonicalizers — handles the
+    output without array support.
+
+    Element-wise mean via posexplode -> two-level chunked fold:
+
+    1. bucket rows by ``id_col % n_chunks``; per (label, pos, chunk) fold
+       the SORTED values into a chunk sum;
+    2. per (label, pos) fold the SORTED chunk sums, divide by the total
+       count.
+
+    Sorting before each fold makes the float result order-deterministic
+    (groupBy+avg would give run-to-run ulp drift under different
+    partitionings, breaking both the oracle and pipeline
+    reproducibility), while chunking bounds per-group state to
+    ~|label|/n_chunks values instead of collecting every value of a
+    label into one array — raise ``n_chunks`` with data volume so the
+    level-1 groups stay executor-sized.
     """
     exploded = vecs.select(
-        label_col, F.posexplode(F.col(vec_col)).alias("pos", "v"))
-    per_dim = (
-        exploded.groupBy(label_col, "pos")
+        label_col,
+        (F.col(id_col) % n_chunks).alias("chunk"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    per_chunk = (
+        exploded.groupBy(label_col, "pos", "chunk")
         .agg(F.collect_list(F.col("v").cast("double")).alias("vals"))
         .select(
             label_col, "pos",
-            F.round(
-                F.aggregate(F.array_sort("vals"), F.lit(0.0),
-                            lambda acc, x: acc + x) / F.size("vals"),
-                6).alias("mean_v"),
+            F.aggregate(F.array_sort("vals"), F.lit(0.0),
+                        lambda acc, x: acc + x).alias("chunk_sum"),
+            F.size("vals").cast("long").alias("chunk_n"),
         )
     )
     return (
-        per_dim.groupBy(label_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("s"))
+        per_chunk.groupBy(label_col, "pos")
+        .agg(
+            F.collect_list("chunk_sum").alias("sums"),
+            F.sum("chunk_n").alias("n"),
+        )
         .select(
             label_col,
-            F.transform("s", lambda e: e.mean_v).alias("centroid"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(
+                F.aggregate(F.array_sort("sums"), F.lit(0.0),
+                            lambda acc, x: acc + x) / F.col("n"),
+                6).alias("mean_v"),
         )
     )
 

@@ -359,19 +359,27 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_embs(spark, sf_dir))
 
 
-SQL_LABEL_CENTROIDS = """
+#: Mirrors operators/similarity.py:label_centroids: same chunking key,
+#: same sorted-fold order at both levels, so doubles match bit-for-bit.
+LABEL_CENTROID_CHUNKS = 64
+
+SQL_LABEL_CENTROIDS = f"""
 WITH exploded AS (
-    SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+    SELECT label, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
+           CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
     FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
 ),
-per_dim AS (
-    SELECT label, pos,
-           round(list_reduce(list_prepend(0.0, list_sort(list(v))),
-                             (acc, x) -> acc + x) / count(v), 6) AS mean_v
-    FROM exploded GROUP BY label, pos
+per_chunk AS (
+    SELECT label, pos, chunk,
+           list_reduce(list_prepend(0.0, list_sort(list(v))),
+                       (acc, x) -> acc + x) AS chunk_sum,
+           count(*) AS chunk_n
+    FROM exploded GROUP BY label, pos, chunk
 )
-SELECT label, list(mean_v ORDER BY pos) AS centroid
-FROM per_dim GROUP BY label
+SELECT label, pos,
+       round(list_reduce(list_prepend(0.0, list_sort(list(chunk_sum))),
+                         (acc, x) -> acc + x) / sum(chunk_n), 6) AS mean_v
+FROM per_chunk GROUP BY label, pos
 """
 
 
