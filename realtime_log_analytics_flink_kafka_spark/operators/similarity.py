@@ -250,12 +250,58 @@ def label_centroids(vecs: DataFrame, *, vec_col: str = "embedding",
     )
 
 
+def clustered_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.25,
+                             centroid_every: int = 97,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Cosine near-dup pairs, cluster-bucketed — the scale path for
+    embedding near-dedup and the registry's near-dup query.
+
+    Composition: ``assign_clusters`` (nearest deterministic coarse
+    centroid, broadcast C centroids) -> self-EQUI-join on the cluster id
+    (``id_a < id_b`` only as a post-condition) -> cosine threshold.  The
+    pair join is an ordinary hash-shuffle join costing Σ_c |c|² within
+    clusters instead of the |n|² BroadcastNestedLoopJoin a bare
+    ``id_a < id_b`` theta-join plans; the corpus partitions by cluster id
+    at 100 TB, and cluster-size skew is ordinary join skew (AQE).
+    Approximate by construction (cross-cluster pairs are unseen) — recall
+    vs the brute-force baseline is measured in tests, not assumed.
+    """
+    centroids = vecs.filter(F.col(id_col) % centroid_every == 0)
+    assigned = with_norm(
+        assign_clusters(vecs, centroids, vec_col=vec_col, id_col=id_col),
+        vec_col)
+    # the assignment subtree (n x C broadcast distance scan) feeds both
+    # self-join sides — persist it once instead of computing it twice;
+    # the 100 TB equivalent is checkpointing the assignment to storage
+    from pyspark import StorageLevel
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("_norm").alias("norm_a"), F.col("centroid_id").alias("cluster"))
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("_norm").alias("norm_b"), F.col("centroid_id").alias("cluster_b"))
+    sim = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                  / (F.col("norm_a") * F.col("norm_b")), 6)
+    return (
+        a.join(b, (F.col("cluster") == F.col("cluster_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "cluster", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.9,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:
-    """All pairs above a cosine threshold (embedding-based near-dedup).
-    Brute force here; the bucketed variant composes assign_clusters first
-    (pairs within a cluster) exactly like ivf_topk."""
+    """All pairs above a cosine threshold — the O(n²) exactness baseline.
+
+    Test-only recall reference for ``clustered_near_dup_pairs`` /
+    ``lsh_near_dup_pairs``; deliberately NOT in the query registry, since
+    the ``id_a < id_b`` theta-join plans a BroadcastNestedLoopJoin that
+    is unusable beyond small corpora (tests/test_plans.py gates nested-
+    loop joins out of every registry query)."""
     v = with_norm(vecs, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col("_norm").alias("nrm"))
     a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),

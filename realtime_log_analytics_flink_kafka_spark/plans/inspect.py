@@ -39,6 +39,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
         "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
+def node_count(df: DataFrame, node: str) -> int:
+    """Occurrences of a physical operator in the formatted plan (counted
+    on the numbered detail lines, once per node instance)."""
+    return len(re.findall(rf"\(\d+\) {node}\b", formatted_plan(df)))
+
+
 def python_eval_nodes(df: DataFrame) -> list[str]:
     """Python-execution operators in the plan (empty = fully JVM-side).
 

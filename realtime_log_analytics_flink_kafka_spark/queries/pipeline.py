@@ -216,25 +216,13 @@ NORM_SQL = ("sqrt(" + _fold_sql(
     "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") + ")")
 
 NEAR_DUP_COSINE = 0.25
+NEAR_DUP_CENTROID_EVERY = 97
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir),
-                                               threshold=NEAR_DUP_COSINE)
-
-
-SQL_EMBEDDING_NEAR_DUPS = f"""
-WITH v AS (
-    SELECT vec_id, embedding, {NORM_SQL.format(v='embedding')} AS nrm
-    FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
-           AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
-      >= {NEAR_DUP_COSINE}
-"""
+    return similarity.clustered_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=NEAR_DUP_COSINE,
+        centroid_every=NEAR_DUP_CENTROID_EVERY)
 
 KNN_K = 5
 KNN_N_QUERIES = 5
@@ -318,6 +306,40 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+#: Oracle for the cluster-bucketed near-dup query: same deterministic
+#: centroid choice, nearest-centroid assignment, and within-cluster
+#: pair join as operators/similarity.py:clustered_near_dup_pairs.
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id % {NEAR_DUP_CENTROID_EVERY} = 0
+),
+dists AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {DIST2_SQL.format(a='e.embedding', b='c.cvec')} AS dist2
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        FROM dists
+    ) t WHERE rn = 1
+),
+n AS (
+    SELECT vec_id, embedding, centroid_id,
+           {NORM_SQL.format(v='embedding')} AS nrm
+    FROM assigned
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id AS cluster,
+       round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+           AS cosine
+FROM n a JOIN n b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+      >= {NEAR_DUP_COSINE}
 """
 
 

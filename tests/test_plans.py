@@ -9,8 +9,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from realtime_log_analytics_flink_kafka_spark.plans import (
-    formatted_plan, has_broadcast_join, pushed_filters, python_eval_nodes,
-    scan_read_schemas,
+    formatted_plan, has_broadcast_join, node_count, pushed_filters,
+    python_eval_nodes, scan_read_schemas,
 )
 from realtime_log_analytics_flink_kafka_spark.queries import all_queries
 from tests.conftest import SF_SMOKE
@@ -36,6 +36,56 @@ def test_no_python_in_any_registry_query(spark):
         if nodes:
             offenders[name] = nodes
     assert not offenders, f"Python in hot path: {offenders}"
+
+
+#: Nested-loop joins allowed per query, each with a provably bounded
+#: broadcast side (never a data-sized relation): knn_bruteforce
+#: broadcasts the fixed 5-query set; knn_ivf broadcasts the O(C)
+#: centroid set on both the corpus and the query branch;
+#: embedding_near_dups broadcasts the O(C) centroid set once (the pair
+#: join itself is an equi-join on cluster id); tfidf_top_terms
+#: broadcasts a single-row corpus count.  Everything else — including
+#: every pairwise dedup/similarity query — must plan equi-joins only.
+NESTED_LOOP_SANCTIONED = {
+    "knn_bruteforce": 1,
+    "knn_ivf": 2,
+    "embedding_near_dups": 1,
+    "tfidf_top_terms": 1,
+}
+
+
+def test_no_unbounded_nested_loop_joins(spark):
+    """No registry query may plan a CartesianProduct or an unsanctioned
+    BroadcastNestedLoopJoin — the O(n^2) shapes that are correct on
+    fixtures and unusable at 100 TB.  Auto-broadcast is disabled so small
+    fixtures can't mask a theta-join as a harmless broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    offenders = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, spec in QUERIES.items():
+            df = spec.fn(spark, SF_SMOKE)
+            bnlj = node_count(df, "BroadcastNestedLoopJoin")
+            cart = node_count(df, "CartesianProduct")
+            if cart or bnlj > NESTED_LOOP_SANCTIONED.get(name, 0):
+                offenders[name] = {"bnlj": bnlj, "cartesian": cart}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not offenders, f"unsanctioned nested-loop joins: {offenders}"
+
+
+def test_near_dup_pair_join_is_equi(spark):
+    """The registry near-dup query's pair join is a hash/merge equi-join
+    on the cluster id, not the n^2 nested loop of the brute-force
+    baseline."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["embedding_near_dups"].fn(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_pricing_summary_pushdown_and_partial_agg(spark):
