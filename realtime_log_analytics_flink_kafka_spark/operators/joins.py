@@ -24,15 +24,26 @@ needed.
 
 Arithmetic is integer end-to-end (``DIV``, not float division then
 floor): epoch-microsecond points exceed 2^53, where double rounding
-would misplace bucket boundaries.
+would misplace bucket boundaries.  Bucket ids use explicit FLOOR
+division — plain ``DIV`` truncates toward zero, which for negative
+points (pre-1970 epochs, signed deltas) would shift the bucket boundary
+and silently drop matching pairs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKET = "_rj_bucket"
+
+
+def _floor_div(expr: str, span: int) -> Column:
+    """Integer floor division of a (possibly negative) bigint expression:
+    subtract the always-non-negative ``pmod`` remainder first, so the
+    exact ``DIV`` equals mathematical floor for every sign."""
+    x = f"({expr})"
+    return F.expr(f"({x} - pmod({x}, {span})) DIV {span}")
 
 
 def range_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -43,9 +54,8 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     ``on`` key columns match.
 
     Points and bounds are integers in the caller's unit (epoch micros,
-    seconds, ...).  Column names must be disjoint apart from ``on`` —
-    pre-alias before calling.  Points are assumed non-negative so DIV
-    truncation equals floor division.
+    seconds, ...) and may be negative.  Column names must be disjoint
+    apart from ``on`` — pre-alias before calling.
     """
     span = upper - lower + 1
     if span <= 0:
@@ -56,11 +66,11 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     l_bucketed = left.withColumn(
         _BUCKET,
         F.explode(F.array_distinct(F.array(
-            F.expr(f"({left_point} + {lower}) DIV {span}"),
-            F.expr(f"({left_point} + {upper}) DIV {span}"),
+            _floor_div(f"{left_point} + {lower}", span),
+            _floor_div(f"{left_point} + {upper}", span),
         ))),
     )
-    r_bucketed = right.withColumn(_BUCKET, F.expr(f"{right_point} DIV {span}"))
+    r_bucketed = right.withColumn(_BUCKET, _floor_div(right_point, span))
     return (
         l_bucketed.join(r_bucketed, [*on, _BUCKET])
         .filter((F.col(right_point) >= lo) & (F.col(right_point) <= hi))

@@ -162,9 +162,15 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); AQE's skewJoin handles this automatically for sort-merge, but
     the explicit pattern is what you reach for when a single key
     dominates a stateful/streaming join where AQE can't help.
+
+    The probe-side salt is a hash of the full row key, not a data column
+    mod N: l_linenumber is 1..7, so ``l_linenumber % 8`` would never
+    produce salt 0 (one replicated build row dead, a hot key spread over
+    at most 7 reducers) and correlates the salt with the data.
     """
     li = _t(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % N_SALTS).cast("int"))
+        "salt",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(N_SALTS)).cast("int"))
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")

@@ -144,17 +144,18 @@ def drain_query(q, *, idle_polls: int = 3, poll_s: float = 0.5,
     q.awaitTermination(30)
 
 
-def latency_slo_pipeline(spark, logs: DataFrame, *, size: str = "1 minute",
-                         p95_threshold: float = 100.0, limit: int = 3,
+def latency_slo_pipeline(logs: DataFrame, *, size: str = "1 minute",
                          agg_query_name: str = "p95_windows"):
-    """Two-stage SLO pipeline (W11 workaround): stage 1 streams windowed
-    p95s into a memory table in update mode; stage 2 is the stateful
-    breach detector run per micro-batch over newly finalized windows.
+    """Stage 1 of the two-stage SLO pipeline (W11 workaround): streams
+    windowed p95s into a memory table in update mode.
 
-    Returns the stage-1 StreamingQuery; callers read breach alerts by
-    applying ``consecutive_breach_stateful``'s batch twin
-    (operators.escalate.consecutive_breaches) to the accumulated table —
-    or chain through a real topic in production.
+    Returns the stage-1 StreamingQuery.  Stage 2 — the stateful breach
+    detector with its threshold/limit knobs — is run BY THE CALLER over
+    the accumulated table (``streaming.state.consecutive_breach_stateful``
+    on a stream hop, or its batch twin
+    ``operators.escalate.consecutive_breaches``), exactly as the
+    reference chains jobs through a topic; this function deliberately
+    takes no threshold/limit arguments so nothing is silently ignored.
     """
     agg = latency_p95_stream(logs, size=size)
     return start_memory_sink(agg, agg_query_name, output_mode="update")

@@ -119,6 +119,28 @@ def test_range_join_boundaries(spark):
     assert out.columns.count("_rj_bucket") == 0
 
 
+def test_range_join_negative_points(spark):
+    """Bucket ids floor-divide, so negative points (pre-1970 epochs,
+    signed deltas) land in the right bucket — truncate-toward-zero DIV
+    would misassign them and drop matching pairs.  Exhaustive check
+    against a Python reference over a sign-crossing point range."""
+    from realtime_log_analytics_flink_kafka_spark.operators.joins import range_join
+
+    pts = list(range(-120, 121, 7))
+    left = spark.createDataFrame(
+        [("k", i, p) for i, p in enumerate(pts)], "key string, lid int, lp long")
+    right = spark.createDataFrame(
+        [("k", i, p) for i, p in enumerate(pts)], "key string, rid int, rp long")
+    lower, upper = -50, 10
+    got = sorted((r.lid, r.rid) for r in
+                 range_join(left, right, ["key"], "lp", "rp",
+                            lower=lower, upper=upper).collect())
+    want = sorted((li, ri) for li, lp in enumerate(pts)
+                  for ri, rp in enumerate(pts)
+                  if lp + lower <= rp <= lp + upper)
+    assert got == want
+
+
 def test_multimodal_resize_fit_within_box(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
     resized = multimodal.resize_images(multimodal.as_media(docs),
@@ -212,3 +234,24 @@ def test_cosine_topk_self_similarity(spark):
         cs = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
         assert cs == sorted(cs, reverse=True)
         assert all(r.corpus_id != q for r in rs)
+
+
+def test_clustered_near_dups_recall_vs_bruteforce(spark):
+    """clustered_near_dup_pairs is the registry's scale path; the O(n^2)
+    brute-force operator stays test-only as its recall baseline.  Every
+    emitted pair must exist in the brute-force set with an identical
+    cosine (bucketing may drop pairs, never alter or invent them)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+        clustered_near_dup_pairs, embedding_near_dup_pairs,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    brute = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dup_pairs(embs, threshold=0.25).collect()}
+    clustered = {(r.id_a, r.id_b): r.cosine
+                 for r in clustered_near_dup_pairs(embs, threshold=0.25).collect()}
+    assert set(clustered) <= set(brute)
+    for pair, cos in clustered.items():
+        assert cos == brute[pair]
+    recall = len(clustered) / len(brute)
+    assert recall >= 0.2, f"cluster-bucketed recall collapsed: {recall:.3f}"

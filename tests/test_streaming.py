@@ -198,7 +198,7 @@ def test_latency_slo_two_stage_pipeline(spark, tmp_path):
     _write_logs(spark, rows, path)
     logs = _read_stream(spark, path)
 
-    q1 = latency_slo_pipeline(spark, logs, size="1 minute",
+    q1 = latency_slo_pipeline(logs, size="1 minute",
                               agg_query_name="p95_two_stage")
     _drain(q1)
     wins = spark.table("p95_two_stage") \
