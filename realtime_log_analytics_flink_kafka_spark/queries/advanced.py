@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.logs import LOGS_CTE
 from ..sources.batch import load_table
 from . import QuerySpec
 
@@ -112,17 +113,39 @@ FROM customer GROUP BY c_mktsegment
 
 
 def q_segment_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — the bounded-state scale path.  No
-    DuckDB oracle (different sketch); accuracy is unit-tested against the
-    exact count instead (tests/test_operators.py)."""
-    return (
+    """HLL++ approximate distinct — the bounded-state scale path.
+
+    DuckDB can't reproduce Spark's sketch value, so the query makes the
+    approximation itself checkable: it co-computes the exact distinct
+    count and emits ``approx_within_tol`` = |approx − exact| ≤ 2 % + 2.
+    The oracle recomputes the exact side and asserts the flag is TRUE —
+    a real accuracy gate on every group, not a rows-only count.  (The
+    sketch value is deliberately not an output column: it is
+    engine-specific by nature.)
+    """
+    g = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
             F.count("*").alias("n_orders"),
         )
     )
+    tol = F.ceil(F.col("exact_custs") * 0.02) + 2
+    return g.select(
+        "o_orderstatus", "n_orders", "exact_custs",
+        (F.abs(F.col("_approx") - F.col("exact_custs")) <= tol)
+            .alias("approx_within_tol"),
+    )
+
+
+SQL_SEGMENT_APPROX_DISTINCT = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS approx_within_tol
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 # --- cube --------------------------------------------------------------------
@@ -203,15 +226,78 @@ GROUP BY o_orderstatus
 # --- approximate percentile (scale path for A3) ------------------------------
 
 def q_latency_p95_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx variant of the exact p95 detector — bounded
-    state per (key, window) for unbounded-cardinality windows.  Rows-only
-    check (approximation is engine-specific); closeness to the exact p95
-    is unit-tested."""
-    from ..operators.detect import latency_p95
+    """percentile_approx variant of the exact p95 detector, made
+    oracle-checkable via its rank-error contract.
+
+    percentile_approx guarantees RANK error (≤ n/accuracy), not value
+    error, so a % tolerance on the value is meaningless.  The registry
+    variant therefore co-computes the exact order statistics ``delta``
+    ranks either side of the nearest-rank-low p95 index and emits
+    ``approx_in_bounds`` = lo ≤ approx ≤ hi; the oracle recomputes
+    lo/hi exactly and asserts TRUE.  delta = max(2, ceil(n/1000)) covers
+    the n/10000 default-accuracy error plus rank-convention off-by-ones.
+
+    The exact bounds need a per-window collect_list, which the
+    production scale path (``operators.detect.latency_p95(approx=True)``,
+    plain percentile_approx with O(accuracy) state) does not — this
+    query exists to prove that path's accuracy, and keeps the validation
+    machinery out of the operator itself.
+    """
     from ..operators.logs import as_logs
 
-    return latency_p95(as_logs(_t(spark, sf_dir, "events")),
-                       size="1 day", approx=True)
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    grouped = (
+        logs.groupBy("service", F.window("ts", "1 day").alias("window"))
+        .agg(
+            F.percentile_approx("latency_ms", 0.95).alias("_approx"),
+            F.array_sort(F.collect_list("latency_ms")).alias("_sorted"),
+            F.count("*").alias("total_logs"),
+        )
+    )
+    n = F.size("_sorted")
+    idx = F.floor(F.lit(0.95) * (n - 1)).cast("int")
+    delta = F.greatest(F.lit(2), F.ceil(n / F.lit(1000)).cast("int"))
+    lo = F.get("_sorted", F.greatest(idx - delta, F.lit(0)))
+    hi = F.get("_sorted", F.least(idx + delta, n - 1))
+    return grouped.select(
+        "service",
+        F.col("window.start").cast("long").alias("window_start"),
+        F.col("window.end").cast("long").alias("window_end"),
+        "total_logs",
+        lo.alias("p95_rank_lo"),
+        hi.alias("p95_rank_hi"),
+        ((F.col("_approx") >= lo) & (F.col("_approx") <= hi))
+            .alias("approx_in_bounds"),
+    )
+
+
+SQL_LATENCY_P95_APPROX = """
+WITH {logs_cte},
+s AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {day_us}) AS BIGINT) * {day} AS window_start,
+           CAST(floor(epoch_us(ts) / {day_us}) AS BIGINT) * {day} + {day}
+               AS window_end,
+           count(*) AS total_logs,
+           list_sort(list(latency_ms)) AS sorted
+    FROM logs GROUP BY 1, 2, 3
+),
+b AS (
+    SELECT *,
+           CAST(floor(0.95 * (len(sorted) - 1)) AS INT) AS idx,
+           greatest(2, CAST(ceil(len(sorted) / 1000.0) AS INT)) AS delta
+    FROM s
+)
+SELECT service, window_start, window_end, total_logs,
+       sorted[greatest(idx - delta, 0) + 1] AS p95_rank_lo,
+       sorted[least(idx + delta, len(sorted) - 1) + 1] AS p95_rank_hi,
+       TRUE AS approx_in_bounds
+FROM b
+"""
+
+_DAY = 86400
+SQL_LATENCY_P95_APPROX = SQL_LATENCY_P95_APPROX.format(
+    logs_cte=LOGS_CTE, day_us=_DAY * 1_000_000, day=_DAY)
 
 
 def q_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,9 +352,11 @@ QUERIES: dict[str, QuerySpec] = {
                                    SQL_ERROR_CLICK_PAIRS),
     "segment_distinct_nations": QuerySpec(q_segment_distinct_nations,
                                           SQL_SEGMENT_DISTINCT_NATIONS),
-    "segment_approx_distinct": QuerySpec(q_segment_approx_distinct, None),
+    "segment_approx_distinct": QuerySpec(q_segment_approx_distinct,
+                                         SQL_SEGMENT_APPROX_DISTINCT),
     "cube_returns": QuerySpec(q_cube_returns, SQL_CUBE_RETURNS),
     "salted_join_revenue": QuerySpec(q_salted_join_revenue,
                                      SQL_SALTED_JOIN_REVENUE),
-    "latency_p95_approx": QuerySpec(q_latency_p95_approx, None),
+    "latency_p95_approx": QuerySpec(q_latency_p95_approx,
+                                    SQL_LATENCY_P95_APPROX),
 }
