@@ -76,16 +76,48 @@ def encode_json_keyed(df: DataFrame, key_col: str = "service") -> DataFrame:
     )
 
 
+#: Columns Spark's Kafka source exposes on every record — the schema the
+#: decode layer builds on (value for S2-S4; key/timestamp pass through).
+KAFKA_SOURCE_COLUMNS = (
+    "key", "value", "topic", "partition", "offset", "timestamp",
+    "timestampType",
+)
+
+
+def kafka_source_options(topic: str, *, brokers: str = "localhost:9092",
+                         starting_offsets: str = "latest") -> dict[str, str]:
+    """The exact reader-option contract of the Spark Kafka source, kept
+    separate from the DataStreamReader so it is assertable without the
+    connector jar.  ``earliest`` for replay consumers
+    (flink/incident_aggregator.py:82), ``latest`` for live detectors."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(topic: str, *, brokers: str = "localhost:9092",
+                       checkpoint: str) -> dict[str, str]:
+    """Writer-option contract: topic + brokers + checkpoint.  The
+    reference checkpoints 2 of its 3 jobs (30 s,
+    flink/error_rate_detector.py:116) and silently loses state in the
+    third; we checkpoint every query."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def read_kafka_stream(spark: SparkSession, topic: str, *,
                       brokers: str = "localhost:9092",
                       starting_offsets: str = "latest") -> DataFrame:
-    """S2/S3/S4: value-only Kafka source.  ``earliest`` for replay consumers
-    (flink/incident_aggregator.py:82), ``latest`` for live detectors."""
+    """S2/S3/S4: value-only Kafka source."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(topic, brokers=brokers,
+                                        starting_offsets=starting_offsets))
         .load()
     )
 
@@ -93,14 +125,11 @@ def read_kafka_stream(spark: SparkSession, topic: str, *,
 def write_kafka_stream(df: DataFrame, topic: str, *,
                        brokers: str = "localhost:9092",
                        checkpoint: str):
-    """S5 + S7: keyed JSON sink with checkpointing.  The reference
-    checkpoints 2 of its 3 jobs (30 s, flink/error_rate_detector.py:116) and
-    silently loses state in the third; we checkpoint every query."""
+    """S5 + S7: keyed JSON sink with checkpointing."""
     return (
         df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_sink_options(topic, brokers=brokers,
+                                      checkpoint=checkpoint))
     )
 
 
