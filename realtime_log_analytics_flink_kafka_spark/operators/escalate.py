@@ -50,6 +50,65 @@ def escalate_every_nth(alerts: DataFrame, *, key: str = "service",
     )
 
 
+def escalate_every_nth_scalable(alerts: DataFrame, *, key: str = "service",
+                                ts_col: str = "ts",
+                                order_by: list[str] | None = None,
+                                n: int = ESCALATION_EVERY,
+                                bucket_span_s: int = 86400) -> DataFrame:
+    """``escalate_every_nth`` without the per-key serial window.
+
+    The plain formulation window-partitions by ``key`` alone, so one
+    task sorts a key's ENTIRE history — with a handful of services that
+    means a handful of tasks regardless of cluster size.  This variant
+    restores parallelism with a two-phase prefix count:
+
+    1. bucket rows by a coarse event-time range (``floor(epoch /
+       bucket_span_s)``) and number rows per (key, bucket) — parallelism
+       is keys x buckets;
+    2. aggregate per-(key, bucket) counts (a tiny table: keys x buckets
+       rows), prefix-sum them per key ordered by bucket, and broadcast
+       the offsets back;
+    3. global seq = bucket offset + within-bucket row number.
+
+    Identical output to ``escalate_every_nth`` (asserted in tests):
+    bucket order is a prefix of the (ts, ...) sort order because equal
+    timestamps can never straddle a bucket boundary.  ``alert_seq`` is
+    long (the serial variant's int row_number overflows past 2^31 rows
+    per key — exactly the regime this variant exists for).
+    """
+    order_by = order_by or [ts_col, "event_id"]
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_span_s) \
+        .cast("long")
+    w_local = Window.partitionBy(key, "_esc_bucket") \
+        .orderBy(*[F.col(c) for c in order_by])
+    local = (
+        alerts.withColumn("_esc_bucket", bucket)
+        .withColumn("_local_seq", F.row_number().over(w_local).cast("long"))
+    )
+    counts = local.groupBy(key, "_esc_bucket").agg(F.count("*").alias("_cnt"))
+    w_prefix = Window.partitionBy(key).orderBy("_esc_bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_prefix), F.lit(0))
+    ).drop("_cnt")
+    rn = F.col("_offset") + F.col("_local_seq")
+    escalated = (rn % n) == 0
+    return (
+        local.join(F.broadcast(offsets), [key, "_esc_bucket"])
+        .withColumn("alert_seq", rn)
+        .withColumn(
+            "severity",
+            F.when(escalated, F.lit("ESCALATED")).otherwise(F.col("severity")),
+        )
+        .withColumn(
+            "escalation_reason",
+            F.when(escalated, F.lit("MULTIPLE_INCIDENTS"))
+             .otherwise(F.lit(None).cast("string")),
+        )
+        .drop("_esc_bucket", "_local_seq", "_offset")
+    )
+
+
 def consecutive_breaches(windowed: DataFrame, *, breach: Column,
                          key: str = "service", order_col: str = "window_start",
                          limit: int = BREACH_LIMIT) -> DataFrame:

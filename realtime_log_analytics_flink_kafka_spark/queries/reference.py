@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 from ..operators.logs import LOGS_CTE, as_logs
 from ..operators.detect import error_rate_alerts, latency_p95
-from ..operators.escalate import consecutive_breaches, escalate_every_nth
+from ..operators.escalate import (consecutive_breaches,
+                                  escalate_every_nth_scalable)
 from ..operators.metrics import alert_metrics, escalation_metrics
 from ..sources.batch import load_table
 from . import QuerySpec
@@ -165,7 +166,9 @@ def q_escalations_every_third(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_error") == 1)
         .select("event_id", "service", "ts", F.lit("HIGH").alias("severity"))
     )
-    return escalate_every_nth(alerts).select(
+    # two-phase prefix-count variant: same output as the serial window,
+    # but parallelism is services x day-buckets instead of services
+    return escalate_every_nth_scalable(alerts).select(
         "event_id", "service", F.col("alert_seq").cast("long").alias("alert_seq"),
         "severity", "escalation_reason",
     )
@@ -255,7 +258,7 @@ def q_escalation_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(crit, F.floor("latency_ms").cast("int")).alias("p95_latency"),
         )
     )
-    esc = escalate_every_nth(alerts)
+    esc = escalate_every_nth_scalable(alerts)
     return escalation_metrics(esc, size="1 day")
 
 

@@ -255,3 +255,56 @@ def test_clustered_near_dups_recall_vs_bruteforce(spark):
         assert cos == brute[pair]
     recall = len(clustered) / len(brute)
     assert recall >= 0.2, f"cluster-bucketed recall collapsed: {recall:.3f}"
+
+
+def test_escalate_every_nth_scalable_equals_serial(spark):
+    """The two-phase prefix-count escalator must reproduce the serial
+    per-key window exactly — across bucket spans that split the data
+    unevenly, including one bucket per event-second and one giant
+    bucket (degenerate = the serial case)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+        escalate_every_nth, escalate_every_nth_scalable,
+    )
+    from tests.fixtures import gen_logs
+
+    rows = [r for r in gen_logs(n_seconds=90) if r["is_error"]]
+    for r in rows:
+        r["severity"] = "HIGH"
+    alerts = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, service string, is_error int, "
+              "latency_ms double, severity string")
+    cols = ["event_id", "service", "severity", "escalation_reason"]
+    want = sorted(
+        tuple(r) for r in
+        escalate_every_nth(alerts)
+        .select(*cols, F.col("alert_seq").cast("long").alias("alert_seq"))
+        .collect())
+    for span in (1, 7, 30, 86400):
+        got = sorted(
+            tuple(r) for r in
+            escalate_every_nth_scalable(alerts, bucket_span_s=span)
+            .select(*cols, "alert_seq").collect())
+        assert got == want, f"span={span}"
+
+
+def test_escalate_scalable_plan_has_no_serial_key_window(spark):
+    """Every window in the scalable escalator's plan involves the bucket
+    column — no window partitions a key's entire raw-event history into
+    one task (the 100 TB ceiling of the serial formulation)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+        escalate_every_nth_scalable,
+    )
+    from realtime_log_analytics_flink_kafka_spark.plans import formatted_plan
+    from tests.fixtures import gen_logs
+
+    rows = [r for r in gen_logs(n_seconds=30) if r["is_error"]]
+    for r in rows:
+        r["severity"] = "HIGH"
+    alerts = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, service string, is_error int, "
+              "latency_ms double, severity string")
+    plan = formatted_plan(escalate_every_nth_scalable(alerts))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, plan
+    for ln in specs:
+        assert "_esc_bucket" in ln, ln

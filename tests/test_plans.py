@@ -61,6 +61,10 @@ def test_no_unbounded_nested_loop_joins(spark):
     fixtures can't mask a theta-join as a harmless broadcast."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     offenders = {}
+    # cold plans: a persisted intermediate from an earlier test would
+    # splice an InMemoryRelation (whose stored plan re-prints its own
+    # nodes) into the formatted output and skew the node counts
+    spark.catalog.clearCache()
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for name, spec in QUERIES.items():
@@ -79,6 +83,7 @@ def test_near_dup_pair_join_is_equi(spark):
     on the cluster id, not the n^2 nested loop of the brute-force
     baseline."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.catalog.clearCache()
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         df = QUERIES["embedding_near_dups"].fn(spark, SF_SMOKE)
