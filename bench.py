@@ -7,8 +7,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": 0.1}
 
 Each query is materialized with count() (full plan execution without
-driver-side row transfer).  A tiny warmup query first absorbs JVM/codegen
-startup so per-query numbers reflect steady state.
+driver-side row transfer).  The whole suite runs once untimed first —
+absorbing JVM startup, whole-stage-codegen compilation, and parquet
+footer caching — then the timed pass measures steady state, with the
+cache cleared before every query so persisted intermediates (e.g. the
+minhash shingle sets) are recomputed, never carried over from warmup.
 """
 
 from __future__ import annotations
@@ -43,6 +46,12 @@ HEADLINE = [
     "doc_fingerprints",
     "error_click_pairs",
     "frame_samples",
+    # round-2 additions: the heavier pipeline/relational queries, so
+    # regressions in them are visible round-over-round
+    "simhash_pairs",
+    "tfidf_top_terms",
+    "purchase_attribution",
+    "knn_ivf",
 ]
 
 
@@ -55,11 +64,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
-    # warmup: JVM + codegen + parquet footer caches
-    registry["latency_p95_daily"].fn(spark, sf_dir).count()
+    for name in HEADLINE:  # untimed warmup pass (codegen, JIT, footers)
+        registry[name].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        spark.catalog.clearCache()  # no cross-run reuse of persisted stages
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
