@@ -76,23 +76,35 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 5,
     )
 
 
-def assign_clusters(corpus: DataFrame, centroids: DataFrame, *,
-                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Nearest-centroid assignment (the IVF build step).  Centroids
-    broadcast; argmin via ranked window over the small centroid set."""
+def _dist2(a: Column, b: Column) -> Column:
+    """Left-fold squared euclidean distance (same fold order as the
+    oracle's list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _centroid_ranked(corpus: DataFrame, centroids: DataFrame, *,
+                     vec_col: str, id_col: str) -> DataFrame:
+    """Every (row, centroid) pair ranked by distance — the shared step of
+    cluster assignment (rank 1) and multiprobe (rank <= n_probe)."""
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
     scored = (
         corpus.crossJoin(F.broadcast(cent))
-        .withColumn("dist2", F.aggregate(
-            F.zip_with(F.col(vec_col), F.col("cent_vec"),
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0), lambda acc, v: acc + v))
+        .withColumn("dist2", _dist2(F.col(vec_col), F.col("cent_vec")))
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("centroid_id"))
+    return scored.withColumn("_r", F.row_number().over(w))
+
+
+def assign_clusters(corpus: DataFrame, centroids: DataFrame, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment (the IVF build step).  Centroids
+    broadcast; argmin via ranked window over the small centroid set."""
     return (
-        scored.withColumn("_r", F.row_number().over(w))
+        _centroid_ranked(corpus, centroids, vec_col=vec_col, id_col=id_col)
         .filter(F.col("_r") == 1)
         .drop("_r", "cent_vec", "dist2")
     )
@@ -121,6 +133,54 @@ def ivf_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
             F.col("centroid_id").alias("c_cluster"),
         )
         .join(F.broadcast(queries), F.col("c_cluster") == F.col("q_cluster"))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        cand.select("query_id", "corpus_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_multiprobe(corpus: DataFrame, *, k: int = 3,
+                        centroid_every: int = 97, n_queries: int = 5,
+                        n_probe: int = 2, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """IVF with multiprobe: each query searches its ``n_probe`` nearest
+    clusters instead of one.
+
+    The standard IVF recall lever — a query near a cluster boundary
+    misses neighbors assigned to the adjacent cluster; probing p
+    clusters recovers them at p× the per-query candidate cost while the
+    corpus-side layout (partitioned by cluster id) is unchanged.  The
+    candidate join stays an equi-join on cluster id; each (query,
+    corpus) pair appears at most once because corpus vectors live in
+    exactly one cluster and a query's probed clusters are distinct.
+    Recall >= single-probe by construction (superset of candidates) —
+    asserted against the brute-force baseline in tests.
+    """
+    centroids = corpus.filter(F.col(id_col) % centroid_every == 0)
+    assigned = assign_clusters(corpus, centroids, vec_col=vec_col,
+                               id_col=id_col)
+    probes = (
+        _centroid_ranked(corpus.filter(F.col(id_col) < n_queries), centroids,
+                         vec_col=vec_col, id_col=id_col)
+        .filter(F.col("_r") <= n_probe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("centroid_id").alias("q_cluster"),
+        )
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("centroid_id").alias("c_cluster"),
+        )
+        .join(F.broadcast(probes), F.col("c_cluster") == F.col("q_cluster"))
         .filter(F.col("corpus_id") != F.col("query_id"))
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_PRIME, affine_hashes
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, packing, sampling, similarity, text
 from ..sources.batch import load_table
 from . import QuerySpec
 
@@ -299,6 +299,62 @@ scored AS (
                  / (q.nrm * c.nrm), 6) AS cosine
     FROM n c JOIN q ON c.centroid_id = q.centroid_id
     WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, corpus_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+IVF_N_PROBE = 2
+
+
+def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk_multiprobe(
+        _embs(spark, sf_dir), k=IVF_K, centroid_every=IVF_CENTROID_EVERY,
+        n_queries=KNN_N_QUERIES, n_probe=IVF_N_PROBE)
+
+
+SQL_KNN_IVF_MULTIPROBE = f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id % {IVF_CENTROID_EVERY} = 0
+),
+dists AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {DIST2_SQL.format(a='e.embedding', b='c.cvec')} AS dist2
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        FROM dists
+    ) t WHERE rn = 1
+),
+n AS (
+    SELECT vec_id, embedding, centroid_id,
+           {NORM_SQL.format(v='embedding')} AS nrm
+    FROM assigned
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, centroid_id AS q_cluster,
+           {NORM_SQL.format(v='embedding')} AS q_nrm
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        FROM dists WHERE vec_id < {KNN_N_QUERIES}
+    ) t WHERE rn <= {IVF_N_PROBE}
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS corpus_id,
+           round({DOT_SQL.format(a='p.q_emb', b='c.embedding')}
+                 / (p.q_nrm * c.nrm), 6) AS cosine
+    FROM n c JOIN probes p ON c.centroid_id = p.q_cluster
+    WHERE c.vec_id <> p.query_id
 ),
 ranked AS (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -649,6 +705,91 @@ SELECT lang, split, count(*) AS n_docs FROM assigned GROUP BY lang, split
 """
 
 
+# --- sampling / packing / corpus statistics ---------------------------------
+
+#: Keep 20 % of the (majority) English stratum, 50 % of the others —
+#: downsampling the dominant language is the canonical rebalancing move.
+SAMPLE_RATES_BP = {"en": 2000, "de": 5000, "es": 5000, "fr": 5000, "zh": 5000}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES_BP).select("doc_id", "lang", "source")
+
+
+_SAMPLE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {bp}" for s, bp in SAMPLE_RATES_BP.items()) + " ELSE 0 END"
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {MD5_LONG.format(x="CAST(doc_id AS VARCHAR) || ':sample'")} % 10000
+      < {_SAMPLE_CASE}
+"""
+
+
+PACK_BUDGET = 512
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy in-id-order assignment of documents to
+    {PACK_BUDGET}-token shards via the two-phase distributed prefix sum
+    (operators/packing.py) — the training-batch construction step."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.size(text.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    return packing.packed_shards(t, budget=PACK_BUDGET, bucket_span=64)
+
+
+SQL_TOKEN_SHARDS = f"""
+WITH {TOKENS_CTE},
+t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+c AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS strt
+    FROM t
+)
+SELECT doc_id, n_tokens, strt // {PACK_BUDGET} AS shard_id FROM c
+"""
+
+
+HIST_BUCKET = 16
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus (fixed-width buckets) — the
+    first profiling query of any dataset curation pass.  One map-side
+    combinable aggregation; bucket math is integer DIV."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        F.size(text.ws_tokens(F.col("text"))).cast("long").alias("n"))
+    return (
+        t.withColumn("bucket_lo",
+                     F.expr(f"(n DIV {HIST_BUCKET}) * {HIST_BUCKET}"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+SQL_DOC_LENGTH_HISTOGRAM = f"""
+WITH {TOKENS_CTE},
+t AS (SELECT CAST(len(toks) AS BIGINT) AS n FROM tok)
+SELECT (n // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens
+FROM t GROUP BY bucket_lo
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
@@ -658,6 +799,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
+    "knn_ivf_multiprobe": QuerySpec(q_knn_ivf_multiprobe,
+                                    SQL_KNN_IVF_MULTIPROBE),
     "knn_lsh_pairs": QuerySpec(q_knn_lsh_pairs, _lsh_pairs_sql()),
     "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS),
     "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
@@ -671,4 +814,8 @@ QUERIES: dict[str, QuerySpec] = {
     "frame_samples": QuerySpec(q_frame_samples, SQL_FRAME_SAMPLES),
     "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
     "doc_split_counts": QuerySpec(q_doc_split_counts, SQL_DOC_SPLIT_COUNTS),
+    "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_shards": QuerySpec(q_token_shards, SQL_TOKEN_SHARDS),
+    "doc_length_histogram": QuerySpec(q_doc_length_histogram,
+                                      SQL_DOC_LENGTH_HISTOGRAM),
 }

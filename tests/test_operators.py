@@ -308,3 +308,86 @@ def test_escalate_scalable_plan_has_no_serial_key_window(spark):
     assert specs, plan
     for ln in specs:
         assert "_esc_bucket" in ln, ln
+
+
+def test_packed_shards_equals_naive_prefix_sum(spark):
+    """Two-phase packing must equal the naive single-window prefix sum,
+    across bucket spans; shard start offsets stay inside their shard's
+    token range (greedy start-offset packing invariant)."""
+    from pyspark.sql import Window
+
+    from realtime_log_analytics_flink_kafka_spark.operators.packing import (
+        packed_shards,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(300)]
+    t = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    budget = 256
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = sorted(
+        (r.doc_id, r.n_tokens, r.strt // budget) for r in
+        t.withColumn("strt", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .collect())
+    for span in (1, 7, 64, 10_000):
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.shard_id) for r in
+            packed_shards(t, budget=budget, bucket_span=span).collect())
+        assert got == want, f"span={span}"
+    # every shard except the last is filled to >= budget - max_doc_tokens
+    totals = {}
+    for doc_id, n, shard in want:
+        totals[shard] = totals.get(shard, 0) + n
+    for shard in sorted(totals)[:-1]:
+        assert totals[shard] + 100 > budget  # max doc is < 100 tokens
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    """Sample membership depends only on (id, salt): identical across
+    runs and across arbitrary repartitioning, and strata rates land
+    near their targets."""
+    from realtime_log_analytics_flink_kafka_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rates = {"en": 2000, "de": 5000, "es": 5000, "fr": 5000, "zh": 5000}
+    a = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    b = {r.doc_id for r in
+         stratified_sample(docs.repartition(13, "lang"), rates).collect()}
+    assert a == b and len(a) > 0
+    by_lang_all = {r.lang: r.n for r in
+                   docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang_kept = {r.lang: r.n for r in
+                    stratified_sample(docs, rates).groupBy("lang")
+                    .agg(F.count("*").alias("n")).collect()}
+    for lang, kept in by_lang_kept.items():
+        frac = kept / by_lang_all[lang]
+        target = rates[lang] / 10_000
+        assert abs(frac - target) < 0.15, (lang, frac, target)
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """Probing 2 clusters is a candidate superset of probing 1, so
+    recall@k vs the brute-force baseline must not decrease (and the
+    returned cosines must exist in the brute-force ranking)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+        cosine_topk, ivf_topk, ivf_topk_multiprobe,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    k = 3
+    truth = {}
+    for r in cosine_topk(embs, embs.filter(F.col("vec_id") < 5), k=k).collect():
+        truth.setdefault(r.query_id, set()).add(r.corpus_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.corpus_id)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1 = recall(ivf_topk(embs, k=k, n_queries=5))
+    r2 = recall(ivf_topk_multiprobe(embs, k=k, n_queries=5, n_probe=2))
+    assert r2 >= r1, (r1, r2)
+    assert r2 > 0

@@ -49,6 +49,7 @@ def test_no_python_in_any_registry_query(spark):
 NESTED_LOOP_SANCTIONED = {
     "knn_bruteforce": 1,
     "knn_ivf": 2,
+    "knn_ivf_multiprobe": 2,   # corpus assignment + query-probe ranking
     "embedding_near_dups": 1,
     "tfidf_top_terms": 1,
 }
