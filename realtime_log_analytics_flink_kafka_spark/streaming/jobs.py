@@ -33,9 +33,57 @@ from ..functions.scalar import incident_id
 
 #: Reference watermark: 5 s bounded out-of-orderness
 #: (flink/error_rate_detector.py:134-136).  The 10 s idleness advance
-#: (W5) has no Spark equivalent — micro-batch triggers advance the
-#: watermark on any progress, which masks idle partitions.
+#: (W5) has no direct Spark setting — Spark's watermark only moves when
+#: data flows, so an idle source stalls it and open windows never
+#: finalize in append mode.  ``with_idle_keepalive`` emulates it.
 WATERMARK_DELAY = "5 seconds"
+
+def with_idle_keepalive(spark, stream: DataFrame, *, ts_col: str = "ts",
+                        watermark: str = WATERMARK_DELAY,
+                        rows_per_second: int = 1) -> DataFrame:
+    """W5 (idle-source watermark advance), Spark-style: union a 1-row/s
+    rate-source heartbeat carrying the CURRENT processing time as event
+    time, so the watermark keeps advancing while the real source is
+    idle and open windows finalize instead of hanging forever —
+    Flink's "watermark ≈ now − delay while idle" idleness policy
+    (flink/error_rate_detector.py:138), which Spark has no setting for.
+
+    Heartbeat rows carry NULL in every non-``ts_col`` column; they flow
+    into downstream keyed aggregations as null-key groups, and callers
+    drop those groups with a HAVING-style guard on an aggregate that
+    skips nulls — ``F.count(<key_col>) > 0`` — NOT with a row-level
+    predicate.  Two optimizer traps force this exact shape, both
+    verified the hard way:
+
+    - a literal marker column (``lit(True) AS _keepalive`` + pre-agg
+      ``filter(~_keepalive)``) constant-folds per union branch and
+      PRUNES THE HEARTBEAT SOURCE out of the plan entirely;
+    - a key predicate after the aggregation (``service IS NOT NULL``)
+      is a grouping-column filter, so Catalyst pushes it below the
+      aggregate and the union, where it folds against the heartbeat's
+      null literal — same pruning.  An aggregate-derived predicate
+      cannot be pushed below the aggregate, and ``count(key)`` is 0 for
+      the pure-heartbeat groups.
+
+    Caveat, stated honestly: the heartbeat advances the watermark to
+    wall-clock time, so a real source that is not idle but merely
+    LAGGING beyond the delay gets its events dropped as late — Flink's
+    per-partition idleness marking is finer-grained.  Use this where
+    the reference uses idleness (live sources that can go quiet), never
+    on historical replays.
+    """
+    hb = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second).load()
+        .select(F.col("timestamp").alias(ts_col))
+    )
+    for name, dtype in stream.dtypes:
+        if name != ts_col:
+            hb = hb.withColumn(name, F.lit(None).cast(dtype))
+    return (
+        stream.unionByName(hb.select(*stream.columns))
+        .withWatermark(ts_col, watermark)
+    )
 
 
 def error_rate_stream(logs: DataFrame, *, size: str = "20 seconds",

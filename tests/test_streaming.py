@@ -466,3 +466,58 @@ def test_synthetic_log_stream_matches_batch_generator(spark):
     assert {tuple(r) for r in got} <= want
     svcs = {r.service for r in got}
     assert "auth-service" in svcs and all(r.latency_ms >= 10 for r in got)
+
+
+def test_idle_keepalive_finalizes_windows(spark, tmp_path):
+    """W5: with a finite (then idle) source, append-mode windows past the
+    last event never finalize — Spark's watermark only moves with data.
+    with_idle_keepalive unions a processing-time heartbeat that advances
+    the watermark, so ALL windows (including the final one) emit and the
+    result equals the batch aggregation; the pure-heartbeat null-key
+    groups are dropped by the count(key) > 0 HAVING guard the helper
+    prescribes."""
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        with_idle_keepalive,
+    )
+
+    rows = gen_logs(n_seconds=180)  # exactly 3 one-minute windows
+    path = str(tmp_path / "logs")
+    _write_logs(spark, rows, path)
+
+    def windowed(df):
+        # count(service) (not count(*)): null-skipping, so heartbeat
+        # groups score 0 and the post-agg guard removes them without a
+        # pushable (hence branch-pruning) row-level predicate
+        return (
+            df.groupBy("service", F.window("ts", "1 minute").alias("w"))
+            .agg(F.count("service").alias("n"))
+            .select("service", F.col("w.start").cast("long").alias("ws"), "n")
+        )
+
+    want = {tuple(r) for r in windowed(spark.read.parquet(path)).collect()}
+    assert len(want) == 3 * len({r["service"] for r in rows})
+
+    # the gap: no keepalive -> the last window stays open forever
+    plain = windowed(_read_stream(spark, path).withWatermark("ts", "5 seconds"))
+    _drain(start_memory_sink(plain, "idle_plain", output_mode="append"))
+    got_plain = {tuple(r) for r in spark.table("idle_plain").collect()}
+    assert got_plain < want  # strictly missing the unfinalized tail
+
+    # the fix: heartbeat advances the watermark past every event window
+    merged = with_idle_keepalive(spark, _read_stream(spark, path),
+                                 watermark="5 seconds")
+    out = windowed(merged).filter(F.col("n") > 0)
+    q = start_memory_sink(out, "idle_alive", output_mode="append")
+    deadline = time.monotonic() + 90
+    got = set()
+    try:
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            got = {tuple(r) for r in spark.table("idle_alive").collect()}
+            if got == want:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == want
