@@ -92,9 +92,7 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text",
 
 def shingle_sets(docs: DataFrame, text_col: str = "text",
                  n: int = 3) -> DataFrame:
-    """doc_id -> distinct shingle-hash set.  ONE aggregation feeds both
-    signature derivation and Jaccard verification (min over the distinct
-    set equals min over the multiset)."""
+    """doc_id -> distinct shingle-hash set (the exact-Jaccard input)."""
     return (
         shingle_hashes(docs, text_col, n)
         .groupBy("doc_id")
@@ -102,25 +100,36 @@ def shingle_sets(docs: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_sketch(docs: DataFrame, text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """doc_id -> (hset, mh0..mh{k-1}) in ONE aggregation pass.
+
+    The k signature values are ``min((a*h+b) % P)`` *aggregates* over the
+    exploded shingle hashes, computed alongside ``collect_set`` in the
+    same groupBy: min gets map-side partial aggregation and whole-stage
+    codegen, where the previous formulation (``array_min(transform(hset,
+    ...))`` per k) paid k interpreted higher-order passes over every
+    doc's hash array — and paid them once per plan subtree that scanned
+    the signatures (twice, through the LSH self-join).  min over the
+    multiset equals min over the distinct set, so the signatures are
+    unchanged.
+    """
+    return (
+        shingle_hashes(docs, text_col, n)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hset"),
+            *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME)
+                .alias(f"mh{i}")
+              for i, (a, b) in enumerate(affine_hashes(MINHASH_K))],
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        n: int = 3) -> DataFrame:
-    """One row per doc: k min-hash columns, derived from the hash-set via
-    higher-order array ops — no second shuffle over exploded shingles."""
-    return _with_signature_cols(shingle_sets(docs, text_col, n)).drop("hset")
-
-
-def _with_signature_cols(sets: DataFrame) -> DataFrame:
-    def min_hash(a: int, b: int) -> Column:
-        # closure (not default-arg lambda: PySpark counts lambda params
-        # to pick the HOF arity)
-        return F.array_min(F.transform(
-            F.col("hset"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME))
-
-    return sets.select(
-        "*",
-        *[min_hash(a, b).alias(f"mh{i}")
-          for i, (a, b) in enumerate(affine_hashes(MINHASH_K))],
-    )
+    """One row per doc: k min-hash signature columns."""
+    return minhash_sketch(docs, text_col, n).drop("hset")
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
@@ -132,17 +141,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
     sharing any band bucket; verification joins each side's distinct
     shingle-hash set and computes exact Jaccard.
 
-    The shingle-set aggregate feeds four plan subtrees (two self-join
-    sides twice); ``reuse_sets`` persists it once (MEMORY_AND_DISK,
-    LRU-evicted) instead of recomputing the explode+aggregate 4x.  The
-    100 TB equivalent is checkpointing this intermediate to storage
-    between the signature and verification stages.
+    The sketch aggregate (hset + signatures in one pass) feeds four plan
+    subtrees (two self-join sides twice); ``reuse_sets`` persists it once
+    (MEMORY_AND_DISK, LRU-evicted) instead of recomputing the
+    explode+aggregate 4x.  The 100 TB equivalent is checkpointing this
+    intermediate to storage between the signature and verification
+    stages.
     """
-    sets = shingle_sets(docs, text_col, n)
+    sets = minhash_sketch(docs, text_col, n)
     if reuse_sets:
         from pyspark import StorageLevel
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _with_signature_cols(sets)
+    sigs = sets
 
     band_structs = []
     for band in range(LSH_BANDS):
