@@ -52,6 +52,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "purchase_attribution",
     "knn_ivf",
+    "decontamination",
+    "repetition_filters",
 ]
 
 

@@ -162,6 +162,87 @@ def top_terms_per_source(docs: DataFrame, text_col: str = "text", *,
     )
 
 
+#: Repetition-filter thresholds (Gopher-style): docs where a single
+#: token, the top bigram, or duplicated trigrams dominate are boilerplate.
+MAX_UNIGRAM_FRAC = 0.20
+TOP_BIGRAM_FRAC = 0.18
+DUP_TRIGRAM_FRAC = 0.30
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters, per document:
+
+    - ``max_unigram_frac``: most-frequent token's share of all tokens
+    - ``top_bigram_frac``: most-frequent bigram's share of all bigrams
+    - ``dup_trigram_frac``: share of trigram instances that are repeats
+    - ``keep``: all three under their thresholds (a missing metric —
+      doc too short for that n — passes)
+
+    One explode of a tagged (n, gram) union for n=1..3, then two
+    aggregations: (doc, n, gram) counts (partial aggregation combines
+    map-side, so the shuffle carries distinct grams, not instances) and
+    a (doc, n) rollup pivoted to columns by conditional max.  No joins,
+    no HOF re-evaluation (token array materialized once, as in
+    shingle_hashes), scales linearly in corpus size.
+
+    Documents with zero tokens have no grams and are absent.
+    """
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+
+    def tagged_grams(n: int) -> Column:
+        if n == 1:
+            arr = toks
+        else:
+            arr = F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")))
+
+    exploded = (
+        toked.select(
+            "doc_id",
+            F.explode(F.concat(*[tagged_grams(n) for n in (1, 2, 3)])).alias("g"))
+        .select("doc_id", "g.n", "g.gram")
+    )
+    stats = (
+        exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.sum("c").alias("total"), F.count("*").alias("n_distinct"),
+             F.max("c").alias("maxc"))
+    )
+
+    def pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    wide = stats.groupBy("doc_id").agg(
+        pick(1, "total").alias("t1"), pick(1, "maxc").alias("m1"),
+        pick(2, "total").alias("t2"), pick(2, "maxc").alias("m2"),
+        pick(3, "total").alias("t3"), pick(3, "n_distinct").alias("d3"),
+    )
+    muf = F.round(F.col("m1").cast("double") / F.col("t1"), 4)
+    tbf = F.round(F.col("m2").cast("double") / F.col("t2"), 4)
+    dtf = F.round((F.col("t3") - F.col("d3")).cast("double") / F.col("t3"), 4)
+    keep = (
+        F.coalesce(muf <= MAX_UNIGRAM_FRAC, F.lit(True))
+        & F.coalesce(tbf <= TOP_BIGRAM_FRAC, F.lit(True))
+        & F.coalesce(dtf <= DUP_TRIGRAM_FRAC, F.lit(True))
+    )
+    return wide.select(
+        "doc_id",
+        F.col("t1").alias("n_tokens"),
+        muf.alias("max_unigram_frac"),
+        tbf.alias("top_bigram_frac"),
+        dtf.alias("dup_trigram_frac"),
+        keep.alias("keep"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling polynomial hash over token hashes — an order-sensitive
     document fingerprint (reordered tokens change it, unlike a bag hash)."""

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_PRIME, affine_hashes
-from ..operators import dedup, multimodal, packing, sampling, similarity, text
+from ..operators import (decontam, dedup, multimodal, packing, sampling,
+                         similarity, text)
 from ..sources.batch import load_table
 from . import QuerySpec
 
@@ -790,6 +791,112 @@ FROM t GROUP BY bucket_lo
 """
 
 
+# --- decontamination / repetition filters / near-dup removal ----------------
+
+#: Every 20th doc plays the held-out benchmark set in the fixture corpus.
+BENCH_MOD = 20
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-corpus-doc n-gram overlap with the
+    (broadcast) benchmark shingle set — operators/decontam.py."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return decontam.ngram_contamination(corpus, bench)
+
+
+SQL_DECONTAMINATION = f"""
+WITH {SHINGLE_CTES},
+bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % {BENCH_MOD} = 0),
+corp AS (SELECT doc_id, h FROM hs WHERE doc_id % {BENCH_MOD} <> 0),
+per_doc AS (
+    SELECT c.doc_id,
+           count(*) AS n_shingles,
+           count(b.h) AS n_hits
+    FROM corp c LEFT JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_shingles, 4) AS contamination_ratio,
+       round(CAST(n_hits AS DOUBLE) / n_shingles, 4)
+           >= {decontam.CONTAMINATION_THRESHOLD} AS contaminated
+FROM per_doc
+"""
+
+
+def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_metrics(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_FILTERS = f"""
+WITH {TOKENS_CTE},
+grams AS (
+    SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM tok
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(range(0, len(toks) - 1),
+                  i -> array_to_string(array_slice(toks, i + 1, i + 2), ' ')))
+               AS gram
+    FROM tok WHERE len(toks) >= 2
+    UNION ALL
+    SELECT doc_id, 3 AS n,
+           unnest(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(array_slice(toks, i + 1, i + 3), ' ')))
+               AS gram
+    FROM tok WHERE len(toks) >= 3
+),
+counts AS (
+    SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram
+),
+stats AS (
+    SELECT doc_id, n, sum(c) AS total, count(*) AS n_distinct, max(c) AS maxc
+    FROM counts GROUP BY doc_id, n
+),
+wide AS (
+    SELECT doc_id,
+           max(CASE WHEN n = 1 THEN total END) AS t1,
+           max(CASE WHEN n = 1 THEN maxc END) AS m1,
+           max(CASE WHEN n = 2 THEN total END) AS t2,
+           max(CASE WHEN n = 2 THEN maxc END) AS m2,
+           max(CASE WHEN n = 3 THEN total END) AS t3,
+           max(CASE WHEN n = 3 THEN n_distinct END) AS d3
+    FROM stats GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(t1 AS BIGINT) AS n_tokens,
+       round(CAST(m1 AS DOUBLE) / t1, 4) AS max_unigram_frac,
+       round(CAST(m2 AS DOUBLE) / t2, 4) AS top_bigram_frac,
+       round(CAST(t3 - d3 AS DOUBLE) / t3, 4) AS dup_trigram_frac,
+       COALESCE(round(CAST(m1 AS DOUBLE) / t1, 4) <= {text.MAX_UNIGRAM_FRAC}, TRUE)
+       AND COALESCE(round(CAST(m2 AS DOUBLE) / t2, 4) <= {text.TOP_BIGRAM_FRAC}, TRUE)
+       AND COALESCE(round(CAST(t3 - d3 AS DOUBLE) / t3, 4) <= {text.DUP_TRIGRAM_FRAC}, TRUE)
+           AS keep
+FROM wide
+"""
+
+
+def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy near-dup removal: drop the higher-id side of every verified
+    MinHash-LSH pair, keep everything else.  One pass of the standard
+    keep-lowest-id policy (not transitive closure: in a chain a~b~c with
+    a!~c, b and c both drop — deterministic and the usual production
+    choice).  The drop list is tiny relative to the corpus, so the
+    anti-join broadcasts it: corpus rows never shuffle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source")
+
+
+def _near_dup_survivors_sql() -> str:
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({_minhash_sql()}))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
@@ -818,4 +925,9 @@ QUERIES: dict[str, QuerySpec] = {
     "token_shards": QuerySpec(q_token_shards, SQL_TOKEN_SHARDS),
     "doc_length_histogram": QuerySpec(q_doc_length_histogram,
                                       SQL_DOC_LENGTH_HISTOGRAM),
+    "decontamination": QuerySpec(q_decontamination, SQL_DECONTAMINATION),
+    "repetition_filters": QuerySpec(q_repetition_filters,
+                                    SQL_REPETITION_FILTERS),
+    "near_dup_survivors": QuerySpec(q_near_dup_survivors,
+                                    _near_dup_survivors_sql()),
 }

@@ -38,6 +38,7 @@ def test_queries_nonempty(spark):
         "error_rate_sliding", "error_rate_tumbling", "latency_p95_daily",
         "escalations_every_third", "alert_metrics_daily",
         "dedup_exact", "knn_bruteforce", "token_counts", "media_summary",
+        "decontamination", "repetition_filters", "near_dup_survivors",
     ]
     for name in must_emit:
         df = QUERIES[name].fn(spark, SF_SMOKE)
