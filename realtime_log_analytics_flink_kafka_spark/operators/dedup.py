@@ -256,7 +256,14 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", *,
                   max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, chunk-bucketed:
     hamming <= 3 over 4 chunks implies at least one identical 8-bit chunk
-    (pigeonhole), so candidates come from 4 equi-joins, not a cross join."""
+    (pigeonhole), so candidates come from 4 equi-joins, not a cross join.
+
+    The fingerprint aggregate feeds both self-join sides and is computed
+    twice by design: persisting the (doc_id, simhash) table measured
+    *slower* here (the two subtrees run concurrently on otherwise-idle
+    cores; a persist serializes them behind a materialization barrier).
+    At 100 TB the trade flips — checkpoint the fingerprints between the
+    sketch and pairing stages instead of recomputing the token explode."""
     fps = simhash_fingerprints(docs, text_col)
     chunked = fps.select(
         "doc_id", "simhash",
@@ -270,15 +277,19 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", *,
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.chunk", "b.ckey")
     x, y = chunked.alias("x"), chunked.alias("y")
+    hamming = F.bit_count(F.expr("x.simhash ^ y.simhash"))
+    # the hamming bound rides in the join condition: it runs as the
+    # join's post-probe filter, so far-apart chunk collisions are dropped
+    # before the distinct's shuffle ever sees them
     return (
         x.join(y, (F.col("x.chunk") == F.col("y.chunk"))
                & (F.col("x.ckey") == F.col("y.ckey"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
+               & (F.col("x.doc_id") < F.col("y.doc_id"))
+               & (hamming <= max_hamming))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.bit_count(F.expr("x.simhash ^ y.simhash")).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
