@@ -134,7 +134,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
                       n: int = 3, threshold: float = 0.4,
-                      reuse_sets: bool = True) -> DataFrame:
+                      reuse_sets: bool = False) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     band bucket = concat of the band's min-hashes; candidates are pairs
@@ -142,11 +142,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
     shingle-hash set and computes exact Jaccard.
 
     The sketch aggregate (hset + signatures in one pass) feeds four plan
-    subtrees (two self-join sides twice); ``reuse_sets`` persists it once
-    (MEMORY_AND_DISK, LRU-evicted) instead of recomputing the
-    explode+aggregate 4x.  The 100 TB equivalent is checkpointing this
-    intermediate to storage between the signature and verification
-    stages.
+    subtrees (two self-join sides twice).  ``reuse_sets`` persists it
+    once (MEMORY_AND_DISK) instead of recomputing the explode+aggregate
+    4x — measured *slower* at single-node bench scale (the subtrees run
+    concurrently on otherwise-idle cores; the persist serializes them
+    behind a materialization barrier), hence default off.  At 100 TB the
+    trade flips: checkpoint the sketch to storage between the signature
+    and verification stages rather than re-scanning the corpus 4x.
     """
     sets = minhash_sketch(docs, text_col, n)
     if reuse_sets:

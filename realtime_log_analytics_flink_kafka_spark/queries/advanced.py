@@ -345,7 +345,108 @@ JOIN events c
 """
 
 
+# --- ordered funnel conversion ----------------------------------------------
+
+#: Funnel stages in required order; a user reaches stage i+1 only with an
+#: event strictly after their stage-i completion time and within
+#: FUNNEL_WINDOW_S seconds of it (the bound is what makes conversion
+#: drop off — unbounded, any active user eventually completes).
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+FUNNEL_WINDOW_S = 86400
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users progress signup -> view -> click ->
+    purchase, each stage completed strictly after the previous one.
+
+    Staged min-after-min: stage 1 is min(ts) per user; stage i+1 is
+    min(ts) of that type within (stage-i time, +1 day].  Every join and
+    aggregation keys on user_id, so after the first shuffle the
+    partitioning is reused down the whole chain (no re-exchange per
+    stage), and per-stage state is one timestamp per user — no
+    collect_list of event histories.  The final 4-row summary uses a
+    single-partition window, which is fine because it runs on 4 rows,
+    not on events.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select("user_id", "event_type", "ts")
+    )
+    cur = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id").agg(F.min("ts").alias("t"))
+    )
+    reached = [cur]
+    for stage in FUNNEL_STAGES[1:]:
+        cur = (
+            ev.filter(F.col("event_type") == stage)
+            .join(cur.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .filter((F.col("ts") > F.col("prev_t"))
+                    & (F.col("ts") <= F.col("prev_t")
+                       + F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECOND")))
+            .groupBy("user_id").agg(F.min("ts").alias("t"))
+        )
+        reached.append(cur)
+
+    tagged = None
+    for i, (stage, df) in enumerate(zip(FUNNEL_STAGES, reached)):
+        part = df.select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(stage).alias("event_type"),
+            "user_id",
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    counts = tagged.groupBy("stage", "event_type").agg(
+        F.count("*").alias("n_users"))
+    w = Window.orderBy("stage")
+    return counts.select(
+        "stage", "event_type", "n_users",
+        F.round(F.col("n_users").cast("double") / F.first("n_users").over(w), 4)
+            .alias("conversion"),
+    )
+
+
+def _funnel_sql() -> str:
+    stages = FUNNEL_STAGES
+    ctes = [f"""
+s1 AS (
+    SELECT user_id, min(ts) AS t FROM ev
+    WHERE event_type = '{stages[0]}' GROUP BY user_id
+)"""]
+    for i, stage in enumerate(stages[1:], start=2):
+        ctes.append(f"""
+s{i} AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM ev e JOIN s{i - 1} p ON e.user_id = p.user_id
+    WHERE e.event_type = '{stage}' AND e.ts > p.t
+      AND e.ts <= p.t + INTERVAL {FUNNEL_WINDOW_S} SECOND
+    GROUP BY e.user_id
+)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{s}' AS event_type, user_id FROM s{i + 1}"
+        for i, s in enumerate(stages))
+    in_list = ", ".join(f"'{s}'" for s in stages)
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, ts FROM events WHERE event_type IN ({in_list})
+),{",".join(ctes)},
+staged AS (
+    {union}
+),
+counts AS (
+    SELECT stage, event_type, count(*) AS n_users FROM staged
+    GROUP BY stage, event_type
+)
+SELECT stage, event_type, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / first_value(n_users) OVER (ORDER BY stage), 4) AS conversion
+FROM counts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "funnel_conversion": QuerySpec(q_funnel_conversion, _funnel_sql()),
     "purchase_attribution": QuerySpec(q_purchase_attribution,
                                       SQL_PURCHASE_ATTRIBUTION),
     "error_click_pairs": QuerySpec(q_error_click_pairs,
