@@ -1,0 +1,41 @@
+"""Degenerate-input robustness: every registry query must plan and run
+against completely empty tables (schema-faithful empty parquet, including
+the events table's timestamp[ns] physical type).
+
+At 100 TB this is not a corner case — partition-pruned scans, fresh
+date partitions, and filtered side-inputs routinely produce zero-row
+subtrees, and an operator that throws on them (empty-aggregate NULLs,
+argmax over nothing, division guards) takes the whole job down.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from realtime_log_analytics_flink_kafka_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Empty twin of the smoke fixture: same file names, same Arrow
+    schemas (pyarrow, not a SQL LIMIT 0 copy — that would rewrite
+    timestamp[ns] as timestamp[us] and dodge the nanosAsLong path)."""
+    tmp = tmp_path_factory.mktemp("sf_empty")
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(SF_SMOKE, f))
+            pq.write_table(schema.empty_table(), str(tmp / f))
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_runs_on_empty_tables(spark, empty_sf_dir, name):
+    # no-crash is the contract; row count varies (generator-backed
+    # queries like synthetic_log_profile emit rows with no input files)
+    assert QUERIES[name].fn(spark, empty_sf_dir).count() >= 0
