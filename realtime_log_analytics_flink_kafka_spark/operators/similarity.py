@@ -310,6 +310,59 @@ def label_centroids(vecs: DataFrame, *, vec_col: str = "embedding",
     )
 
 
+def quantization_error(vecs: DataFrame, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension symmetric int8 quantization with reconstruction
+    error — the storage-compression step of an embedding pipeline (4x
+    smaller vectors for ANN serving; the error column tells you what
+    recall you paid).
+
+    Two passes, no driver collect:
+
+    1. per-dimension scale = max |v_d| / 127 over the corpus (posexplode
+       + max — order-independent, so exactly deterministic), assembled
+       into ONE row holding the scale array via
+       ``array_sort(collect_list(struct(pos, s)))`` and broadcast-cross-
+       joined back (the tfidf N pattern);
+    2. quantize ``q_i = clamp(floor(v_i / s_i + 0.5), ±127)`` — explicit
+       floor rounding, engine-independent on .5 ties where ``round()``
+       dialects differ — and left-fold the squared reconstruction error
+       in index order.
+
+    Zero-variance dimensions are guarded with a 1e-12 scale floor.
+    Emits scalar columns only (no arrays — hash/sort canonicalizers
+    choke on list cells).
+    """
+    ex = vecs.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    per_pos = ex.groupBy("pos").agg(
+        F.greatest(F.max(F.abs(F.col("v").cast("double"))) / 127.0,
+                   F.lit(1e-12)).alias("s"))
+    scale_row = (
+        per_pos.agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(F.transform(F.col("ps"), lambda x: x["s"]).alias("scales"))
+    )
+    qi = F.zip_with(
+        F.col(vec_col), F.col("scales"),
+        lambda v, s: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(v.cast("double") / s + F.lit(0.5))
+                    .cast("double"))))
+    recon = F.zip_with(qi, F.col("scales"), lambda q, s: q * s)
+    err2 = F.zip_with(
+        F.col(vec_col), recon,
+        lambda v, r: (v.cast("double") - r) * (v.cast("double") - r))
+    return (
+        vecs.crossJoin(F.broadcast(scale_row))
+        .select(
+            id_col,
+            F.array_max(F.transform(qi, F.abs)).cast("long").alias("q_max"),
+            F.round(
+                F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size(F.col(vec_col)), 6).alias("quant_mse"),
+        )
+    )
+
+
 def clustered_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.25,
                              centroid_every: int = 97,
                              vec_col: str = "embedding",

@@ -791,6 +791,41 @@ FROM t GROUP BY bucket_lo
 """
 
 
+# --- embedding int8 quantization ---------------------------------------------
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantization_error(_embs(spark, sf_dir))
+
+
+_ERR_FOLD = _fold_sql(
+    "list_transform(range(1, 65), "
+    "i -> (CAST(embedding[i] AS DOUBLE) - qi[i] * scales[i])"
+    " * (CAST(embedding[i] AS DOUBLE) - qi[i] * scales[i]))")
+
+SQL_EMBEDDING_QUANTIZATION = f"""
+WITH ex AS (
+    SELECT unnest(range(1, 65)) AS pos, embedding AS e FROM embeddings
+),
+sp AS (
+    SELECT pos, greatest(max(abs(CAST(e[pos] AS DOUBLE))) / 127.0, 1e-12) AS s
+    FROM ex GROUP BY pos
+),
+sc AS (SELECT list(s ORDER BY pos) AS scales FROM sp),
+q AS (
+    SELECT vec_id, embedding, scales,
+           list_transform(range(1, 65),
+               i -> greatest(-127.0, least(127.0,
+                    floor(CAST(embedding[i] AS DOUBLE) / scales[i] + 0.5))))
+               AS qi
+    FROM embeddings CROSS JOIN sc
+)
+SELECT vec_id,
+       CAST(list_max(list_transform(qi, x -> abs(x))) AS BIGINT) AS q_max,
+       round(({_ERR_FOLD}) / len(embedding), 6) AS quant_mse
+FROM q
+"""
+
+
 # --- decontamination / repetition filters / near-dup removal ----------------
 
 #: Every 20th doc plays the held-out benchmark set in the fixture corpus.
@@ -930,4 +965,6 @@ QUERIES: dict[str, QuerySpec] = {
                                     SQL_REPETITION_FILTERS),
     "near_dup_survivors": QuerySpec(q_near_dup_survivors,
                                     _near_dup_survivors_sql()),
+    "embedding_quantization": QuerySpec(q_embedding_quantization,
+                                        SQL_EMBEDDING_QUANTIZATION),
 }

@@ -52,6 +52,7 @@ NESTED_LOOP_SANCTIONED = {
     "knn_ivf_multiprobe": 2,   # corpus assignment + query-probe ranking
     "embedding_near_dups": 1,
     "tfidf_top_terms": 1,
+    "embedding_quantization": 1,   # single-row scale array broadcast
 }
 
 
