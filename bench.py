@@ -54,6 +54,7 @@ HEADLINE = [
     "knn_ivf",
     "decontamination",
     "repetition_filters",
+    "curation_report",
 ]
 
 

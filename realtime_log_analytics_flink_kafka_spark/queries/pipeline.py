@@ -791,6 +791,67 @@ FROM t GROUP BY bucket_lo
 """
 
 
+# --- per-source curation report ----------------------------------------------
+
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-curation dashboard: per corpus source, document count,
+    mean quality score, repetition-filter keep rate, and language-ID
+    agreement — one query composing three per-doc operators.
+
+    All joins are doc_id equi-joins (co-partitioned after the first
+    shuffle); the float mean goes through an exact DECIMAL(20,4) sum
+    (the per-doc scores are 4-decimal values, so the sum is exact on
+    both engines) divided once at the end — never a float avg whose
+    summation order differs across engines/partitionings.
+    """
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "quality_score")
+    r = text.repetition_metrics(docs).select("doc_id", "keep")
+    l = text.language_id(docs).select(
+        "doc_id", (F.col("lang") == F.col("pred_lang")).alias("lang_ok"))
+    joined = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id").join(r, "doc_id").join(l, "doc_id")
+    )
+    n = F.count("*")
+    return (
+        joined.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(20,4)"))
+                    .cast("double") / n, 4).alias("avg_quality"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(F.sum(F.col("keep").cast("long")).cast("double") / n, 4)
+                .alias("keep_rate"),
+            F.round(F.sum(F.col("lang_ok").cast("long")).cast("double") / n, 4)
+                .alias("lang_id_accuracy"),
+        )
+    )
+
+
+def _curation_report_sql() -> str:
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORES}),
+r AS ({SQL_REPETITION_FILTERS}),
+l AS ({_langid_sql()})
+SELECT d.source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(q.quality_score AS DECIMAL(20,4))) AS DOUBLE)
+             / count(*), 4) AS avg_quality,
+       sum(CAST(r.keep AS BIGINT)) AS n_keep,
+       round(CAST(sum(CAST(r.keep AS BIGINT)) AS DOUBLE) / count(*), 4)
+           AS keep_rate,
+       round(CAST(sum(CAST(l.lang = l.pred_lang AS BIGINT)) AS DOUBLE)
+             / count(*), 4) AS lang_id_accuracy
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN r ON d.doc_id = r.doc_id
+JOIN l ON d.doc_id = l.doc_id
+GROUP BY d.source
+"""
+
+
 # --- embedding int8 quantization ---------------------------------------------
 
 def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,4 +1028,5 @@ QUERIES: dict[str, QuerySpec] = {
                                     _near_dup_survivors_sql()),
     "embedding_quantization": QuerySpec(q_embedding_quantization,
                                         SQL_EMBEDDING_QUANTIZATION),
+    "curation_report": QuerySpec(q_curation_report, _curation_report_sql()),
 }
