@@ -167,6 +167,11 @@ def top_terms_per_source(docs: DataFrame, text_col: str = "text", *,
 MAX_UNIGRAM_FRAC = 0.20
 TOP_BIGRAM_FRAC = 0.18
 DUP_TRIGRAM_FRAC = 0.30
+#: Each repetition test only applies with at least this many grams of its
+#: size — a 2-token doc's single bigram is trivially 100% "top bigram",
+#: which says nothing about boilerplate.  Short docs pass repetition
+#: filtering (length itself is a separate quality signal).
+REPEAT_MIN_GRAMS = 10
 
 
 def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -175,8 +180,8 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - ``max_unigram_frac``: most-frequent token's share of all tokens
     - ``top_bigram_frac``: most-frequent bigram's share of all bigrams
     - ``dup_trigram_frac``: share of trigram instances that are repeats
-    - ``keep``: all three under their thresholds (a missing metric —
-      doc too short for that n — passes)
+    - ``keep``: no metric with at least REPEAT_MIN_GRAMS grams exceeds
+      its threshold (under-length metrics pass — see REPEAT_MIN_GRAMS)
 
     One explode of a tagged (n, gram) union for n=1..3, then two
     aggregations: (doc, n, gram) counts (partial aggregation combines
@@ -228,10 +233,15 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     muf = F.round(F.col("m1").cast("double") / F.col("t1"), 4)
     tbf = F.round(F.col("m2").cast("double") / F.col("t2"), 4)
     dtf = F.round((F.col("t3") - F.col("d3")).cast("double") / F.col("t3"), 4)
-    keep = (
-        F.coalesce(muf <= MAX_UNIGRAM_FRAC, F.lit(True))
-        & F.coalesce(tbf <= TOP_BIGRAM_FRAC, F.lit(True))
-        & F.coalesce(dtf <= DUP_TRIGRAM_FRAC, F.lit(True))
+    def trips(total: str, metric: Column, threshold: float) -> Column:
+        return F.coalesce(
+            (F.col(total) >= REPEAT_MIN_GRAMS) & (metric > threshold),
+            F.lit(False))
+
+    keep = ~(
+        trips("t1", muf, MAX_UNIGRAM_FRAC)
+        | trips("t2", tbf, TOP_BIGRAM_FRAC)
+        | trips("t3", dtf, DUP_TRIGRAM_FRAC)
     )
     return wide.select(
         "doc_id",

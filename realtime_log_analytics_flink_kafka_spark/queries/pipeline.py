@@ -964,10 +964,14 @@ SELECT doc_id,
        round(CAST(m1 AS DOUBLE) / t1, 4) AS max_unigram_frac,
        round(CAST(m2 AS DOUBLE) / t2, 4) AS top_bigram_frac,
        round(CAST(t3 - d3 AS DOUBLE) / t3, 4) AS dup_trigram_frac,
-       COALESCE(round(CAST(m1 AS DOUBLE) / t1, 4) <= {text.MAX_UNIGRAM_FRAC}, TRUE)
-       AND COALESCE(round(CAST(m2 AS DOUBLE) / t2, 4) <= {text.TOP_BIGRAM_FRAC}, TRUE)
-       AND COALESCE(round(CAST(t3 - d3 AS DOUBLE) / t3, 4) <= {text.DUP_TRIGRAM_FRAC}, TRUE)
-           AS keep
+       NOT (
+         COALESCE(t1 >= {text.REPEAT_MIN_GRAMS}
+                  AND round(CAST(m1 AS DOUBLE) / t1, 4) > {text.MAX_UNIGRAM_FRAC}, FALSE)
+         OR COALESCE(t2 >= {text.REPEAT_MIN_GRAMS}
+                  AND round(CAST(m2 AS DOUBLE) / t2, 4) > {text.TOP_BIGRAM_FRAC}, FALSE)
+         OR COALESCE(t3 >= {text.REPEAT_MIN_GRAMS}
+                  AND round(CAST(t3 - d3 AS DOUBLE) / t3, 4) > {text.DUP_TRIGRAM_FRAC}, FALSE)
+       ) AS keep
 FROM wide
 """
 

@@ -391,3 +391,94 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     r2 = recall(ivf_topk_multiprobe(embs, k=k, n_queries=5, n_probe=2))
     assert r2 >= r1, (r1, r2)
     assert r2 > 0
+
+
+def test_repetition_metrics_crafted_fractions(spark):
+    """Hand-computed fractions: 'a a a b' has max-unigram 3/4, top-bigram
+    2/3 ('a a' twice of three), and zero duplicated trigrams — but at 4
+    tokens it is under REPEAT_MIN_GRAMS, so it passes (length gating);
+    a long fully-repeated doc trips the filters; a 2-token doc whose
+    single bigram is trivially '100% top bigram' also passes."""
+    from realtime_log_analytics_flink_kafka_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y " * 50), (3, "one two")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4
+    assert r1.max_unigram_frac == 0.75
+    assert r1.top_bigram_frac == 0.6667
+    assert r1.dup_trigram_frac == 0.0
+    assert r1.keep  # over-threshold fractions, but under-length metrics
+    r2 = rows[2]
+    assert r2.max_unigram_frac == 0.5 and not r2.keep
+    assert r2.dup_trigram_frac > 0.9  # two distinct trigrams, 98 instances
+    r3 = rows[3]  # too short for trigrams; bigram metric singular
+    assert r3.n_tokens == 2 and r3.dup_trigram_frac is None and r3.keep
+
+
+def test_ngram_contamination_crafted_overlap(spark):
+    """A corpus doc sharing exactly one trigram with the benchmark is
+    flagged with hit count 1; a disjoint doc has zero hits."""
+    from realtime_log_analytics_flink_kafka_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),   # shares 'alpha beta gamma'
+         (2, "uno dos tres cuatro")],     # disjoint
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in ngram_contamination(corpus, bench).collect()}
+    assert rows[1].n_shingles == 2 and rows[1].n_hits == 1
+    assert rows[1].contamination_ratio == 0.5 and rows[1].contaminated
+    assert rows[2].n_hits == 0 and not rows[2].contaminated
+
+
+def test_quantization_error_bounds(spark):
+    """int8 quantization: |q| <= 127 everywhere, and the per-vector MSE is
+    bounded by (s/2)^2 for the largest per-dim scale (worst rounding
+    error half a quantization step per dimension)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+        quantization_error,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) / 7.0 for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantization_error(vecs).collect()
+    assert len(rows) == 10
+    max_abs = max((10 - 1 + 8 - 1) / 7.0, 0.0)
+    worst_step = max_abs / 127.0
+    for r in rows:
+        assert r.q_max <= 127
+        assert r.quant_mse <= (worst_step / 2) ** 2 + 1e-9
+
+
+def test_near_dup_survivors_partition(spark):
+    """Survivors and dropped docs partition the corpus: every doc appears
+    exactly once across the two sides, and no surviving pair's doc_b
+    remains."""
+    from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+        MINHASH_THRESHOLD, q_near_dup_survivors,
+    )
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    dropped = {r.doc_b for r in pairs.select("doc_b").distinct().collect()}
+    survivors = {r.doc_id
+                 for r in q_near_dup_survivors(spark, SF_SMOKE).collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert survivors | dropped == all_ids
+    assert not survivors & dropped
