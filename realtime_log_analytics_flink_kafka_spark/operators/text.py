@@ -53,7 +53,12 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, punctuation density, stopword
     ratio, mean token length.  Integer-ratio arithmetic throughout so the
-    doubles are cross-engine exact."""
+    doubles are cross-engine exact.
+
+    Zero-token / zero-char / NULL documents get NULL ratio metrics
+    (guarded division) instead of raising — under ANSI mode a bare
+    ``x / 0`` is a job-killing SparkArithmeticException, and one empty
+    document in a 100 TB corpus must not abort the pass."""
     toks = ws_tokens(F.col(text_col))
     n_toks = F.size(toks)
     tok_chars = F.aggregate(
@@ -63,20 +68,29 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
     n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
     n_chars = F.length(text_col)
+
+    def ratio(num: Column, den: Column) -> Column:
+        # NULL (not 0) when the denominator is empty: an undefined
+        # metric, not a zero one
+        return F.when(den > 0, F.round(num.cast("double") / den, 4))
+
     return docs.select(
         "doc_id",
         n_toks.cast("long").alias("n_tokens"),
-        F.round(tok_chars.cast("double") / n_toks, 4).alias("avg_token_len"),
-        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
-        F.round(n_stop.cast("double") / n_toks, 4).alias("stopword_ratio"),
+        ratio(tok_chars, n_toks).alias("avg_token_len"),
+        ratio(n_punct, n_chars).alias("punct_ratio"),
+        ratio(n_stop, n_toks).alias("stopword_ratio"),
         # simple composite: long docs with some stopwords and low
         # punctuation score higher; clamped [0, 1]
-        F.round(
-            F.least(F.lit(1.0),
-                    F.lit(0.5) * F.least(F.lit(1.0), n_toks.cast("double") / 50)
-                    + F.lit(0.5) * (n_stop.cast("double") / n_toks)
-                    - F.lit(0.25) * (n_punct.cast("double") / n_chars)),
-            4,
+        F.when(
+            (n_toks > 0) & (n_chars > 0),
+            F.round(
+                F.least(F.lit(1.0),
+                        F.lit(0.5) * F.least(F.lit(1.0), n_toks.cast("double") / 50)
+                        + F.lit(0.5) * (n_stop.cast("double") / n_toks)
+                        - F.lit(0.25) * (n_punct.cast("double") / n_chars)),
+                4,
+            ),
         ).alias("quality_score"),
     )
 

@@ -498,13 +498,21 @@ m AS (
 )
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
-       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-       round(least(1.0,
-             0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50)
-             + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
-             - 0.25 * (CAST(n_punct AS DOUBLE) / n_chars)), 4) AS quality_score
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) END
+           AS avg_token_len,
+       CASE WHEN n_chars > 0
+            THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) END
+           AS punct_ratio,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_stop AS DOUBLE) / n_tokens, 4) END
+           AS stopword_ratio,
+       CASE WHEN n_tokens > 0 AND n_chars > 0
+            THEN round(least(1.0,
+                 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50)
+                 + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 - 0.25 * (CAST(n_punct AS DOUBLE) / n_chars)), 4) END
+           AS quality_score
 FROM m
 """
 

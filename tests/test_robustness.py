@@ -39,3 +39,28 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
     # no-crash is the contract; row count varies (generator-backed
     # queries like synthetic_log_profile emit rows with no input files)
     assert QUERIES[name].fn(spark, empty_sf_dir).count() >= 0
+
+
+def test_text_operators_on_degenerate_docs(spark):
+    """NULL-text, empty-text, and whitespace-only documents must flow
+    through the text operators (ANSI mode makes an unguarded x/0 a
+    job-killing exception): ratios come back NULL, nothing raises."""
+    from realtime_log_analytics_flink_kafka_spark.operators import (
+        decontam, dedup, text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, "", "en", "s", 0),
+         (3, "   ", "en", "s", 3), (4, "hello world foo bar", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = {r.doc_id: r for r in text.quality_scores(docs).collect()}
+    assert q[2].n_tokens == 0 and q[2].quality_score is None
+    assert q[3].quality_score is None  # whitespace-only: 0 tokens
+    assert q[4].quality_score is not None
+    assert text.repetition_metrics(docs).count() == 1   # only doc 4 has grams
+    assert text.language_id(docs).count() == 4
+    assert text.fingerprints(docs).count() == 4
+    assert dedup.exact_duplicates(docs).count() >= 1
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+    assert decontam.ngram_contamination(docs, docs.limit(1)).count() == 1
