@@ -34,7 +34,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _safe_cosine(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _safe_cosine(dot: Column, norm_prod: Column) -> Column:
+    """NULL (undefined), not an error, for zero-norm vectors: under ANSI
+    mode a bare x/0 raises and one all-zero embedding (padding rows,
+    failed encoders) would abort the whole job.  NULL similarities fall
+    out of every downstream threshold filter and are explicitly dropped
+    before top-k ranking."""
+    return F.when(norm_prod > 0, dot / norm_prod)
 
 
 def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -61,13 +70,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 5,
         F.col("_norm").alias("q_norm"),
     )
     sim = F.round(
-        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        _safe_cosine(_dot(F.col("q_vec"), F.col("c_vec")),
+                     F.col("q_norm") * F.col("c_norm")),
         6,
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id", sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -139,6 +150,7 @@ def ivf_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         cand.select("query_id", "corpus_id", sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
@@ -187,6 +199,7 @@ def ivf_topk_multiprobe(corpus: DataFrame, *, k: int = 3,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         cand.select("query_id", "corpus_id", sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
@@ -243,8 +256,8 @@ def lsh_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.15,
                  F.col("nrm").alias("norm_a"), "bucket")
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
                  F.col("nrm").alias("norm_b"), F.col("bucket").alias("bucket_b"))
-    sim = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
-                  / (F.col("norm_a") * F.col("norm_b")), 6)
+    sim = F.round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
+                               F.col("norm_a") * F.col("norm_b")), 6)
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b"))
                & (F.col("id_a") < F.col("id_b")))
@@ -395,8 +408,8 @@ def clustered_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.25,
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
         F.col("_norm").alias("norm_b"), F.col("centroid_id").alias("cluster_b"))
-    sim = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
-                  / (F.col("norm_a") * F.col("norm_b")), 6)
+    sim = F.round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
+                               F.col("norm_a") * F.col("norm_b")), 6)
     return (
         a.join(b, (F.col("cluster") == F.col("cluster_b"))
                & (F.col("id_a") < F.col("id_b")))
@@ -421,8 +434,8 @@ def embedding_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.9,
                  F.col("nrm").alias("norm_a"))
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
                  F.col("nrm").alias("norm_b"))
-    sim = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
-                  / (F.col("norm_a") * F.col("norm_b")), 6)
+    sim = F.round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
+                               F.col("norm_a") * F.col("norm_b")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))

@@ -64,3 +64,23 @@ def test_text_operators_on_degenerate_docs(spark):
     assert dedup.exact_duplicates(docs).count() >= 1
     assert dedup.minhash_lsh_pairs(docs).count() == 0
     assert decontam.ngram_contamination(docs, docs.limit(1)).count() == 1
+
+
+def test_similarity_operators_on_zero_vectors(spark):
+    """An all-zero embedding (padding row, failed encoder) must not abort
+    the job: cosine against it is NULL, so it is never retrieved and
+    never pairs."""
+    from realtime_log_analytics_flink_kafka_spark.operators import similarity as S
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0] * 8, "a"), (1, [1.0] * 8, "a"),
+         (2, [2.0] * 8, "b"), (3, [0.5] * 8, "b")],
+        "vec_id long, embedding array<float>, label string")
+    topk = S.cosine_topk(vecs, vecs.filter("vec_id < 2"), k=3).collect()
+    assert all(r.corpus_id != 0 for r in topk)      # zero vec never retrieved
+    assert not [r for r in topk if r.query_id == 0]  # zero query finds nothing
+    assert S.lsh_near_dup_pairs(vecs).where(
+        "id_a = 0 OR id_b = 0").count() == 0
+    assert S.clustered_near_dup_pairs(vecs, centroid_every=2).where(
+        "id_a = 0 OR id_b = 0").count() == 0
+    assert S.quantization_error(vecs).count() == 4
