@@ -369,9 +369,13 @@ def quantization_error(vecs: DataFrame, *, vec_col: str = "embedding",
         .select(
             id_col,
             F.array_max(F.transform(qi, F.abs)).cast("long").alias("q_max"),
-            F.round(
-                F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x)
-                / F.size(F.col(vec_col)), 6).alias("quant_mse"),
+            # guarded: a zero-length embedding must yield NULL, not an
+            # ANSI divide-by-zero abort
+            F.when(
+                F.size(F.col(vec_col)) > 0,
+                F.round(
+                    F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x)
+                    / F.size(F.col(vec_col)), 6)).alias("quant_mse"),
         )
     )
 
