@@ -445,8 +445,53 @@ FROM counts
 """
 
 
+# --- event-time RANGE-frame rolling aggregate --------------------------------
+
+ROLLING_WINDOW_US = 3_600_000_000  # trailing 1 hour, microseconds
+
+
+def q_rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the same user's event count and mean value over
+    the trailing hour — an event-time RANGE frame, the window-operator
+    class the groupBy-window detectors and ROWS-frame running totals
+    don't cover (per-row sliding intervals, peers included by value).
+
+    One shuffle on user_id; within a partition the frame slides over the
+    time-sorted events with bounded state (only rows inside the hour).
+    The mean goes through an exact DECIMAL sum so frame evaluation order
+    can't perturb the float result across engines.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-(ROLLING_WINDOW_US - 1), 0))
+    n = F.count("*").over(w)
+    s = F.sum(F.col("value").cast("decimal(20,2)")).over(w)
+    return ev.select(
+        "event_id", "user_id",
+        n.alias("n_1h"),
+        F.round(s.cast("double") / n, 4).alias("avg_value_1h"),
+    )
+
+
+SQL_ROLLING_USER_ACTIVITY = f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)
+             / count(*) OVER w, 4) AS avg_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLLING_WINDOW_US - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(q_funnel_conversion, _funnel_sql()),
+    "rolling_user_activity": QuerySpec(q_rolling_user_activity,
+                                       SQL_ROLLING_USER_ACTIVITY),
     "purchase_attribution": QuerySpec(q_purchase_attribution,
                                       SQL_PURCHASE_ATTRIBUTION),
     "error_click_pairs": QuerySpec(q_error_click_pairs,
