@@ -521,3 +521,29 @@ def test_idle_keepalive_finalizes_windows(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_text_operators_are_stream_polymorphic(spark, tmp_path):
+    """The stateless text operators are plain DataFrame->DataFrame
+    functions, so the SAME code runs on a readStream: quality scoring /
+    token stats / fingerprinting over a micro-batched document stream
+    produce exactly the batch results.  (The streaming side of the
+    'batch/stream-polymorphic operators' claim in operators/__init__.)"""
+    from realtime_log_analytics_flink_kafka_spark.operators import text
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+
+    for op in (text.quality_scores, text.token_stats, text.fingerprints):
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1).parquet(path)
+        name = f"poly_{op.__name__}"
+        q = op(stream).writeStream.format("memory").queryName(name) \
+            .outputMode("append").start()
+        _drain(q)
+        got = {tuple(r) for r in spark.table(name).collect()}
+        want = {tuple(r) for r in op(docs).collect()}
+        assert got == want, op.__name__
