@@ -88,6 +88,83 @@ FROM attributed WHERE event_type = 'purchase'
 """
 
 
+#: Tolerance for the general as-of join query, in whole seconds — applied
+#: to the floored-to-seconds gap in BOTH dialects so sub-second boundary
+#: cases cannot diverge between Spark and the oracle.
+ASOF_TOLERANCE_S = 3600
+
+
+def q_click_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general ``asof_join`` operator end-to-end: for each purchase,
+    the user's most recent click at-or-before it, nulled when the click
+    is older than an hour (tolerance).
+
+    Contrast with ``purchase_attribution`` (the inline interleave for
+    one hard-coded pair): this drives the reusable cross-table operator
+    — two separate DataFrames in, left-outer semantics, inclusive ties.
+    Tolerance is applied here on the floored-seconds gap rather than via
+    the operator's native ``tolerance`` (which compares raw
+    microseconds) purely for oracle precision parity; the native path is
+    unit-tested.
+    """
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                            "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    joined = asof_join(purchases, clicks, ["user_id"], "ts", "ts",
+                       right_cols=["event_id"], prefix="click_")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+    in_tol = gap <= ASOF_TOLERANCE_S
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_timestamp("ts").alias("purchase_ts"),
+        F.when(in_tol, F.col("click_event_id")).alias("click_event_id"),
+        F.when(in_tol, F.unix_timestamp("click_ts")).alias("click_ts"),
+        F.when(in_tol, gap).alias("gap_seconds"),
+    )
+
+
+SQL_CLICK_ATTRIBUTION_ASOF = f"""
+WITH ev AS (
+    SELECT event_id, ts, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'purchase')
+),
+interleaved AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left,
+        CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+        CASE WHEN event_type = 'click' THEN ts END AS c_ts
+    FROM ev
+),
+matched AS (
+    SELECT *,
+        last_value(c_id IGNORE NULLS) OVER w AS m_id,
+        last_value(c_ts IGNORE NULLS) OVER w AS m_ts
+    FROM interleaved
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, c_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+secs AS (
+    SELECT user_id, event_id AS purchase_event_id,
+        CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS purchase_ts,
+        m_id,
+        CAST(floor(epoch_us(m_ts) / 1000000) AS BIGINT) AS m_ts_s
+    FROM matched WHERE is_left = 1
+)
+SELECT user_id, purchase_event_id, purchase_ts,
+    CASE WHEN purchase_ts - m_ts_s <= {ASOF_TOLERANCE_S} THEN m_id
+         END AS click_event_id,
+    CASE WHEN purchase_ts - m_ts_s <= {ASOF_TOLERANCE_S} THEN m_ts_s
+         END AS click_ts,
+    CASE WHEN purchase_ts - m_ts_s <= {ASOF_TOLERANCE_S}
+         THEN purchase_ts - m_ts_s END AS gap_seconds
+FROM secs
+"""
+
+
 # --- distinct aggregation ----------------------------------------------------
 
 def q_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +571,8 @@ QUERIES: dict[str, QuerySpec] = {
                                        SQL_ROLLING_USER_ACTIVITY),
     "purchase_attribution": QuerySpec(q_purchase_attribution,
                                       SQL_PURCHASE_ATTRIBUTION),
+    "click_attribution_asof": QuerySpec(q_click_attribution_asof,
+                                        SQL_CLICK_ATTRIBUTION_ASOF),
     "error_click_pairs": QuerySpec(q_error_click_pairs,
                                    SQL_ERROR_CLICK_PAIRS),
     "segment_distinct_nations": QuerySpec(q_segment_distinct_nations,

@@ -482,3 +482,58 @@ def test_near_dup_survivors_partition(spark):
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert survivors | dropped == all_ids
     assert not survivors & dropped
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join on a crafted fixture: inclusive ties, greatest
+    right row at-or-before each left row, left-outer nulls, and the
+    max-payload tiebreak for equal right timestamps."""
+    from realtime_log_analytics_flink_kafka_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 5, "l0"),   # before any right row -> null
+         ("u1", 10, "l1"),  # exact tie with right ts=10 -> inclusive
+         ("u1", 25, "l2"),  # between 20 and 30 -> matches 20
+         ("u2", 50, "l3"),  # different key
+         ("u3", 7, "l4")],  # key with no right rows at all
+        "k string, t long, lid string")
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 20, 200), ("u1", 20, 201), ("u1", 30, 300),
+         ("u2", 49, 400), ("u2", 51, 401)],
+        "k string, t long, rid int")
+    out = {r.lid: (r.asof_t, r.asof_rid)
+           for r in asof_join(left, right, ["k"], "t", "t",
+                              right_cols=["rid"]).collect()}
+    assert out["l0"] == (None, None)
+    assert out["l1"] == (10, 100)
+    assert out["l2"] == (20, 201)   # equal-ts tie -> greatest payload
+    assert out["l3"] == (49, 400)
+    assert out["l4"] == (None, None)
+
+
+def test_asof_join_tolerance(spark):
+    """Numeric-ts tolerance: matches older than `tolerance` are nulled
+    (pandas merge_asof semantics), boundary inclusive."""
+    from realtime_log_analytics_flink_kafka_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100, "a"), ("k", 110, "b"), ("k", 200, "c")],
+        "k string, t long, lid string")
+    right = spark.createDataFrame([("k", 95, 1)], "k string, t long, rid int")
+    out = {r.lid: r.asof_rid
+           for r in asof_join(left, right, ["k"], "t", "t",
+                              right_cols=["rid"], tolerance=15).collect()}
+    assert out == {"a": 1, "b": 1, "c": None}  # gap 5, 15 (inclusive), 105
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The interleave formulation must plan ONE shuffle + window, never a
+    join: that is the whole scale argument vs a theta-join as-of."""
+    from realtime_log_analytics_flink_kafka_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 1, "x")], "k string, t long, lid string")
+    right = spark.createDataFrame([("k", 1, 2)], "k string, t long, rid int")
+    plan = asof_join(left, right, ["k"], "t", "t",
+                     right_cols=["rid"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
