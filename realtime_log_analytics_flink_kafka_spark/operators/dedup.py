@@ -295,3 +295,53 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", *,
         )
         .distinct()
     )
+
+
+def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
+                         right_col: str = "doc_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: every doc that appears
+    in any pair gets a ``cluster_id`` = the smallest doc id reachable
+    through the pair graph (transitive closure).
+
+    This is the step after pair generation in a real dedup pipeline —
+    greedy pair-wise removal (``near_dup_survivors``) over-drops chains
+    (a~b, b~c, a!~c drops b AND c); component-wise you keep exactly one
+    doc per cluster.
+
+    Pregel-style min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — one equi-join plus
+    one groupBy (two shuffles) per round, converging in O(component
+    diameter) rounds.  Near-dup components are band-bucket cliques, so
+    the diameter is tiny regardless of corpus size; each round
+    ``localCheckpoint``s to truncate lineage (at 100 TB: checkpoint to
+    cluster storage instead).  Convergence is detected via the label sum
+    — labels only ever decrease, so an unchanged sum means a fixed
+    point.  Raises if ``max_iters`` rounds don't converge rather than
+    returning silently-partial clusters.
+    """
+    half = pairs.select(F.col(left_col).alias("src"),
+                        F.col(right_col).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "label"))
+        labels = (labels.union(prop).groupBy("node")
+                  .agg(F.min("label").alias("label")).localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iters} rounds")
+
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

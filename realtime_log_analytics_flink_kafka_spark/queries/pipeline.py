@@ -1005,6 +1005,47 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({_minhash_sql()}))
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash-LSH pair graph: (doc_id,
+    cluster_id, cluster_size) for every doc in any near-dup pair.  The
+    component step a production dedup pipeline runs between pair
+    generation and survivor selection — see
+    operators/dedup.py:duplicate_components for the iteration scheme."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    comp = dedup.duplicate_components(pairs)
+    from pyspark.sql import Window
+    return comp.select(
+        "doc_id", "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id"))
+            .alias("cluster_size"),
+    )
+
+
+def _dup_clusters_sql() -> str:
+    """Recursive-CTE mirror: labels flow along symmetric edges, the min
+    reachable id is the component id — the fixed point the Spark-side
+    propagation loop converges to."""
+    return f"""
+WITH RECURSIVE mh AS ({_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh
+    UNION
+    SELECT doc_b, doc_a FROM mh
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM cc
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
@@ -1038,6 +1079,7 @@ QUERIES: dict[str, QuerySpec] = {
                                     SQL_REPETITION_FILTERS),
     "near_dup_survivors": QuerySpec(q_near_dup_survivors,
                                     _near_dup_survivors_sql()),
+    "dup_clusters": QuerySpec(q_dup_clusters, _dup_clusters_sql()),
     "embedding_quantization": QuerySpec(q_embedding_quantization,
                                         SQL_EMBEDDING_QUANTIZATION),
     "curation_report": QuerySpec(q_curation_report, _curation_report_sql()),

@@ -537,3 +537,31 @@ def test_asof_join_plan_has_no_join_node(spark):
                      right_cols=["rid"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_duplicate_components_transitive_closure(spark):
+    """A 5-node path (needs multiple propagation rounds), a 2-clique, and
+    an isolated pair all resolve to min-id components — the chain case
+    greedy pair-wise removal gets wrong."""
+    from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),   # path: one component
+         (20, 21), (20, 22), (21, 22),             # triangle
+         (30, 31)],                                # isolated pair
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in duplicate_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_duplicate_components_empty(spark):
+    from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_components(pairs).count() == 0
