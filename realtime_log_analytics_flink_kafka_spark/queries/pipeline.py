@@ -1005,6 +1005,50 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({_minhash_sql()}))
 """
 
 
+#: Inline PII corpus — the synthetic ``documents`` table contains no PII
+#: at all, so an oracle check over it would vacuously pass with any
+#: (even wrong) pattern.  This corpus is rendered from ONE Python list
+#: into both dialects (createDataFrame / VALUES), giving real nonzero
+#: counts and exact string-compared redactions.  No single quotes in the
+#: texts — they are embedded into a SQL literal.
+PII_CORPUS: list[tuple[int, str]] = [
+    (1, "contact me at alice@example.com or bob.smith+tag@sub.domain.org"),
+    (2, "server at 10.0.0.1 and 192.168.100.255 responded"),
+    (3, "ssn 123-45-6789 on file; call +1 555 123 4567"),
+    (4, "no pii here, just 1234 numbers and a.b text"),
+    (5, "mixed: eve@corp.io from 8.8.8.8 dials +44-207-946-0958"),
+    (6, ""),
+    (7, "edge 999.999.999.999 is ipv4-shaped; 12-34-5678 is not an ssn"),
+    (8, "double email x@y.zz and x@y.zz again"),
+]
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the shared inline corpus: per-row match counts, a
+    has_pii flag, and the redacted text — operators/pii.py end-to-end.
+    On the real ``documents`` table the same operator is a pure
+    parquet-scan + codegen'd regex projection (unit-tested for the
+    all-clean case); the corpus here exists because a PII check needs
+    text that actually contains PII to verify anything."""
+    from ..operators.pii import pii_metrics
+
+    corpus = spark.createDataFrame(PII_CORPUS, "pid long, text string")
+    return pii_metrics(corpus).drop("text")
+
+
+def _pii_redaction_sql() -> str:
+    from ..operators.pii import pii_metrics_sql
+
+    values = ",\n    ".join(f"({pid}, '{txt}')" for pid, txt in PII_CORPUS)
+    e = pii_metrics_sql("text")
+    cols = ",\n    ".join(f"{expr} AS {name}" for name, expr in e.items())
+    return f"""
+SELECT pid,
+    {cols}
+FROM (VALUES {values}) AS corpus(pid, text)
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash-LSH pair graph: (doc_id,
     cluster_id, cluster_size) for every doc in any near-dup pair.  The
@@ -1080,6 +1124,7 @@ QUERIES: dict[str, QuerySpec] = {
     "near_dup_survivors": QuerySpec(q_near_dup_survivors,
                                     _near_dup_survivors_sql()),
     "dup_clusters": QuerySpec(q_dup_clusters, _dup_clusters_sql()),
+    "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
     "embedding_quantization": QuerySpec(q_embedding_quantization,
                                         SQL_EMBEDDING_QUANTIZATION),
     "curation_report": QuerySpec(q_curation_report, _curation_report_sql()),

@@ -565,3 +565,39 @@ def test_duplicate_components_empty(spark):
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert duplicate_components(pairs).count() == 0
+
+
+def test_pii_metrics_expected_counts(spark):
+    """Hand-computed expectations per corpus row — guards against the
+    oracle-parity test passing because BOTH engines mis-match the same
+    way."""
+    from realtime_log_analytics_flink_kafka_spark.operators.pii import pii_metrics
+    from realtime_log_analytics_flink_kafka_spark.queries.pipeline import PII_CORPUS
+
+    corpus = spark.createDataFrame(PII_CORPUS, "pid long, text string")
+    rows = {r.pid: r for r in pii_metrics(corpus).collect()}
+    want = {  # pid: (email, ssn, ipv4, phone)
+        1: (2, 0, 0, 0), 2: (0, 0, 2, 0), 3: (0, 1, 0, 1),
+        4: (0, 0, 0, 0), 5: (1, 0, 1, 1), 6: (0, 0, 0, 0),
+        7: (0, 0, 1, 0), 8: (2, 0, 0, 0),
+    }
+    for pid, (e, s, i, p) in want.items():
+        r = rows[pid]
+        assert (r.n_email, r.n_ssn, r.n_ipv4, r.n_phone) == (e, s, i, p), (
+            pid, r)
+        assert r.has_pii == (e + s + i + p > 0)
+    assert rows[3].redacted == "ssn <ID> on file; call <PHONE>"
+    assert rows[1].redacted == "contact me at <EMAIL> or <EMAIL>"
+    assert rows[5].redacted == "mixed: <EMAIL> from <IP> dials <PHONE>"
+
+
+def test_pii_metrics_clean_corpus(spark):
+    """The synthetic documents table is PII-free: the operator over it
+    must flag nothing and leave every text unchanged."""
+    from realtime_log_analytics_flink_kafka_spark.operators.pii import pii_metrics
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = pii_metrics(docs)
+    assert out.filter(F.col("has_pii")).count() == 0
+    assert out.filter(F.col("redacted") != F.col("text")).count() == 0
