@@ -55,6 +55,9 @@ HEADLINE = [
     "decontamination",
     "repetition_filters",
     "curation_report",
+    # round-2 continued: as-of join and iterative component clustering
+    "click_attribution_asof",
+    "dup_clusters",
 ]
 
 
