@@ -43,3 +43,45 @@ def stratified_sample(df: DataFrame, rates_bp: dict[str, int], *,
     for stratum, bp in rates_bp.items():
         rate = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(rate)
     return df.filter(sample_draw(id_col) < rate)
+
+
+#: Salt for the epoch-mixture draw — independent of both the sample and
+#: split draws.
+MIXTURE_SALT = ":mix"
+
+
+def source_mixture(df: DataFrame, epochs_bp: dict[str, int], *,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   default_bp: int = 10_000) -> DataFrame:
+    """Epoch-weighted domain mixing: replicate every row ``floor(e)``
+    times and keep one extra copy with probability ``frac(e)``, where
+    ``e`` is the row's source weight in basis points (10000 = 1.0
+    epochs).  ``{"wiki": 35000, "crawl": 8000}`` trains on wiki 3.5x and
+    downsamples crawl to 0.8 epochs — the standard mixture step between
+    curation and sharding.
+
+    Output adds an ``epoch`` column (0-based copy index) so downstream
+    sharding can spread copies across the corpus order instead of
+    emitting them adjacent.
+
+    Scale shape: a generate-style explode of ceil(e) ints per row — a
+    stateless row-local fanout with no shuffle, no coordination; the
+    fractional copy is the same deterministic (id, salt) hash draw as
+    ``stratified_sample``, so the realized mixture is reproducible
+    across retries and partitionings (an expected-fraction rand() draw
+    would not be).
+    """
+    w = F.lit(default_bp)
+    for src, bp in epochs_bp.items():
+        w = F.when(F.col(source_col) == src, F.lit(bp)).otherwise(w)
+    full = (w / 10_000).cast("long")       # floor: guaranteed copies
+    frac = w - full * 10_000               # leftover in basis points
+    draw = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(MIXTURE_SALT))) % 10_000
+    n_copies = full + (draw < frac).cast("long")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )

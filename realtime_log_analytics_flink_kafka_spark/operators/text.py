@@ -282,3 +282,47 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fp.alias("fingerprint"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean unigram surprisal against the corpus itself:
+    ``mean_t[-ln p(t)]`` with ``p(t) = ctf(t) / T`` — the cheap KenLM
+    stand-in quality signal (low = repetitive/common vocabulary, high =
+    rare/garbled), computed with zero external model.
+
+    Scale shape: term-count aggregation (map-side combined), the corpus
+    term-frequency table broadcast back (vocabulary-sized, tiny vs the
+    corpus), T via a broadcast single-row cross join — corpus rows never
+    shuffle after the (doc, term) aggregation.  Per-doc contributions
+    fold in sorted term order, so the float sum is deterministic under
+    any partitioning and matches the oracle's ordered list_reduce
+    bit-for-bit modulo ~1-ulp libm drift absorbed by round(6).
+    """
+    tf = term_frequencies(docs, text_col)
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("T"))
+    contrib = (
+        tf.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "tf",
+            F.struct(
+                "term",
+                (F.col("tf") * F.log(F.col("T") / F.col("ctf"))).alias("c"),
+            ).alias("tc"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.array_sort(F.collect_list("tc")).alias("tcs"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round(
+                F.aggregate(F.transform("tcs", lambda x: x["c"]),
+                            F.lit(0.0), lambda acc, v: acc + v)
+                / F.col("n_tokens"), 6).alias("mean_surprisal"),
+        )
+    )

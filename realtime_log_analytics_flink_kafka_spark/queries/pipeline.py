@@ -1005,6 +1005,72 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({_minhash_sql()}))
 """
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-perplexity quality signal (operators/text.py:unigram_surprisal):
+    per-doc mean -ln p(token) under the corpus's own unigram model."""
+    return text.unigram_surprisal(_docs(spark, sf_dir))
+
+
+SQL_UNIGRAM_SURPRISAL = f"""
+WITH {TOKENS_CTE},
+tf AS (
+    SELECT doc_id, t AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    GROUP BY doc_id, t
+),
+ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT sum(ctf) AS T FROM ctf),
+contrib AS (
+    SELECT doc_id, tf, term, tf * ln(T / ctf) AS c
+    FROM tf JOIN ctf USING (term) CROSS JOIN tot
+)
+SELECT doc_id, sum(tf) AS n_tokens,
+       round(list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                         (acc, x) -> acc + x) / sum(tf), 6)
+         AS mean_surprisal
+FROM contrib GROUP BY doc_id
+"""
+
+
+#: Epoch weights for the mixture query, basis points (10000 = 1 epoch):
+#: src0 oversampled 2.5x, src1 downsampled to 0.4, src2 exactly doubled,
+#: everything else single-epoch.  Exercises all three arms (floor > 1,
+#: fractional keep-draw, pass-through).
+MIXTURE_BP = {"src0": 25_000, "src1": 4_000, "src2": 20_000}
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted domain mixing (operators/sampling.py:source_mixture):
+    one output row per (doc, epoch copy), deterministic fractional draws
+    — the mixture step between curation and sharding."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return sampling.source_mixture(docs, MIXTURE_BP)
+
+
+def _source_mixture_sql() -> str:
+    from ..functions.hashing import md5_long_sql
+    from ..operators.sampling import MIXTURE_SALT
+
+    cases = " ".join(f"WHEN '{s}' THEN {bp}" for s, bp in MIXTURE_BP.items())
+    draw = md5_long_sql(f"CAST(doc_id AS VARCHAR) || '{MIXTURE_SALT}'")
+    return f"""
+WITH w AS (
+    SELECT doc_id, source,
+        CASE source {cases} ELSE 10000 END AS bp,
+        {draw} % 10000 AS draw
+    FROM documents
+),
+n AS (
+    SELECT doc_id, source,
+        (bp // 10000)
+          + CASE WHEN draw < bp % 10000 THEN 1 ELSE 0 END AS n_copies
+    FROM w
+)
+SELECT doc_id, source, unnest(range(0, n_copies)) AS epoch
+FROM n WHERE n_copies > 0
+"""
+
+
 #: Inline PII corpus — the synthetic ``documents`` table contains no PII
 #: at all, so an oracle check over it would vacuously pass with any
 #: (even wrong) pattern.  This corpus is rendered from ONE Python list
@@ -1125,6 +1191,9 @@ QUERIES: dict[str, QuerySpec] = {
                                     _near_dup_survivors_sql()),
     "dup_clusters": QuerySpec(q_dup_clusters, _dup_clusters_sql()),
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
+    "source_mixture": QuerySpec(q_source_mixture, _source_mixture_sql()),
+    "unigram_surprisal": QuerySpec(q_unigram_surprisal,
+                                   SQL_UNIGRAM_SURPRISAL),
     "embedding_quantization": QuerySpec(q_embedding_quantization,
                                         SQL_EMBEDDING_QUANTIZATION),
     "curation_report": QuerySpec(q_curation_report, _curation_report_sql()),

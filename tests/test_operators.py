@@ -601,3 +601,55 @@ def test_pii_metrics_clean_corpus(spark):
     out = pii_metrics(docs)
     assert out.filter(F.col("has_pii")).count() == 0
     assert out.filter(F.col("redacted") != F.col("text")).count() == 0
+
+
+def test_source_mixture_copy_semantics(spark):
+    """floor(e) guaranteed copies + at most one fractional copy, epoch
+    indices contiguous from 0, and the draw is partition-invariant."""
+    from realtime_log_analytics_flink_kafka_spark.operators.sampling import (
+        source_mixture,
+    )
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    bp = {"src0": 25_000, "src1": 4_000}
+    out = source_mixture(docs, bp).collect()
+    per_doc: dict[int, list] = {}
+    src_of = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+        src_of[r.doc_id] = r.source
+    for doc_id, epochs in per_doc.items():
+        n = len(epochs)
+        assert sorted(epochs) == list(range(n))  # contiguous 0-based
+        e = bp.get(src_of[doc_id], 10_000)
+        assert e // 10_000 <= n <= e // 10_000 + 1
+    # src1 (0.4 epochs): docs appear 0 or 1 times; some of each at sf0.001
+    src1_total = docs.filter(F.col("source") == "src1").count()
+    src1_kept = sum(1 for d, s in src_of.items() if s == "src1")
+    assert 0 < src1_kept < src1_total
+
+    shuffled = source_mixture(docs.repartition(7), bp)
+    assert sorted((r.doc_id, r.epoch) for r in shuffled.collect()) == \
+        sorted((r.doc_id, r.epoch) for r in out)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Crafted 2-doc corpus with exact closed-form surprisals."""
+    import math
+
+    from realtime_log_analytics_flink_kafka_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    # T=5; ctf: a=2 b=2 c=1
+    got = {r.doc_id: (r.n_tokens, r.mean_surprisal)
+           for r in unigram_surprisal(docs).collect()}
+    want1 = round((2 * math.log(5 / 2) + math.log(5 / 2)) / 3, 6)
+    want2 = round((math.log(5 / 2) + math.log(5 / 1)) / 2, 6)
+    assert got[1] == (3, want1)
+    assert got[2] == (2, want2)
+    # rare-vocab doc is more surprising than the common-vocab doc
+    assert got[2][1] > got[1][1]
