@@ -287,6 +287,61 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+# --- correlated scalar subquery (TPC-H Q17 shape) ----------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue from lineitems below 20% of their part's average
+    quantity — the correlated-scalar-subquery pattern (TPC-H Q17).
+
+    Written as Catalyst's own decorrelation would: the per-part average
+    is a separate aggregate joined back on the key — one extra shuffle
+    of (partkey, avg) pairs instead of a per-row subquery execution.
+    The brand filter rides the broadcast part dimension; avg is decimal
+    sum / count so the threshold compare is cross-engine exact.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand").isin("Brand#1", "Brand#2"))
+            .select("p_partkey", "p_brand"))
+    # decimal sum (order-independent exact) -> double BEFORE dividing:
+    # double/int64 division is IEEE-identical on both engines, while
+    # decimal-domain division scales differ between Spark and DuckDB
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
+         / F.count("l_quantity")).alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            _dec_sum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH avg_q AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+                / count(l_quantity) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q USING (l_partkey)
+WHERE p_brand IN ('Brand#1', 'Brand#2')
+  AND l_quantity < 0.2 * avg_qty
+GROUP BY p_brand
+"""
+
+
 # --- window functions: running totals per customer ---------------------------
 
 def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +459,8 @@ QUERIES: dict[str, QuerySpec] = {
                                       SQL_GROUPING_SETS_ORDERS),
     "top_revenue_orders": QuerySpec(q_top_revenue_orders,
                                     SQL_TOP_REVENUE_ORDERS),
+    "small_quantity_revenue": QuerySpec(q_small_quantity_revenue,
+                                        SQL_SMALL_QUANTITY_REVENUE),
     "customer_running_spend": QuerySpec(q_customer_running_spend,
                                         SQL_CUSTOMER_RUNNING_SPEND),
     "orders_by_priority_pivot": QuerySpec(q_orders_by_priority_pivot,

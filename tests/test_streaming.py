@@ -537,7 +537,10 @@ def test_text_operators_are_stream_polymorphic(spark, tmp_path):
     path = str(tmp_path / "docs")
     docs.write.parquet(path)
 
-    for op in (text.quality_scores, text.token_stats, text.fingerprints):
+    from realtime_log_analytics_flink_kafka_spark.operators.pii import pii_metrics
+
+    for op in (text.quality_scores, text.token_stats, text.fingerprints,
+               pii_metrics):
         stream = spark.readStream.schema(docs.schema).option(
             "maxFilesPerTrigger", 1).parquet(path)
         name = f"poly_{op.__name__}"
