@@ -53,6 +53,7 @@ NESTED_LOOP_SANCTIONED = {
     "embedding_near_dups": 1,
     "tfidf_top_terms": 1,
     "embedding_quantization": 1,   # single-row scale array broadcast
+    "unigram_surprisal": 1,        # single-row corpus-total broadcast
 }
 
 
