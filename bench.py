@@ -70,23 +70,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
-    for name in HEADLINE:  # untimed warmup pass (codegen, JIT, footers)
-        registry[name].fn(spark, sf_dir).count()
-
+    failed: str | None = None
+    error: str | None = None
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        spark.catalog.clearCache()  # no cross-run reuse of persisted stages
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+    try:
+        for name in HEADLINE:  # untimed warmup pass (codegen, JIT, footers)
+            registry[name].fn(spark, sf_dir).count()
+        for name in HEADLINE:
+            spark.catalog.clearCache()  # no cross-run reuse of persisted stages
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).count()
+            times[name] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # a failed run must still yield partial timings
+        failed = name
+        error = f"{type(exc).__name__}: {exc}"[:500]
 
-    print(json.dumps({
+    out = {
         "metric": "suite_seconds",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if failed is not None:
+        out["failed_query"] = failed
+        out["error"] = error
+    print(json.dumps(out))
+    if failed is not None:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

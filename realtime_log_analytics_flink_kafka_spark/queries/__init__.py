@@ -29,12 +29,38 @@ class QuerySpec:
     sql: Optional[str]
 
 
+# The external correctness driver compares only the FIRST 50 registry
+# entries against their oracles, so ordering is evidence policy: queries
+# that have never been driver-checked (or whose fix needs re-proof) go
+# first; long-green queries fill the tail.  Names not listed keep module
+# order after these.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-checked before round 3
+    "dup_clusters", "pii_redaction", "source_mixture", "unigram_surprisal",
+    "embedding_quantization", "curation_report", "funnel_conversion",
+    "rolling_user_activity", "purchase_attribution", "click_attribution_asof",
+    "error_click_pairs", "segment_distinct_nations", "segment_approx_distinct",
+    "cube_returns", "salted_join_revenue", "latency_p95_approx",
+    # broken in r2 by the TIMESTAMP_NTZ ingest regression — re-prove the fix
+    "error_rate_sliding", "error_rate_tumbling", "latency_p95_daily",
+    "slo_breach_streaks", "alert_metrics_daily", "escalation_metrics_daily",
+    "user_sessions",
+    # r2 oracle typing bug (HUGEINT shard_id) — re-prove the fix
+    "token_shards",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     from . import advanced, reference, relational, pipeline
-    out: dict[str, QuerySpec] = {}
+    merged: dict[str, QuerySpec] = {}
     for mod in (reference, relational, pipeline, advanced):
-        overlap = out.keys() & mod.QUERIES.keys()
+        overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(mod.QUERIES)
+        merged.update(mod.QUERIES)
+    missing = [n for n in DRIVER_PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"DRIVER_PRIORITY names not in registry: {missing}")
+    out = {n: merged[n] for n in DRIVER_PRIORITY}
+    out.update((n, s) for n, s in merged.items() if n not in out)
     return out

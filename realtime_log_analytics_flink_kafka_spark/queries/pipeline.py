@@ -760,7 +760,7 @@ c AS (
                     0) AS strt
     FROM t
 )
-SELECT doc_id, n_tokens, strt // {PACK_BUDGET} AS shard_id FROM c
+SELECT doc_id, n_tokens, CAST(strt // {PACK_BUDGET} AS BIGINT) AS shard_id FROM c
 """
 
 

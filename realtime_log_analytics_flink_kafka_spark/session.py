@@ -25,7 +25,7 @@ def get_spark(app_name: str = "realtime_log_analytics_spark",
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
-    return (
+    builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName(app_name)
@@ -41,5 +41,17 @@ def get_spark(app_name: str = "realtime_log_analytics_spark",
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .getOrCreate()
     )
+    # Opt-in Kafka connector resolution (S2-S5 runtime path).  The test
+    # image is offline with no connector jar, so this is gated: set
+    # SPARK_GRAFT_KAFKA_PACKAGES=1 (or to explicit maven coordinates) on
+    # an image with network/ivy-cache access to enable the real source.
+    kafka_pkgs = os.environ.get("SPARK_GRAFT_KAFKA_PACKAGES")
+    if kafka_pkgs:
+        if kafka_pkgs == "1":
+            from pyspark import __version__ as _pyspark_version
+            kafka_pkgs = (
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                f"{_pyspark_version}")
+        builder = builder.config("spark.jars.packages", kafka_pkgs)
+    return builder.getOrCreate()

@@ -24,10 +24,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.  Plain ``spark.read.parquet`` — filters and
     projections applied by callers push down into the scan.
 
-    events.ts is parquet timestamp[ns]; with
-    spark.sql.legacy.parquet.nanosAsLong it scans as a long which we
-    truncate to microseconds (integer division: nanos exceed 2^53, double
-    arithmetic would lose precision), matching DuckDB's ns->us truncation.
+    events.ts has shipped in three parquet shapes across fixture
+    generations, and all three must normalize to a tz-aware TimestampType
+    so downstream windowing (`window.start.cast("long")`) analyzes:
+
+    * timestamp[ns] — with spark.sql.legacy.parquet.nanosAsLong it scans
+      as a long which we truncate to microseconds (integer division: nanos
+      exceed 2^53, double arithmetic would lose precision), matching
+      DuckDB's ns->us truncation.
+    * timestamp[us] (no tz) — Spark reads TIMESTAMP_NTZ, which refuses
+      direct casts to BIGINT; cast to TIMESTAMP (session is UTC, so epoch
+      values are unchanged).
+    * timestamp[us, tz=UTC] — already TimestampType, passes through.
     """
     # Runtime-set (not only in our session factory): the driver calls
     # entry()/queries() with its own vanilla SparkSession.  UTC keeps
@@ -36,8 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Session tz is UTC (set above), so NTZ wall-clock == UTC epoch.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

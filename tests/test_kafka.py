@@ -110,6 +110,58 @@ def test_encode_decode_wire_hop(spark):
     assert set(decoded.columns) == {f.name for f in ALERT_SCHEMA.fields}
 
 
+def _kafka_connector_present(spark) -> bool:
+    """True iff the spark-sql-kafka connector resolves in this session."""
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "localhost:9092").option(
+            "subscribe", "probe").load()
+        return True
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg:
+            return False
+        # Connector present but no broker reachable — still "present".
+        return True
+
+
+def test_kafka_end_to_end_or_documented_skip(spark, tmp_path):
+    """S2-S5 runtime path: one real produce -> detect -> consume round
+    trip when the connector jar is available (enable with
+    SPARK_GRAFT_KAFKA_PACKAGES=1 on a networked image — session.py gates
+    spark.jars.packages on it).  On this image the jar is absent and the
+    image is offline (maven unreachable), so the runtime hop cannot
+    execute; the skip below documents that explicitly, and the
+    encode/decode + option/plan contracts above cover everything short of
+    the broker."""
+    if not _kafka_connector_present(spark):
+        pytest.skip(
+            "spark-sql-kafka connector jar absent and image offline "
+            "(repo1.maven.org unresolvable) — Kafka e2e round-trip not "
+            "runnable; option contract, reader/writer construction, and "
+            "the JSON wire hop are covered by the tests above")
+    # Jar present: drive one micro-batch through a broker if one is up.
+    import uuid
+    topic = f"spark_graft_e2e_{uuid.uuid4().hex[:8]}"
+    alerts = spark.createDataFrame(
+        [("auth-service", "ERROR_RATE_SPIKE", 1704067200, "0.0312")],
+        "service string, type string, window_start long, error_rate string")
+    try:
+        (encode_json_keyed(alerts, key_col="service")
+         .write.format("kafka")
+         .option("kafka.bootstrap.servers", "localhost:9092")
+         .option("topic", topic).save())
+    except Exception as e:  # noqa: BLE001 — jar present, broker absent
+        pytest.skip(f"connector present but no broker at localhost:9092: {e}")
+    got = (spark.read.format("kafka")
+           .options(**kafka_source_options(topic,
+                                           starting_offsets="earliest"))
+           .load())
+    decoded = decode_json_stream(got.select("value"), ALERT_SCHEMA)
+    rows = decoded.collect()
+    assert len(rows) == 1 and rows[0].service == "auth-service"
+
+
 def test_wrapper_roundtrip_preserves_reference_topology_names():
     """The topic names the reference wires its three jobs through
     (flink/error_rate_detector.py:22 <-> incident_aggregator.py:18) are
