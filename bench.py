@@ -58,6 +58,12 @@ HEADLINE = [
     # round-2 continued: as-of join and iterative component clustering
     "click_attribution_asof",
     "dup_clusters",
+    # round-3 additions: bigram LM scoring, the composed curation funnel,
+    # ANN recall measurement, per-key event-time disorder audit
+    "bigram_surprisal",
+    "quality_filter_funnel",
+    "knn_recall",
+    "event_lateness_audit",
 ]
 
 

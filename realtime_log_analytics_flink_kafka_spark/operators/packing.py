@@ -58,3 +58,30 @@ def packed_shards(docs: DataFrame, *, budget: int = 4096,
         .withColumn("shard_id", F.expr(f"_pk_start DIV {budget}"))
         .drop("_pk_bucket", "_pk_cum", "_pk_off", "_pk_start")
     )
+
+
+def shard_efficiency(shards: DataFrame, *, budget: int,
+                     tokens_col: str = "n_tokens") -> DataFrame:
+    """Per-shard packing audit over ``packed_shards`` output: how many
+    documents start in each shard, how many tokens they contribute, and
+    the fill rate against the budget.
+
+    Under the start-offset convention a document straddling a boundary
+    counts all its tokens in the shard its first token lands in, so
+    ``fill_rate`` can exceed 1.0 (the overflow spills into the next
+    shard, which then shows < 1.0) and the LAST shard is the only one
+    that can be genuinely underfull.  One map-side-combinable
+    aggregation — #shards output rows, no window.
+    """
+    return (
+        shards.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("tokens_started"),
+        )
+        .select(
+            "shard_id", "n_docs", "tokens_started",
+            F.round(F.col("tokens_started").cast("double") / budget, 4)
+                .alias("fill_rate"),
+        )
+    )

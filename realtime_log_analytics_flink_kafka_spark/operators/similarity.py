@@ -445,3 +445,65 @@ def embedding_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.9,
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Measured ANN quality: per-query recall of an approximate top-k
+    result against the exact top-k ground truth.
+
+    Both inputs are (query_id, corpus_id, ...) rankings already truncated
+    to the SAME k (truncate the exact side by its rank column first —
+    recall@k against a longer ground-truth list is a different metric).
+    The intersection is an equi-join on (query_id, corpus_id); the exact
+    side defines the query universe so a query whose candidates were all
+    pruned (empty probe cluster) still reports recall 0.0 instead of
+    vanishing.  Output rows = #queries — driver-safe at any corpus size.
+    """
+    base = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"))
+    hits = (
+        approx.select("query_id", "corpus_id")
+        .join(exact.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id", "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 4))
+    )
+
+
+def centroid_pairs(centroids_long: DataFrame, *,
+                   min_cosine: float = -1.0) -> DataFrame:
+    """Pairwise cosine between label centroids, from the LONG (label,
+    pos, mean_v) shape ``label_centroids`` emits: re-assemble each
+    centroid as an ordered array, then score all label pairs — the
+    class-confusion map of an embedding space.
+
+    The pair join is all-pairs but over #labels rows (centroids, not
+    corpus vectors) — broadcast, bounded, and intentionally exempt from
+    the no-nested-loop gate the corpus-sized operators live under.
+    """
+    vecs = (
+        centroids_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v")))
+             .alias("pv"))
+        .select(
+            "label",
+            F.transform("pv", lambda s: s["mean_v"]).alias("vec"),
+        )
+    )
+    a = vecs.select(F.col("label").alias("label_a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("label").alias("label_b"), F.col("vec").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -326,3 +326,78 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 / F.col("n_tokens"), 6).alias("mean_surprisal"),
         )
     )
+
+
+def bigram_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> (w1, w2, bf): per-document bigram counts.
+
+    The bigram array is built inside the row (transform-with-index +
+    try_element_at — NULL, not an ANSI index error, past the end), so
+    the explode ships (doc, bigram) pairs and the groupBy combines
+    map-side — the same shuffle shape as ``term_frequencies``.
+    """
+    toks = ws_tokens(F.col(text_col))
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("w1"),
+                F.try_element_at(toks, i + F.lit(2)).alias("w2"),
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("bg"))
+        .groupBy("doc_id", F.col("bg.w1").alias("w1"),
+                 F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("bf"))
+    )
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean bigram surprisal against the corpus itself:
+    ``mean_(w1,w2)[-ln p(w2|w1)]`` with ``p(w2|w1) = c(w1,w2) / c(w1,·)``
+    — one Markov order above ``unigram_surprisal``, so it scores word
+    ORDER, not just vocabulary: shuffled text keeps its unigram surprisal
+    but its bigram surprisal jumps.  The cheap KenLM-bigram stand-in.
+
+    Scale shape: bigram counts aggregate map-side; the corpus bigram
+    table and its per-context marginal join back on (w1, w2) / (w1) —
+    both vocabulary²-bounded, orders of magnitude smaller than the
+    corpus, left unhinted so AQE broadcasts them when they fit and
+    shuffle-joins when a 100 TB corpus's bigram vocabulary doesn't.
+    Per-doc contributions fold in sorted (w1, w2) order, matching the
+    oracle's ordered list_reduce bit-for-bit.
+
+    Docs with fewer than 2 tokens have no bigrams and drop out — the
+    same convention both engines produce from an empty group.
+    """
+    bf = bigram_frequencies(docs, text_col)
+    cbf = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("cbf"))
+    ctx = cbf.groupBy("w1").agg(F.sum("cbf").alias("ctx"))
+    contrib = (
+        bf.join(cbf, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(
+            "doc_id", "bf",
+            F.struct(
+                "w1", "w2",
+                (F.col("bf") * F.log(F.col("ctx") / F.col("cbf"))).alias("c"),
+            ).alias("tc"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            F.array_sort(F.collect_list("tc")).alias("tcs"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(
+                F.aggregate(F.transform("tcs", lambda x: x["c"]),
+                            F.lit(0.0), lambda acc, v: acc + v)
+                / F.col("n_bigrams"), 6).alias("mean_surprisal"),
+        )
+    )

@@ -47,6 +47,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_sessions",
     # r2 oracle typing bug (HUGEINT shard_id) — re-prove the fix
     "token_shards",
+    # new in round 3 — first driver check
+    "bigram_surprisal", "knn_recall", "packing_efficiency",
+    "quality_filter_funnel", "centroid_similarity", "event_lateness_audit",
 )
 
 

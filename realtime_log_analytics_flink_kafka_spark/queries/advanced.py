@@ -565,8 +565,83 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+# --- event-time disorder audit ----------------------------------------------
+
+#: Lateness bucket edges in microseconds (1 min / 10 min / 1 h).
+LATE_1M_US = 60 * 1_000_000
+LATE_10M_US = 600 * 1_000_000
+LATE_1H_US = 3600 * 1_000_000
+
+
+def q_event_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order the event stream actually is, per key: for each
+    event, lateness = (per-user high-water-mark of event time over
+    earlier arrivals) - (own event time), bucketed.  Arrival order is
+    event_id (the producer's monotonic sequence).
+
+    This is THE query you run before choosing a watermark delay
+    (reference hardcodes 5 s, flink/error_rate_detector.py:131, with no
+    evidence): the bucket histogram says what fraction of events a given
+    delay would drop.  The window partitions by user_id — per-key
+    watermarking is what Spark's withWatermark does NOT give you (its
+    watermark is global), so the audit also quantifies how much a global
+    watermark over-drops slow keys.  One shuffle on user_id; no global
+    ordering anywhere.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    late = ev.select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.max("ts_us").over(w), F.col("ts_us"))
+            - F.col("ts_us"),
+        ).alias("late_us"))
+    bucket = (
+        F.when(F.col("late_us") == 0, "on_time")
+        .when(F.col("late_us") <= LATE_1M_US, "le_1m")
+        .when(F.col("late_us") <= LATE_10M_US, "le_10m")
+        .when(F.col("late_us") <= LATE_1H_US, "le_1h")
+        .otherwise("gt_1h")
+    )
+    return (
+        late.groupBy(bucket.alias("lateness_bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.max("late_us").alias("max_late_us"))
+    )
+
+
+SQL_EVENT_LATENESS_AUDIT = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+l AS (
+    SELECT greatest(0, COALESCE(max(ts_us) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ts_us)
+           - ts_us) AS late_us
+    FROM e
+),
+b AS (
+    SELECT CASE WHEN late_us = 0 THEN 'on_time'
+                WHEN late_us <= {LATE_1M_US} THEN 'le_1m'
+                WHEN late_us <= {LATE_10M_US} THEN 'le_10m'
+                WHEN late_us <= {LATE_1H_US} THEN 'le_1h'
+                ELSE 'gt_1h' END AS lateness_bucket,
+           late_us
+    FROM l
+)
+SELECT lateness_bucket, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM b GROUP BY lateness_bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(q_funnel_conversion, _funnel_sql()),
+    "event_lateness_audit": QuerySpec(q_event_lateness_audit,
+                                      SQL_EVENT_LATENESS_AUDIT),
     "rolling_user_activity": QuerySpec(q_rolling_user_activity,
                                        SQL_ROLLING_USER_ACTIVITY),
     "purchase_attribution": QuerySpec(q_purchase_attribution,

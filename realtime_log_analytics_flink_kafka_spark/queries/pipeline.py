@@ -1156,6 +1156,201 @@ FROM cc
 """
 
 
+# --- round-3 additions: bigram LM, ANN recall, packing audit, funnel ---------
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order quality signal (operators/text.py:bigram_surprisal):
+    per-doc mean -ln p(w2|w1) under the corpus's own bigram model — one
+    Markov order above unigram_surprisal."""
+    return text.bigram_surprisal(_docs(spark, sf_dir))
+
+
+SQL_BIGRAM_SURPRISAL = f"""
+WITH {TOKENS_CTE},
+bg AS (
+    SELECT doc_id,
+           unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM tok WHERE len(toks) >= 2
+),
+bgf AS (
+    SELECT doc_id, w1, w2, count(*) AS bf FROM bg GROUP BY doc_id, w1, w2
+),
+cbf AS (SELECT w1, w2, sum(bf) AS cbf FROM bgf GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cbf) AS ctx FROM cbf GROUP BY w1),
+contrib AS (
+    SELECT doc_id, bf, w1, w2, bf * ln(ctx / cbf) AS c
+    FROM bgf JOIN cbf USING (w1, w2) JOIN ctx USING (w1)
+)
+SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+       round(list_reduce(list_prepend(0.0, list(c ORDER BY w1, w2)),
+                         (acc, x) -> acc + x) / sum(bf), 6)
+         AS mean_surprisal
+FROM contrib GROUP BY doc_id
+"""
+
+
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured single-probe IVF recall@k against the exact brute-force
+    top-k (operators/similarity.py:recall_at_k) — the ANN quality metric
+    computed as a query, so the approximation is monitored, not assumed."""
+    embs = _embs(spark, sf_dir)
+    exact = similarity.cosine_topk(
+        embs, embs.filter(F.col("vec_id") < KNN_N_QUERIES), k=IVF_K)
+    approx = similarity.ivf_topk(embs, k=IVF_K,
+                                 centroid_every=IVF_CENTROID_EVERY,
+                                 n_queries=KNN_N_QUERIES)
+    return similarity.recall_at_k(approx, exact)
+
+
+SQL_KNN_RECALL = f"""
+WITH exact AS (
+    SELECT query_id, corpus_id FROM ({SQL_KNN_BRUTEFORCE}) WHERE rank <= {IVF_K}
+),
+approx AS (
+    SELECT query_id, corpus_id FROM ({SQL_KNN_IVF})
+),
+base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+hits AS (
+    SELECT a.query_id, count(*) AS n_hits
+    FROM approx a JOIN exact e
+      ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+    GROUP BY a.query_id
+)
+SELECT base.query_id,
+       CAST(base.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / base.n_exact, 4)
+         AS recall
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+"""
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level audit of the sequence packer
+    (operators/packing.py:shard_efficiency): docs started, tokens
+    contributed, and fill rate per shard — the check that the packing
+    actually fills training sequences."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.size(text.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    shards = packing.packed_shards(t, budget=PACK_BUDGET, bucket_span=64)
+    return packing.shard_efficiency(shards, budget=PACK_BUDGET)
+
+
+SQL_PACKING_EFFICIENCY = f"""
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+       round(CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill_rate
+FROM ({SQL_TOKEN_SHARDS})
+GROUP BY shard_id
+"""
+
+
+#: Funnel thresholds: permissive on purpose — each stage must both pass
+#: and reject documents at fixture scale so the funnel is exercised.
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_MAX_TOKENS = 2000
+FUNNEL_MIN_QUALITY = 0.25
+
+
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel as one query: cumulative survivor counts
+    through length -> language-ID -> repetition -> quality-score gates.
+    Every per-doc signal comes from an existing operator; the funnel adds
+    one equi-join chain on doc_id plus a single-row aggregate, so at
+    100 TB it costs the sum of its stage signals, not a new pass each."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "n_tokens",
+                                         "quality_score")
+    l = text.language_id(docs)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in text.STOPWORDS])
+    l = l.select("doc_id", (best > 0).alias("f_lang"))
+    r = text.repetition_metrics(docs).select("doc_id", "keep")
+    flags = (
+        q.join(l, "doc_id").join(r, "doc_id")
+        .select(
+            ((F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+             & (F.col("n_tokens") <= FUNNEL_MAX_TOKENS)).alias("f_len"),
+            "f_lang",
+            F.col("keep").alias("f_rep"),
+            F.coalesce(F.col("quality_score") >= FUNNEL_MIN_QUALITY,
+                       F.lit(False)).alias("f_q"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = flags.agg(
+        F.count("*").cast("long").alias("s0"),
+        cnt(F.col("f_len")).alias("s1"),
+        cnt(F.col("f_len") & F.col("f_lang")).alias("s2"),
+        cnt(F.col("f_len") & F.col("f_lang") & F.col("f_rep")).alias("s3"),
+        cnt(F.col("f_len") & F.col("f_lang") & F.col("f_rep")
+            & F.col("f_q")).alias("s4"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "CAST(0 AS BIGINT), 'all', s0, "
+        "CAST(1 AS BIGINT), 'length', s1, "
+        "CAST(2 AS BIGINT), 'language', s2, "
+        "CAST(3 AS BIGINT), 'repetition', s3, "
+        "CAST(4 AS BIGINT), 'quality', s4) AS (stage_idx, stage, survivors)")
+
+
+def _quality_funnel_sql() -> str:
+    langs = list(text.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    return f"""
+WITH flags AS (
+    SELECT q.doc_id,
+           q.n_tokens BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
+               AS f_len,
+           {best} > 0 AS f_lang,
+           r.keep AS f_rep,
+           COALESCE(q.quality_score >= {FUNNEL_MIN_QUALITY}, FALSE) AS f_q
+    FROM ({SQL_QUALITY_SCORES}) q
+    JOIN ({_langid_sql()}) l ON q.doc_id = l.doc_id
+    JOIN ({SQL_REPETITION_FILTERS}) r ON q.doc_id = r.doc_id
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+       CAST(count(*) AS BIGINT) AS survivors FROM flags
+UNION ALL
+SELECT 1, 'length', count(*) FROM flags WHERE f_len
+UNION ALL
+SELECT 2, 'language', count(*) FROM flags WHERE f_len AND f_lang
+UNION ALL
+SELECT 3, 'repetition', count(*) FROM flags WHERE f_len AND f_lang AND f_rep
+UNION ALL
+SELECT 4, 'quality', count(*) FROM flags
+WHERE f_len AND f_lang AND f_rep AND f_q
+"""
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-confusion map of the embedding space
+    (operators/similarity.py:centroid_pairs): pairwise cosine between
+    label centroids — #labels² pairs over #labels rows, broadcast."""
+    cents = similarity.label_centroids(_embs(spark, sf_dir))
+    return similarity.centroid_pairs(cents)
+
+
+SQL_CENTROID_SIMILARITY = f"""
+WITH cents AS ({SQL_LABEL_CENTROIDS}),
+vecs AS (
+    SELECT label, list(mean_v ORDER BY pos) AS vec,
+           {NORM_SQL.format(v='list(mean_v ORDER BY pos)')} AS nrm
+    FROM cents GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round({DOT_SQL.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm), 6)
+         AS cosine
+FROM vecs a JOIN vecs b ON a.label < b.label
+WHERE round({DOT_SQL.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm), 6)
+      >= -1.0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
@@ -1197,4 +1392,12 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantization": QuerySpec(q_embedding_quantization,
                                         SQL_EMBEDDING_QUANTIZATION),
     "curation_report": QuerySpec(q_curation_report, _curation_report_sql()),
+    "bigram_surprisal": QuerySpec(q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
+    "knn_recall": QuerySpec(q_knn_recall, SQL_KNN_RECALL),
+    "packing_efficiency": QuerySpec(q_packing_efficiency,
+                                    SQL_PACKING_EFFICIENCY),
+    "quality_filter_funnel": QuerySpec(q_quality_filter_funnel,
+                                       _quality_funnel_sql()),
+    "centroid_similarity": QuerySpec(q_centroid_similarity,
+                                     SQL_CENTROID_SIMILARITY),
 }

@@ -54,6 +54,14 @@ NESTED_LOOP_SANCTIONED = {
     "tfidf_top_terms": 1,
     "embedding_quantization": 1,   # single-row scale array broadcast
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
+    # composes knn_bruteforce's query-set broadcast with knn_ivf's
+    # centroid broadcasts (the corpus assignment subtree appears on both
+    # the query and candidate branches); the recall join itself is an
+    # equi-join on (query_id, corpus_id)
+    "knn_recall": 4,
+    # label-centroid pair join: all-pairs over #labels rows (centroids,
+    # not corpus vectors) — bounded by the label-cardinality, broadcast
+    "centroid_similarity": 1,
 }
 
 
