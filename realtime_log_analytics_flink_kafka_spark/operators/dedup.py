@@ -146,9 +146,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
     once (MEMORY_AND_DISK) instead of recomputing the explode+aggregate
     4x — measured *slower* at single-node bench scale (the subtrees run
     concurrently on otherwise-idle cores; the persist serializes them
-    behind a materialization barrier), hence default off.  At 100 TB the
-    trade flips: checkpoint the sketch to storage between the signature
-    and verification stages rather than re-scanning the corpus 4x.
+    behind a materialization barrier), hence default off.  Re-measured
+    at sf0.1 on local[32] with the round-3 suite (3 trials, cache
+    cleared per run): recompute 2.38-2.84 s vs persist 2.71-2.87 s —
+    recompute still wins, default stays off.  At 100 TB the trade
+    flips: checkpoint the sketch to storage between the signature and
+    verification stages rather than re-scanning the corpus 4x.
     """
     sets = minhash_sketch(docs, text_col, n)
     if reuse_sets:

@@ -133,14 +133,26 @@ def start_memory_sink(df: DataFrame, name: str, *, output_mode: str = "append",
 
 def dedup_stream(df: DataFrame, keys: list[str], *, ts_col: str = "ts",
                  watermark: str = "10 minutes") -> DataFrame:
-    """Streaming exact dedup: dropDuplicates within the watermark horizon.
+    """Streaming exact dedup: one record per key within the watermark
+    horizon — the streaming complement of the batch ``dedup_exact``
+    operator.
 
-    State holds one entry per key seen in the last ``watermark`` of event
-    time and is evicted as the watermark advances — the streaming
-    complement of the batch ``dedup_exact`` operator (bounded state; an
-    unbounded-horizon dedup would grow state forever at 100 TB/day).
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: with plain
+    ``dropDuplicates(keys)`` the watermark only evicts state when the
+    event-time column is itself part of the dedup keys — keyed on a guid
+    alone, every key ever seen stays in the state store forever, which
+    is unbounded state at 100 TB/day (this module shipped exactly that
+    bug; tests/test_streaming.py::test_dedup_state_evicted_by_watermark
+    now pins eviction via the stateOperators metrics).  The
+    WithinWatermark variant expires each key once the watermark passes
+    its event time + delay, trading a bounded re-emit window (a
+    duplicate arriving later than ``watermark`` after the original is
+    treated as new) for bounded state — the correct trade for
+    at-least-once sources like the reference's Kafka topics, where
+    redelivery happens within seconds, not days.
     """
-    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return (df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
 
 
 def alert_metrics_stream(alerts: DataFrame, *, size: str = "1 minute",

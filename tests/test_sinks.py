@@ -1,0 +1,102 @@
+"""Batch sink layout tests: the write-time layouts that pay for
+themselves in later plans — bucketed joins with no Exchange, partition
+pruning from directory layout.  These are the 100 TB join/scan stories,
+asserted on real plans rather than claimed in docstrings.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.plans import formatted_plan
+from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+from realtime_log_analytics_flink_kafka_spark.sources.sinks import (
+    read_bucketed, write_bucketed, write_partitioned)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_auto_broadcast):
+    """Two tables bucketed the same way on the join key sort-merge-join
+    with ZERO Exchange nodes: the shuffle is paid once at write time and
+    amortized over every later join — the batch analogue of the
+    reference keying its Kafka topics by service
+    (kafka/log_producer.py:86-91) so Flink's keyed operators never
+    re-partition.  The co-located join is THE at-scale join strategy for
+    fact-fact joins where neither side broadcasts."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice")
+    try:
+        write_bucketed(li, "li_bkt", str(tmp_path / "li"),
+                       ["l_orderkey"], 8, sort_by=["l_orderkey"])
+        write_bucketed(orders, "ord_bkt", str(tmp_path / "ord"),
+                       ["o_orderkey"], 8, sort_by=["o_orderkey"])
+        j = (read_bucketed(spark, "li_bkt")
+             .join(read_bucketed(spark, "ord_bkt"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("qty")))
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange" not in join_section, (
+            "bucketed join should not shuffle either side:\n" + join_section)
+
+        # same files read WITHOUT catalog metadata must re-shuffle —
+        # proves the no-Exchange plan came from bucketing, not fixture
+        # smallness
+        li_raw = spark.read.parquet(str(tmp_path / "li"))
+        ord_raw = spark.read.parquet(str(tmp_path / "ord"))
+        raw_plan = formatted_plan(
+            li_raw.join(ord_raw,
+                        F.col("l_orderkey") == F.col("o_orderkey")))
+        assert "Exchange" in raw_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_bucketed_join_results_match_plain_join(spark, tmp_path,
+                                                no_auto_broadcast):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice")
+    expected = li.join(orders,
+                       F.col("l_orderkey") == F.col("o_orderkey")).count()
+    try:
+        write_bucketed(li, "li_bkt2", str(tmp_path / "li"), ["l_orderkey"], 8)
+        write_bucketed(orders, "ord_bkt2", str(tmp_path / "ord"),
+                       ["o_orderkey"], 8)
+        got = (read_bucketed(spark, "li_bkt2")
+               .join(read_bucketed(spark, "ord_bkt2"),
+                     F.col("l_orderkey") == F.col("o_orderkey")).count())
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt2")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt2")
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """A filter on the partition column must prune directories before
+    IO (PartitionFilters in the scan), not filter rows after reading."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value")
+    write_partitioned(ev, str(tmp_path / "ev"), ["event_type"])
+    back = spark.read.parquet(str(tmp_path / "ev"))
+    filtered = back.filter(F.col("event_type") == "error")
+    plan = formatted_plan(filtered)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    n_error = filtered.count()
+    assert 0 < n_error < back.count()

@@ -155,6 +155,44 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert got == [0, 1, 2, 3, 4, 7, 8]  # 3 delivered once despite redelivery
 
 
+def test_dedup_state_evicted_by_watermark(spark, tmp_path):
+    """The at-scale property of dropDuplicatesWithinWatermark: dedup
+    state is EVICTED once the watermark passes a key's event time +
+    delay.  Plain dropDuplicates(guid) under a watermark never evicts
+    (the event-time column isn't in the keys), so state grows by one
+    entry per unique key forever — at 100 TB/day that is the difference
+    between a working job and an OOM.  Asserted via the state-store
+    metrics, not inferred from output."""
+    base = tmp_path / "ddev"
+    rows1 = [dict(event_id=i, ts=datetime(2024, 1, 1, 0, 0, i),
+                  service="auth", is_error=1, latency_ms=1.0)
+             for i in range(5)]
+    # one event a full hour later: watermark (10 min delay) advances to
+    # 00:50, far past every batch-1 key's expiry
+    rows2 = [dict(event_id=100, ts=datetime(2024, 1, 1, 1, 0, 0),
+                  service="auth", is_error=1, latency_ms=1.0)]
+    _write_logs(spark, rows1, str(base / "b=0"))
+    time.sleep(1.1)
+    _write_logs(spark, rows2, str(base / "b=1"))
+
+    out = dedup_stream(
+        _read_stream(spark, str(base / "b=*"), per_trigger=1), ["event_id"])
+    q = start_memory_sink(out, "ddev_stream")
+    _drain(q)
+    assert sorted(r.event_id for r in spark.table("ddev_stream").collect()) \
+        == [0, 1, 2, 3, 4, 100]
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress for op in (p["stateOperators"] or [])
+    ]
+    assert state_rows, "no state-operator metrics captured"
+    # batch-1 peak is 5 keys; after the watermark jump the five expire —
+    # the final micro-batch holds only the new key (plus nothing stale)
+    assert max(state_rows) >= 5
+    assert state_rows[-1] <= 2, (
+        f"dedup state not evicted by watermark: {state_rows}")
+
+
 def test_alert_metrics_stream_update_mode(spark, tmp_path):
     """The notebook metrics query under update mode + processing-time
     trigger (W13/W14): streamed result equals the batch operator."""
