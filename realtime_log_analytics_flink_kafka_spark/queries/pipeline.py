@@ -1259,27 +1259,29 @@ FUNNEL_MIN_QUALITY = 0.25
 def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel as one query: cumulative survivor counts
     through length -> language-ID -> repetition -> quality-score gates.
-    Every per-doc signal comes from an existing operator; the funnel adds
-    one equi-join chain on doc_id plus a single-row aggregate, so at
-    100 TB it costs the sum of its stage signals, not a new pass each."""
+    The length / language / quality gates are per-row expressions, so
+    they live in ONE projection of the corpus (text.quality_exprs — a
+    doc_id self-join of row-wise signals would shuffle the corpus once
+    per signal for nothing); only the repetition gate, a genuine per-doc
+    gram aggregation, joins in.  One corpus shuffle total, then a
+    single-row aggregate."""
     docs = _docs(spark, sf_dir)
-    q = text.quality_scores(docs).select("doc_id", "n_tokens",
-                                         "quality_score")
-    l = text.language_id(docs)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in text.STOPWORDS])
-    l = l.select("doc_id", (best > 0).alias("f_lang"))
-    r = text.repetition_metrics(docs).select("doc_id", "keep")
-    flags = (
-        q.join(l, "doc_id").join(r, "doc_id")
-        .select(
-            ((F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
-             & (F.col("n_tokens") <= FUNNEL_MAX_TOKENS)).alias("f_len"),
-            "f_lang",
-            F.col("keep").alias("f_rep"),
-            F.coalesce(F.col("quality_score") >= FUNNEL_MIN_QUALITY,
-                       F.lit(False)).alias("f_q"),
-        )
+    q = text.quality_exprs()
+    toks = text.ws_tokens(F.col("text"))
+    all_stops = [w for ws in text.STOPWORDS.values() for w in ws]
+    row_flags = docs.select(
+        "doc_id",
+        ((q["n_tokens"] >= FUNNEL_MIN_TOKENS)
+         & (q["n_tokens"] <= FUNNEL_MAX_TOKENS)).alias("f_len"),
+        # greatest(per-language stopword hits) > 0 == any hit in the
+        # union vocabulary — same boolean, one filter pass
+        F.exists(toks, lambda t: t.isin(*all_stops)).alias("f_lang"),
+        F.coalesce(q["quality_score"] >= FUNNEL_MIN_QUALITY,
+                   F.lit(False)).alias("f_q"),
     )
+    r = text.repetition_metrics(docs).select("doc_id", "keep")
+    flags = row_flags.join(r, "doc_id").select(
+        "f_len", "f_lang", F.col("keep").alias("f_rep"), "f_q")
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     agg = flags.agg(
         F.count("*").cast("long").alias("s0"),

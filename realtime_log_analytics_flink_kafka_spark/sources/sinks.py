@@ -63,3 +63,23 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet(path)`` on the same files would lose it and
     reintroduce the shuffle)."""
     return spark.table(table)
+
+
+def idempotent_parquet_sink(path: str):
+    """foreachBatch sink with exactly-once OUTPUT: each micro-batch
+    overwrites its own epoch-addressed directory, so a replayed epoch
+    (failure after write, before checkpoint commit) rewrites the same
+    files instead of appending duplicates.
+
+    Structured Streaming's end-to-end exactly-once guarantee is a triad
+    — replayable source + checkpointed offsets + IDEMPOTENT sink; the
+    first two alone are at-least-once into the sink.  The reference has
+    no idempotent sink anywhere (its Kafka producer appends, and its
+    uncheckpointed third job, SURVEY §2.1 S7, both loses state and
+    duplicates output on restart) — this is the batch-output half it is
+    missing.  Read the result back with ``spark.read.parquet(path)``:
+    ``epoch`` surfaces as a partition column and prunes like any other.
+    """
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+    return _write

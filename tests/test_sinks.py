@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from realtime_log_analytics_flink_kafka_spark.plans import formatted_plan
 from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
 from realtime_log_analytics_flink_kafka_spark.sources.sinks import (
-    read_bucketed, write_bucketed, write_partitioned)
+    idempotent_parquet_sink, read_bucketed, write_bucketed,
+    write_partitioned)
 from tests.conftest import SF_SMOKE
 
 
@@ -85,6 +86,42 @@ def test_bucketed_join_results_match_plain_join(spark, tmp_path,
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bkt2")
         spark.sql("DROP TABLE IF EXISTS ord_bkt2")
+
+
+def test_idempotent_sink_replayed_epoch_no_duplicates(spark, tmp_path):
+    """The exactly-once property under replay, simulated exactly as
+    Structured Streaming replays it: the same (batch, epoch_id) pair
+    re-invoked after a failure-before-checkpoint-commit.  An appending
+    sink doubles epoch 0; the epoch-overwrite sink must not."""
+    sink = idempotent_parquet_sink(str(tmp_path / "out"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    sink(b0, 0)
+    sink(b0, 0)  # replayed epoch — crash after write, before commit
+    sink(b1, 1)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted((r.id, r.v, r.epoch) for r in back.collect()) == [
+        (1, "a", 0), (2, "b", 0), (3, "c", 1)]
+
+
+def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
+    """Driven by a real streaming query: file source -> foreachBatch
+    epoch-overwrite sink; output equals the batch answer and carries
+    one epoch directory per micro-batch."""
+    src = tmp_path / "src"
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type").limit(20)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (spark.readStream.schema("event_id long, event_type string")
+              .parquet(str(src)))
+    q = (stream.writeStream
+         .foreachBatch(idempotent_parquet_sink(str(tmp_path / "out")))
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.drop("epoch").count() == 20
+    assert set(back.columns) == {"event_id", "event_type", "epoch"}
 
 
 def test_partitioned_write_prunes_at_scan(spark, tmp_path):
