@@ -111,9 +111,10 @@ def quality_exprs(text_col: str = "text") -> dict[str, Column]:
     }
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID.  Scores = stopword hits per language;
-    argmax with deterministic tie-break in STOPWORDS insertion order."""
+def language_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit counts as bare row expressions (keyed
+    ``score_<lang>``) — composable into a single projection alongside
+    other row-level signals (see quality_exprs rationale)."""
     toks = ws_tokens(F.col(text_col))
 
     def stop_hits(ws: tuple[str, ...]):
@@ -121,17 +122,32 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # two-param (element, index) form to F.filter
         return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
 
-    scored = docs.select(
-        "doc_id", "lang",
-        *[stop_hits(ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()],
-    )
+    return {f"score_{lang}": stop_hits(ws) for lang, ws in STOPWORDS.items()}
+
+
+def language_pred(scores: dict[str, Column]) -> Column:
+    """Argmax over ``language_scores`` with deterministic tie-break in
+    STOPWORDS insertion order."""
     langs = list(STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    best = F.greatest(*[scores[f"score_{l}"] for l in langs])
     pred = F.lit(None).cast("string")
     # reversed fold => earlier languages win ties
     for lang in reversed(langs):
-        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
-    return scored.withColumn("pred_lang", pred)
+        pred = F.when(scores[f"score_{lang}"] == best, F.lit(lang)) \
+            .otherwise(pred)
+    return pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID.  Scores = stopword hits per language;
+    argmax with deterministic tie-break in STOPWORDS insertion order."""
+    scores = language_scores(text_col)
+    return docs.select(
+        "doc_id", "lang",
+        *[scores[f"score_{lang}"].alias(f"score_{lang}")
+          for lang in STOPWORDS],
+        language_pred(scores).alias("pred_lang"),
+    )
 
 
 def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -806,21 +806,25 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean quality score, repetition-filter keep rate, and language-ID
     agreement — one query composing three per-doc operators.
 
-    All joins are doc_id equi-joins (co-partitioned after the first
-    shuffle); the float mean goes through an exact DECIMAL(20,4) sum
-    (the per-doc scores are 4-decimal values, so the sum is exact on
-    both engines) divided once at the end — never a float avg whose
-    summation order differs across engines/partitionings.
+    The quality and language signals are per-row expressions, so they
+    live in ONE projection of the corpus (the funnel-query rule:
+    doc_id self-joins of row-wise signals shuffle the corpus once per
+    signal for nothing); only the repetition gate — a real per-doc gram
+    aggregation — joins in.  The float mean goes through an exact
+    DECIMAL(20,4) sum (the per-doc scores are 4-decimal values, so the
+    sum is exact on both engines) divided once at the end — never a
+    float avg whose summation order differs across
+    engines/partitionings.
     """
     docs = _docs(spark, sf_dir)
-    q = text.quality_scores(docs).select("doc_id", "quality_score")
-    r = text.repetition_metrics(docs).select("doc_id", "keep")
-    l = text.language_id(docs).select(
-        "doc_id", (F.col("lang") == F.col("pred_lang")).alias("lang_ok"))
-    joined = (
-        docs.select("doc_id", "source")
-        .join(q, "doc_id").join(r, "doc_id").join(l, "doc_id")
+    scores = text.language_scores()
+    row = docs.select(
+        "doc_id", "source",
+        text.quality_exprs()["quality_score"].alias("quality_score"),
+        (F.col("lang") == text.language_pred(scores)).alias("lang_ok"),
     )
+    r = text.repetition_metrics(docs).select("doc_id", "keep")
+    joined = row.join(r, "doc_id")
     n = F.count("*")
     return (
         joined.groupBy("source")
