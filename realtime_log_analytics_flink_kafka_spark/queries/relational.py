@@ -445,8 +445,160 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+# --- customer order-count distribution (TPC-H Q13 shape) --------------------
+
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count, INCLUDING zero-order
+    customers — the left-outer-join + two-level aggregation shape (Q13).
+    The predicate lives in the join condition, not a post-filter: a WHERE
+    would turn the outer join inner and silently drop the zero bucket.
+    Scale: one shuffle on custkey for join+count, then the histogram
+    aggregation is #distinct-counts-sized and map-side combinable."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist"))
+
+
+SQL_CUSTOMER_ORDER_HISTOGRAM = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- parts above a global revenue share (TPC-H Q11 shape) -------------------
+
+PART_REVENUE_SHARE_MIN = 0.0005
+
+
+def q_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds a fraction of TOTAL corpus revenue —
+    the HAVING-against-a-global-scalar-subquery shape (Q11).  Both sides
+    aggregate from one lineitem scan subtree; the total is a single-row
+    broadcast (sanctioned in the plan gate), so the per-part table never
+    re-shuffles for the comparison.  Exact decimal sums on both engines
+    make the derived doubles bit-identical, so the float threshold
+    compare is deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = li.groupBy("l_partkey").agg(_dec_sum(money).alias("part_revenue"))
+    total = li.agg(_dec_sum(money).alias("total_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("part_revenue")
+                > PART_REVENUE_SHARE_MIN * F.col("total_revenue"))
+        .select(
+            "l_partkey", "part_revenue",
+            F.round(F.col("part_revenue") / F.col("total_revenue"), 6)
+                .alias("share"),
+        )
+    )
+
+
+SQL_PART_REVENUE_SHARE = f"""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS part_revenue
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+)
+SELECT l_partkey, part_revenue,
+       round(part_revenue / total_revenue, 6) AS share
+FROM rev CROSS JOIN tot
+WHERE part_revenue > {PART_REVENUE_SHARE_MIN} * total_revenue
+"""
+
+
+# --- wealthy customers with no orders (TPC-H Q22 shape) ---------------------
+
+#: "Idle" horizon: the fixture's orders run 1995..2001-08 with ~10
+#: orders/customer, so "never ordered" is vacuously empty — lapsed
+#: since mid-2000 keeps the anti-join doing real work at every SF.
+RICH_IDLE_CUTOFF = "2000-07-01"
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers whose balance beats the global
+    positive-balance average but who have placed no order since the
+    cutoff — scalar subquery + anti-join + dimension broadcast composed
+    (Q22, with the fixture-honest "lapsed" horizon instead of "never").
+    The average is a single-row broadcast; the recent-orderer anti-join
+    broadcasts the distinct customer set when it fits, else shuffles
+    once; nation broadcasts.  The date filter pushes down to the orders
+    scan before the distinct."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= RICH_IDLE_CUTOFF)
+        .select("o_custkey").distinct()
+    )
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(20,6)")).cast("double")
+              / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+SQL_RICH_IDLE_CUSTOMERS = f"""
+WITH a AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+               AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+FROM customer
+CROSS JOIN a
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > a.avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{RICH_IDLE_CUTOFF}')
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "customer_order_histogram": QuerySpec(q_customer_order_histogram,
+                                          SQL_CUSTOMER_ORDER_HISTOGRAM),
+    "part_revenue_share": QuerySpec(q_part_revenue_share,
+                                    SQL_PART_REVENUE_SHARE),
+    "rich_idle_customers": QuerySpec(q_rich_idle_customers,
+                                     SQL_RICH_IDLE_CUSTOMERS),
     "shipping_priority": QuerySpec(q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "regional_revenue": QuerySpec(q_regional_revenue, SQL_REGIONAL_REVENUE),
     "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND),

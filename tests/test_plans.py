@@ -62,6 +62,9 @@ NESTED_LOOP_SANCTIONED = {
     # label-centroid pair join: all-pairs over #labels rows (centroids,
     # not corpus vectors) — bounded by the label-cardinality, broadcast
     "centroid_similarity": 1,
+    # single-row global-aggregate broadcasts (Q11/Q22 scalar subqueries)
+    "part_revenue_share": 1,
+    "rich_idle_customers": 1,
 }
 
 
