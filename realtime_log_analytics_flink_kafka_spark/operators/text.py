@@ -443,3 +443,26 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 / F.col("n_bigrams"), 6).alias("mean_surprisal"),
         )
     )
+
+
+def ngram_spans(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """doc_id -> every n-token span (as a joined string) — the unit of
+    exact-substring duplicate analysis (boilerplate headers, license
+    blocks, templated spam repeat verbatim across documents long before
+    whole documents do).
+
+    Spans are built in-row (sequence + slice + array_join, all codegen'd)
+    then exploded, so the shuffle carries (doc, span) pairs.  Docs
+    shorter than n contribute nothing: the sequence is guarded, because
+    F.sequence(1, k) with k < 1 would generate a DESCENDING sequence,
+    not an empty one.
+    """
+    toks = ws_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(grams).alias("gram"))

@@ -1333,6 +1333,47 @@ WHERE f_len AND f_lang AND f_rep AND f_q
 """
 
 
+#: Exact-substring duplicate span parameters: 8-token spans repeated in
+#: at least 2 distinct documents (boilerplate / templated-text report).
+SPAN_N = 8
+SPAN_MIN_DOCS = 2
+
+
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring report
+    (operators/text.py:ngram_spans): every 8-token span appearing
+    verbatim in >= 2 documents, with document and occurrence counts —
+    the boilerplate/license-block/template detector that catches
+    repeated SPANS long before whole-document dedup fires.  One explode
+    + one map-side-combinable aggregation; the HAVING keeps the output
+    duplicate-spans-sized, not corpus-sized."""
+    spans = text.ngram_spans(_docs(spark, sf_dir), SPAN_N)
+    return (
+        spans.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+    )
+
+
+SQL_DUPLICATE_NGRAM_SPANS = f"""
+WITH {TOKENS_CTE},
+spans AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - {SPAN_N} + 1),
+                  i -> array_to_string(toks[i + 1:i + {SPAN_N}], ' ')))
+               AS gram
+    FROM tok WHERE len(toks) >= {SPAN_N}
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM spans GROUP BY gram
+HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+"""
+
+
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-confusion map of the embedding space
     (operators/similarity.py:centroid_pairs): pairwise cosine between
@@ -1406,4 +1447,6 @@ QUERIES: dict[str, QuerySpec] = {
                                        _quality_funnel_sql()),
     "centroid_similarity": QuerySpec(q_centroid_similarity,
                                      SQL_CENTROID_SIMILARITY),
+    "duplicate_ngram_spans": QuerySpec(q_duplicate_ngram_spans,
+                                       SQL_DUPLICATE_NGRAM_SPANS),
 }

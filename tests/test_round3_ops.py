@@ -152,6 +152,32 @@ class TestLatenessAudit:
                 "on_time", "le_1m", "le_10m", "le_1h", "gt_1h"}
 
 
+class TestNgramSpans:
+    def test_span_count_and_short_doc_guard(self, spark):
+        """A doc with L tokens yields L-n+1 spans; docs shorter than n
+        yield none (the F.sequence descending-sequence trap: sequence(1,
+        k<1) counts DOWN, so the guard must produce an empty array, not
+        a reversed one)."""
+        docs = _docs(spark, [(0, "a b c d e"), (1, "a b"), (2, "x y z")])
+        got = text.ngram_spans(docs, 3).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(r.gram)
+        assert sorted(by_doc[0]) == ["a b c", "b c d", "c d e"]
+        assert 1 not in by_doc          # 2 tokens < n=3 -> no spans
+        assert by_doc[2] == ["x y z"]   # exactly n tokens -> one span
+
+    def test_cross_doc_spans_detected(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+            SPAN_MIN_DOCS, q_duplicate_ngram_spans)
+        rows = q_duplicate_ngram_spans(
+            spark, "/root/testdata/sf0.001").collect()
+        assert rows, "fixture injects near-dups; span report must fire"
+        for r in rows:
+            assert r.n_docs >= SPAN_MIN_DOCS
+            assert r.n_occurrences >= r.n_docs
+
+
 class TestCentroidSimilarity:
     def test_pairs_cover_all_label_pairs_once(self, spark):
         from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
