@@ -64,6 +64,7 @@ HEADLINE = [
     "quality_filter_funnel",
     "knn_recall",
     "event_lateness_audit",
+    "duplicate_ngram_spans",
 ]
 
 

@@ -85,3 +85,48 @@ def source_mixture(df: DataFrame, epochs_bp: dict[str, int], *,
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+#: Salt for the epoch-ordering shuffle — independent of the sample and
+#: mixture draws.
+SHUFFLE_SALT = ":shuffle"
+
+
+def deterministic_shuffle(df: DataFrame, *, id_col: str = "doc_id",
+                          buckets: int = 64) -> DataFrame:
+    """Reproducible global pseudo-random ordering: ``position`` = rank of
+    md5(id || salt) over the whole corpus — the training-epoch shuffle
+    that must be identical across re-runs, partitionings, and engines
+    (a ``rand()``-ordered shuffle is none of those).
+
+    The naive formulation is ``row_number() OVER (ORDER BY h)`` — a
+    global sort whose final rank pass is one task.  This is the
+    range-partitioned two-phase rank instead (same scheme as
+    packing.packed_shards, but range-bucketed by VALUE rather than id
+    blocks): hash values are uniform in [0, 2^60), so ``h DIV (2^60/B)``
+    range-buckets them in hash order; per bucket a local window ranks
+    (parallelism = B); the B-row bucket-count table prefix-sums on the
+    driver-trivial side and broadcasts back as offsets.  Bucket order
+    equals hash order (DIV is monotonic), so offset + local rank is the
+    exact global rank.  Ties impossible across buckets (equal h = same
+    bucket); within a bucket the id breaks them.
+    """
+    span = (1 << 60) // buckets
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(SHUFFLE_SALT)))
+    keyed = df.select(id_col).withColumn("_sh_h", h).withColumn(
+        "_sh_bkt", F.expr(f"_sh_h DIV {span}"))
+    from pyspark.sql import Window
+    w_local = Window.partitionBy("_sh_bkt").orderBy("_sh_h", id_col)
+    local = keyed.withColumn(
+        "_sh_lr", F.row_number().over(w_local).cast("long"))
+    counts = keyed.groupBy("_sh_bkt").agg(F.count("*").alias("_sh_n"))
+    w_prefix = Window.orderBy("_sh_bkt") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_sh_off", F.coalesce(F.sum("_sh_n").over(w_prefix), F.lit(0))
+    ).drop("_sh_n")
+    return (
+        local.join(F.broadcast(offsets), "_sh_bkt")
+        .select(id_col,
+                (F.col("_sh_off") + F.col("_sh_lr") - 1).alias("position"))
+    )

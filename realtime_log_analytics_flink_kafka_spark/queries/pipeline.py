@@ -1398,7 +1398,27 @@ WHERE round({DOT_SQL.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm), 6)
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-epoch shuffle (operators/sampling.py:
+    deterministic_shuffle): every doc assigned its reproducible
+    pseudo-random global position, with no single-task global sort."""
+    return sampling.deterministic_shuffle(_docs(spark, sf_dir))
+
+
+def _corpus_shuffle_sql() -> str:
+    from ..functions.hashing import md5_long_sql
+    from ..operators.sampling import SHUFFLE_SALT
+
+    h = md5_long_sql(f"CAST(doc_id AS VARCHAR) || '{SHUFFLE_SALT}'")
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS position
+FROM (SELECT doc_id, {h} AS h FROM documents)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_shuffle": QuerySpec(q_corpus_shuffle, _corpus_shuffle_sql()),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
