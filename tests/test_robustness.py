@@ -64,6 +64,10 @@ def test_text_operators_on_degenerate_docs(spark):
     assert dedup.exact_duplicates(docs).count() >= 1
     assert dedup.minhash_lsh_pairs(docs).count() == 0
     assert decontam.ngram_contamination(docs, docs.limit(1)).count() == 1
+    # round-3 ops: NULL/empty/whitespace docs contribute nothing, never raise
+    bi = {r.doc_id: r for r in text.bigram_surprisal(docs).collect()}
+    assert set(bi) == {4} and bi[4].n_bigrams == 3
+    assert text.ngram_spans(docs, 3).count() == 2   # only doc 4 (4 tokens)
 
 
 def test_similarity_operators_on_zero_vectors(spark):
