@@ -638,10 +638,66 @@ FROM b GROUP BY lateness_bucket
 """
 
 
+# --- error inter-arrival statistics -----------------------------------------
+
+def q_error_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per service: gap statistics between consecutive error events —
+    the burst-detection baseline (a p50 collapsing far below the mean
+    reveals clustered failures the rate detector's fixed windows
+    smear).  lag() over a (service)-partitioned event-time order, then
+    the same exact nearest-rank-low percentile the p95 detector uses;
+    one shuffle on service, percentile state bounded per service.
+    """
+    from ..functions.percentile import exact_percentile_disc
+    from ..operators.logs import as_logs
+
+    logs = as_logs(load_table(spark, sf_dir, "events"))
+    errors = logs.filter(F.col("is_error") == 1).select(
+        "service", "event_id", F.unix_micros("ts").alias("ts_us"))
+    w = Window.partitionBy("service").orderBy("ts_us", "event_id")
+    gaps = (
+        errors.withColumn("prev_us", F.lag("ts_us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select("service", (F.col("ts_us") - F.col("prev_us")).alias("gap_us"))
+    )
+    return gaps.groupBy("service").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        exact_percentile_disc(F.col("gap_us"), 0.5).alias("p50_gap_us"),
+        exact_percentile_disc(F.col("gap_us"), 0.95).alias("p95_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def _error_interarrival_sql() -> str:
+    from ..functions.percentile import percentile_disc_sql
+
+    return f"""
+WITH {LOGS_CTE},
+e AS (
+    SELECT service, event_id, epoch_us(ts) AS ts_us
+    FROM logs WHERE is_error = 1
+),
+g AS (
+    SELECT service,
+           ts_us - lag(ts_us) OVER (PARTITION BY service
+                                    ORDER BY ts_us, event_id) AS gap_us
+    FROM e
+)
+SELECT service, CAST(count(*) AS BIGINT) AS n_gaps,
+       {percentile_disc_sql('gap_us', 0.5)} AS p50_gap_us,
+       {percentile_disc_sql('gap_us', 0.95)} AS p95_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY service
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(q_funnel_conversion, _funnel_sql()),
     "event_lateness_audit": QuerySpec(q_event_lateness_audit,
                                       SQL_EVENT_LATENESS_AUDIT),
+    "error_interarrival": QuerySpec(q_error_interarrival,
+                                    _error_interarrival_sql()),
     "rolling_user_activity": QuerySpec(q_rolling_user_activity,
                                        SQL_ROLLING_USER_ACTIVITY),
     "purchase_attribution": QuerySpec(q_purchase_attribution,
