@@ -38,3 +38,15 @@ def as_logs(events: DataFrame) -> DataFrame:
         F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0)).alias("is_error"),
         F.col("value").alias("latency_ms"),
     )
+
+
+def error_logs(events: DataFrame) -> DataFrame:
+    """Error-only logs, filtered on the RAW ``event_type`` column BEFORE
+    the projection: Catalyst does not fold ``CASE WHEN event_type =
+    'error' THEN 1 ELSE 0 END = 1`` back into a scan-pushable
+    ``event_type = 'error'``, so every ``as_logs(...).filter(is_error ==
+    1)`` query was reading all event rows and filtering after the scan.
+    At 100 TB with a few-percent error rate that is a ~30x IO
+    difference.  Same output as the post-projection filter (is_error is
+    identically 1 on every surviving row)."""
+    return as_logs(events.filter(F.col("event_type") == "error"))

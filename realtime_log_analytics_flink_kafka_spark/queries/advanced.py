@@ -649,10 +649,9 @@ def q_error_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on service, percentile state bounded per service.
     """
     from ..functions.percentile import exact_percentile_disc
-    from ..operators.logs import as_logs
+    from ..operators.logs import error_logs
 
-    logs = as_logs(load_table(spark, sf_dir, "events"))
-    errors = logs.filter(F.col("is_error") == 1).select(
+    errors = error_logs(load_table(spark, sf_dir, "events")).select(
         "service", "event_id", F.unix_micros("ts").alias("ts_us"))
     w = Window.partitionBy("service").orderBy("ts_us", "event_id")
     gaps = (

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.logs import LOGS_CTE, as_logs
+from ..operators.logs import LOGS_CTE, as_logs, error_logs
 from ..operators.detect import error_rate_alerts, latency_p95
 from ..operators.escalate import (consecutive_breaches,
                                   escalate_every_nth_scalable)
@@ -33,6 +33,12 @@ LAT_CRITICAL = 100.0
 
 def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_logs(load_table(spark, sf_dir, "events"))
+
+
+def _errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error rows only, filtered pre-projection so the predicate reaches
+    the parquet scan (operators/logs.py:error_logs)."""
+    return error_logs(load_table(spark, sf_dir, "events"))
 
 
 # --- 1. sliding-window error-rate detector (W1 + A1/A2 + P9/P10) -----------
@@ -162,8 +168,7 @@ FROM streaks WHERE is_breach = 1 AND streak % 3 = 0
 
 def q_escalations_every_third(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts = (
-        _logs(spark, sf_dir)
-        .filter(F.col("is_error") == 1)
+        _errors(spark, sf_dir)
         .select("event_id", "service", "ts", F.lit("HIGH").alias("severity"))
     )
     # two-phase prefix-count variant: same output as the serial window,
@@ -212,8 +217,7 @@ alerts AS (
 def _derived_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     crit = F.col("latency_ms") > LAT_CRITICAL
     return (
-        _logs(spark, sf_dir)
-        .filter(F.col("is_error") == 1)
+        _errors(spark, sf_dir)
         .select(
             "ts", "service",
             F.when(crit, F.lit("LATENCY_SLO_BREACH"))
@@ -250,8 +254,7 @@ FROM alerts GROUP BY 1, 2, 3
 def q_escalation_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     crit = F.col("latency_ms") > LAT_CRITICAL
     alerts = (
-        _logs(spark, sf_dir)
-        .filter(F.col("is_error") == 1)
+        _errors(spark, sf_dir)
         .select(
             "event_id", "ts", "service",
             F.when(crit, F.lit("CRITICAL")).otherwise(F.lit("HIGH")).alias("severity"),
@@ -304,7 +307,7 @@ def q_alert_union_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     error-rate producer emits numerics as strings
     (flink/error_rate_detector.py:99-102), the SLO producer as ints.  We
     union-by-name and normalize with try_cast at ingest (SURVEY §7.3 #4)."""
-    logs = _logs(spark, sf_dir).filter(F.col("is_error") == 1)
+    logs = _errors(spark, sf_dir)
     day_start = (F.unix_timestamp("ts") / DAY).cast("long") * DAY
     spike_shape = logs.filter(F.col("latency_ms") <= LAT_CRITICAL).select(
         "service",

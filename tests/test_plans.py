@@ -117,6 +117,21 @@ def test_pricing_summary_pushdown_and_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_error_filter_reaches_parquet_scan(spark):
+    """Error-only queries must push event_type = 'error' into the scan.
+    Filtering the DERIVED is_error CASE column does not fold back to a
+    pushable predicate (this regressed silently before error_logs
+    existed): at a few-percent error rate that is the difference
+    between scanning the error slice and scanning everything."""
+    for name in ("error_interarrival", "alert_metrics_daily",
+                 "escalation_metrics_daily", "escalations_every_third",
+                 "alert_union_normalized"):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        pushed = " | ".join(pushed_filters(df))
+        assert "EqualTo(event_type,error)" in pushed, (
+            f"{name}: error filter not pushed; got {pushed!r}")
+
+
 def test_column_pruning_token_counts(spark):
     schemas = scan_read_schemas(QUERIES["token_counts"].fn(spark, SF_SMOKE))
     assert schemas, "expected a file scan"
