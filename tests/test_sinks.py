@@ -88,6 +88,39 @@ def test_bucketed_join_results_match_plain_join(spark, tmp_path,
         spark.sql("DROP TABLE IF EXISTS ord_bkt2")
 
 
+def test_ivf_index_persists_as_bucketed_table(spark, tmp_path,
+                                              no_auto_broadcast):
+    """The ANN serving path at scale: cluster assignment (the expensive
+    all-centroids scoring pass) runs ONCE at index-build time and
+    persists as a table bucketed by centroid id; at query time the
+    candidate equi-join on cluster id reads the bucketed corpus with no
+    Exchange on the corpus side — queries broadcast, the 100 TB side
+    never re-shuffles or re-scores."""
+    from realtime_log_analytics_flink_kafka_spark.operators import similarity
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import (
+        load_table as lt)
+
+    embs = lt(spark, SF_SMOKE, "embeddings")
+    centroids = embs.filter(F.col("vec_id") % 97 == 0)
+    assigned = similarity.assign_clusters(embs, centroids)
+    try:
+        write_bucketed(assigned, "ivf_idx", str(tmp_path / "idx"),
+                       ["centroid_id"], 8)
+        idx = read_bucketed(spark, "ivf_idx")
+        queries = (idx.filter(F.col("vec_id") < 5)
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("centroid_id").alias("q_cluster")))
+        cand = idx.join(F.broadcast(queries),
+                        F.col("centroid_id") == F.col("q_cluster"))
+        plan = formatted_plan(cand)
+        assert "BroadcastHashJoin" in plan, plan
+        # the bucketed corpus side must not shuffle for the probe join
+        assert "Exchange hashpartitioning(centroid_id" not in plan, plan
+        assert cand.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx")
+
+
 def test_idempotent_sink_replayed_epoch_no_duplicates(spark, tmp_path):
     """The exactly-once property under replay, simulated exactly as
     Structured Streaming replays it: the same (batch, epoch_id) pair
