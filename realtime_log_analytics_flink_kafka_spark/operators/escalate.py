@@ -142,3 +142,30 @@ def consecutive_breaches(windowed: DataFrame, *, breach: Column,
         .withColumn("severity", F.lit("CRITICAL"))
         .drop("is_breach", "island", "streak")
     )
+
+
+def throttle_alerts(alerts: DataFrame, *, key: str = "service",
+                    ts_col: str = "ts", bucket_seconds: int = 86_400,
+                    limit: int = 2, order_col: str = "event_id") -> DataFrame:
+    """Alert-fatigue limiter: pass through only the FIRST ``limit``
+    alerts per (key, time bucket), drop the rest — the dual of
+    ``escalate_every_nth`` (which samples every nth; this truncates the
+    head).  Production alerting pipelines need both: unthrottled
+    detectors at scale page someone thousands of times for one sustained
+    incident.
+
+    One windowed rank per (key, bucket) — the partition key includes the
+    time bucket, so no per-key serial window grows with history; state
+    at 100 TB is bounded by alerts-per-(key, bucket), and the rank
+    column doubles as the "how noisy was this incident" signal.
+    """
+    bucket = (F.col(ts_col).cast("long") / bucket_seconds).cast("long")
+    w = Window.partitionBy(key, "_th_bucket").orderBy(ts_col, order_col)
+    return (
+        alerts.withColumn("_th_bucket", bucket)
+        .withColumn("alert_seq", F.row_number().over(w).cast("long"))
+        .filter(F.col("alert_seq") <= limit)
+        .withColumn("bucket_start",
+                    (F.col("_th_bucket") * bucket_seconds).cast("long"))
+        .drop("_th_bucket")
+    )

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 from ..operators.logs import LOGS_CTE, as_logs, error_logs
 from ..operators.detect import error_rate_alerts, latency_p95
 from ..operators.escalate import (consecutive_breaches,
-                                  escalate_every_nth_scalable)
+                                  escalate_every_nth_scalable,
+                                  throttle_alerts)
 from ..operators.metrics import alert_metrics, escalation_metrics
 from ..sources.batch import load_table
 from . import QuerySpec
@@ -437,7 +438,46 @@ FROM logs GROUP BY service, level, spike
 """
 
 
+# --- alert throttling (head-truncation dual of every-nth escalation) --------
+
+THROTTLE_LIMIT = 2
+
+
+def q_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {THROTTLE_LIMIT} error alerts per (service, day), rest
+    dropped (operators/escalate.py:throttle_alerts) — the alert-fatigue
+    limiter the reference's unthrottled detectors lack."""
+    alerts = _errors(spark, sf_dir).select(
+        "service", "ts", "event_id", "latency_ms")
+    return (
+        throttle_alerts(alerts, limit=THROTTLE_LIMIT)
+        .select("service", "bucket_start", "alert_seq", "event_id",
+                "latency_ms")
+    )
+
+
+SQL_ALERT_THROTTLE = f"""
+WITH {LOGS_CTE},
+e AS (
+    SELECT service, ts, event_id, latency_ms FROM logs WHERE is_error = 1
+),
+r AS (
+    SELECT service, event_id, latency_ms,
+           CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) // 86400 AS bkt,
+           row_number() OVER (
+               PARTITION BY service,
+                   CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) // 86400
+               ORDER BY ts, event_id) AS alert_seq
+    FROM e
+)
+SELECT service, CAST(bkt * 86400 AS BIGINT) AS bucket_start,
+       CAST(alert_seq AS BIGINT) AS alert_seq, event_id, latency_ms
+FROM r WHERE alert_seq <= {THROTTLE_LIMIT}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "alert_throttle": QuerySpec(q_alert_throttle, SQL_ALERT_THROTTLE),
     "error_rate_sliding": QuerySpec(q_error_rate_sliding, SQL_ERROR_RATE_SLIDING),
     "synthetic_log_profile": QuerySpec(q_synthetic_log_profile,
                                        SQL_SYNTHETIC_LOG_PROFILE),
