@@ -133,3 +133,61 @@ def consecutive_breach_stateful(windowed: DataFrame, *, limit: int = 3,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+THROTTLE_OUTPUT_SCHEMA = (
+    "service string, bucket_start long, event_id long, ts timestamp, "
+    "latency_ms double, alert_seq long"
+)
+
+
+def throttle_alerts_stateful(alerts: DataFrame, *, limit: int = 2,
+                             bucket_seconds: int = 86_400,
+                             ttl_ms: int = STATE_TTL_MS) -> DataFrame:
+    """Streaming twin of operators/escalate.py:throttle_alerts — pass
+    only the FIRST ``limit`` alerts per (service, time bucket), drop the
+    rest.  The per-key state is the (bucket, emitted-count) pair for the
+    LATEST bucket only: buckets advance monotonically in event time per
+    key (micro-batches sort by event time; a late alert belonging to an
+    already-advanced bucket is counted against the current state rather
+    than resurrecting old buckets — same drop-late posture as the
+    windowed aggregations under a watermark), so state is O(1) per key
+    where a naive map-of-buckets would grow forever.  TTL drops idle
+    services entirely.
+    """
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        bucket, emitted = state.get if state.exists else (-1, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            keep_rows = []
+            for row in pdf.itertuples(index=False):
+                b = int(row.ts.timestamp()) // bucket_seconds
+                if b > bucket:
+                    bucket, emitted = b, 0
+                if emitted < limit:
+                    emitted += 1
+                    keep_rows.append({
+                        "service": key[0],
+                        "bucket_start": bucket * bucket_seconds,
+                        "event_id": int(row.event_id),
+                        "ts": row.ts,
+                        "latency_ms": float(row.latency_ms),
+                        "alert_seq": emitted,
+                    })
+            if keep_rows:
+                yield pd.DataFrame(keep_rows)
+        state.update((bucket, emitted))
+        state.setTimeoutDuration(ttl_ms)
+
+    return alerts.groupBy("service").applyInPandasWithState(
+        fn,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType="bucket long, emitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

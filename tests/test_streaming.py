@@ -155,6 +155,52 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert got == [0, 1, 2, 3, 4, 7, 8]  # 3 delivered once despite redelivery
 
 
+def test_throttle_stateful_matches_batch(spark, tmp_path):
+    """Streaming alert throttle (keyed state, O(1) per key) emits
+    exactly the rows the batch window formulation keeps, across
+    micro-batch boundaries: the state (bucket, emitted) must carry over
+    so a key's quota is not reset per batch."""
+    from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+        throttle_alerts)
+    from realtime_log_analytics_flink_kafka_spark.streaming.state import (
+        throttle_alerts_stateful)
+
+    base = tmp_path / "thr"
+    # 6 alerts for one service inside one hour-bucket, split across two
+    # files -> two micro-batches; limit 2 must span the boundary
+    rows1 = [dict(event_id=i, ts=datetime(2024, 1, 1, 0, 0, i),
+                  service="auth", is_error=1, latency_ms=50.0 + i)
+             for i in range(3)]
+    rows2 = ([dict(event_id=i, ts=datetime(2024, 1, 1, 0, 10, i),
+                   service="auth", is_error=1, latency_ms=50.0 + i)
+              for i in range(3, 6)]
+             # second bucket: quota resets
+             + [dict(event_id=10 + i, ts=datetime(2024, 1, 2, 1, 0, i),
+                     service="auth", is_error=1, latency_ms=90.0 + i)
+                for i in range(3)])
+    _write_logs(spark, rows1, str(base / "b=0"))
+    time.sleep(1.1)
+    _write_logs(spark, rows2, str(base / "b=1"))
+
+    stream_in = _read_stream(spark, str(base / "b=*"), per_trigger=1).select(
+        "service", "ts", "event_id", "latency_ms")
+    q = start_memory_sink(
+        throttle_alerts_stateful(stream_in, limit=2), "thr_stream")
+    _drain(q)
+    got = {(r.service, r.bucket_start, r.event_id, r.alert_seq)
+           for r in spark.table("thr_stream").collect()}
+
+    batch_in = spark.createDataFrame(rows1 + rows2, LOG_SCHEMA).select(
+        "service", "ts", "event_id", "latency_ms")
+    want = {(r.service, r.bucket_start, r.event_id, r.alert_seq)
+            for r in throttle_alerts(batch_in, limit=2).collect()}
+    assert got == want
+    # quota spans the micro-batch boundary: day-1 bucket emits ids 0,1
+    # only (id 3 arrives in batch 2 but the bucket is exhausted)
+    day1 = {eid for (_, b, eid, _) in got if b == 1704067200}
+    assert day1 == {0, 1}
+
+
 def test_dedup_state_evicted_by_watermark(spark, tmp_path):
     """The at-scale property of dropDuplicatesWithinWatermark: dedup
     state is EVICTED once the watermark passes a key's event time +
