@@ -130,3 +130,39 @@ def deterministic_shuffle(df: DataFrame, *, id_col: str = "doc_id",
         .select(id_col,
                 (F.col("_sh_off") + F.col("_sh_lr") - 1).alias("position"))
     )
+
+
+#: Salt for the weighted-sample draw — independent of all other draws.
+WSAMPLE_SALT = ":wsample"
+
+#: Uniform-draw resolution (1e6 distinct values; collision just means a
+#: shared u, still tie-broken deterministically by id downstream).
+WSAMPLE_RES = 1_000_000
+
+
+def weighted_sample(df: DataFrame, *, weight_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, fully
+    deterministic: each row draws a salted-hash uniform u in (0, 1] and
+    scores key = ln(u) / w; the k LARGEST keys are the sample, which is
+    distributed as weight-proportional sampling without replacement
+    (u^(1/w) ordering, taken in log space).  Token-weighted corpus
+    sampling is the canonical use: long documents proportionally more
+    likely, rerun-stable, engine-independent.
+
+    Scale shape: the top-k is orderBy + limit, which Spark executes as
+    TakeOrdered (per-partition partial top-k, then a k-row merge on the
+    driver) — never a global sort.  Rows with non-positive weight are
+    excluded (ln(u)/w is undefined); the key is rounded before ranking
+    so the float ordering is identical cross-engine, ties broken by id.
+    """
+    u = ((md5_long(F.concat(F.col(id_col).cast("string"),
+                            F.lit(WSAMPLE_SALT))) % WSAMPLE_RES)
+         + 1).cast("double") / WSAMPLE_RES
+    key = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -507,3 +507,63 @@ def centroid_pairs(centroids_long: DataFrame, *,
         .select("label_a", "label_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def pq_codes(corpus: DataFrame, *, m: int = 8, dim: int = 64,
+             cb_every: int = 97, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Product quantization with deterministic codebooks: split each
+    vector into ``m`` subvectors, encode each as the id of its nearest
+    codebook subvector — 64 floats become m small codes (the
+    memory-bound ANN serving trade: a 100 TB embedding corpus fits in
+    RAM at m bytes/vector, searched via per-subspace distance tables).
+
+    Codebooks are every ``cb_every``-th corpus vector's subvectors (the
+    same deterministic choice as ivf_topk's coarse centroids — k-means
+    would be better codebooks but is iterative/seed-dependent; this
+    keeps the whole operator oracle-checkable).  Assignment is one
+    explode to (vec, subspace) rows, a broadcast join against the
+    per-subspace codebook, and an argmin window — corpus rows shuffle
+    once on (vec, sub).  Reconstruction MSE is reported per vector, so
+    quantization quality is measured, not assumed (the
+    embedding_quantization scalar-int8 op reports the same metric for
+    the other compression family).
+    """
+    sub_d = dim // m
+    subs = F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("subvec"),
+        )
+        for s in range(m)
+    ])).alias("sv")
+
+    def sub_rows(df: DataFrame, out_id: str) -> DataFrame:
+        return (df.select(F.col(id_col).alias(out_id), subs)
+                .select(out_id, F.col("sv.sub").alias("sub"),
+                        F.col("sv.subvec").alias(f"{out_id}_vec")))
+
+    corpus_sub = sub_rows(corpus, "vid")
+    cb_sub = sub_rows(corpus.filter(F.col(id_col) % cb_every == 0), "cb_id")
+    scored = (
+        corpus_sub.join(F.broadcast(cb_sub), "sub")
+        .withColumn("d2", _dist2(F.col("vid_vec"), F.col("cb_id_vec")))
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("cb_id"))
+    best = (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return (
+        best.groupBy("vid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "cb_id")))
+                .alias("_sc"),
+            F.round(F.sum("d2") / dim, 6).alias("pq_mse"),
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            F.array_join(
+                F.transform("_sc", lambda x: x["cb_id"].cast("string")), "_")
+                .alias("pq_code"),
+            "pq_mse",
+        )
+    )

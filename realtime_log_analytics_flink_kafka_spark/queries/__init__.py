@@ -52,7 +52,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_filter_funnel", "centroid_similarity", "event_lateness_audit",
     "customer_order_histogram", "part_revenue_share", "rich_idle_customers",
     "duplicate_ngram_spans", "corpus_shuffle", "error_interarrival",
-    "alert_throttle",
+    "alert_throttle", "token_weighted_sample", "pq_codes",
 )
 
 

@@ -1403,6 +1403,89 @@ WHERE round({DOT_SQL.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm), 6)
 """
 
 
+PQ_M = 8
+PQ_CB_EVERY = 97
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/similarity.py:pq_codes): each
+    embedding encoded as 8 subspace codebook ids + reconstruction MSE —
+    the byte-per-subvector compression family next to scalar int8."""
+    return similarity.pq_codes(_embs(spark, sf_dir), m=PQ_M,
+                               cb_every=PQ_CB_EVERY)
+
+
+def _pq_codes_sql() -> str:
+    sub_d = 64 // PQ_M
+    d2 = _fold_sql(
+        f"list_transform(range(1, {sub_d + 1}), "
+        "i -> (CAST(v.subvec[i] AS DOUBLE) - CAST(c.subvec[i] AS DOUBLE))"
+        " * (CAST(v.subvec[i] AS DOUBLE) - CAST(c.subvec[i] AS DOUBLE)))")
+    return f"""
+WITH subs AS (
+    SELECT vec_id, s.sub AS sub,
+           embedding[s.sub * {sub_d} + 1 : s.sub * {sub_d} + {sub_d}] AS subvec
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS sub) s
+),
+cb AS (
+    SELECT vec_id AS cb_id, sub, subvec FROM subs
+    WHERE vec_id % {PQ_CB_EVERY} = 0
+),
+scored AS (
+    SELECT v.vec_id, v.sub, c.cb_id, {d2} AS d2
+    FROM subs v JOIN cb c ON v.sub = c.sub
+),
+best AS (
+    SELECT vec_id, sub, cb_id, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2 ASC, cb_id ASC) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cb_id AS VARCHAR), '_' ORDER BY sub) AS pq_code,
+       round(sum(d2) / 64, 6) AS pq_mse
+FROM best GROUP BY vec_id
+"""
+
+
+WSAMPLE_K = 50
+
+
+def q_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted corpus sample (operators/sampling.py:
+    weighted_sample): 50 docs drawn proportional to token count via
+    deterministic Efraimidis-Spirakis keys — the mixture-aware sampling
+    step that plain uniform sampling gets wrong (it under-represents
+    long documents' token mass)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "source",
+        F.size(text.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    return sampling.weighted_sample(t, weight_col="n_tokens", k=WSAMPLE_K)
+
+
+def _token_weighted_sample_sql() -> str:
+    from ..functions.hashing import md5_long_sql
+    from ..operators.sampling import WSAMPLE_RES, WSAMPLE_SALT
+
+    h = md5_long_sql(f"CAST(doc_id AS VARCHAR) || '{WSAMPLE_SALT}'")
+    return f"""
+WITH {TOKENS_CTE},
+t AS (
+    SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(({h} % {WSAMPLE_RES}) + 1 AS DOUBLE) / {WSAMPLE_RES} AS u
+    FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       round(ln(u) / n_tokens, 6) AS sample_key
+FROM t WHERE n_tokens > 0
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {WSAMPLE_K}
+"""
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-epoch shuffle (operators/sampling.py:
     deterministic_shuffle): every doc assigned its reproducible
@@ -1424,6 +1507,9 @@ FROM (SELECT doc_id, {h} AS h FROM documents)
 
 QUERIES: dict[str, QuerySpec] = {
     "corpus_shuffle": QuerySpec(q_corpus_shuffle, _corpus_shuffle_sql()),
+    "token_weighted_sample": QuerySpec(q_token_weighted_sample,
+                                       _token_weighted_sample_sql()),
+    "pq_codes": QuerySpec(q_pq_codes, _pq_codes_sql()),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
