@@ -65,6 +65,7 @@ HEADLINE = [
     "knn_recall",
     "event_lateness_audit",
     "duplicate_ngram_spans",
+    "pq_codes",
 ]
 
 
