@@ -1,0 +1,167 @@
+"""Deterministic cross-engine float arithmetic.
+
+The driver's correctness gate hashes query output values, so every float
+an operator emits must be BIT-IDENTICAL between Spark (JVM) and the
+DuckDB oracle.  Two primitive classes break that:
+
+1. ``round(int/int, k)`` — Spark rounds doubles through BigDecimal's
+   shortest-repr HALF_UP; DuckDB scales-and-rounds the raw double.  They
+   disagree on quotients a few ulp from a half boundary (real sf0.01
+   corpora contain such documents; see VERDICT r3 on curation_report).
+   Fix: :func:`exact_round_div` — do the rounding in BIGINT arithmetic,
+   where both engines are exact, and divide by the power of ten at the
+   very end (IEEE division of identical integers is correctly rounded,
+   hence identical).
+
+2. ``ln`` — JVM ``Math.log`` and DuckDB's libm ``log`` differ by 1 ulp
+   on ~7.5% of inputs (measured on 200k corpus-like ratios in this
+   image).  No amount of post-rounding fully absorbs that: ``round(x, 12)``
+   itself diverges cross-engine on ~0.1% of values.  Fix:
+   :func:`det_ln_ratio` — evaluate ln as an IDENTICAL arithmetic DAG on
+   both engines: integer power-of-two range reduction (BIGINT compare
+   ladder), then the atanh Taylor series with literal double
+   coefficients.  Per-operation IEEE doubles are exact-rounded and both
+   engines interpret one expression node at a time (no FMA contraction
+   across nodes), so identical DAG in, identical 64 bits out.
+
+Every generator here emits BOTH dialects from the same constants, so the
+Spark expression and the oracle SQL cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: repr of the double nearest ln 2 — the literal is embedded in both
+#: dialects, parsing to the identical binary64 on both engines.
+LN2 = 0.6931471805599453
+
+#: atanh series 1/(2i+1) terms: with the argument t = (m-1)/(m+1) bounded
+#: by 1/3 (m in [1,2)), 19 terms truncate below 3^-39/39 ~ 6e-21 — far
+#: under double precision.  More terms would change nothing; fewer would
+#: make the value depend on the truncation point visibly.
+_N_TERMS = 19
+_COEFFS = [1.0 / (2 * i + 1) for i in range(_N_TERMS)]
+
+#: Highest bit position probed by the range-reduction ladder; 62 covers
+#: every positive int64 quotient.
+_MAX_BIT = 62
+
+
+def int_div(a: Column, b: Column) -> Column:
+    """Integral division (Spark's ``div``) — truncates toward zero,
+    exactly like DuckDB's ``//`` on BIGINT, so both engines agree on
+    every operand sign."""
+    return F.call_function("div", a, b)
+
+
+def exact_round_div(num: Column, den: Column, scale: int = 4) -> Column:
+    """``round(num / den, scale)`` for integer columns, computed entirely
+    in BIGINT arithmetic: ``(2·num·10^scale + sign(num)·den) div (2·den)``
+    is the half-away-from-zero rounding of the exact rational, and the
+    final ``/10^scale`` double division is IEEE-correctly-rounded from
+    identical integers in every engine.  NULL when ``den`` is 0/NULL.
+
+    Overflow bound: |num|·2·10^scale must fit in int64, i.e.
+    |num| < 4.6e14 at scale 4 — per-document counts stay orders of
+    magnitude below that even for gigabyte documents.
+    """
+    p = 10 ** scale
+    num = num.cast("long")
+    den = den.cast("long")
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    s = int_div(2 * num * F.lit(p) + sgn * den, 2 * den)
+    return F.when(den > 0, s.cast("double") / F.lit(float(p)))
+
+
+def exact_round_div_sql(num: str, den: str, scale: int = 4) -> str:
+    """DuckDB mirror of :func:`exact_round_div` for NON-NEGATIVE
+    numerators (inline the sign branch where a numerator can be
+    negative).  Emit inside a ``CASE WHEN den > 0`` guard if the
+    denominator can be zero."""
+    p = 10 ** scale
+    return (f"(CAST((2*({num})*{p} + ({den})) // (2*({den})) AS DOUBLE)"
+            f" / {p}.0)")
+
+
+def det_ln_ratio(num: Column, den: Column) -> Column:
+    """Bit-identical-across-engines ``ln(num/den)`` for POSITIVE integer
+    columns (either side may be larger; ``ln(x<1)`` comes out negative
+    via swap-and-negate).
+
+    Pipeline (every step an exact or correctly-rounded IEEE operation on
+    values both engines hold identically):
+
+    - a, b = max/min(num, den); s = ±1 — so the reduced ratio is ≥ 1
+    - q = a div b; k = floor(log2 q) and 2^k via a BIGINT compare ladder
+      (no libm); since b·2^k ≤ a ≤ 2^62, nothing overflows
+    - m = a / (b·2^k) ∈ [1, 2): the casts are exact (counts < 2^53) and
+      multiplying by a power of two only shifts the exponent
+    - t = (m−1)/(m+1) ∈ [0, 1/3); ln m = 2t·Σ t^(2i)/(2i+1) by Horner
+      with literal coefficients
+    - ln(num/den) = s·(k·ln2 + ln m)
+
+    The result differs from the correctly-rounded ln by a few ulp — and
+    by ZERO ulp between the two engines, which is what the oracle hash
+    needs.  See the SQL twin :func:`det_ln_sql_items`.
+    """
+    num = num.cast("long")
+    den = den.cast("long")
+    a = F.greatest(num, den)
+    b = F.least(num, den)
+    s = F.when(num < den, F.lit(-1.0)).otherwise(F.lit(1.0))
+    q = int_div(a, b)
+
+    p2 = F.when(q >= F.lit(2 ** _MAX_BIT), F.lit(float(2 ** _MAX_BIT)))
+    kd = F.when(q >= F.lit(2 ** _MAX_BIT), F.lit(float(_MAX_BIT)))
+    for j in range(_MAX_BIT - 1, 0, -1):
+        p2 = p2.when(q >= F.lit(2 ** j), F.lit(float(2 ** j)))
+        kd = kd.when(q >= F.lit(2 ** j), F.lit(float(j)))
+    p2 = p2.otherwise(F.lit(1.0))
+    kd = kd.otherwise(F.lit(0.0))
+
+    m = a.cast("double") / (b.cast("double") * p2)
+    t = (m - F.lit(1.0)) / (m + F.lit(1.0))
+    t2 = t * t
+    poly = F.lit(_COEFFS[-1])
+    for c in reversed(_COEFFS[:-1]):
+        poly = F.lit(c) + t2 * poly
+    return s * (kd * F.lit(LN2) + F.lit(2.0) * t * poly)
+
+
+def det_ln_sql_items(num: str, den: str, out: str, pfx: str = "_ln") -> str:
+    """DuckDB select-list fragment computing :func:`det_ln_ratio` via
+    lateral column aliases — append to a SELECT list; the final item is
+    aliased ``out``.  ``num``/``den`` are SQL expressions for positive
+    BIGINTs.  The emitted literals and operation order mirror the Spark
+    expression exactly (same constants module), which is the whole point.
+    """
+    def dlit(v: float) -> str:
+        # bare decimal literals parse as DECIMAL in DuckDB — force binary64
+        return f"CAST({v!r} AS DOUBLE)"
+
+    p2_case = ("CASE " + " ".join(
+        f"WHEN {pfx}_q >= {2 ** j} THEN {dlit(float(2 ** j))}"
+        for j in range(_MAX_BIT, 0, -1)) + f" ELSE {dlit(1.0)} END")
+    kd_case = ("CASE " + " ".join(
+        f"WHEN {pfx}_q >= {2 ** j} THEN {dlit(float(j))}"
+        for j in range(_MAX_BIT, 0, -1)) + f" ELSE {dlit(0.0)} END")
+    poly = dlit(_COEFFS[-1])
+    for c in reversed(_COEFFS[:-1]):
+        poly = f"({dlit(c)} + ({pfx}_t2 * {poly}))"
+    return ",\n           ".join([
+        f"greatest(({num}), ({den})) AS {pfx}_a",
+        f"least(({num}), ({den})) AS {pfx}_b",
+        f"CASE WHEN ({num}) < ({den}) THEN {dlit(-1.0)}"
+        f" ELSE {dlit(1.0)} END AS {pfx}_s",
+        f"{pfx}_a // {pfx}_b AS {pfx}_q",
+        f"{p2_case} AS {pfx}_p2",
+        f"{kd_case} AS {pfx}_k",
+        f"CAST({pfx}_a AS DOUBLE) / (CAST({pfx}_b AS DOUBLE) * {pfx}_p2)"
+        f" AS {pfx}_m",
+        f"({pfx}_m - {dlit(1.0)}) / ({pfx}_m + {dlit(1.0)}) AS {pfx}_t",
+        f"{pfx}_t * {pfx}_t AS {pfx}_t2",
+        f"{pfx}_s * (({pfx}_k * {dlit(LN2)}) + (({dlit(2.0)} * {pfx}_t)"
+        f" * {poly})) AS {out}",
+    ])

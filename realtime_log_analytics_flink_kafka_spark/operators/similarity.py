@@ -555,15 +555,20 @@ def pq_codes(corpus: DataFrame, *, m: int = 8, dim: int = 64,
     return (
         best.groupBy("vid")
         .agg(
-            F.array_sort(F.collect_list(F.struct("sub", "cb_id")))
+            # d2 rides in the struct so pq_mse folds in sorted sub order —
+            # an unordered F.sum over the m doubles could differ from the
+            # oracle's sum by partial-aggregation order on a boundary value
+            F.array_sort(F.collect_list(F.struct("sub", "cb_id", "d2")))
                 .alias("_sc"),
-            F.round(F.sum("d2") / dim, 6).alias("pq_mse"),
         )
         .select(
             F.col("vid").alias(id_col),
             F.array_join(
                 F.transform("_sc", lambda x: x["cb_id"].cast("string")), "_")
                 .alias("pq_code"),
-            "pq_mse",
+            F.round(
+                F.aggregate(F.transform("_sc", lambda x: x["d2"]),
+                            F.lit(0.0), lambda acc, v: acc + v) / dim, 6)
+                .alias("pq_mse"),
         )
     )

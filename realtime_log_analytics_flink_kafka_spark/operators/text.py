@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.detmath import det_ln_ratio, exact_round_div, int_div
 from ..functions.hashing import md5_long
 
 #: Fingerprint modulus (1e9+7, prime): acc*31 + h stays < 2^35, no overflow.
@@ -77,37 +78,49 @@ def quality_exprs(text_col: str = "text") -> dict[str, Column]:
     doc_id self-join of row-wise projections is a full-corpus shuffle
     per signal at scale, for no reason."""
     toks = ws_tokens(F.col(text_col))
-    n_toks = F.size(toks)
+    n_toks = F.size(toks).cast("long")
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)),
         F.lit(0), lambda acc, x: acc + x,
-    )
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
-    n_chars = F.length(text_col)
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) \
+        .cast("long")
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]")) \
+        .cast("long")
+    n_chars = F.length(text_col).cast("long")
 
-    def ratio(num: Column, den: Column) -> Column:
-        # NULL (not 0) when the denominator is empty: an undefined
-        # metric, not a zero one
-        return F.when(den > 0, F.round(num.cast("double") / den, 4))
-
+    # quality_score = round(min(1, 0.5·min(1, n_toks/50) + 0.5·n_stop/n_toks
+    #                            − 0.25·n_punct/n_chars), 4)
+    # Every input is an integer count, so 10^4·score is the half-rounded
+    # value of the exact rational  A + X/d  with
+    #   A = 100·min(n_toks, 50)            (integer)
+    #   X = 5000·n_stop·n_chars − 2500·n_punct·n_toks
+    #   d = n_toks·n_chars
+    # computed in BIGINT on both engines (see exact_round_div).  X can be
+    # negative (all-punctuation docs), hence the sign-aware rounding term.
+    # Overflow bound: |X| ≤ 5000·n_toks·n_chars must fit int64 →
+    # n_toks·n_chars < 9.2e14, i.e. single documents far beyond 10 MB.
+    big_a = 100 * F.least(n_toks, F.lit(50).cast("long"))
+    x = 5000 * n_stop * n_chars - 2500 * n_punct * n_toks
+    d = n_toks * n_chars
+    s = big_a + int_div(
+        2 * x + F.when(x < 0, -d).otherwise(d), 2 * d)
+    e4 = F.when((n_toks > 0) & (n_chars > 0),
+                F.least(s, F.lit(10000).cast("long")))
     return {
-        "n_tokens": n_toks.cast("long"),
-        "avg_token_len": ratio(tok_chars, n_toks),
-        "punct_ratio": ratio(n_punct, n_chars),
-        "stopword_ratio": ratio(n_stop, n_toks),
+        "n_tokens": n_toks,
+        # NULL (not 0) when the denominator is empty: an undefined
+        # metric, not a zero one (exact_round_div guards den > 0)
+        "avg_token_len": exact_round_div(tok_chars, n_toks),
+        "punct_ratio": exact_round_div(n_punct, n_chars),
+        "stopword_ratio": exact_round_div(n_stop, n_toks),
         # simple composite: long docs with some stopwords and low
-        # punctuation score higher; clamped [0, 1]
-        "quality_score": F.when(
-            (n_toks > 0) & (n_chars > 0),
-            F.round(
-                F.least(F.lit(1.0),
-                        F.lit(0.5) * F.least(F.lit(1.0), n_toks.cast("double") / 50)
-                        + F.lit(0.5) * (n_stop.cast("double") / n_toks)
-                        - F.lit(0.25) * (n_punct.cast("double") / n_chars)),
-                4,
-            ),
-        ),
+        # punctuation score higher; clamped at 1.0 from above
+        "quality_score": e4.cast("double") / 10000.0,
+        # the same score as the exact 10^4-scaled BIGINT — aggregate THIS
+        # (then divide once) so grouped means stay integer-exact end to
+        # end instead of re-quantizing the double (curation_report)
+        "quality_score_e4": e4,
     }
 
 
@@ -180,7 +193,11 @@ def tf_idf_top_terms(docs: DataFrame, text_col: str = "text", *,
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+            # det_ln_ratio, not F.log: JVM and DuckDB libm ln differ by
+            # 1 ulp on ~7.5% of inputs (measured), which flips round(6)
+            # on boundary rows and reorders rank ties — functions/detmath
+            F.round(F.col("tf")
+                    * det_ln_ratio(F.col("n_docs"), F.col("df")), 6))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -276,9 +293,12 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         pick(2, "total").alias("t2"), pick(2, "maxc").alias("m2"),
         pick(3, "total").alias("t3"), pick(3, "n_distinct").alias("d3"),
     )
-    muf = F.round(F.col("m1").cast("double") / F.col("t1"), 4)
-    tbf = F.round(F.col("m2").cast("double") / F.col("t2"), 4)
-    dtf = F.round((F.col("t3") - F.col("d3")).cast("double") / F.col("t3"), 4)
+    # exact integer rounding (see exact_round_div): the keep gate compares
+    # these against thresholds, so a 1-ulp cross-engine round flip on a
+    # boundary doc would silently flip keep — hash-breaking at sf scale
+    muf = exact_round_div(F.col("m1"), F.col("t1"))
+    tbf = exact_round_div(F.col("m2"), F.col("t2"))
+    dtf = exact_round_div(F.col("t3") - F.col("d3"), F.col("t3"))
     def trips(total: str, metric: Column, threshold: float) -> Column:
         return F.coalesce(
             (F.col(total) >= REPEAT_MIN_GRAMS) & (metric > threshold),
@@ -325,22 +345,30 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: term-count aggregation (map-side combined), the corpus
     term-frequency table broadcast back (vocabulary-sized, tiny vs the
     corpus), T via a broadcast single-row cross join — corpus rows never
-    shuffle after the (doc, term) aggregation.  Per-doc contributions
+    shuffle after the (doc, term) aggregation.  The ln itself is
+    det_ln_ratio (functions/detmath) evaluated once per VOCAB entry —
+    JVM Math.log and DuckDB libm differ by 1 ulp on ~7.5% of inputs
+    (measured; VERDICT r3's hash failure), so the oracle can only match
+    bit-for-bit with an engine-independent ln.  Per-doc contributions
     fold in sorted term order, so the float sum is deterministic under
     any partitioning and matches the oracle's ordered list_reduce
-    bit-for-bit modulo ~1-ulp libm drift absorbed by round(6).
+    bit-for-bit — no drift left for round(6) to absorb.
     """
     tf = term_frequencies(docs, text_col)
     ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     total = ctf.agg(F.sum("ctf").alias("T"))
+    ctf_ln = (
+        ctf.crossJoin(F.broadcast(total))
+        .select("term",
+                det_ln_ratio(F.col("T"), F.col("ctf")).alias("lnv"))
+    )
     contrib = (
-        tf.join(F.broadcast(ctf), "term")
-        .crossJoin(F.broadcast(total))
+        tf.join(F.broadcast(ctf_ln), "term")
         .select(
             "doc_id", "tf",
             F.struct(
                 "term",
-                (F.col("tf") * F.log(F.col("T") / F.col("ctf"))).alias("c"),
+                (F.col("tf") * F.col("lnv")).alias("c"),
             ).alias("tc"),
         )
     )
@@ -425,7 +453,10 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "doc_id", "bf",
             F.struct(
                 "w1", "w2",
-                (F.col("bf") * F.log(F.col("ctx") / F.col("cbf"))).alias("c"),
+                # det_ln_ratio: engine-independent ln (see
+                # unigram_surprisal / functions/detmath)
+                (F.col("bf")
+                 * det_ln_ratio(F.col("ctx"), F.col("cbf"))).alias("c"),
             ).alias("tc"),
         )
     )

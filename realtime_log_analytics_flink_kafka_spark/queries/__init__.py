@@ -35,24 +35,33 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked before round 3
-    "dup_clusters", "pii_redaction", "source_mixture", "unigram_surprisal",
-    "embedding_quantization", "curation_report", "funnel_conversion",
-    "rolling_user_activity", "purchase_attribution", "click_attribution_asof",
-    "error_click_pairs", "segment_distinct_nations", "segment_approx_distinct",
-    "cube_returns", "salted_join_revenue", "latency_p95_approx",
-    # broken in r2 by the TIMESTAMP_NTZ ingest regression — re-prove the fix
-    "error_rate_sliding", "error_rate_tumbling", "latency_p95_daily",
-    "slo_breach_streaks", "alert_metrics_daily", "escalation_metrics_daily",
-    "user_sessions",
-    # r2 oracle typing bug (HUGEINT shard_id) — re-prove the fix
-    "token_shards",
-    # new in round 3 — first driver check
-    "bigram_surprisal", "knn_recall", "packing_efficiency",
-    "quality_filter_funnel", "centroid_similarity", "event_lateness_audit",
-    "customer_order_histogram", "part_revenue_share", "rich_idle_customers",
-    "duplicate_ngram_spans", "corpus_shuffle", "error_interarrival",
-    "alert_throttle", "token_weighted_sample", "pq_codes",
+    # -- round-4 changes needing (re-)proof -------------------------------
+    # the two r3 hash failures, now on engine-exact arithmetic
+    # (functions/detmath: exact_round_div + det_ln_ratio)
+    "curation_report", "unigram_surprisal",
+    # same det-ln / exact-round treatment applied preemptively
+    "bigram_surprisal", "quality_scores", "repetition_filters",
+    "quality_filter_funnel", "tfidf_top_terms", "token_weighted_sample",
+    # pq_mse now folds in sorted sub order (ADVICE r3)
+    "pq_codes",
+    # gram-hash shuffle rework
+    "duplicate_ngram_spans",
+    # -- evidence rotation: last driver-checked in r2, before the r3
+    #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
+    "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
+    "customer_running_spend", "orders_by_priority_pivot",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "simhash_pairs", "embedding_near_dups",
+    "knn_bruteforce", "knn_ivf", "knn_ivf_multiprobe", "knn_lsh_pairs",
+    "label_centroids", "token_counts", "language_id", "doc_fingerprints",
+    "top_terms_per_source", "media_summary", "frame_samples", "media_resize",
+    "doc_split_counts", "stratified_sample", "doc_length_histogram",
+    "decontamination", "near_dup_survivors",
+    # -- r3-green refresh fill --------------------------------------------
+    "error_rate_sliding", "slo_breach_streaks", "latency_p95_daily",
+    "escalations_every_third", "synthetic_log_profile", "dup_clusters",
+    "pii_redaction", "source_mixture", "token_shards",
+    "packing_efficiency", "knn_recall", "centroid_similarity",
 )
 
 

@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HASH_PRIME, affine_hashes
+from ..functions.detmath import det_ln_sql_items, exact_round_div, \
+    exact_round_div_sql
+from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
 from ..operators import (decontam, dedup, multimodal, packing, sampling,
                          similarity, text)
 from ..sources.batch import load_table
@@ -484,36 +486,50 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_STOPS = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
 
+# Quality metrics mirror operators/text.py:quality_exprs EXACTLY: every
+# ratio is rounded in BIGINT arithmetic (functions/detmath.exact_round_div
+# — Spark's and DuckDB's double `round` disagree near half boundaries),
+# and quality_score is the clamped integer  s = A + round(X/d)  scaled by
+# 10^-4 only at the end.
+_QUALITY_M_CTES = f"""m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                       (acc, x) -> acc + x) AS BIGINT) AS tok_chars,
+           CAST(len(list_filter(toks, t -> t IN ({_EN_STOPS}))) AS BIGINT) AS n_stop,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM tok
+),
+m2 AS (
+    SELECT *,
+           5000 * n_stop * n_chars - 2500 * n_punct * n_tokens AS x,
+           n_tokens * n_chars AS d
+    FROM m
+)"""
+
+#: 10^4-scaled integer quality score (NULL for zero-token/zero-char docs)
+#: — select from m2; mirrors quality_exprs()["quality_score_e4"].
+_QUALITY_E4 = """CASE WHEN n_tokens > 0 AND n_chars > 0
+            THEN least(10000, 100 * least(n_tokens, 50)
+                 + (2*x + CASE WHEN x < 0 THEN -d ELSE d END) // (2*d)) END"""
+
 SQL_QUALITY_SCORES = f"""
 WITH {TOKENS_CTE},
-m AS (
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
-                       (acc, x) -> acc + x) AS tok_chars,
-           len(list_filter(toks, t -> t IN ({_EN_STOPS}))) AS n_stop,
-           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-           length(text) AS n_chars
-    FROM tok
-)
+{_QUALITY_M_CTES}
 SELECT doc_id,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
+       n_tokens,
        CASE WHEN n_tokens > 0
-            THEN round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) END
+            THEN {exact_round_div_sql('tok_chars', 'n_tokens')} END
            AS avg_token_len,
        CASE WHEN n_chars > 0
-            THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) END
+            THEN {exact_round_div_sql('n_punct', 'n_chars')} END
            AS punct_ratio,
        CASE WHEN n_tokens > 0
-            THEN round(CAST(n_stop AS DOUBLE) / n_tokens, 4) END
+            THEN {exact_round_div_sql('n_stop', 'n_tokens')} END
            AS stopword_ratio,
-       CASE WHEN n_tokens > 0 AND n_chars > 0
-            THEN round(least(1.0,
-                 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50)
-                 + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
-                 - 0.25 * (CAST(n_punct AS DOUBLE) / n_chars)), 4) END
-           AS quality_score
-FROM m
+       CAST(({_QUALITY_E4}) AS DOUBLE) / 10000.0 AS quality_score
+FROM m2
 """
 
 
@@ -575,10 +591,15 @@ dfc AS (
     SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term
 ),
 n AS (SELECT count(*) AS n_docs FROM documents),
+dfn AS (
+    SELECT dfc.term,
+           {det_ln_sql_items('n.n_docs', 'dfc.df', 'lnv')}
+    FROM dfc CROSS JOIN n
+),
 scored AS (
     SELECT tfc.doc_id, tfc.term, tfc.tf,
-           round(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
-    FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+           round(tfc.tf * dfn.lnv, 6) AS tfidf
+    FROM tfc JOIN dfn ON tfc.term = dfn.term
 )
 SELECT doc_id, term, tf, tfidf, term_rank FROM (
     SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -810,55 +831,63 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in ONE projection of the corpus (the funnel-query rule:
     doc_id self-joins of row-wise signals shuffle the corpus once per
     signal for nothing); only the repetition gate — a real per-doc gram
-    aggregation — joins in.  The float mean goes through an exact
-    DECIMAL(20,4) sum (the per-doc scores are 4-decimal values, so the
-    sum is exact on both engines) divided once at the end — never a
-    float avg whose summation order differs across
-    engines/partitionings.
+    aggregation — LEFT-joins in (zero-token docs have no grams; they
+    count in n_docs and pass the gate per the under-length convention).
+
+    Every emitted rate is integer-exact: the quality sum aggregates the
+    10^4-scaled BIGINT score (quality_score_e4) and each mean is one
+    exact_round_div at the end — no double is rounded before the final
+    division, so both engines hold identical integers until the last,
+    correctly-rounded, IEEE divide.  avg_quality averages over docs
+    with a DEFINED score (count of non-null e4), not all docs.
     """
     docs = _docs(spark, sf_dir)
     scores = text.language_scores()
     row = docs.select(
         "doc_id", "source",
-        text.quality_exprs()["quality_score"].alias("quality_score"),
+        text.quality_exprs()["quality_score_e4"].alias("q_e4"),
         (F.col("lang") == text.language_pred(scores)).alias("lang_ok"),
     )
     r = text.repetition_metrics(docs).select("doc_id", "keep")
-    joined = row.join(r, "doc_id")
+    joined = row.join(r, "doc_id", "left").withColumn(
+        "keep", F.coalesce(F.col("keep"), F.lit(True)))
     n = F.count("*")
+    n_keep = F.sum(F.col("keep").cast("long"))
     return (
         joined.groupBy("source")
         .agg(
             n.alias("n_docs"),
-            F.round(
-                F.sum(F.col("quality_score").cast("decimal(20,4)"))
-                    .cast("double") / n, 4).alias("avg_quality"),
-            F.sum(F.col("keep").cast("long")).alias("n_keep"),
-            F.round(F.sum(F.col("keep").cast("long")).cast("double") / n, 4)
-                .alias("keep_rate"),
-            F.round(F.sum(F.col("lang_ok").cast("long")).cast("double") / n, 4)
+            exact_round_div(F.sum("q_e4"), F.count("q_e4") * 10000)
+                .alias("avg_quality"),
+            n_keep.alias("n_keep"),
+            exact_round_div(n_keep, n).alias("keep_rate"),
+            exact_round_div(F.sum(F.col("lang_ok").cast("long")), n)
                 .alias("lang_id_accuracy"),
         )
     )
 
 
 def _curation_report_sql() -> str:
+    avg_q = exact_round_div_sql("sum(q.q_e4)", "count(q.q_e4) * 10000")
     return f"""
-WITH q AS ({SQL_QUALITY_SCORES}),
+WITH q AS (
+    WITH {TOKENS_CTE},
+    {_QUALITY_M_CTES}
+    SELECT doc_id, {_QUALITY_E4} AS q_e4 FROM m2
+),
 r AS ({SQL_REPETITION_FILTERS}),
 l AS ({_langid_sql()})
 SELECT d.source,
        count(*) AS n_docs,
-       round(CAST(sum(CAST(q.quality_score AS DECIMAL(20,4))) AS DOUBLE)
-             / count(*), 4) AS avg_quality,
-       sum(CAST(r.keep AS BIGINT)) AS n_keep,
-       round(CAST(sum(CAST(r.keep AS BIGINT)) AS DOUBLE) / count(*), 4)
-           AS keep_rate,
-       round(CAST(sum(CAST(l.lang = l.pred_lang AS BIGINT)) AS DOUBLE)
-             / count(*), 4) AS lang_id_accuracy
+       CASE WHEN count(q.q_e4) > 0 THEN {avg_q} END AS avg_quality,
+       sum(CAST(COALESCE(r.keep, TRUE) AS BIGINT)) AS n_keep,
+       {exact_round_div_sql('sum(CAST(COALESCE(r.keep, TRUE) AS BIGINT))',
+                            'count(*)')} AS keep_rate,
+       {exact_round_div_sql('sum(CAST(l.lang = l.pred_lang AS BIGINT))',
+                            'count(*)')} AS lang_id_accuracy
 FROM documents d
 JOIN q ON d.doc_id = q.doc_id
-JOIN r ON d.doc_id = r.doc_id
+LEFT JOIN r ON d.doc_id = r.doc_id
 JOIN l ON d.doc_id = l.doc_id
 GROUP BY d.source
 """
@@ -973,16 +1002,16 @@ wide AS (
 )
 SELECT doc_id,
        CAST(t1 AS BIGINT) AS n_tokens,
-       round(CAST(m1 AS DOUBLE) / t1, 4) AS max_unigram_frac,
-       round(CAST(m2 AS DOUBLE) / t2, 4) AS top_bigram_frac,
-       round(CAST(t3 - d3 AS DOUBLE) / t3, 4) AS dup_trigram_frac,
+       {exact_round_div_sql('m1', 't1')} AS max_unigram_frac,
+       {exact_round_div_sql('m2', 't2')} AS top_bigram_frac,
+       {exact_round_div_sql('t3 - d3', 't3')} AS dup_trigram_frac,
        NOT (
          COALESCE(t1 >= {text.REPEAT_MIN_GRAMS}
-                  AND round(CAST(m1 AS DOUBLE) / t1, 4) > {text.MAX_UNIGRAM_FRAC}, FALSE)
+                  AND max_unigram_frac > {text.MAX_UNIGRAM_FRAC}, FALSE)
          OR COALESCE(t2 >= {text.REPEAT_MIN_GRAMS}
-                  AND round(CAST(m2 AS DOUBLE) / t2, 4) > {text.TOP_BIGRAM_FRAC}, FALSE)
+                  AND top_bigram_frac > {text.TOP_BIGRAM_FRAC}, FALSE)
          OR COALESCE(t3 >= {text.REPEAT_MIN_GRAMS}
-                  AND round(CAST(t3 - d3 AS DOUBLE) / t3, 4) > {text.DUP_TRIGRAM_FRAC}, FALSE)
+                  AND dup_trigram_frac > {text.DUP_TRIGRAM_FRAC}, FALSE)
        ) AS keep
 FROM wide
 """
@@ -1022,11 +1051,16 @@ tf AS (
     FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
     GROUP BY doc_id, t
 ),
-ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
-tot AS (SELECT sum(ctf) AS T FROM ctf),
+ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS T FROM ctf),
+lnt AS (
+    SELECT term,
+           {det_ln_sql_items('T', 'ctf', 'lnv')}
+    FROM ctf CROSS JOIN tot
+),
 contrib AS (
-    SELECT doc_id, tf, term, tf * ln(T / ctf) AS c
-    FROM tf JOIN ctf USING (term) CROSS JOIN tot
+    SELECT doc_id, tf, term, tf * lnv AS c
+    FROM tf JOIN lnt USING (term)
 )
 SELECT doc_id, sum(tf) AS n_tokens,
        round(list_reduce(list_prepend(0.0, list(c ORDER BY term)),
@@ -1180,11 +1214,17 @@ bg AS (
 bgf AS (
     SELECT doc_id, w1, w2, count(*) AS bf FROM bg GROUP BY doc_id, w1, w2
 ),
-cbf AS (SELECT w1, w2, sum(bf) AS cbf FROM bgf GROUP BY w1, w2),
-ctx AS (SELECT w1, sum(cbf) AS ctx FROM cbf GROUP BY w1),
+cbf AS (SELECT w1, w2, CAST(sum(bf) AS BIGINT) AS cbf
+        FROM bgf GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(cbf) AS BIGINT) AS ctx FROM cbf GROUP BY w1),
+lnb AS (
+    SELECT w1, w2,
+           {det_ln_sql_items('ctx', 'cbf', 'lnv')}
+    FROM cbf JOIN ctx USING (w1)
+),
 contrib AS (
-    SELECT doc_id, bf, w1, w2, bf * ln(ctx / cbf) AS c
-    FROM bgf JOIN cbf USING (w1, w2) JOIN ctx USING (w1)
+    SELECT doc_id, bf, w1, w2, bf * lnv AS c
+    FROM bgf JOIN lnb USING (w1, w2)
 )
 SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
        round(list_reduce(list_prepend(0.0, list(c ORDER BY w1, w2)),
@@ -1284,8 +1324,12 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(False)).alias("f_q"),
     )
     r = text.repetition_metrics(docs).select("doc_id", "keep")
-    flags = row_flags.join(r, "doc_id").select(
-        "f_len", "f_lang", F.col("keep").alias("f_rep"), "f_q")
+    # LEFT join: zero-token docs have no grams and no repetition row;
+    # stage 0 must still count them, and the under-length convention
+    # (short docs pass repetition filtering) maps absent -> keep=TRUE
+    flags = row_flags.join(r, "doc_id", "left").select(
+        "f_len", "f_lang",
+        F.coalesce(F.col("keep"), F.lit(True)).alias("f_rep"), "f_q")
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     agg = flags.agg(
         F.count("*").cast("long").alias("s0"),
@@ -1313,11 +1357,11 @@ WITH flags AS (
            q.n_tokens BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
                AS f_len,
            {best} > 0 AS f_lang,
-           r.keep AS f_rep,
+           COALESCE(r.keep, TRUE) AS f_rep,
            COALESCE(q.quality_score >= {FUNNEL_MIN_QUALITY}, FALSE) AS f_q
     FROM ({SQL_QUALITY_SCORES}) q
     JOIN ({_langid_sql()}) l ON q.doc_id = l.doc_id
-    JOIN ({SQL_REPETITION_FILTERS}) r ON q.doc_id = r.doc_id
+    LEFT JOIN ({SQL_REPETITION_FILTERS}) r ON q.doc_id = r.doc_id
 )
 SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
        CAST(count(*) AS BIGINT) AS survivors FROM flags
@@ -1344,23 +1388,35 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:ngram_spans): every 8-token span appearing
     verbatim in >= 2 documents, with document and occurrence counts —
     the boilerplate/license-block/template detector that catches
-    repeated SPANS long before whole-document dedup fires.  Explicit
-    two-level aggregation rather than countDistinct: the (gram, doc)
-    pre-aggregation collapses within-doc repeats map-side BEFORE the
-    gram-wide shuffle, and the second level is then a plain count
-    (measured ~15% faster than the countDistinct expand at sf0.1, and
-    strictly less shuffle volume at scale).  The HAVING keeps the
-    output duplicate-spans-sized, not corpus-sized."""
-    spans = text.ngram_spans(_docs(spark, sf_dir), SPAN_N)
-    per_doc = spans.groupBy("gram", "doc_id").agg(F.count("*").alias("c"))
-    return (
-        per_doc.groupBy("gram")
+    repeated SPANS long before whole-document dedup fires.
+
+    Shuffle shape (the widest shuffle in the bench, so it earns the
+    extra machinery): the heavy path ships 8-byte md5 gram ids, never
+    the ~50-byte span strings — (gh, doc) pre-aggregation collapses
+    within-doc repeats map-side, then a plain count per gh (same
+    two-level-agg trade vs countDistinct as before, now on longs).
+    Representative span TEXT is recovered by a second corpus pass
+    joined against the BROADCAST duplicate-id set — recompute-don't-
+    persist, exactly like dedup.py's shingle handling; the recovery
+    shuffle is duplicate-report-sized, not corpus-sized.  Assumes the
+    dup report ≪ corpus (true for boilerplate at sane thresholds); a
+    corpus-sized report would force the string shuffle in any design."""
+    docs = _docs(spark, sf_dir)
+    gh = md5_long(F.col("gram")).alias("gh")
+    per_doc = (text.ngram_spans(docs, SPAN_N).select("doc_id", gh)
+               .groupBy("gh", "doc_id").agg(F.count("*").alias("c")))
+    dup = (
+        per_doc.groupBy("gh")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("c").cast("long").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
     )
+    rep = (text.ngram_spans(docs, SPAN_N).select(gh, "gram")
+           .join(F.broadcast(dup.select("gh")), "gh")
+           .groupBy("gh").agg(F.min("gram").alias("gram")))
+    return dup.join(rep, "gh").select("gram", "n_docs", "n_occurrences")
 
 
 SQL_DUPLICATE_NGRAM_SPANS = f"""
@@ -1371,11 +1427,17 @@ spans AS (
                   i -> array_to_string(toks[i + 1:i + {SPAN_N}], ' ')))
                AS gram
     FROM tok WHERE len(toks) >= {SPAN_N}
-)
-SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_occurrences
-FROM spans GROUP BY gram
-HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+),
+hs AS (SELECT doc_id, gram, {MD5_LONG.format(x='gram')} AS gh FROM spans),
+dup AS (
+    SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM hs GROUP BY gh
+    HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+),
+rep AS (SELECT gh, min(gram) AS gram FROM hs GROUP BY gh)
+SELECT rep.gram, dup.n_docs, dup.n_occurrences
+FROM dup JOIN rep ON dup.gh = rep.gh
 """
 
 
@@ -1445,7 +1507,8 @@ best AS (
 )
 SELECT vec_id,
        string_agg(CAST(cb_id AS VARCHAR), '_' ORDER BY sub) AS pq_code,
-       round(sum(d2) / 64, 6) AS pq_mse
+       round(list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)),
+                         (acc, x) -> acc + x) / 64, 6) AS pq_mse
 FROM best GROUP BY vec_id
 """
 
@@ -1475,12 +1538,17 @@ def _token_weighted_sample_sql() -> str:
 WITH {TOKENS_CTE},
 t AS (
     SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(({h} % {WSAMPLE_RES}) + 1 AS DOUBLE) / {WSAMPLE_RES} AS u
+           CAST(({h} % {WSAMPLE_RES}) + 1 AS BIGINT) AS un
     FROM tok
+),
+k AS (
+    SELECT doc_id, source, n_tokens,
+           {det_ln_sql_items('un', str(WSAMPLE_RES), 'lnv')}
+    FROM t WHERE n_tokens > 0
 )
 SELECT doc_id, source, n_tokens,
-       round(ln(u) / n_tokens, 6) AS sample_key
-FROM t WHERE n_tokens > 0
+       round(lnv / n_tokens, 6) AS sample_key
+FROM k
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT {WSAMPLE_K}
 """

@@ -162,8 +162,16 @@ def throttle_alerts_stateful(alerts: DataFrame, *, limit: int = 2,
             state.remove()
             return
         bucket, emitted = state.get if state.exists else (-1, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # Concatenate ALL Arrow chunks before sorting: one key's
+        # micro-batch can arrive split across several pandas chunks, and
+        # sorting each chunk independently is NOT a global event-time
+        # order — the (bucket, emitted) counter could advance past a
+        # bucket and then see earlier rows from a later chunk.  Bounded
+        # by the key's per-micro-batch row count, same as the sort was.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values(["ts", "event_id"], kind="mergesort")
             keep_rows = []
             for row in pdf.itertuples(index=False):
                 b = int(row.ts.timestamp()) // bucket_seconds
