@@ -66,6 +66,10 @@ HEADLINE = [
     "event_lateness_audit",
     "duplicate_ngram_spans",
     "pq_codes",
+    # round-4 additions: the deterministic-ln rework makes these the
+    # float-heaviest queries — regressions must be visible
+    "unigram_surprisal",
+    "token_weighted_sample",
 ]
 
 

@@ -138,8 +138,10 @@ def det_ln_sql_items(num: str, den: str, out: str, pfx: str = "_ln") -> str:
     expression exactly (same constants module), which is the whole point.
     """
     def dlit(v: float) -> str:
-        # bare decimal literals parse as DECIMAL in DuckDB — force binary64
-        return f"CAST({v!r} AS DOUBLE)"
+        # string-quoted cast: DuckDB parses bare numeric literals as
+        # DECIMAL (wrong arithmetic type) and truncates past ~16
+        # fractional digits; the string path is correctly-rounded strtod
+        return f"CAST('{v!r}' AS DOUBLE)"
 
     p2_case = ("CASE " + " ".join(
         f"WHEN {pfx}_q >= {2 ** j} THEN {dlit(float(2 ** j))}"

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the decode step is a clearly
-marked stub (``decode_stub=True`` yields deterministic fake features; the
-real decoder raises NotImplementedError) — but the Spark-side plumbing is
-real and tested: binary schema, Arrow batch shape through mapInPandas,
-per-partition batching, metadata pushdown.
+Decode is REAL for the codec-free container formats — BMP (24-bit
+uncompressed), PPM (P6), WAV (PCM16) — parsed pure-Python/numpy inside
+the mapInPandas batch, so ``decode_features(decode_stub=False)`` returns
+actual pixel/sample statistics.  Formats that genuinely need absent
+codecs (jpeg/png/webp/video) stay behind the clearly marked stub:
+``decode_stub=True`` yields deterministic fake features; the real path
+NULLs their feature columns (or raises under ``strict=True``) — one
+corrupt or exotic blob in a 100 TB corpus must not abort the pass.
 
 At scale: binary payloads stay columnar in parquet; metadata predicates
 (format, byte_len) push down so full blobs are only read for surviving
@@ -13,10 +16,12 @@ rows; decode parallelism = input splits, no shuffle.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Synthetic format assignment for fixture rows (documents have no real
@@ -46,31 +51,159 @@ def as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_features(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
+def sniff_format(payload: Column) -> Column:
+    """Magic-byte container sniffing as a pure Catalyst expression — runs
+    in the scan projection, so format predicates prune before any blob
+    reaches Python."""
+    head = F.substring(payload, 1, 12)
+
+    def sig(off: int, magic: bytes) -> Column:
+        return F.substring(head, off, len(magic)) == F.lit(magic)
+
+    return (
+        F.when(sig(1, b"BM"), F.lit("bmp"))
+        .when(sig(1, b"P6"), F.lit("ppm"))
+        .when(sig(1, b"RIFF") & sig(9, b"WAVE"), F.lit("wav"))
+        .when(sig(1, b"RIFF") & sig(9, b"WEBP"), F.lit("webp"))
+        .when(sig(1, b"\x89PNG"), F.lit("png"))
+        .when(sig(1, b"\xff\xd8\xff"), F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def _parse_bmp(buf: bytes):
+    """24-bit uncompressed (BI_RGB) BMP -> (width, height, mean/255)."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    w = struct.unpack_from("<i", buf, 18)[0]
+    h_raw = struct.unpack_from("<i", buf, 22)[0]
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    h = abs(h_raw)
+    if comp != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(buf) < data_off + row_bytes * h:
+        return None
+    px = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                       offset=data_off).reshape(h, row_bytes)[:, :w * 3]
+    mean = float(px.sum(dtype=np.int64)) / px.size / 255.0
+    return w, h, mean
+
+
+def _parse_ppm(buf: bytes):
+    """Binary PPM (P6, maxval < 256) -> (width, height, mean/maxval)."""
+    hdr = _parse_ppm_header(buf)
+    if hdr is None:
+        return None
+    w, h, maxval, off = hdr
+    if len(buf) < off + w * h * 3:
+        return None
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=off)
+    mean = float(px.sum(dtype=np.int64)) / px.size / maxval
+    return w, h, mean
+
+
+def _parse_wav(buf: bytes):
+    """PCM16 WAV -> (frames, channels, mean |amplitude| / 32768)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    channels = bits = None
+    i = 12
+    while i + 8 <= len(buf):
+        cid = buf[i:i + 4]
+        sz = struct.unpack_from("<I", buf, i + 4)[0]
+        if cid == b"fmt " and sz >= 16:
+            if len(buf) < i + 24:
+                return None
+            audio_fmt, channels = struct.unpack_from("<HH", buf, i + 8)
+            bits = struct.unpack_from("<H", buf, i + 22)[0]
+            if audio_fmt != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            if channels in (None, 0) or bits != 16 or len(buf) < i + 8 + sz:
+                return None
+            n = sz // 2
+            if n == 0:
+                return None
+            smp = np.frombuffer(buf, dtype="<i2", count=n, offset=i + 8)
+            mean = float(np.abs(smp.astype(np.int64)).sum()) / n / 32768.0
+            return n // channels, channels, mean
+        i += 8 + sz + (sz & 1)  # chunks pad to even length
+    return None
+
+
+#: Codec-free formats this module decodes for real, by magic bytes.
+_DECODERS = {"bmp": _parse_bmp, "ppm": _parse_ppm, "wav": _parse_wav}
+
+
+def _decode_one(buf: bytes):
+    try:
+        if buf[:2] in (b"BM", b"P6"):
+            return _DECODERS["bmp" if buf[:2] == b"BM" else "ppm"](buf)
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            return _DECODERS["wav"](buf)
+        return None
+    except (struct.error, ValueError, IndexError):
+        # malformed container bytes decode to NULL features, never a
+        # job-aborting task failure — one bad blob in 100 TB is a given
+        return None
+
+
+def decode_features(media: DataFrame, *, decode_stub: bool = True,
+                    strict: bool = False) -> DataFrame:
     """Per-payload feature extraction via mapInPandas (Arrow-batched).
 
-    Real implementation would decode payload bytes (PIL/ffmpeg) per batch;
-    the stub derives deterministic fake dimensions/features from byte
-    length so tests can assert the full pipeline shape.
+    ``decode_stub=False`` REALLY decodes the codec-free containers (BMP
+    24-bit, PPM P6, WAV PCM16 — pure struct/numpy parsing, no external
+    codec): width/height are the image dims (frames/channels for audio)
+    and feat_mean the normalized mean pixel/|sample| value.  Payloads in
+    formats that need absent codecs (jpeg/png/webp) get NULL features —
+    or raise NotImplementedError under ``strict=True``, which names the
+    missing-codec boundary explicitly.
+
+    The stub path derives deterministic fake dimensions/features from
+    byte length so fixture tests can assert the full pipeline shape
+    without real blobs.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding needs image/audio codecs not present "
-                    "in this environment; run with decode_stub=True")
-            n = pdf["byte_len"].astype("int64")
+            if decode_stub:
+                n = pdf["byte_len"].astype("int64")
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["fmt"],
+                    "byte_len": n,
+                    "width": (n % 640) + 16,          # fake decode
+                    "height": ((n * 7) % 480) + 16,   # fake decode
+                    "feat_mean": (n % 255) / 255.0,   # fake feature
+                })
+                continue
+            ws, hs, ms = [], [], []
+            for buf in pdf["payload"]:
+                out = _decode_one(bytes(buf))
+                if out is None and strict:
+                    raise NotImplementedError(
+                        "payload needs an image/audio codec not present in "
+                        "this environment (only BMP/PPM/WAV decode "
+                        "codec-free); use strict=False to NULL it")
+                w, h, m = out if out is not None else (None, None, None)
+                ws.append(w)
+                hs.append(h)
+                ms.append(m)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "fmt": pdf["fmt"],
-                "byte_len": n,
-                "width": (n % 640) + 16,          # fake decode
-                "height": ((n * 7) % 480) + 16,   # fake decode
-                "feat_mean": (n % 255) / 255.0,   # fake feature
+                "byte_len": pdf["byte_len"].astype("int64"),
+                "width": pd.array(ws, dtype="Int64"),
+                "height": pd.array(hs, dtype="Int64"),
+                "feat_mean": pd.array(ms, dtype="Float64"),
             })
 
-    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+    return _meta_only(media, decode_stub).mapInPandas(
+        _decode, schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -86,35 +219,90 @@ FRAME_MS = 33
 FRAMES_SCHEMA = "doc_id long, fmt string, n_frames long, frame_idx long, ts_ms long"
 
 
+def _parse_image_dims(buf: bytes):
+    """Header-only (no pixel read) dims for the codec-free image formats
+    — what a resize planner needs; O(header) per blob."""
+    if buf[:2] == b"BM":
+        if len(buf) < 54:
+            return None
+        w = struct.unpack_from("<i", buf, 18)[0]
+        h = abs(struct.unpack_from("<i", buf, 22)[0])
+        return (w, h) if w > 0 and h > 0 else None
+    if buf[:2] == b"P6":
+        out = _parse_ppm_header(buf)
+        return out if out is None else out[:2]
+    return None
+
+
+def _parse_ppm_header(buf: bytes):
+    vals, i, limit = [], 2, min(len(buf), 4096)
+    while len(vals) < 3 and i < limit:
+        c = buf[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < limit and buf[i] not in b"\r\n":
+                i += 1
+        elif ord("0") <= c <= ord("9"):
+            j = i
+            while j < limit and ord("0") <= buf[j] <= ord("9"):
+                j += 1
+            vals.append(int(buf[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3:
+        return None
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        return None
+    return w, h, maxval, i + 1  # pixel data offset after one whitespace
+
+
 def resize_images(media: DataFrame, target_w: int = 256, target_h: int = 256,
                   *, decode_stub: bool = True) -> DataFrame:
     """Aspect-preserving thumbnail resize via mapInPandas.
 
     The fit-within-box math (min of the two scale ratios, floor to int,
-    clamp >=1) is the real algorithm; only the pixel decode/encode is
-    stubbed — source dims derive from byte_len exactly as
-    :func:`decode_features` does, so the two stubs agree.
+    clamp >=1) is the real algorithm in BOTH paths.  With
+    ``decode_stub=False``, source dims come from the actual BMP/PPM
+    headers (O(header) per blob — no pixel read); non-image or
+    codec-needing payloads get NULL dims.  The stub path derives dims
+    from byte_len exactly as :func:`decode_features` does, so the two
+    stubs agree.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resizing needs codecs not present in this "
-                    "environment; run with decode_stub=True")
-            n = pdf["byte_len"].astype("int64")
-            src_w = (n % 640) + 16
-            src_h = ((n * 7) % 480) + 16
-            # fit-within-box: scale both dims by min ratio, never upscale
-            ratio = pd.concat([target_w / src_w, target_h / src_h], axis=1
-                              ).min(axis=1).clip(upper=1.0)
+            if decode_stub:
+                n = pdf["byte_len"].astype("int64")
+                src_w = (n % 640) + 16
+                src_h = ((n * 7) % 480) + 16
+                # fit-within-box: scale by min ratio, never upscale
+                ratio = pd.concat([target_w / src_w, target_h / src_h],
+                                  axis=1).min(axis=1).clip(upper=1.0)
+                out_w = (src_w * ratio).astype("int64").clip(lower=1)
+                out_h = (src_h * ratio).astype("int64").clip(lower=1)
+            else:
+                rows = []
+                for b in pdf["payload"]:
+                    d = _parse_image_dims(bytes(b))
+                    if d is None:
+                        rows.append((None, None, None, None))
+                    else:
+                        w, h = d
+                        r = min(target_w / w, target_h / h, 1.0)
+                        rows.append((w, h, max(1, int(w * r)),
+                                     max(1, int(h * r))))
+                src_w, src_h, out_w, out_h = (
+                    pd.array(list(c), dtype="Int64") for c in zip(*rows))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "fmt": pdf["fmt"],
                 "src_width": src_w,
                 "src_height": src_h,
-                "out_width": (src_w * ratio).astype("int64").clip(lower=1),
-                "out_height": (src_h * ratio).astype("int64").clip(lower=1),
+                "out_width": out_w,
+                "out_height": out_h,
             })
 
     return _meta_only(media, decode_stub).mapInPandas(_resize, schema=RESIZED_SCHEMA)
@@ -162,6 +350,60 @@ def _meta_only(media: DataFrame, decode_stub: bool) -> DataFrame:
     if decode_stub and "payload" in media.columns:
         return media.drop("payload")
     return media
+
+
+def sniff_format_py(buf: bytes) -> str:
+    """Python twin of :func:`sniff_format` — used to render golden
+    expectations for the inline media corpus into the DuckDB oracle (the
+    same one-list-two-dialects pattern as the PII corpus)."""
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:2] == b"P6":
+        return "ppm"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        return "webp"
+    if buf[:4] == b"\x89PNG":
+        return "png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "unknown"
+
+
+def decode_one(buf: bytes):
+    """Decode a single payload exactly as the mapInPandas path does:
+    (width, height, feat_mean) or None.  Public so oracle generation and
+    tests share the worker's code path."""
+    return _decode_one(buf)
+
+
+def synth_bmp(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal 24-bit BI_RGB BMP filled with one color (fixture/golden
+    payloads — the container has no codecs to encode real ones)."""
+    row = (w * 3 + 3) & ~3
+    pixels = (bytes(rgb[::-1]) * w + b"\x00" * (row - w * 3)) * h
+    size = 54 + len(pixels)
+    return (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(pixels), 2835, 2835, 0, 0) + pixels)
+
+
+def synth_ppm(w: int, h: int, gray: int) -> bytes:
+    """Binary P6 PPM, uniform gray."""
+    return (f"P6\n# synthetic\n{w} {h}\n255\n".encode()
+            + bytes([gray]) * (w * h * 3))
+
+
+def synth_wav(samples: list[int], channels: int = 1,
+              rate: int = 8000) -> bytes:
+    """PCM16 WAV from raw sample values."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 def media_summary(media: DataFrame) -> DataFrame:

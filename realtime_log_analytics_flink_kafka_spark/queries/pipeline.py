@@ -1153,6 +1153,68 @@ FROM (VALUES {values}) AS corpus(pid, text)
 """
 
 
+def _media_corpus() -> list[tuple[int, bytes]]:
+    """Inline decodable-blob corpus (one Python list, two dialects — the
+    PII-corpus pattern): the fixture ``documents`` payloads are text
+    bytes, so a real-decode check over them would vacuously NULL.  These
+    blobs exercise every codec-free decoder plus the NULL paths."""
+    return [
+        (0, multimodal.synth_bmp(4, 3, (100, 150, 200))),
+        (1, multimodal.synth_bmp(640, 2, (0, 0, 0))),
+        (2, multimodal.synth_ppm(5, 2, 51)),
+        (3, multimodal.synth_ppm(1, 1, 255 - 1)),
+        (4, multimodal.synth_wav([0, 16384, -16384, 32767], channels=2)),
+        (5, multimodal.synth_wav([-1, 1, 0], channels=1)),
+        (6, b"\xff\xd8\xff\xe0 jpeg needs a codec"),
+        (7, b"\x89PNG\r\n\x1a\n png needs a codec"),
+        (8, b"garbage, not a container"),
+        (9, multimodal.synth_bmp(4, 3, (1, 2, 3))[:40]),  # truncated
+    ]
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end (operators/multimodal.py):
+    magic-byte sniffing in the scan projection, then pure-Python BMP/PPM/
+    WAV decoding inside mapInPandas — codec-needing and malformed blobs
+    NULL their features instead of failing the job."""
+    df = spark.createDataFrame(_media_corpus(), "doc_id long, payload binary")
+    media = df.select(
+        "doc_id",
+        multimodal.sniff_format(F.col("payload")).alias("fmt"),
+        "payload",
+        F.octet_length("payload").cast("long").alias("byte_len"),
+    )
+    return multimodal.decode_features(media, decode_stub=False)
+
+
+def _media_decode_sql() -> str:
+    """Golden VALUES oracle: expectations rendered by the SAME pure-Python
+    decoder the workers run (multimodal.decode_one) — decode is not
+    SQL-expressible, and a pinned-values oracle is strictly stronger than
+    the rows-only fallback the driver would otherwise record."""
+    rows = []
+    for doc_id, buf in _media_corpus():
+        fmt = multimodal.sniff_format_py(buf)
+        out = multimodal.decode_one(buf)
+        w, h, m = out if out is not None else (None, None, None)
+        rows.append(
+            f"({doc_id}, '{fmt}', {len(buf)}, "
+            f"{'NULL' if w is None else w}, {'NULL' if h is None else h}, "
+            + ("CAST(NULL AS DOUBLE)" if m is None
+               # string-quoted: a bare numeric literal parses as DECIMAL
+               # and silently truncates past ~16 fractional digits
+               else f"CAST('{m!r}' AS DOUBLE)") + ")")
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, fmt,
+       CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       feat_mean
+FROM (VALUES {values})
+    AS t(doc_id, fmt, byte_len, width, height, feat_mean)
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash-LSH pair graph: (doc_id,
     cluster_id, cluster_size) for every doc in any near-dup pair.  The
@@ -1612,6 +1674,7 @@ QUERIES: dict[str, QuerySpec] = {
                                     _near_dup_survivors_sql()),
     "dup_clusters": QuerySpec(q_dup_clusters, _dup_clusters_sql()),
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
+    "media_decode": QuerySpec(q_media_decode, _media_decode_sql()),
     "source_mixture": QuerySpec(q_source_mixture, _source_mixture_sql()),
     "unigram_surprisal": QuerySpec(q_unigram_surprisal,
                                    SQL_UNIGRAM_SURPRISAL),

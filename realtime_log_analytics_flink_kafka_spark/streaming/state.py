@@ -60,8 +60,12 @@ def escalate_every_n_stateful(alerts: DataFrame, *, n: int = ESCALATION_EVERY,
             state.remove()
             return
         (count,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # concat-then-sort: a key's micro-batch can split across Arrow
+        # chunks; per-chunk sorting is not a global event-time order
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values(["ts", "event_id"], kind="mergesort")
             seqs = count + 1 + pd.RangeIndex(len(pdf))
             escalated = (seqs % n) == 0
             count += len(pdf)
@@ -104,8 +108,11 @@ def consecutive_breach_stateful(windowed: DataFrame, *, limit: int = 3,
            state: GroupState) -> Iterator[pd.DataFrame]:
         (streak,) = state.get if state.exists else (0,)
         out: list[dict] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("window_start", kind="mergesort")
+        # concat-then-sort (see escalate_every_n_stateful)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values("window_start", kind="mergesort")
             for row in pdf.itertuples(index=False):
                 if row.p95_latency > p95_threshold:
                     streak += 1

@@ -1,0 +1,86 @@
+"""Bit-level cross-engine parity for functions/detmath — the primitives
+every float-emitting query leans on.  These tests compare raw 64-bit
+patterns (struct.pack), not approximate equality: the whole contract is
+ZERO ulp of divergence between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.functions.detmath import (
+    det_ln_ratio, det_ln_sql_items, exact_round_div, exact_round_div_sql)
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+EDGE_PAIRS = [
+    (1, 1), (2, 1), (1, 2), (3, 7), (10 ** 12, 1), (1, 10 ** 12),
+    (999_999, 1_000_000), (2 ** 40, 3), (2 ** 52, 1), (1, 2 ** 52),
+    (6, 3), (7, 3), (2 ** 31 - 1, 2 ** 31),
+]
+
+
+def _spark_vs_duck(spark, pairs, spark_col, sql_items):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long")
+    sp = {r.i: r.v for r in df.select("i", spark_col.alias("v")).collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE q(i BIGINT, a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO q VALUES (?,?,?)",
+                        [(i, a, b) for i, (a, b) in enumerate(pairs)])
+        dk = {r[0]: r[1] for r in con.execute(
+            f"SELECT i, v FROM (SELECT i, {sql_items} FROM q) t").fetchall()}
+    finally:
+        con.close()
+    return sp, dk
+
+
+def test_det_ln_bit_identical(spark):
+    rng = random.Random(1234)
+    pairs = [(rng.randint(1, 10 ** 12), rng.randint(1, 10 ** 12))
+             for _ in range(20_000)] + EDGE_PAIRS
+    sp, dk = _spark_vs_duck(
+        spark, pairs, det_ln_ratio(F.col("a"), F.col("b")),
+        det_ln_sql_items("a", "b", "v").replace("\n", " "))
+    mism = [i for i in sp if _bits(sp[i]) != _bits(dk[i])]
+    assert not mism, f"{len(mism)} bit mismatches, first: {pairs[mism[0]]}"
+    # and the value is a faithful ln (few-ulp tolerance, NOT exactness)
+    worst = max(abs(sp[i] - math.log(pairs[i][0] / pairs[i][1]))
+                for i in range(len(pairs)))
+    assert worst < 1e-16 + 1e-14 * max(
+        abs(math.log(a / b)) for a, b in pairs)
+
+
+def test_exact_round_div_bit_identical_and_exact(spark):
+    rng = random.Random(99)
+    pairs = [(rng.randint(-10 ** 9, 10 ** 9), rng.randint(1, 10 ** 6))
+             for _ in range(20_000)]
+    e = exact_round_div_sql("abs(a)", "b")
+    sp, dk = _spark_vs_duck(
+        spark, pairs, exact_round_div(F.col("a"), F.col("b")),
+        f"CASE WHEN a < 0 THEN -{e} ELSE {e} END AS v")
+    mism = [i for i in sp if _bits(sp[i]) != _bits(dk[i])]
+    assert not mism, f"{len(mism)} bit mismatches"
+    # spot-check against exact rational half-away-from-zero rounding
+    for i, (n, d) in enumerate(pairs[:500]):
+        scaled = Fraction(n, d) * 10_000
+        want = math.floor(abs(scaled) + Fraction(1, 2)) * (1 if n >= 0 else -1)
+        assert sp[i] == pytest.approx(want / 10_000.0, abs=0), (n, d)
+
+
+def test_exact_round_div_null_on_zero_denominator(spark):
+    df = spark.createDataFrame([(5, 0)], "a long, b long")
+    [r] = df.select(exact_round_div(F.col("a"), F.col("b")).alias("v")).collect()
+    assert r.v is None

@@ -1,0 +1,235 @@
+"""Native transformWithStateInPandas operators (streaming/state_v2).
+
+Two layers, because this image has the Spark 4 TWS *API* but not the
+``protobuf`` package its Python state client needs at runtime:
+
+1. Direct-drive unit tests (always run): the StatefulProcessor logic —
+   counter continuity, emit-and-clear, Arrow-chunk ordering — executed
+   against a fake state handle, so the ported semantics are proven even
+   where the TWS runtime can't start.
+2. Integration tests (skipif not HAS_TWS): cross-micro-batch equality
+   with the batch twins and NATIVE TTL expiry, for environments with
+   protobuf installed.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.streaming import state_v2
+
+LOG_SCHEMA = ("event_id long, ts timestamp, service string, is_error int, "
+              "latency_ms double")
+
+
+# --- layer 1: direct-drive of the processor logic ---------------------------
+
+class FakeValueState:
+    def __init__(self):
+        self.value = None
+        self.ttl_ms = None
+
+    def exists(self):
+        return self.value is not None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def clear(self):
+        self.value = None
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        s = self.states.setdefault(name, FakeValueState())
+        s.ttl_ms = ttlDurationMs
+        return s
+
+
+def _alerts_pdf(ids, severity="HIGH"):
+    return pd.DataFrame({
+        "event_id": list(ids),
+        "ts": [pd.Timestamp(2024, 1, 1, 0, 0, i % 60) for i in ids],
+        "service": "auth",
+        "is_error": 1,
+        "latency_ms": 50.0,
+        "severity": severity,
+    })
+
+
+def test_escalate_processor_counts_across_batches_and_chunks():
+    p = state_v2._EscalateEveryN(3, 3_600_000)
+    h = FakeHandle()
+    p.init(h)
+    assert h.states["count"].ttl_ms == 3_600_000  # native TTL requested
+
+    # micro-batch 1 split across two UNORDERED Arrow chunks: rows 3,4
+    # arrive in the first chunk — concat-then-sort must still number
+    # them 1..5 in event-time order
+    out1 = pd.concat(list(p.handleInputRows(
+        ("auth",), iter([_alerts_pdf([3, 4]), _alerts_pdf([0, 1, 2])]), None)))
+    assert list(out1.sort_values("event_id")["alert_seq"]) == [1, 2, 3, 4, 5]
+    assert list(out1.sort_values("event_id")["severity"]) == [
+        "HIGH", "HIGH", "ESCALATED", "HIGH", "HIGH"]
+
+    # micro-batch 2 continues the counter: seq 6 escalates
+    out2 = pd.concat(list(p.handleInputRows(
+        ("auth",), iter([_alerts_pdf([10])]), None)))
+    assert list(out2["alert_seq"]) == [6]
+    assert list(out2["severity"]) == ["ESCALATED"]
+    assert h.states["count"].get() == (6,)
+
+
+def test_breach_processor_emit_and_clear_across_batches():
+    p = state_v2._ConsecutiveBreach(3, 100.0)
+    h = FakeHandle()
+    p.init(h)
+    assert h.states["streak"].ttl_ms is None  # reference has no TTL here
+
+    def wins(vals, start):
+        return pd.DataFrame({
+            "service": "auth",
+            "window_start": [start + i * 60 for i in range(len(vals))],
+            "window_end": [start + (i + 1) * 60 for i in range(len(vals))],
+            "p95_latency": [float(v) for v in vals],
+        })
+
+    # 2 breaches, then the batch ends mid-streak
+    out1 = list(p.handleInputRows(("auth",), iter([wins([150, 160], 0)]), None))
+    assert out1 == [] and h.states["streak"].get() == (2,)
+    # 3rd breach arrives next batch -> emit with count 3, clear; the
+    # healthy 90-window then keeps it cleared
+    out2 = pd.concat(list(p.handleInputRows(
+        ("auth",), iter([wins([170, 90], 120)]), None)))
+    assert list(out2["breach_count"]) == [3]
+    assert list(out2["window_start"]) == [120]
+    assert h.states["streak"].get() == (0,)
+
+
+def test_dispatchers_fall_back_without_tws(spark):
+    """In this image HAS_TWS is False (no protobuf), so the *_stream
+    dispatchers must return the applyInPandasWithState plan."""
+    if state_v2.HAS_TWS:
+        pytest.skip("image has a working TWS runtime; fallback not used")
+    df = (spark.readStream.format("rate").load()
+          .selectExpr("value AS event_id", "timestamp AS ts",
+                      "'auth' AS service", "1 AS is_error",
+                      "50.0 AS latency_ms", "'HIGH' AS severity"))
+    plan = state_v2.escalate_every_n_stream(df)
+    assert "FlatMapGroupsInPandasWithState" in plan._jdf.queryExecution() \
+        .analyzed().toString()
+
+
+# --- layer 2: full TWS runtime (needs protobuf) -----------------------------
+
+pytestmark_integration = pytest.mark.skipif(
+    not state_v2.HAS_TWS,
+    reason="transformWithStateInPandas runtime needs the protobuf package "
+           "(absent in this image); processor logic covered by the "
+           "direct-drive tests above")
+
+
+@pytest.fixture()
+def rocksdb(spark):
+    key, value = state_v2.rocksdb_conf()
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def _write(spark, rows, path, schema):
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def _read_stream(spark, path, schema, per_trigger=None):
+    r = spark.readStream.schema(schema)
+    if per_trigger:
+        r = r.option("maxFilesPerTrigger", per_trigger)
+    return r.parquet(path)
+
+
+@pytestmark_integration
+def test_tws_escalation_spans_microbatches(spark, tmp_path, rocksdb):
+    from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+        escalate_every_nth)
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        drain_query, start_memory_sink)
+
+    schema = LOG_SCHEMA + ", severity string"
+    rows = [dict(event_id=i, ts=datetime(2024, 1, 1, 0, 0, i),
+                 service="auth" if i % 2 else "pay", is_error=1,
+                 latency_ms=50.0, severity="HIGH") for i in range(14)]
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+    mid = len(rows) // 2
+    base = tmp_path / "alerts"
+    _write(spark, rows[:mid], str(base / "b=0"), schema)
+    time.sleep(1.1)
+    _write(spark, rows[mid:], str(base / "b=1"), schema)
+
+    stream = state_v2.escalate_every_n_tws(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1))
+    q = start_memory_sink(stream, "tws_esc")
+    drain_query(q)
+
+    batch = escalate_every_nth(spark.createDataFrame(rows, schema)).select(
+        "service", "event_id", "ts", "severity", "escalation_reason",
+        F.col("alert_seq").cast("long").alias("alert_seq"))
+    got = {tuple(r) for r in
+           spark.table("tws_esc").select(*batch.columns).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+@pytestmark_integration
+def test_tws_native_ttl_expires_counter(spark, tmp_path, rocksdb):
+    """W9 TTL on the NATIVE API: the value state written in batch 1
+    expires after ttl_ms of wall-clock, so batch 2's sequence restarts
+    at 1 — no processing-time-timeout emulation involved."""
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        drain_query)
+
+    schema = LOG_SCHEMA + ", severity string"
+    base = tmp_path / "ttl"
+
+    def alerts(ids, minute):
+        return [dict(event_id=i, ts=datetime(2024, 1, 1, 0, minute, i % 60),
+                     service="auth", is_error=1, latency_ms=50.0,
+                     severity="HIGH") for i in ids]
+
+    _write(spark, alerts(range(4), 0), str(base / "b=0"), schema)
+    stream = state_v2.escalate_every_n_tws(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1),
+        ttl_ms=1_500)
+    ckpt = str(tmp_path / "ckpt")
+    q = (stream.writeStream.format("memory").queryName("tws_ttl")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    drain_query(q)
+    assert sorted(r.alert_seq for r in spark.table("tws_ttl").collect()) \
+        == [1, 2, 3, 4]
+    q.stop()
+
+    time.sleep(2.5)  # let the TTL lapse in wall-clock
+    _write(spark, alerts(range(100, 103), 2), str(base / "b=1"), schema)
+    q2 = (stream.writeStream.format("memory").queryName("tws_ttl2")
+          .outputMode("append").option("checkpointLocation", ckpt).start())
+    drain_query(q2)
+    # counter restarted at 1, NOT 5..7: the state expired
+    assert sorted(r.alert_seq for r in spark.table("tws_ttl2").collect()) \
+        == [1, 2, 3]
