@@ -85,6 +85,63 @@ def exact_round_div_sql(num: str, den: str, scale: int = 4) -> str:
             f" / {p}.0)")
 
 
+def with_det_ln(df: "DataFrame", num: Column, den: Column, out: str,
+                pfx: str = "_dl") -> "DataFrame":
+    """Add column ``out`` = deterministic ``ln(num/den)`` (see
+    :func:`det_ln_ratio` for the algorithm and the bit-parity contract).
+
+    STAGED through named intermediate columns, which is the form every
+    hot path must use: the single-Column variant duplicates subtrees
+    combinatorially (the Horner chain references t² 18×, t² references t
+    twice, t embeds the 62-way CASE ladder twice → a ~40k-node tree),
+    whole-stage codegen hits the JVM method-size limit and falls back to
+    interpreted evaluation — measured 5-25× slowdowns at sf0.1.  Here
+    each intermediate is evaluated ONCE per row; Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap aliases staged
+    rather than re-inlining them.
+    """
+    c = {
+        f"{pfx}_num": num.cast("long"),
+        f"{pfx}_den": den.cast("long"),
+    }
+    df = df.withColumns(c)
+    n, d = F.col(f"{pfx}_num"), F.col(f"{pfx}_den")
+    df = df.withColumns({
+        f"{pfx}_a": F.greatest(n, d),
+        f"{pfx}_b": F.least(n, d),
+        f"{pfx}_s": F.when(n < d, F.lit(-1.0)).otherwise(F.lit(1.0)),
+    })
+    a, b = F.col(f"{pfx}_a"), F.col(f"{pfx}_b")
+    df = df.withColumn(f"{pfx}_q", int_div(a, b))
+    q = F.col(f"{pfx}_q")
+    p2 = F.when(q >= F.lit(2 ** _MAX_BIT), F.lit(float(2 ** _MAX_BIT)))
+    kd = F.when(q >= F.lit(2 ** _MAX_BIT), F.lit(float(_MAX_BIT)))
+    for j in range(_MAX_BIT - 1, 0, -1):
+        p2 = p2.when(q >= F.lit(2 ** j), F.lit(float(2 ** j)))
+        kd = kd.when(q >= F.lit(2 ** j), F.lit(float(j)))
+    df = df.withColumns({
+        f"{pfx}_p2": p2.otherwise(F.lit(1.0)),
+        f"{pfx}_k": kd.otherwise(F.lit(0.0)),
+    })
+    df = df.withColumn(
+        f"{pfx}_m",
+        a.cast("double") / (b.cast("double") * F.col(f"{pfx}_p2")))
+    m = F.col(f"{pfx}_m")
+    df = df.withColumn(f"{pfx}_t", (m - F.lit(1.0)) / (m + F.lit(1.0)))
+    t = F.col(f"{pfx}_t")
+    df = df.withColumn(f"{pfx}_t2", t * t)
+    t2 = df[f"{pfx}_t2"]
+    poly = F.lit(_COEFFS[-1])
+    for cf in reversed(_COEFFS[:-1]):
+        poly = F.lit(cf) + t2 * poly
+    df = df.withColumn(
+        out,
+        F.col(f"{pfx}_s")
+        * (F.col(f"{pfx}_k") * F.lit(LN2) + F.lit(2.0) * t * poly))
+    return df.drop(*[name for name in df.columns
+                     if name.startswith(pfx + "_")])
+
+
 def det_ln_ratio(num: Column, den: Column) -> Column:
     """Bit-identical-across-engines ``ln(num/den)`` for POSITIVE integer
     columns (either side may be larger; ``ln(x<1)`` comes out negative

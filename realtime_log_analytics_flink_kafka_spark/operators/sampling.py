@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.detmath import det_ln_ratio
+from ..functions.detmath import with_det_ln
 from ..functions.hashing import md5_long
 
 #: Salt for the sampling draw — distinct from the split salt so the
@@ -157,18 +157,20 @@ def weighted_sample(df: DataFrame, *, weight_col: str, k: int,
     excluded (ln(u)/w is undefined); the key is rounded before ranking
     so the float ordering is identical cross-engine, ties broken by id.
     """
-    # u = un/RES as an integer ratio; ln via det_ln_ratio so the ranking
-    # key is bit-identical cross-engine (JVM vs libm ln differ by 1 ulp
-    # on ~7.5% of inputs — a flipped round(6) here would swap sample
-    # membership, not just a decimal).  ln(un/RES) < 0 comes out of the
-    # swap-and-negate branch.
+    # u = un/RES as an integer ratio; ln via detmath's staged
+    # deterministic ln so the ranking key is bit-identical cross-engine
+    # (JVM vs libm ln differ by 1 ulp on ~7.5% of inputs — a flipped
+    # round(6) here would swap sample MEMBERSHIP, not just a decimal).
+    # ln(un/RES) < 0 comes out of the swap-and-negate branch.
     un = (md5_long(F.concat(F.col(id_col).cast("string"),
                             F.lit(WSAMPLE_SALT))) % WSAMPLE_RES) + 1
-    key = F.round(
-        det_ln_ratio(un, F.lit(WSAMPLE_RES)) / F.col(weight_col), 6)
+    keyed = with_det_ln(
+        df.filter(F.col(weight_col) > 0).withColumn("_un", un),
+        F.col("_un"), F.lit(WSAMPLE_RES), "_lnv")
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("sample_key", key)
+        keyed.withColumn(
+            "sample_key", F.round(F.col("_lnv") / F.col(weight_col), 6))
+        .drop("_un", "_lnv")
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)
     )

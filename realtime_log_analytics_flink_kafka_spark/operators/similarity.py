@@ -509,6 +509,44 @@ def centroid_pairs(centroids_long: DataFrame, *,
     )
 
 
+def _pq_subs(df: DataFrame, out_id: str, *, m: int, dim: int,
+             vec_col: str, id_col: str) -> DataFrame:
+    """(id, sub, subvec) rows: each vector split into ``m`` subvectors."""
+    sub_d = dim // m
+    subs = F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("subvec"),
+        )
+        for s in range(m)
+    ])).alias("sv")
+    return (df.select(F.col(id_col).alias(out_id), subs)
+            .select(out_id, F.col("sv.sub").alias("sub"),
+                    F.col("sv.subvec").alias(f"{out_id}_vec")))
+
+
+def pq_best_codes(corpus: DataFrame, *, m: int = 8, dim: int = 64,
+                  cb_every: int = 97, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(vid, sub, cb_id, d2): every corpus subvector's nearest codebook
+    entry — the shared encode step of :func:`pq_codes` (compression
+    report) and :func:`ivf_pq_topk` (ADC search).  One explode, a
+    broadcast codebook join, an argmin window; corpus rows shuffle once
+    on (vec, sub)."""
+    corpus_sub = _pq_subs(corpus, "vid", m=m, dim=dim,
+                          vec_col=vec_col, id_col=id_col)
+    cb_sub = _pq_subs(corpus.filter(F.col(id_col) % cb_every == 0), "cb_id",
+                      m=m, dim=dim, vec_col=vec_col, id_col=id_col)
+    scored = (
+        corpus_sub.join(F.broadcast(cb_sub), "sub")
+        .withColumn("d2", _dist2(F.col("vid_vec"), F.col("cb_id_vec")))
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("cb_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vid", "sub", "cb_id", "d2"))
+
+
 def pq_codes(corpus: DataFrame, *, m: int = 8, dim: int = 64,
              cb_every: int = 97, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
@@ -529,29 +567,8 @@ def pq_codes(corpus: DataFrame, *, m: int = 8, dim: int = 64,
     embedding_quantization scalar-int8 op reports the same metric for
     the other compression family).
     """
-    sub_d = dim // m
-    subs = F.explode(F.array(*[
-        F.struct(
-            F.lit(s).alias("sub"),
-            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("subvec"),
-        )
-        for s in range(m)
-    ])).alias("sv")
-
-    def sub_rows(df: DataFrame, out_id: str) -> DataFrame:
-        return (df.select(F.col(id_col).alias(out_id), subs)
-                .select(out_id, F.col("sv.sub").alias("sub"),
-                        F.col("sv.subvec").alias(f"{out_id}_vec")))
-
-    corpus_sub = sub_rows(corpus, "vid")
-    cb_sub = sub_rows(corpus.filter(F.col(id_col) % cb_every == 0), "cb_id")
-    scored = (
-        corpus_sub.join(F.broadcast(cb_sub), "sub")
-        .withColumn("d2", _dist2(F.col("vid_vec"), F.col("cb_id_vec")))
-    )
-    w = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("cb_id"))
-    best = (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1))
+    best = pq_best_codes(corpus, m=m, dim=dim, cb_every=cb_every,
+                         vec_col=vec_col, id_col=id_col)
     return (
         best.groupBy("vid")
         .agg(
@@ -572,3 +589,73 @@ def pq_codes(corpus: DataFrame, *, m: int = 8, dim: int = 64,
                 .alias("pq_mse"),
         )
     )
+
+
+def ivf_pq_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
+                cb_every: int = 97, m: int = 8, dim: int = 64,
+                n_queries: int = 5, n_probe: int = 2,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ asymmetric-distance search — the memory-bound ANN serving
+    composition: coarse IVF restricts candidates to each query's
+    ``n_probe`` nearest clusters, and candidates are scored from their
+    PQ CODES alone (m small ints per vector) against a per-query
+    distance table — the full corpus vectors are never touched at query
+    time.  At 100 TB this is the difference between serving from RAM
+    (m bytes + a cluster id per vector) and re-scanning float arrays.
+
+    Plan shape: the per-query distance table (n_queries x m x n_cb
+    rows) and the probe list are BROADCAST; the corpus-side code table
+    joins them by equi-keys only — (cluster) then (query, sub, code) —
+    so corpus rows shuffle once for the (query, candidate) ADC
+    aggregation, which partial-aggregates map-side.  The ADC sum folds
+    in sorted sub order (collect_list -> array_sort -> fold) for
+    cross-engine determinism, like pq_codes' mse.
+
+    Approximate twice over (cluster pruning + quantized distances) —
+    recall vs the exact brute force is MEASURED in tests, not assumed.
+    """
+    centroids = corpus.filter(F.col(id_col) % centroid_every == 0)
+    assigned = assign_clusters(corpus, centroids, vec_col=vec_col,
+                               id_col=id_col).select(
+        F.col(id_col).alias("vid"), F.col("centroid_id").alias("c_cluster"))
+    codes = pq_best_codes(corpus, m=m, dim=dim, cb_every=cb_every,
+                          vec_col=vec_col, id_col=id_col) \
+        .select("vid", "sub", "cb_id").join(assigned, "vid")
+
+    queries = corpus.filter(F.col(id_col) < n_queries)
+    probes = (
+        _centroid_ranked(queries, centroids, vec_col=vec_col, id_col=id_col)
+        .filter(F.col("_r") <= n_probe)
+        .select(F.col(id_col).alias("query_id"),
+                F.col("centroid_id").alias("q_cluster"))
+    )
+    qtab = (
+        _pq_subs(queries, "query_id", m=m, dim=dim,
+                 vec_col=vec_col, id_col=id_col)
+        .join(_pq_subs(corpus.filter(F.col(id_col) % cb_every == 0), "cb_id",
+                       m=m, dim=dim, vec_col=vec_col, id_col=id_col), "sub")
+        .select("query_id", "sub", "cb_id",
+                _dist2(F.col("query_id_vec"), F.col("cb_id_vec")).alias("d2"))
+    )
+
+    cand = (
+        codes.join(F.broadcast(probes), F.col("c_cluster") == F.col("q_cluster"))
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(F.broadcast(qtab), ["query_id", "sub", "cb_id"])
+    )
+    adc = (
+        cand.groupBy("query_id", "vid")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "d2"))).alias("_sd"))
+        .select(
+            "query_id", F.col("vid").alias("corpus_id"),
+            F.round(
+                F.aggregate(F.transform("_sd", lambda x: x["d2"]),
+                            F.lit(0.0), lambda acc, v: acc + v), 6)
+                .alias("adc_dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
+                                               F.asc("corpus_id"))
+    return (adc.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

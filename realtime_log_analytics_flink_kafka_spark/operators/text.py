@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.detmath import det_ln_ratio, exact_round_div, int_div
+from ..functions.detmath import exact_round_div, int_div, with_det_ln
 from ..functions.hashing import md5_long
 
 #: Fingerprint modulus (1e9+7, prime): acc*31 + h stays < 2^35, no overflow.
@@ -188,16 +188,19 @@ def tf_idf_top_terms(docs: DataFrame, text_col: str = "text", *,
     tf = term_frequencies(docs, text_col)
     df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    # deterministic ln, not F.log: JVM and DuckDB libm ln differ by 1 ulp
+    # on ~7.5% of inputs (measured), which flips round(6) on boundary
+    # rows and reorders rank ties — functions/detmath (staged form).
+    # Evaluated once per VOCAB term (broadcast back), not per (doc, term)
+    # row — measured 1.8x on the whole query at sf0.1.
+    df_ln = with_det_ln(
+        df_counts.crossJoin(F.broadcast(n_docs)),
+        F.col("n_docs"), F.col("df"), "_lnv",
+    ).select("term", "df", "_lnv")
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            # det_ln_ratio, not F.log: JVM and DuckDB libm ln differ by
-            # 1 ulp on ~7.5% of inputs (measured), which flips round(6)
-            # on boundary rows and reorders rank ties — functions/detmath
-            F.round(F.col("tf")
-                    * det_ln_ratio(F.col("n_docs"), F.col("df")), 6))
+        tf.join(F.broadcast(df_ln), "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("_lnv"), 6))
+        .drop("_lnv")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -357,11 +360,10 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tf = term_frequencies(docs, text_col)
     ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     total = ctf.agg(F.sum("ctf").alias("T"))
-    ctf_ln = (
-        ctf.crossJoin(F.broadcast(total))
-        .select("term",
-                det_ln_ratio(F.col("T"), F.col("ctf")).alias("lnv"))
-    )
+    ctf_ln = with_det_ln(
+        ctf.crossJoin(F.broadcast(total)),
+        F.col("T"), F.col("ctf"), "lnv",
+    ).select("term", "lnv")
     contrib = (
         tf.join(F.broadcast(ctf_ln), "term")
         .select(
@@ -446,19 +448,17 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bf = bigram_frequencies(docs, text_col)
     w_ctx = Window.partitionBy("w1")
     w_cbf = Window.partitionBy("w1", "w2")
-    contrib = (
+    contrib = with_det_ln(
         bf.withColumn("ctx", F.sum("bf").over(w_ctx))
-        .withColumn("cbf", F.sum("bf").over(w_cbf))
-        .select(
-            "doc_id", "bf",
-            F.struct(
-                "w1", "w2",
-                # det_ln_ratio: engine-independent ln (see
-                # unigram_surprisal / functions/detmath)
-                (F.col("bf")
-                 * det_ln_ratio(F.col("ctx"), F.col("cbf"))).alias("c"),
-            ).alias("tc"),
-        )
+        .withColumn("cbf", F.sum("bf").over(w_cbf)),
+        # engine-independent ln (see unigram_surprisal / functions/detmath)
+        F.col("ctx"), F.col("cbf"), "lnv",
+    ).select(
+        "doc_id", "bf",
+        F.struct(
+            "w1", "w2",
+            (F.col("bf") * F.col("lnv")).alias("c"),
+        ).alias("tc"),
     )
     return (
         contrib.groupBy("doc_id")

@@ -1452,33 +1452,35 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate/license-block/template detector that catches
     repeated SPANS long before whole-document dedup fires.
 
-    Shuffle shape (the widest shuffle in the bench, so it earns the
-    extra machinery): the heavy path ships 8-byte md5 gram ids, never
-    the ~50-byte span strings — (gh, doc) pre-aggregation collapses
-    within-doc repeats map-side, then a plain count per gh (same
-    two-level-agg trade vs countDistinct as before, now on longs).
-    Representative span TEXT is recovered by a second corpus pass
-    joined against the BROADCAST duplicate-id set — recompute-don't-
-    persist, exactly like dedup.py's shingle handling; the recovery
-    shuffle is duplicate-report-sized, not corpus-sized.  Assumes the
-    dup report ≪ corpus (true for boilerplate at sane thresholds); a
-    corpus-sized report would force the string shuffle in any design."""
+    Shuffle shape: ONE corpus scan, two-level aggregation KEYED on the
+    8-byte md5 gram id — (gh, doc) pre-agg collapses within-doc repeats
+    map-side (same trade vs countDistinct as before), the second level
+    is a plain count per gh.  min(gram) rides along as the
+    representative text, so each level ships one ~50-byte string per
+    group as an agg buffer — the bytes a text-output report cannot
+    avoid — while grouping/sorting compare fixed-width longs, not
+    strings.  (A hash-only heavy path with a second recovery scan ships
+    ~3× fewer level-1 bytes but re-runs the explode: measured 2.2×
+    SLOWER at sf0.1, and the explode CPU dominates at every scale where
+    the dup report is small — rejected.)  The HAVING keeps the output
+    duplicate-spans-sized, not corpus-sized."""
     docs = _docs(spark, sf_dir)
-    gh = md5_long(F.col("gram")).alias("gh")
-    per_doc = (text.ngram_spans(docs, SPAN_N).select("doc_id", gh)
-               .groupBy("gh", "doc_id").agg(F.count("*").alias("c")))
-    dup = (
+    per_doc = (
+        text.ngram_spans(docs, SPAN_N)
+        .select("doc_id", "gram", md5_long(F.col("gram")).alias("gh"))
+        .groupBy("gh", "doc_id")
+        .agg(F.count("*").alias("c"), F.min("gram").alias("g"))
+    )
+    return (
         per_doc.groupBy("gh")
         .agg(
+            F.min("g").alias("gram"),
             F.count("*").cast("long").alias("n_docs"),
             F.sum("c").cast("long").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .drop("gh")
     )
-    rep = (text.ngram_spans(docs, SPAN_N).select(gh, "gram")
-           .join(F.broadcast(dup.select("gh")), "gh")
-           .groupBy("gh").agg(F.min("gram").alias("gram")))
-    return dup.join(rep, "gh").select("gram", "n_docs", "n_occurrences")
 
 
 SQL_DUPLICATE_NGRAM_SPANS = f"""
@@ -1491,15 +1493,15 @@ spans AS (
     FROM tok WHERE len(toks) >= {SPAN_N}
 ),
 hs AS (SELECT doc_id, gram, {MD5_LONG.format(x='gram')} AS gh FROM spans),
-dup AS (
-    SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_occurrences
-    FROM hs GROUP BY gh
-    HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
-),
-rep AS (SELECT gh, min(gram) AS gram FROM hs GROUP BY gh)
-SELECT rep.gram, dup.n_docs, dup.n_occurrences
-FROM dup JOIN rep ON dup.gh = rep.gh
+per_doc AS (
+    SELECT gh, doc_id, count(*) AS c, min(gram) AS g
+    FROM hs GROUP BY gh, doc_id
+)
+SELECT min(g) AS gram,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY gh
+HAVING count(*) >= {SPAN_MIN_DOCS}
 """
 
 
@@ -1572,6 +1574,91 @@ SELECT vec_id,
        round(list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)),
                          (acc, x) -> acc + x) / 64, 6) AS pq_mse
 FROM best GROUP BY vec_id
+"""
+
+
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance ANN (operators/similarity.py:
+    ivf_pq_topk): coarse clusters prune candidates, PQ codes + a
+    broadcast per-query distance table score them — the composition that
+    serves a 100 TB embedding corpus from RAM."""
+    return similarity.ivf_pq_topk(
+        _embs(spark, sf_dir), k=IVF_K, centroid_every=IVF_CENTROID_EVERY,
+        cb_every=PQ_CB_EVERY, m=PQ_M, n_queries=KNN_N_QUERIES,
+        n_probe=IVF_N_PROBE)
+
+
+def _knn_ivf_pq_sql() -> str:
+    sub_d = 64 // PQ_M
+    d2 = _fold_sql(
+        f"list_transform(range(1, {sub_d + 1}), "
+        "i -> (CAST(v.subvec[i] AS DOUBLE) - CAST(c.subvec[i] AS DOUBLE))"
+        " * (CAST(v.subvec[i] AS DOUBLE) - CAST(c.subvec[i] AS DOUBLE)))")
+    return f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id % {IVF_CENTROID_EVERY} = 0
+),
+cdists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {DIST2_SQL.format(a='e.embedding', b='c.cvec')} AS dist2
+    FROM embeddings e CROSS JOIN cent c
+),
+cranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2 ASC, centroid_id ASC) AS rn
+    FROM cdists
+),
+assigned AS (SELECT vec_id, centroid_id FROM cranked WHERE rn = 1),
+probes AS (
+    SELECT vec_id AS query_id, centroid_id FROM cranked
+    WHERE vec_id < {KNN_N_QUERIES} AND rn <= {IVF_N_PROBE}
+),
+subs AS (
+    SELECT vec_id, s.sub AS sub,
+           embedding[s.sub * {sub_d} + 1 : s.sub * {sub_d} + {sub_d}] AS subvec
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS sub) s
+),
+cb AS (
+    SELECT vec_id AS cb_id, sub, subvec FROM subs
+    WHERE vec_id % {PQ_CB_EVERY} = 0
+),
+pq_scored AS (
+    SELECT v.vec_id, v.sub, c.cb_id, {d2} AS d2
+    FROM subs v JOIN cb c ON v.sub = c.sub
+),
+best AS (
+    SELECT vec_id, sub, cb_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2 ASC, cb_id ASC) AS rn
+        FROM pq_scored
+    ) t WHERE rn = 1
+),
+codes AS (
+    SELECT b.vec_id, b.sub, b.cb_id, a.centroid_id
+    FROM best b JOIN assigned a ON b.vec_id = a.vec_id
+),
+qtab AS (
+    SELECT v.vec_id AS query_id, v.sub, c.cb_id, {d2} AS d2
+    FROM subs v JOIN cb c ON v.sub = c.sub
+    WHERE v.vec_id < {KNN_N_QUERIES}
+),
+adc AS (
+    SELECT p.query_id, k.vec_id AS corpus_id,
+           round(list_reduce(list_prepend(0.0, list(t.d2 ORDER BY k.sub)),
+                             (acc, x) -> acc + x), 6) AS adc_dist2
+    FROM codes k
+    JOIN probes p ON k.centroid_id = p.centroid_id AND k.vec_id <> p.query_id
+    JOIN qtab t ON t.query_id = p.query_id AND t.sub = k.sub
+               AND t.cb_id = k.cb_id
+    GROUP BY p.query_id, k.vec_id
+)
+SELECT query_id, corpus_id, adc_dist2, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist2 ASC, corpus_id ASC) AS rank
+    FROM adc
+) r WHERE rank <= {IVF_K}
 """
 
 
@@ -1648,6 +1735,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
+    "knn_ivf_pq": QuerySpec(q_knn_ivf_pq, _knn_ivf_pq_sql()),
     "knn_ivf_multiprobe": QuerySpec(q_knn_ivf_multiprobe,
                                     SQL_KNN_IVF_MULTIPROBE),
     "knn_lsh_pairs": QuerySpec(q_knn_lsh_pairs, _lsh_pairs_sql()),

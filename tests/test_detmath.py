@@ -17,7 +17,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from realtime_log_analytics_flink_kafka_spark.functions.detmath import (
-    det_ln_ratio, det_ln_sql_items, exact_round_div, exact_round_div_sql)
+    det_ln_ratio, det_ln_sql_items, exact_round_div, exact_round_div_sql,
+    with_det_ln)
 
 
 def _bits(x: float) -> bytes:
@@ -78,6 +79,27 @@ def test_exact_round_div_bit_identical_and_exact(spark):
         scaled = Fraction(n, d) * 10_000
         want = math.floor(abs(scaled) + Fraction(1, 2)) * (1 if n >= 0 else -1)
         assert sp[i] == pytest.approx(want / 10_000.0, abs=0), (n, d)
+
+
+def test_with_det_ln_bitwise_equals_inline(spark):
+    """The staged (hot-path) form computes the IDENTICAL doubles as the
+    inline Column form — same DAG, different evaluation shape."""
+    rng = random.Random(7)
+    pairs = [(rng.randint(1, 10 ** 12), rng.randint(1, 10 ** 12))
+             for _ in range(5_000)] + EDGE_PAIRS
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long")
+    staged = {r.i: r.v for r in with_det_ln(
+        df, F.col("a"), F.col("b"), "v").select("i", "v").collect()}
+    inline = {r.i: r.v for r in df.select(
+        "i", det_ln_ratio(F.col("a"), F.col("b")).alias("v")).collect()}
+    assert all(_bits(staged[i]) == _bits(inline[i]) for i in staged)
+
+
+def test_with_det_ln_drops_scratch_columns(spark):
+    df = spark.createDataFrame([(10, 3)], "a long, b long")
+    out = with_det_ln(df, F.col("a"), F.col("b"), "lnv")
+    assert out.columns == ["a", "b", "lnv"]
 
 
 def test_exact_round_div_null_on_zero_denominator(spark):

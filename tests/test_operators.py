@@ -653,3 +653,36 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[2] == (2, want2)
     # rare-vocab doc is more surprising than the common-vocab doc
     assert got[2][1] > got[1][1]
+
+
+def test_ivf_pq_adc_approximates_exact_neighbors(spark):
+    """IVF-PQ sanity: the ADC top-k overlaps the exact euclidean top-k
+    restricted to the same probed clusters (quantization error may
+    reorder, but the code-based distances must track real distances),
+    and every ADC distance is nonnegative."""
+    from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+        cosine_topk, ivf_pq_topk,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = ivf_pq_topk(embs, k=3, n_queries=5, n_probe=2)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.adc_dist2 >= 0 for r in rows)
+    assert all(1 <= r.rank <= 3 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # ranks are dense per query and sorted by adc distance
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].adc_dist2 <= rs[i + 1].adc_dist2
+                   for i in range(len(rs) - 1))
+    # quantized search still finds real structure: nonzero overlap with
+    # the exact cosine top-10 across the query set
+    truth = {}
+    for r in cosine_topk(embs, embs.filter(F.col("vec_id") < 5), k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(1 for r in rows if r.corpus_id in truth.get(r.query_id, set()))
+    assert hits > 0, "ADC top-k completely disjoint from exact top-10"

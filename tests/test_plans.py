@@ -21,7 +21,7 @@ QUERIES = all_queries()
 #: Queries allowed to carry Arrow-vectorized Python (mapInPandas): the
 #: multimodal codec stubs, whose whole point is the Pandas-UDF batch
 #: plumbing.  Row-at-a-time BatchEvalPython is banned with no exceptions.
-ARROW_SANCTIONED = {"frame_samples", "media_resize"}
+ARROW_SANCTIONED = {"frame_samples", "media_resize", "media_decode"}
 
 
 def test_no_python_in_any_registry_query(spark):
@@ -50,6 +50,10 @@ NESTED_LOOP_SANCTIONED = {
     "knn_bruteforce": 1,
     "knn_ivf": 2,
     "knn_ivf_multiprobe": 2,   # corpus assignment + query-probe ranking
+    # same two bounded centroid broadcasts as multiprobe (corpus
+    # assignment + probe ranking); the PQ codebook and ADC-table joins
+    # are equi-joins on sub / (query, sub, code)
+    "knn_ivf_pq": 2,
     "embedding_near_dups": 1,
     "tfidf_top_terms": 1,
     "embedding_quantization": 1,   # single-row scale array broadcast
