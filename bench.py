@@ -70,6 +70,8 @@ HEADLINE = [
     # float-heaviest queries — regressions must be visible
     "unigram_surprisal",
     "token_weighted_sample",
+    "knn_ivf_pq",
+    "perplexity_buckets",
 ]
 
 

@@ -50,6 +50,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "media_decode",
     # new: IVF-PQ asymmetric-distance ANN serving composition
     "knn_ivf_pq",
+    # new: CCNet-style perplexity terciles over the deterministic LM score
+    "perplexity_buckets",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
@@ -65,7 +67,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "error_rate_sliding", "slo_breach_streaks", "latency_p95_daily",
     "escalations_every_third", "synthetic_log_profile", "dup_clusters",
     "pii_redaction", "source_mixture", "token_shards",
-    "packing_efficiency",
 )
 
 

@@ -1070,6 +1070,41 @@ FROM contrib GROUP BY doc_id
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity stratification: each document assigned a
+    head/middle/tail tercile of the per-language surprisal distribution
+    (low = cleanest, the slice CCNet keeps; high = garbled) — the
+    quality-stratification step between LM scoring and source mixing.
+
+    The surprisal is unigram_surprisal's deterministic score, so the
+    ntile order (score, doc_id) is a cross-engine total order.  Scale
+    note: ntile sorts each lang partition in one task; at 100 TB replace
+    the window with approx_percentile tercile CUTOFFS broadcast back and
+    a map-side bucket assign (same output schema, no global sort) — the
+    exact window form here is the oracle-checkable twin, the same
+    exact/approx pairing as latency_p95_daily vs latency_p95_approx.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    s = text.unigram_surprisal(docs).select("doc_id", "mean_surprisal")
+    w = Window.partitionBy("lang").orderBy("mean_surprisal", "doc_id")
+    return (
+        docs.select("doc_id", "lang").join(s, "doc_id")
+        .withColumn("ppl_bucket", F.ntile(3).over(w).cast("long"))
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH s AS ({SQL_UNIGRAM_SURPRISAL})
+SELECT d.doc_id, d.lang, s.mean_surprisal,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.mean_surprisal, d.doc_id) AS BIGINT)
+           AS ppl_bucket
+FROM documents d JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 #: Epoch weights for the mixture query, basis points (10000 = 1 epoch):
 #: src0 oversampled 2.5x, src1 downsampled to 0.4, src2 exactly doubled,
 #: everything else single-epoch.  Exercises all three arms (floor > 1,
@@ -1764,6 +1799,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
     "media_decode": QuerySpec(q_media_decode, _media_decode_sql()),
     "source_mixture": QuerySpec(q_source_mixture, _source_mixture_sql()),
+    "perplexity_buckets": QuerySpec(q_perplexity_buckets,
+                                    SQL_PERPLEXITY_BUCKETS),
     "unigram_surprisal": QuerySpec(q_unigram_surprisal,
                                    SQL_UNIGRAM_SURPRISAL),
     "embedding_quantization": QuerySpec(q_embedding_quantization,

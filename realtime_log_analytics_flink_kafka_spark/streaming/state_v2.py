@@ -55,8 +55,9 @@ except ImportError:  # Spark 3.x, or no protobuf in the image
         StatefulProcessorHandle = Any  # type: ignore[assignment,misc]
 
 from .state import (BREACH_OUTPUT_SCHEMA, ESCALATED_OUTPUT_SCHEMA,
-                    ESCALATION_EVERY, STATE_TTL_MS,
-                    consecutive_breach_stateful, escalate_every_n_stateful)
+                    ESCALATION_EVERY, STATE_TTL_MS, THROTTLE_OUTPUT_SCHEMA,
+                    consecutive_breach_stateful, escalate_every_n_stateful,
+                    throttle_alerts_stateful)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -156,6 +157,54 @@ class _ConsecutiveBreach(StatefulProcessor):
         pass
 
 
+class _ThrottleAlerts(StatefulProcessor):
+    """Streaming alert throttle (batch twin operators/escalate.py:
+    throttle_alerts) on native typed state: pass the FIRST ``limit``
+    alerts per (service, time bucket); O(1) state per key — the
+    (bucket, emitted) pair for the latest bucket only, TTL-dropped for
+    idle services."""
+
+    def __init__(self, limit: int, bucket_seconds: int, ttl_ms: int) -> None:
+        self._limit = limit
+        self._bucket_s = bucket_seconds
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState(
+            "throttle", "bucket long, emitted long",
+            ttlDurationMs=self._ttl_ms)
+
+    def handleInputRows(self, key: tuple[Any, ...],
+                        rows: Iterator[pd.DataFrame],
+                        timer_values: Any) -> Iterator[pd.DataFrame]:
+        bucket, emitted = self._st.get() if self._st.exists() else (-1, 0)
+        chunks = [p for p in rows if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values(["ts", "event_id"], kind="mergesort")
+            keep_rows = []
+            for row in pdf.itertuples(index=False):
+                b = int(row.ts.timestamp()) // self._bucket_s
+                if b > bucket:
+                    bucket, emitted = b, 0
+                if emitted < self._limit:
+                    emitted += 1
+                    keep_rows.append({
+                        "service": key[0],
+                        "bucket_start": bucket * self._bucket_s,
+                        "event_id": int(row.event_id),
+                        "ts": row.ts,
+                        "latency_ms": float(row.latency_ms),
+                        "alert_seq": emitted,
+                    })
+            if keep_rows:
+                yield pd.DataFrame(keep_rows)
+        self._st.update((bucket, emitted))
+
+    def close(self) -> None:
+        pass
+
+
 def escalate_every_n_tws(alerts: DataFrame, *, n: int = ESCALATION_EVERY,
                          ttl_ms: int = STATE_TTL_MS) -> DataFrame:
     """Native-API escalation counter (W9: ValueState + 1 h TTL)."""
@@ -176,6 +225,30 @@ def consecutive_breach_tws(windowed: DataFrame, *, limit: int = 3,
         outputMode="append",
         timeMode="none",
     )
+
+
+def throttle_alerts_tws(alerts: DataFrame, *, limit: int = 2,
+                        bucket_seconds: int = 86_400,
+                        ttl_ms: int = STATE_TTL_MS) -> DataFrame:
+    """Native-API per-bucket alert throttle (W9-family: ValueState + TTL)."""
+    return alerts.groupBy("service").transformWithStateInPandas(
+        _ThrottleAlerts(limit, bucket_seconds, ttl_ms),
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
+def throttle_alerts_stream(alerts: DataFrame, *, limit: int = 2,
+                           bucket_seconds: int = 86_400,
+                           ttl_ms: int = STATE_TTL_MS) -> DataFrame:
+    if HAS_TWS:
+        return throttle_alerts_tws(alerts, limit=limit,
+                                   bucket_seconds=bucket_seconds,
+                                   ttl_ms=ttl_ms)
+    return throttle_alerts_stateful(alerts, limit=limit,
+                                    bucket_seconds=bucket_seconds,
+                                    ttl_ms=ttl_ms)
 
 
 def escalate_every_n_stream(alerts: DataFrame, *, n: int = ESCALATION_EVERY,

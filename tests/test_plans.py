@@ -58,6 +58,7 @@ NESTED_LOOP_SANCTIONED = {
     "tfidf_top_terms": 1,
     "embedding_quantization": 1,   # single-row scale array broadcast
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
+    "perplexity_buckets": 1,       # composes unigram_surprisal's total
     # composes knn_bruteforce's query-set broadcast with knn_ivf's
     # centroid broadcasts (the corpus assignment subtree appears on both
     # the query and candidate branches); the recall join itself is an

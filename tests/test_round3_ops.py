@@ -190,3 +190,25 @@ class TestCentroidSimilarity:
             labels.update((r.label_a, r.label_b))
         n = len(labels)
         assert len(rows) == n * (n - 1) // 2
+
+
+def test_perplexity_buckets_balanced_within_lang(spark):
+    """ntile(3) contract: within each language the terciles differ by at
+    most one doc, bucket ids are 1..3, and bucket order tracks the
+    surprisal order (max(b1) <= min(b2) <= ... modulo ties broken by id)."""
+    from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+        q_perplexity_buckets)
+    from tests.conftest import SF_SMOKE
+
+    rows = q_perplexity_buckets(spark, SF_SMOKE).collect()
+    assert rows and all(1 <= r.ppl_bucket <= 3 for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.ppl_bucket, []).append(r)
+    for lang, buckets in by_lang.items():
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for b in range(1, len(buckets)):
+            lo = max(x.mean_surprisal for x in buckets[b])
+            hi = min(x.mean_surprisal for x in buckets[b + 1])
+            assert lo <= hi, (lang, b, lo, hi)

@@ -118,6 +118,36 @@ def test_breach_processor_emit_and_clear_across_batches():
     assert h.states["streak"].get() == (0,)
 
 
+def test_throttle_processor_quota_spans_chunks_and_batches():
+    p = state_v2._ThrottleAlerts(2, 86_400, 3_600_000)
+    h = FakeHandle()
+    p.init(h)
+    assert h.states["throttle"].ttl_ms == 3_600_000
+
+    def alerts(ids, day=1):
+        return pd.DataFrame({
+            "event_id": list(ids),
+            "ts": [pd.Timestamp(2024, 1, day, 0, 0, i % 60) for i in ids],
+            "service": "auth",
+            "latency_ms": 50.0,
+        })
+
+    # batch 1 split across chunks, out of order: quota 2 must go to the
+    # two EARLIEST alerts (0, 1), not first-chunk arrivals
+    out1 = pd.concat(list(p.handleInputRows(
+        ("auth",), iter([alerts([2, 3]), alerts([0, 1])]), None)))
+    assert sorted(out1["event_id"]) == [0, 1]
+    assert h.states["throttle"].get() == (19723, 2)  # bucket, exhausted
+
+    # batch 2 same day-bucket: quota already spent -> nothing
+    assert list(p.handleInputRows(("auth",), iter([alerts([7])]), None)) == []
+    # next day: bucket advances, quota resets
+    out3 = pd.concat(list(p.handleInputRows(
+        ("auth",), iter([alerts([10, 11, 12], day=2)]), None)))
+    assert sorted(out3["event_id"]) == [10, 11]
+    assert list(out3.sort_values("event_id")["alert_seq"]) == [1, 2]
+
+
 def test_dispatchers_fall_back_without_tws(spark):
     """In this image HAS_TWS is False (no protobuf), so the *_stream
     dispatchers must return the applyInPandasWithState plan."""
