@@ -72,6 +72,11 @@ HEADLINE = [
     "token_weighted_sample",
     "knn_ivf_pq",
     "perplexity_buckets",
+    # round-4 additions: corpus-wide segment dedup (two passes over the
+    # segment explode), incremental batch-vs-corpus LSH, z-score anomalies
+    "segment_dedup",
+    "dedup_incremental",
+    "latency_anomalies",
 ]
 
 

@@ -132,6 +132,24 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return minhash_sketch(docs, text_col, n).drop("hset")
 
 
+def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}, ...) -> exploded (doc_id, band, bucket):
+    each band's bucket key is the concat of its ``LSH_ROWS`` min-hashes.
+    Shared by the self-join pair generator and the incremental
+    (batch-vs-corpus) flagger, so both sides of any LSH join bucket
+    identically."""
+    band_structs = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_structs.append(F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+        ))
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bucket")
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
                       n: int = 3, threshold: float = 0.4,
                       reuse_sets: bool = False) -> DataFrame:
@@ -157,18 +175,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
     if reuse_sets:
         from pyspark import StorageLevel
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = sets
 
-    band_structs = []
-    for band in range(LSH_BANDS):
-        cols = [F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        band_structs.append(F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
-        ))
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc_id", "b.band", "b.bucket")
+    banded = lsh_band_buckets(sets)
 
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
@@ -348,3 +356,143 @@ def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
 
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+#: C4-style segment dedup: non-overlapping token chunks of this size …
+SEGMENT_TOKENS = 8
+#: … dropped when they occur at least this often corpus-wide.
+SEGMENT_MIN_DF = 2
+
+
+def corpus_segments(docs: DataFrame, text_col: str = "text",
+                    seg: int = SEGMENT_TOKENS) -> DataFrame:
+    """doc_id -> (seg_idx, seg_text, n_tok, h): the document cut into
+    NON-overlapping ``seg``-token chunks, in order, each with its token
+    count and 60-bit hash.
+
+    This is the unit of C4/RefinedWeb-style boilerplate removal — where
+    C4 splits on newlines/sentences, the fixture corpus has neither
+    (documents.parquet is single-line), so the segment boundary is a
+    fixed token stride: same pipeline shape, deterministic and
+    oracle-expressible.  Zero-token documents yield no segments.  The
+    shuffle unit downstream is the 8-byte hash ``h``, never the segment
+    text.
+    """
+    toked = docs.select(
+        "doc_id",
+        ws_tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg))).cast("int")
+    segs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg + 1, F.lit(seg))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toked.select("doc_id", F.size(toks).alias("_ntoks"),
+                     F.posexplode(segs).alias("seg_idx", "seg_text"))
+        .select(
+            "doc_id", "seg_idx", "seg_text",
+            F.least(F.lit(seg), F.col("_ntoks") - F.col("seg_idx") * seg)
+                .alias("n_tok"),
+            md5_long(F.col("seg_text")).alias("h"),
+        )
+    )
+
+
+def segment_dedup(docs: DataFrame, text_col: str = "text", *,
+                  seg: int = SEGMENT_TOKENS,
+                  min_df: int = SEGMENT_MIN_DF) -> DataFrame:
+    """Corpus-level boilerplate segment removal (the C4 "deduplicate
+    three-sentence spans" step): any segment occurring >= ``min_df``
+    times across the corpus is dropped from EVERY document; emit one row
+    per non-empty document with retention stats and the md5 of the
+    cleaned text (kept segments re-joined in original order).
+
+    Plan shape for 100 TB: pass 1 aggregates segment hashes (8-byte
+    keys, map-side combined — the shuffle carries one row per distinct
+    segment, not per occurrence); the surviving boilerplate set is a
+    tiny fraction of distinct segments and broadcasts back onto pass 2's
+    per-document rollup, so no second corpus-wide shuffle on ``h`` ever
+    happens.  If the boilerplate set outgrows broadcast at extreme
+    scale, drop the hint and it degrades to an ordinary shuffled left
+    join with the same semantics.  The segment explode is recomputed by
+    both passes (recompute-vs-persist measured for the same pattern in
+    :func:`minhash_lsh_pairs` — at 100 TB checkpoint ``corpus_segments``
+    to storage instead).
+    """
+    segs = corpus_segments(docs, text_col, seg)
+    boiler = (
+        segs.groupBy("h").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h", F.lit(1).alias("_boiler"))
+    )
+    flagged = segs.join(F.broadcast(boiler), "h", "left")
+    kept = F.col("_boiler").isNull()
+    kept_segs = F.array_sort(
+        F.collect_list(F.when(kept, F.struct("seg_idx", "seg_text"))))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(kept, 0).otherwise(1)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("tokens_kept"),
+            F.md5(F.concat_ws(
+                " ", F.transform(kept_segs, lambda s: s["seg_text"]),
+            )).alias("kept_text_hash"),
+        )
+    )
+
+
+def incremental_dedup_flags(corpus: DataFrame, batch: DataFrame,
+                            text_col: str = "text", *, n: int = 3,
+                            threshold: float = 0.4) -> DataFrame:
+    """Daily-ingest near-dedup: flag documents in ``batch`` that
+    near-duplicate (MinHash-LSH, exact-Jaccard >= ``threshold``) any
+    document already in ``corpus``.  One row per flagged batch doc:
+    (doc_id, n_matches, matched_corpus_doc = smallest matching corpus
+    id, best_jaccard).
+
+    This is the asymmetric join a 100 TB pipeline actually runs every
+    ingest cycle: the corpus side is a PRE-BUILT stored LSH index
+    ((band, bucket) -> doc_id + shingle set, appended to as batches are
+    accepted), so each new batch costs O(batch) sketch work plus an
+    equi-join against the index — never a corpus re-scan and never a
+    corpus x corpus self-join.  Here the index is computed inline from
+    the corpus split; per-doc signatures are identical either way
+    because MinHash is a per-document aggregate.
+    """
+    csk = minhash_sketch(corpus, text_col, n)
+    bsk = minhash_sketch(batch, text_col, n)
+    cand = (
+        lsh_band_buckets(bsk).alias("x")
+        .join(lsh_band_buckets(csk).alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.bucket") == F.col("y.bucket")))
+        .select(F.col("x.doc_id").alias("new_doc"),
+                F.col("y.doc_id").alias("corpus_doc"))
+        .distinct()
+    )
+    a, b = bsk.alias("a"), csk.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset")))
+    union = F.size(F.col("a.hset")) + F.size(F.col("b.hset")) - inter
+    verified = (
+        cand.join(a, cand.new_doc == F.col("a.doc_id"))
+        .join(b, cand.corpus_doc == F.col("b.doc_id"))
+        .select(
+            "new_doc", "corpus_doc",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return (
+        verified.groupBy(F.col("new_doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("corpus_doc").alias("matched_corpus_doc"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )

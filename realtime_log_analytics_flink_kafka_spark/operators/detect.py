@@ -75,6 +75,64 @@ def error_rate_alerts(logs: DataFrame, *, size: str, slide: str | None = None,
     )
 
 
+#: z-score cutoff for the latency anomaly detector.
+ANOMALY_Z = 3
+
+
+def latency_anomalies(logs: DataFrame, *, key: str = "service",
+                      z: int = ANOMALY_Z) -> DataFrame:
+    """Per-(key, day) latency outlier report: each event is tested
+    against its own group's mean/std at ``z`` sigmas — the statistical
+    escalation of the reference's fixed-threshold detectors
+    (flink/latency_slo_monitor.py:49 hard-codes 500 ms; a per-service
+    baseline flags the service whose *own* distribution shifted).
+
+    Cross-engine exactness: latencies are scaled to centi-ms integers
+    (the fixture's values carry 2 decimals), and the z-test is the
+    cross-multiplied integer comparison
+
+        (n*x - S)^2  >  z^2 * (n*Q - S^2)        [S = sum x, Q = sum x^2]
+
+    evaluated in DECIMAL — algebraically (x - mean)^2 > z^2 * variance
+    with both sides scaled by n^2, so no division, no sqrt, no doubles
+    anywhere, and the outlier counts hash-match any engine bit-for-bit.
+
+    Plan shape for 100 TB: one shuffle computes the per-(key, day)
+    moment sums (map-side combined — the shuffle carries 3 numbers per
+    group, not events); the tiny stats table then BROADCASTS back onto
+    the event stream, so flagging is a map-side predicate, and the final
+    rollup is a second small aggregation.  No self-join of the event
+    table against itself, no window sort over the raw events.
+    """
+    cs = logs.filter(F.col("latency_ms").isNotNull()).select(
+        F.col(key),
+        F.to_date("ts").alias("day"),
+        F.round(F.col("latency_ms") * 100).cast("decimal(18,0)").alias("x_cs"),
+    )
+    stats = cs.groupBy(key, "day").agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.sum("x_cs").alias("s"),
+        F.sum(F.col("x_cs") * F.col("x_cs")).alias("q"),
+    )
+    j = cs.join(F.broadcast(stats), [key, "day"])
+    dev = F.col("n") * F.col("x_cs") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    is_out = (dev * dev) > F.lit(z * z) * var_n2
+    return (
+        j.groupBy(key, "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.max(F.col("x_cs").cast("long")).alias("max_latency_cs"),
+        )
+        .select(
+            key,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events", "n_outliers", "max_latency_cs",
+        )
+    )
+
+
 def latency_p95(logs: DataFrame, *, size: str, q: float = 0.95,
                 key: str = "service", approx: bool = False) -> DataFrame:
     """Tumbling-window exact (or approx at scale) p95 latency per key."""

@@ -52,6 +52,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_ivf_pq",
     # new: CCNet-style perplexity terciles over the deterministic LM score
     "perplexity_buckets",
+    # new r4: C4-style segment dedup, batch-vs-corpus incremental dedup,
+    # per-service z-score latency anomalies (exact integer arithmetic)
+    "segment_dedup", "dedup_incremental", "latency_anomalies",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
@@ -66,7 +69,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green refresh fill --------------------------------------------
     "error_rate_sliding", "slo_breach_streaks", "latency_p95_daily",
     "escalations_every_third", "synthetic_log_profile", "dup_clusters",
-    "pii_redaction", "source_mixture", "token_shards",
 )
 
 

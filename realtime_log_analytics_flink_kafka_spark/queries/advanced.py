@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.detect import ANOMALY_Z
 from ..operators.logs import LOGS_CTE
 from ..sources.batch import load_table
 from . import QuerySpec
@@ -691,7 +692,44 @@ GROUP BY service
 """
 
 
+# --- per-service latency anomaly detection ----------------------------------
+
+def q_latency_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.detect import latency_anomalies
+    from ..operators.logs import as_logs
+
+    return latency_anomalies(as_logs(load_table(spark, sf_dir, "events")))
+
+
+SQL_LATENCY_ANOMALIES = f"""
+WITH {LOGS_CTE},
+cs AS (
+    SELECT service, CAST(ts AS DATE) AS day,
+           CAST(round(latency_ms * 100) AS HUGEINT) AS x_cs
+    FROM logs WHERE latency_ms IS NOT NULL
+),
+stats AS (
+    SELECT service, day,
+           CAST(count(*) AS HUGEINT) AS n,
+           sum(x_cs) AS s,
+           sum(x_cs * x_cs) AS q
+    FROM cs GROUP BY 1, 2
+)
+SELECT c.service,
+       strftime(c.day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (n * x_cs - s) * (n * x_cs - s)
+                          > {ANOMALY_Z * ANOMALY_Z} * (n * q - s * s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(max(c.x_cs) AS BIGINT) AS max_latency_cs
+FROM cs c JOIN stats USING (service, day)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "latency_anomalies": QuerySpec(q_latency_anomalies,
+                                   SQL_LATENCY_ANOMALIES),
     "funnel_conversion": QuerySpec(q_funnel_conversion, _funnel_sql()),
     "event_lateness_audit": QuerySpec(q_event_lateness_audit,
                                       SQL_EVENT_LATENESS_AUDIT),

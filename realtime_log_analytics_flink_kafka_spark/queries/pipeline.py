@@ -1757,7 +1757,118 @@ FROM (SELECT doc_id, {h} AS h FROM documents)
 """
 
 
+# --- C4-style segment (line-level) boilerplate dedup -------------------------
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.segment_dedup(_docs(spark, sf_dir))
+
+
+def _segment_dedup_sql() -> str:
+    seg, min_df = dedup.SEGMENT_TOKENS, dedup.SEGMENT_MIN_DF
+    return f"""
+WITH {TOKENS_CTE},
+seg AS (
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           unnest(range(0, CAST(ceil(len(toks) / {seg}.0) AS BIGINT))) AS seg_idx,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / {seg}.0) AS BIGINT)),
+               i -> array_to_string(array_slice(toks, i * {seg} + 1,
+                                                i * {seg} + {seg}), ' ')))
+               AS seg_text
+    FROM tok WHERE len(toks) > 0
+),
+seg2 AS (
+    SELECT doc_id, seg_idx, seg_text,
+           least({seg}, n_toks - seg_idx * {seg}) AS n_tok,
+           {MD5_LONG.format(x='seg_text')} AS h
+    FROM seg
+),
+boiler AS (
+    SELECT h FROM (SELECT h, count(*) AS df FROM seg2 GROUP BY 1)
+    WHERE df >= {min_df}
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_dropped,
+       sum(CASE WHEN b.h IS NULL THEN s.n_tok ELSE 0 END) AS tokens_kept,
+       md5(coalesce(string_agg(CASE WHEN b.h IS NULL THEN s.seg_text END,
+                               ' ' ORDER BY s.seg_idx), '')) AS kept_text_hash
+FROM seg2 s LEFT JOIN boiler b ON s.h = b.h
+GROUP BY 1
+"""
+
+
+# --- incremental (batch-vs-corpus) near-dedup --------------------------------
+
+#: Every 10th doc plays the freshly-ingested batch; the rest, the corpus.
+INCREMENTAL_BATCH_MOD = 10
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    m = INCREMENTAL_BATCH_MOD
+    return dedup.incremental_dedup_flags(
+        docs.filter(F.col("doc_id") % m != 0),
+        docs.filter(F.col("doc_id") % m == 0),
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    # Signatures are per-document aggregates, so computing them over the
+    # whole table and splitting afterwards is identical to the Spark
+    # side's split-then-sketch.
+    m = INCREMENTAL_BATCH_MOD
+    mh_exprs = ",\n           ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(affine_hashes(dedup.MINHASH_K))
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {key} AS bucket FROM mh")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {SHINGLE_CTES},
+mh AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bucket = y.bucket
+    WHERE x.doc_id % {m} = 0 AND y.doc_id % {m} <> 0
+),
+verified AS (
+    SELECT new_doc, corpus_doc,
+           round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+                 / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
+                 4) AS jaccard
+    FROM cand
+    JOIN hsets a ON cand.new_doc = a.doc_id
+    JOIN hsets b ON cand.corpus_doc = b.doc_id
+)
+SELECT new_doc AS doc_id,
+       count(*) AS n_matches,
+       min(corpus_doc) AS matched_corpus_doc,
+       max(jaccard) AS best_jaccard
+FROM verified WHERE jaccard >= {MINHASH_THRESHOLD}
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "segment_dedup": QuerySpec(q_segment_dedup, _segment_dedup_sql()),
+    "dedup_incremental": QuerySpec(q_dedup_incremental,
+                                   _dedup_incremental_sql()),
     "corpus_shuffle": QuerySpec(q_corpus_shuffle, _corpus_shuffle_sql()),
     "token_weighted_sample": QuerySpec(q_token_weighted_sample,
                                        _token_weighted_sample_sql()),

@@ -1,13 +1,15 @@
-"""Driver-scale (sf0.01) oracle parity for the driver's front-50.
+"""Driver-scale (sf0.01) oracle parity for the WHOLE registry.
 
 The r3 hash failures (curation_report, unigram_surprisal) shipped because
 the local mirror ran only at sf0.001 — the boundary documents that flip a
 cross-engine round simply don't exist at smoke scale (VERDICT r3 §wrong).
-This suite re-runs the EXACT configuration the driver checks: same scale
-factor, same front-50 slice of the registry, value-exact compare.
+This suite re-runs the EXACT configuration the driver checks — same scale
+factor, value-exact compare — over every registry query, not just the
+front-50 the driver's window reaches, so evidence never goes stale for
+the tail either.
 
-Slow (~10 min on local[32]) — excluded from the default run by pytest.ini;
-run `python -m pytest -m sf01 -q` before handing off a round.
+Slow (a few minutes on local[32]) — excluded from the default run by
+pytest.ini; run `python -m pytest -m sf01 -q` before handing off a round.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ from realtime_log_analytics_flink_kafka_spark.queries import all_queries
 from tests.conftest import SF_ORACLE
 from tests.oracle_harness import compare, duckdb_connect
 
-FRONT_50 = list(all_queries().items())[:50]
+ALL_QUERIES = list(all_queries().items())
 
 
 @pytest.fixture(scope="module")
@@ -29,7 +31,7 @@ def con():
 
 
 @pytest.mark.sf01
-@pytest.mark.parametrize("name,spec", FRONT_50, ids=[n for n, _ in FRONT_50])
+@pytest.mark.parametrize("name,spec", ALL_QUERIES, ids=[n for n, _ in ALL_QUERIES])
 def test_oracle_parity_sf01(spark, con, name, spec):
     df = spec.fn(spark, SF_ORACLE)
     if spec.sql is None:

@@ -1,0 +1,116 @@
+"""Round-4 operators: C4-style segment dedup, incremental batch-vs-corpus
+dedup, and exact-arithmetic latency anomaly detection — semantics pinned
+on hand-built micro-fixtures (the oracle-parity suites cover the fixture
+tables; these cover the edge cases those tables may not contain).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.operators import dedup
+from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+    latency_anomalies,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSegmentDedup:
+    def test_shared_segment_dropped_everywhere(self, spark):
+        boiler = "a b c d e f g h"
+        docs = _docs(spark, [
+            (1, boiler + " x y"),
+            (2, boiler + " z"),
+            (3, "totally different words with no overlap at all ok"),
+        ])
+        out = {r["doc_id"]: r for r in dedup.segment_dedup(docs).collect()}
+        assert out[1]["n_segments"] == 2 and out[1]["n_dropped"] == 1
+        assert out[1]["tokens_kept"] == 2          # "x y"
+        assert out[2]["n_dropped"] == 1 and out[2]["tokens_kept"] == 1
+        # doc 3 has 9 tokens -> 2 segments, nothing shared
+        assert out[3]["n_dropped"] == 0 and out[3]["tokens_kept"] == 9
+
+    def test_kept_text_hash_is_md5_of_rejoined_segments(self, spark):
+        import hashlib
+        docs = _docs(spark, [(1, "one two three")])
+        row = dedup.segment_dedup(docs).collect()[0]
+        assert row["kept_text_hash"] == \
+            hashlib.md5(b"one two three").hexdigest()
+
+    def test_fully_boilerplate_doc_hashes_empty_string(self, spark):
+        import hashlib
+        docs = _docs(spark, [(1, "same text"), (2, "same text")])
+        rows = dedup.segment_dedup(docs).collect()
+        assert all(r["kept_text_hash"] == hashlib.md5(b"").hexdigest()
+                   and r["tokens_kept"] == 0 for r in rows)
+
+    def test_empty_docs_yield_no_rows(self, spark):
+        docs = _docs(spark, [(1, ""), (2, "   "), (3, "real words")])
+        assert [r["doc_id"] for r in dedup.segment_dedup(docs).collect()] == [3]
+
+    def test_segment_boundaries_are_non_overlapping(self, spark):
+        # 17 tokens with seg=8 -> segments of 8, 8, 1
+        text = " ".join(f"t{i}" for i in range(17))
+        segs = dedup.corpus_segments(_docs(spark, [(1, text)])) \
+            .orderBy("seg_idx").collect()
+        assert [s["n_tok"] for s in segs] == [8, 8, 1]
+        assert segs[2]["seg_text"] == "t16"
+
+
+class TestIncrementalDedup:
+    def test_exact_dup_in_batch_flagged_against_corpus(self, spark):
+        t = "the quick brown fox jumps over the lazy dog again"
+        corpus = _docs(spark, [(1, t), (2, "completely unrelated corpus doc here")])
+        batch = _docs(spark, [(10, t), (20, "novel fresh content nothing shared")])
+        rows = {r["doc_id"]: r
+                for r in dedup.incremental_dedup_flags(corpus, batch).collect()}
+        assert set(rows) == {10}
+        assert rows[10]["matched_corpus_doc"] == 1
+        assert rows[10]["best_jaccard"] == 1.0
+
+    def test_no_batch_batch_or_corpus_corpus_pairs(self, spark):
+        t = "shared duplicate text appearing in two batch docs only"
+        corpus = _docs(spark, [(1, "corpus doc standing entirely alone")])
+        batch = _docs(spark, [(10, t), (11, t)])
+        # both batch docs duplicate EACH OTHER but nothing in the corpus
+        assert dedup.incremental_dedup_flags(corpus, batch).count() == 0
+
+
+class TestLatencyAnomalies:
+    def _logs(self, spark, latencies, day=1):
+        rows = [(datetime.datetime(2024, 1, day, 12, 0, i % 60), i, "svc-0", 0,
+                 float(v)) for i, v in enumerate(latencies)]
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_id long, service string, "
+                  "is_error int, latency_ms double")
+
+    def test_single_extreme_outlier_flagged(self, spark):
+        logs = self._logs(spark, [100.0] * 30 + [10000.0])
+        row = latency_anomalies(logs).collect()[0]
+        assert row["n_events"] == 31
+        assert row["n_outliers"] == 1
+        assert row["max_latency_cs"] == 1000000
+
+    def test_uniform_latencies_have_no_outliers(self, spark):
+        logs = self._logs(spark, [250.0] * 20)
+        row = latency_anomalies(logs).collect()[0]
+        assert row["n_outliers"] == 0
+
+    def test_days_are_independent(self, spark):
+        a = self._logs(spark, [100.0] * 30 + [10000.0], day=1)
+        b = self._logs(spark, [10000.0] * 10, day=2)
+        out = {r["day"]: r for r in latency_anomalies(a.union(b)).collect()}
+        assert out["2024-01-01"]["n_outliers"] == 1
+        # day 2 is uniformly slow: slow is its own baseline, no outliers
+        assert out["2024-01-02"]["n_outliers"] == 0
+
+    def test_centi_ms_scaling_is_exact(self, spark):
+        # 2-decimal latencies must survive the *100 integerization
+        logs = self._logs(spark, [490.02, 0.01, 123.45])
+        row = latency_anomalies(logs).collect()[0]
+        assert row["max_latency_cs"] == 49002
