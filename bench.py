@@ -77,6 +77,8 @@ HEADLINE = [
     "segment_dedup",
     "dedup_incremental",
     "latency_anomalies",
+    "semantic_dup_clusters",
+    "bpe_pair_counts",
 ]
 
 

@@ -497,3 +497,85 @@ def ngram_spans(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def doc_chunks(docs: DataFrame, text_col: str = "text", *,
+               chunk: int = 32, stride: int = 16) -> DataFrame:
+    """Overlapping retrieval-index chunking: every document cut into
+    ``chunk``-token windows advancing ``stride`` tokens (50 % overlap at
+    the defaults) — the table an embedding/RAG pipeline feeds to the
+    encoder.  One row per chunk: (doc_id, chunk_idx, n_tok, chunk_hash),
+    the hash standing in for the chunk key a vector index stores.
+
+    Chunk count is ceil(max(n_toks - chunk, 0) / stride) + 1 for
+    non-empty docs: the final window always reaches the last token, and
+    no window starts past it (so short docs yield exactly one chunk).
+    All in-row codegen'd expressions; the explode output is the only
+    data growth (~n_toks/stride rows per doc), and downstream consumers
+    shuffle on the 8-byte chunk_hash, never chunk text.
+    """
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    nch = (F.ceil(F.greatest(F.size(toks) - chunk, F.lit(0))
+                  / F.lit(float(stride))).cast("int") + 1)
+    windows = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1,
+                                               F.lit(chunk))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toked.select("doc_id", F.size(toks).alias("_ntoks"),
+                     F.posexplode(windows).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.least(F.lit(chunk),
+                    F.col("_ntoks") - F.col("chunk_idx") * stride)
+                .alias("n_tok"),
+            md5_long(F.col("chunk_text")).alias("chunk_hash"),
+        )
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text", *,
+                    top: int = 50) -> DataFrame:
+    """The first BPE merge iteration as a query: corpus-wide counts of
+    adjacent character pairs, weighted by token frequency — the table
+    whose argmax a tokenizer trainer merges next.
+
+    Efficiency is the point of the formulation: pair explosion runs over
+    the DISTINCT vocabulary (each type once, carrying its corpus
+    frequency), not over every corpus token — at 100 TB the vocabulary
+    is millions of rows where the corpus is trillions, so the heavy
+    explode shrinks by the type/token ratio.  The top-k is
+    TakeOrderedAndProject (per-partition partial top-k, no global sort);
+    rank is applied after the limit, a window over ``top`` rows.
+    """
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("tf"))
+    )
+    tok = F.col("token")
+    pairs = (
+        vocab.filter(F.length(tok) >= 2)
+        .select(
+            "tf",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.length(tok) - 1),
+                lambda i: tok.substr(i, F.lit(2)),
+            )).alias("pair"),
+        )
+    )
+    counts = (
+        pairs.groupBy("pair").agg(F.sum("tf").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top)
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return counts.select(
+        "pair", "pair_count",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

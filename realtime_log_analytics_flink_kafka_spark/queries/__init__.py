@@ -55,6 +55,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: C4-style segment dedup, batch-vs-corpus incremental dedup,
     # per-service z-score latency anomalies (exact integer arithmetic)
     "segment_dedup", "dedup_incremental", "latency_anomalies",
+    # new r4: embedding-space dup components, retrieval chunking, BPE
+    # merge-candidate counts
+    "semantic_dup_clusters", "doc_chunks", "bpe_pair_counts",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
@@ -68,7 +71,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "decontamination", "near_dup_survivors",
     # -- r3-green refresh fill --------------------------------------------
     "error_rate_sliding", "slo_breach_streaks", "latency_p95_daily",
-    "escalations_every_third", "synthetic_log_profile", "dup_clusters",
 )
 
 

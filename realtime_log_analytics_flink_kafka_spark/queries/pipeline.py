@@ -1757,6 +1757,124 @@ FROM (SELECT doc_id, {h} AS h FROM documents)
 """
 
 
+# --- semantic (embedding-space) duplicate clusters ---------------------------
+
+def q_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over the EMBEDDING near-dup pair graph — the
+    semantic twin of ``dup_clusters`` (which closes the lexical
+    MinHash graph).  Composition: cluster-bucketed cosine pairs
+    (operators/similarity.py:clustered_near_dup_pairs, equi-join on the
+    coarse cluster id) -> Pregel-style min-label components
+    (operators/dedup.py:duplicate_components).  A production pipeline
+    keeps one representative per component; the component table is the
+    decision input."""
+    pairs = similarity.clustered_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=NEAR_DUP_COSINE,
+        centroid_every=NEAR_DUP_CENTROID_EVERY)
+    comp = dedup.duplicate_components(pairs, left_col="id_a",
+                                      right_col="id_b")
+    from pyspark.sql import Window
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("component_id"),
+        F.count("*").over(Window.partitionBy("cluster_id"))
+            .alias("component_size"),
+    )
+
+
+def _semantic_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE nd AS ({SQL_EMBEDDING_NEAR_DUPS}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM nd
+    UNION
+    SELECT id_b, id_a FROM nd
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS vec_id, MIN(label) AS component_id
+       FROM reach GROUP BY node)
+SELECT vec_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size
+FROM cc
+"""
+
+
+# --- retrieval-index chunking ------------------------------------------------
+
+#: Overlapping chunk geometry: 32-token windows every 16 tokens.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_chunks(_docs(spark, sf_dir), chunk=CHUNK_TOKENS,
+                           stride=CHUNK_STRIDE)
+
+
+def _doc_chunks_sql() -> str:
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH {TOKENS_CTE},
+ch AS (
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           unnest(range(0, CAST(ceil(greatest(len(toks) - {c}, 0) / {s}.0)
+                             AS BIGINT) + 1)) AS chunk_idx,
+           unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(toks) - {c}, 0) / {s}.0)
+                          AS BIGINT) + 1),
+               i -> array_to_string(array_slice(toks, i * {s} + 1,
+                                                i * {s} + {c}), ' ')))
+               AS chunk_text
+    FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx,
+       least({c}, n_toks - chunk_idx * {s}) AS n_tok,
+       {MD5_LONG.format(x='chunk_text')} AS chunk_hash
+FROM ch
+"""
+
+
+# --- BPE merge-candidate pair counts -----------------------------------------
+
+BPE_TOP_PAIRS = 50
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_pair_counts(_docs(spark, sf_dir), top=BPE_TOP_PAIRS)
+
+
+def _bpe_pair_counts_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+vocab AS (
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t
+),
+pairs AS (
+    SELECT unnest(list_transform(range(1, len(token)),
+                                 i -> token[i:i+1])) AS pair,
+           tf
+    FROM vocab WHERE len(token) >= 2
+),
+counts AS (
+    SELECT pair, CAST(sum(tf) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+           AS rank
+FROM counts
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 # --- C4-style segment (line-level) boilerplate dedup -------------------------
 
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1866,6 +1984,10 @@ GROUP BY 1
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "semantic_dup_clusters": QuerySpec(q_semantic_dup_clusters,
+                                       _semantic_dup_clusters_sql()),
+    "doc_chunks": QuerySpec(q_doc_chunks, _doc_chunks_sql()),
+    "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, _bpe_pair_counts_sql()),
     "segment_dedup": QuerySpec(q_segment_dedup, _segment_dedup_sql()),
     "dedup_incremental": QuerySpec(q_dedup_incremental,
                                    _dedup_incremental_sql()),

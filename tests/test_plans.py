@@ -87,6 +87,11 @@ def test_no_unbounded_nested_loop_joins(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for name, spec in QUERIES.items():
+            # per-query, not just once: a query that persists an
+            # intermediate (e.g. the cluster-assignment subtree) would
+            # otherwise splice an InMemoryRelation into every LATER
+            # query sharing that subtree, double-printing its nodes
+            spark.catalog.clearCache()
             df = spec.fn(spark, SF_SMOKE)
             bnlj = node_count(df, "BroadcastNestedLoopJoin")
             cart = node_count(df, "CartesianProduct")

@@ -114,3 +114,54 @@ class TestLatencyAnomalies:
         logs = self._logs(spark, [490.02, 0.01, 123.45])
         row = latency_anomalies(logs).collect()[0]
         assert row["max_latency_cs"] == 49002
+
+
+class TestDocChunks:
+    def test_chunk_geometry(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import doc_chunks
+        # 40 tokens, chunk=32, stride=16 -> ceil(8/16)+1 = 2 chunks
+        text = " ".join(f"w{i}" for i in range(40))
+        rows = doc_chunks(_docs(spark, [(1, text)])).orderBy("chunk_idx").collect()
+        assert [r["chunk_idx"] for r in rows] == [0, 1]
+        assert [r["n_tok"] for r in rows] == [32, 24]
+
+    def test_short_doc_single_chunk(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import doc_chunks
+        rows = doc_chunks(_docs(spark, [(1, "just three words")])).collect()
+        assert len(rows) == 1 and rows[0]["n_tok"] == 3
+
+    def test_last_window_reaches_last_token(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import doc_chunks
+        # 33 tokens -> chunks at 0 and 16; window 1 covers tokens 17..33
+        text = " ".join(f"w{i}" for i in range(33))
+        rows = doc_chunks(_docs(spark, [(1, text)])).orderBy("chunk_idx").collect()
+        assert [r["n_tok"] for r in rows] == [32, 17]
+
+
+class TestBpePairCounts:
+    def test_pairs_weighted_by_token_frequency(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import bpe_pair_counts
+        docs = _docs(spark, [(1, "abc abc ab xyz")])
+        out = {r["pair"]: r["pair_count"]
+               for r in bpe_pair_counts(docs).collect()}
+        # "ab" occurs in abc (tf 2) and ab (tf 1); "bc" only in abc
+        assert out["ab"] == 3
+        assert out["bc"] == 2
+        assert out["xy"] == 1 and out["yz"] == 1
+
+    def test_rank_is_deterministic_on_ties(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import bpe_pair_counts
+        docs = _docs(spark, [(1, "ab cd")])
+        rows = bpe_pair_counts(docs).orderBy("rank").collect()
+        assert [r["pair"] for r in rows] == ["ab", "cd"]  # count tie -> lexical
+
+
+class TestSemanticDupClusters:
+    def test_chain_collapses_to_one_component(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators import dedup
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        comp = dedup.duplicate_components(pairs, left_col="id_a",
+                                          right_col="id_b")
+        got = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
