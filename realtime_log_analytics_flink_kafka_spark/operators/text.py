@@ -397,8 +397,15 @@ def bigram_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     try_element_at — NULL, not an ANSI index error, past the end), so
     the explode ships (doc, bigram) pairs and the groupBy combines
     map-side — the same shuffle shape as ``term_frequencies``.
+
+    The token array is staged in its own projection first (same reason
+    as shingle_hashes): the lambda body references the array once per
+    element, and interpreted HOF evaluation re-runs an inlined tokenizer
+    expression on every reference — O(tokens²) regex work per document
+    (measured 3.3 s -> 0.35 s at sf0.1 for the aggregate alone).
     """
-    toks = ws_tokens(F.col(text_col))
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     pairs = F.filter(
         F.transform(
             toks,
@@ -410,7 +417,7 @@ def bigram_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lambda s: s["w2"].isNotNull(),
     )
     return (
-        docs.select("doc_id", F.explode(pairs).alias("bg"))
+        toked.select("doc_id", F.explode(pairs).alias("bg"))
         .groupBy("doc_id", F.col("bg.w1").alias("w1"),
                  F.col("bg.w2").alias("w2"))
         .agg(F.count("*").alias("bf"))
@@ -426,17 +433,22 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: ONE scan + ONE explode.  The corpus marginals c(w1,w2)
     and c(w1,·) are window sums over the per-doc bigram table rather
-    than separate aggregate+join subtrees — the naive join formulation
-    re-ran the explode+aggregate three times (measured 5.0 s at sf0.1;
-    this shape cut it to ~3 s).  Window order is deliberate: the
-    ctx window partitions by w1 (forcing one Exchange on w1), and the
-    (w1, w2) window then runs WITHOUT a new Exchange because
-    HashPartitioning(w1) already satisfies ClusteredDistribution(w1, w2)
-    — two marginals, one shuffle.  Skew note: a pathological head word
-    (every doc "the ...") concentrates one w1 partition; AQE's skew
-    handling does not split window partitions, so at 100 TB a salted
-    two-level sum over w1 is the escape hatch (same trick as
-    salted_join_revenue).
+    than separate aggregate+join subtrees — a join formulation
+    re-computes the explode+aggregate subtree per consumer (measured:
+    with the O(tokens²) tokenizer bug the window shape won 5.0 s vs
+    3.5 s; after the staging fix in bigram_frequencies both dropped ~6×
+    and one-pass still wins, ~0.6 s vs ~0.9 s at sf0.1).  Window order
+    is deliberate: the ctx window partitions by w1 (forcing one Exchange
+    on w1), and the (w1, w2) window then runs WITHOUT a new Exchange
+    because HashPartitioning(w1) already satisfies
+    ClusteredDistribution(w1, w2) — two marginals, one shuffle.  Skew
+    note: a pathological head word (every doc "the ...") concentrates
+    one w1 partition; AQE's skew handling does not split window
+    partitions, so at 100 TB a salted two-level sum over w1 is the
+    escape hatch (same trick as salted_join_revenue); det-ln would then
+    also move to the distinct-bigram LM table (type-count evaluations
+    instead of token-count) — at fixture vocab sizes the per-row form
+    measures faster.
     Per-doc contributions fold in sorted (w1, w2) order, matching the
     oracle's ordered list_reduce bit-for-bit.
 
@@ -482,13 +494,18 @@ def ngram_spans(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     blocks, templated spam repeat verbatim across documents long before
     whole documents do).
 
-    Spans are built in-row (sequence + slice + array_join, all codegen'd)
-    then exploded, so the shuffle carries (doc, span) pairs.  Docs
-    shorter than n contribute nothing: the sequence is guarded, because
+    Spans are built in-row (sequence + slice + array_join) then
+    exploded, so the shuffle carries (doc, span) pairs.  Docs shorter
+    than n contribute nothing: the sequence is guarded, because
     F.sequence(1, k) with k < 1 would generate a DESCENDING sequence,
-    not an empty one.
+    not an empty one.  The token array is staged in its own projection
+    (same reason as shingle_hashes/bigram_frequencies): the transform
+    lambda references it per span index, and interpreted HOF evaluation
+    re-runs an inlined tokenizer on every reference — O(tokens²) regex
+    per document.
     """
-    toks = ws_tokens(F.col(text_col))
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -496,7 +513,7 @@ def ngram_spans(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(grams).alias("gram"))
+    return toked.select("doc_id", F.explode(grams).alias("gram"))
 
 
 def doc_chunks(docs: DataFrame, text_col: str = "text", *,
