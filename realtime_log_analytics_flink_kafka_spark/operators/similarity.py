@@ -659,3 +659,54 @@ def ivf_pq_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
                                                F.asc("corpus_id"))
     return (adc.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
+
+
+def hard_negatives(vecs: DataFrame, *, k: int = 5, n_queries: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most cosine-similar vectors with a DIFFERENT
+    label — maximally-confusable negatives, the pairs that actually
+    move a contrastive loss (easy random negatives contribute ~zero
+    gradient).
+
+    The label filter must run BEFORE ranking (filtering a generic top-k
+    afterwards yields fewer than k negatives whenever same-label
+    neighbors crowd the head), so this is not a post-filter on
+    ``cosine_topk``.  The bounded query set broadcasts (the sanctioned
+    knn_bruteforce pattern); at 100 TB the corpus side routes through
+    the IVF clusters exactly as ``ivf_topk`` does — assign queries to
+    probe clusters, filter labels inside the probed buckets, rank —
+    since mining hard negatives for millions of anchors is itself an
+    ANN workload.
+    """
+    c = with_norm(vecs, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    q = with_norm(vecs.filter(F.col(id_col) < n_queries), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    sim = F.round(
+        _safe_cosine(_dot(F.col("q_vec"), F.col("c_vec")),
+                     F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .select("query_id", "query_label", "corpus_id", "neg_label",
+                sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

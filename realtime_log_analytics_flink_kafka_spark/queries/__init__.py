@@ -58,6 +58,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: embedding-space dup components, retrieval chunking, BPE
     # merge-candidate counts
     "semantic_dup_clusters", "doc_chunks", "bpe_pair_counts",
+    # new r4: contrastive hard-negative mining (label-filtered top-k)
+    "hard_negatives",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
@@ -70,7 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_split_counts", "stratified_sample", "doc_length_histogram",
     "decontamination", "near_dup_survivors",
     # -- r3-green refresh fill --------------------------------------------
-    "error_rate_sliding", "slo_breach_streaks", "latency_p95_daily",
+    "error_rate_sliding", "slo_breach_streaks",
 )
 
 

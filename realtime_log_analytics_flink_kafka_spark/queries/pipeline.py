@@ -258,6 +258,35 @@ ranked AS (
 SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negatives(_embs(spark, sf_dir), k=KNN_K,
+                                     n_queries=KNN_N_QUERIES)
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH v AS (
+    SELECT vec_id, label, embedding, {NORM_SQL.format(v='embedding')} AS nrm
+    FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < {KNN_N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS corpus_id, c.label AS neg_label,
+           round({DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                 / (q.nrm * c.nrm), 6) AS cosine
+    FROM v c CROSS JOIN q
+    WHERE c.label <> q.label
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, corpus_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, corpus_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 IVF_K = 3
 IVF_CENTROID_EVERY = 97
 
@@ -2002,6 +2031,7 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "hard_negatives": QuerySpec(q_hard_negatives, SQL_HARD_NEGATIVES),
     "knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
     "knn_ivf_pq": QuerySpec(q_knn_ivf_pq, _knn_ivf_pq_sql()),
     "knn_ivf_multiprobe": QuerySpec(q_knn_ivf_multiprobe,

@@ -48,6 +48,9 @@ def test_no_python_in_any_registry_query(spark):
 #: every pairwise dedup/similarity query — must plan equi-joins only.
 NESTED_LOOP_SANCTIONED = {
     "knn_bruteforce": 1,
+    # same bounded query-set broadcast as knn_bruteforce; the label
+    # filter is a post-probe predicate, not a join shape change
+    "hard_negatives": 1,
     "knn_ivf": 2,
     "knn_ivf_multiprobe": 2,   # corpus assignment + query-probe ranking
     # same two bounded centroid broadcasts as multiprobe (corpus

@@ -92,3 +92,81 @@ def test_detector_alert_invariants(spark, seed):
     assert all(a.total_logs >= 50 and a.error_rate >= 0.05 for a in alerts)
     # auth-service runs a 30% base error rate — it must alert
     assert any(a.service == "auth-service" for a in alerts)
+
+
+# --- round-4 operator invariants ---------------------------------------------
+
+@st.composite
+def corpus(draw):
+    """Small word-soup corpora: repeated vocab so segments/chunks collide."""
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    n_docs = draw(st.integers(1, 5))
+    texts = []
+    for _ in range(n_docs):
+        n = draw(st.integers(0, 30))
+        texts.append(" ".join(
+            vocab[draw(st.integers(0, len(vocab) - 1))] for _ in range(n)))
+    return texts
+
+
+@given(corpus())
+@settings(max_examples=8, deadline=None)
+def test_segment_dedup_partitions_every_token(spark, texts):
+    """kept + dropped token counts == total tokens, per doc, always."""
+    from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+        corpus_segments, segment_dedup,
+    )
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    seg_total = {r["doc_id"]: r["tot"] for r in corpus_segments(docs)
+                 .groupBy("doc_id").agg(F.sum("n_tok").alias("tot")).collect()}
+    for r in segment_dedup(docs).collect():
+        n_toks = len(texts[r["doc_id"]].split())
+        assert seg_total[r["doc_id"]] == n_toks
+        assert r["n_dropped"] <= r["n_segments"]
+        assert r["tokens_kept"] <= n_toks
+
+
+@given(corpus())
+@settings(max_examples=8, deadline=None)
+def test_doc_chunks_cover_every_token_in_order(spark, texts):
+    """Chunk windows tile the doc: first starts at 0, strides never skip
+    a token, and the last window reaches the final token."""
+    from realtime_log_analytics_flink_kafka_spark.operators.text import doc_chunks
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    by_doc = {}
+    for r in doc_chunks(docs, chunk=8, stride=4).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        n_toks = len(texts[doc_id].split())
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        # last chunk must reach the final token; none may start past it
+        last = rows[-1]
+        assert last["chunk_idx"] * 4 + last["n_tok"] == n_toks
+        assert all(r["chunk_idx"] * 4 < n_toks for r in rows)
+
+
+@given(st.lists(st.integers(1, 50000), min_size=2, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_latency_anomalies_matches_python_zscore(spark, cents):
+    """The cross-multiplied integer z-test == the textbook float z-test
+    computed in exact Fractions."""
+    import datetime
+    from fractions import Fraction
+    from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+        latency_anomalies,
+    )
+    n = len(cents)
+    s, q = sum(cents), sum(c * c for c in cents)
+    expected = sum(
+        1 for x in cents
+        if Fraction(n * x - s) ** 2 > 9 * Fraction(n * q - s * s))
+    rows = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0), i, "svc-0", 0, c / 100.0)
+         for i, c in enumerate(cents)],
+        "ts timestamp, event_id long, service string, is_error int, "
+        "latency_ms double")
+    got = latency_anomalies(rows).collect()[0]["n_outliers"]
+    assert got == expected

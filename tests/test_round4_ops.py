@@ -165,3 +165,25 @@ class TestSemanticDupClusters:
                                           right_col="id_b")
         got = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+class TestHardNegatives:
+    def test_negatives_never_share_query_label(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import hard_negatives
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0], i % 2) for i in range(20)],
+            "vec_id long, embedding array<float>, label int")
+        rows = hard_negatives(vecs, k=3, n_queries=2).collect()
+        assert rows, "expected mined negatives"
+        assert all(r["neg_label"] != r["query_label"] for r in rows)
+        # full k per query: same-label crowding must not shrink the set
+        from collections import Counter
+        assert set(Counter(r["query_id"] for r in rows).values()) == {3}
+
+    def test_ranks_are_contiguous_from_one(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import hard_negatives
+        vecs = spark.createDataFrame(
+            [(i, [1.0, float(i)], i % 4) for i in range(12)],
+            "vec_id long, embedding array<float>, label int")
+        rows = hard_negatives(vecs, k=4, n_queries=1).collect()
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
