@@ -187,3 +187,15 @@ class TestHardNegatives:
             "vec_id long, embedding array<float>, label int")
         rows = hard_negatives(vecs, k=4, n_queries=1).collect()
         assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+
+    def test_long_chain_converges_with_pointer_jumping(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators import dedup
+        # a 33-node path: naive neighbor propagation needs ~32 rounds,
+        # pointer jumping must land well inside max_iters
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(32)], "id_a long, id_b long")
+        comp = dedup.duplicate_components(pairs, left_col="id_a",
+                                          right_col="id_b", max_iters=10)
+        rows = comp.collect()
+        assert len(rows) == 33
+        assert {r["cluster_id"] for r in rows} == {0}
