@@ -392,29 +392,19 @@ def corpus_segments(docs: DataFrame, text_col: str = "text",
     oracle-expressible.  Zero-token documents yield no segments.  The
     shuffle unit downstream is the 8-byte hash ``h``, never the segment
     text.
+
+    Geometry is the shared :func:`~..operators.text.token_windows` with
+    stride == width (non-overlapping), so segment and retrieval-chunk
+    boundaries can never drift apart.
     """
-    toked = docs.select(
+    from .text import token_windows
+
+    return token_windows(docs, text_col, width=seg, stride=seg).select(
         "doc_id",
-        ws_tokens(F.col(text_col)).alias("_toks"),
-    )
-    toks = F.col("_toks")
-    nseg = F.ceil(F.size(toks) / F.lit(float(seg))).cast("int")
-    segs = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * seg + 1, F.lit(seg))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        toked.select("doc_id", F.size(toks).alias("_ntoks"),
-                     F.posexplode(segs).alias("seg_idx", "seg_text"))
-        .select(
-            "doc_id", "seg_idx", "seg_text",
-            F.least(F.lit(seg), F.col("_ntoks") - F.col("seg_idx") * seg)
-                .alias("n_tok"),
-            md5_long(F.col("seg_text")).alias("h"),
-        )
+        F.col("win_idx").alias("seg_idx"),
+        F.col("win_text").alias("seg_text"),
+        "n_tok",
+        md5_long(F.col("win_text")).alias("h"),
     )
 
 

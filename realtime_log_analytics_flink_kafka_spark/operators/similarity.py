@@ -52,20 +52,25 @@ def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return vecs.withColumn("_norm", _norm(F.col(vec_col)))
 
 
-def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 5,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Exact brute-force top-k by cosine for each query vector.
-
-    queries broadcast (small side); rank ties break on corpus id for
-    determinism; self-matches excluded.
-    """
+def _broadcast_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
+                    pair_filter, vec_col: str, id_col: str,
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Shared brute-force scaffold: broadcast the bounded query set over
+    the corpus, score cosine, apply ``pair_filter`` (a Column predicate
+    over the joined row — run BEFORE ranking so the top-k is taken over
+    the eligible pairs only), drop NULL cosines (zero-norm vectors),
+    rank with deterministic corpus-id tie-break, keep rank <= k.
+    ``carry_cols`` are extra per-side columns (e.g. labels) projected
+    through to the output."""
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"),
+        *[F.col(col).alias(f"c_{col}") for col in carry_cols],
         F.col(vec_col).alias("c_vec"),
         F.col("_norm").alias("c_norm"),
     )
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
+        *[F.col(col).alias(f"q_{col}") for col in carry_cols],
         F.col(vec_col).alias("q_vec"),
         F.col("_norm").alias("q_norm"),
     )
@@ -76,14 +81,32 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 5,
     )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", sim.alias("cosine"))
+        .filter(pair_filter)
+        .select("query_id",
+                *[f"q_{col}" for col in carry_cols],
+                "corpus_id",
+                *[f"c_{col}" for col in carry_cols],
+                sim.alias("cosine"))
         .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force top-k by cosine for each query vector.
+
+    queries broadcast (small side); rank ties break on corpus id for
+    determinism; self-matches excluded.
+    """
+    return _broadcast_topk(
+        corpus, queries, k=k,
+        pair_filter=F.col("corpus_id") != F.col("query_id"),
+        vec_col=vec_col, id_col=id_col,
     )
 
 
@@ -661,52 +684,35 @@ def ivf_pq_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
             .filter(F.col("rank") <= k))
 
 
-def hard_negatives(vecs: DataFrame, *, k: int = 5, n_queries: int = 5,
+def hard_negatives(corpus: DataFrame, queries: DataFrame, *, k: int = 5,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    label_col: str = "label") -> DataFrame:
     """Hard-negative mining for contrastive training: for each query
-    vector, the top-``k`` most cosine-similar vectors with a DIFFERENT
-    label — maximally-confusable negatives, the pairs that actually
-    move a contrastive loss (easy random negatives contribute ~zero
-    gradient).
+    vector, the top-``k`` most cosine-similar corpus vectors with a
+    DIFFERENT label — maximally-confusable negatives, the pairs that
+    actually move a contrastive loss (easy random negatives contribute
+    ~zero gradient).
 
     The label filter must run BEFORE ranking (filtering a generic top-k
     afterwards yields fewer than k negatives whenever same-label
-    neighbors crowd the head), so this is not a post-filter on
-    ``cosine_topk``.  The bounded query set broadcasts (the sanctioned
-    knn_bruteforce pattern); at 100 TB the corpus side routes through
-    the IVF clusters exactly as ``ivf_topk`` does — assign queries to
-    probe clusters, filter labels inside the probed buckets, rank —
-    since mining hard negatives for millions of anchors is itself an
-    ANN workload.
+    neighbors crowd the head), so it is the ``pair_filter`` of the
+    shared :func:`_broadcast_topk` scaffold — same scoring, NULL-cosine
+    and tie-break semantics as ``cosine_topk``, by construction.  The
+    bounded query set broadcasts (the sanctioned knn_bruteforce
+    pattern); at 100 TB the corpus side routes through the IVF clusters
+    exactly as ``ivf_topk`` does — assign queries to probe clusters,
+    filter labels inside the probed buckets, rank — since mining hard
+    negatives for millions of anchors is itself an ANN workload.
     """
-    c = with_norm(vecs, vec_col).select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(label_col).alias("neg_label"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("_norm").alias("c_norm"),
+    out = _broadcast_topk(
+        corpus, queries, k=k,
+        pair_filter=F.col(f"c_{label_col}") != F.col(f"q_{label_col}"),
+        vec_col=vec_col, id_col=id_col, carry_cols=(label_col,),
     )
-    q = with_norm(vecs.filter(F.col(id_col) < n_queries), vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("_norm").alias("q_norm"),
-    )
-    sim = F.round(
-        _safe_cosine(_dot(F.col("q_vec"), F.col("c_vec")),
-                     F.col("q_norm") * F.col("c_norm")),
-        6,
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neg_label") != F.col("query_label"))
-        .select("query_id", "query_label", "corpus_id", "neg_label",
-                sim.alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return out.select(
+        "query_id",
+        F.col(f"q_{label_col}").alias("query_label"),
+        "corpus_id",
+        F.col(f"c_{label_col}").alias("neg_label"),
+        "cosine", "rank",
     )

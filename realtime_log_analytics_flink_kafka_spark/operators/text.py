@@ -516,6 +516,51 @@ def ngram_spans(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     return toked.select("doc_id", F.explode(grams).alias("gram"))
 
 
+def token_windows(docs: DataFrame, text_col: str = "text", *,
+                  width: int, stride: int) -> DataFrame:
+    """Shared fixed-geometry token windowing: every non-empty document
+    cut into ``width``-token windows advancing ``stride`` tokens — one
+    row per window: (doc_id, win_idx, win_text, n_tok).  Overlapping
+    (stride < width) gives retrieval chunks (:func:`doc_chunks`);
+    stride == width gives the non-overlapping segments of
+    :func:`~..operators.dedup.segment_dedup`.
+
+    Window count is ceil(max(n_toks - width, 0) / stride) + 1: the final
+    window always reaches the last token, none starts past it, and
+    short docs yield exactly one window.  That invariant requires
+    stride <= width — a larger stride would emit phantom windows past
+    the end (negative n_tok), so it raises instead.  The token array is
+    staged (`_toks`) so interpreted HOF evaluation never re-runs the
+    tokenizer per window index.
+    """
+    if stride > width or stride < 1:
+        raise ValueError(
+            f"token_windows requires 1 <= stride <= width, got "
+            f"stride={stride}, width={width}")
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    nwin = (F.ceil(F.greatest(F.size(toks) - width, F.lit(0))
+                   / F.lit(float(stride))).cast("int") + 1)
+    windows = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1,
+                                               F.lit(width))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toked.select("doc_id", F.size(toks).alias("_ntoks"),
+                     F.posexplode(windows).alias("win_idx", "win_text"))
+        .select(
+            "doc_id", "win_idx", "win_text",
+            F.least(F.lit(width),
+                    F.col("_ntoks") - F.col("win_idx") * stride)
+                .alias("n_tok"),
+        )
+    )
+
+
 def doc_chunks(docs: DataFrame, text_col: str = "text", *,
                chunk: int = 32, stride: int = 16) -> DataFrame:
     """Overlapping retrieval-index chunking: every document cut into
@@ -524,35 +569,16 @@ def doc_chunks(docs: DataFrame, text_col: str = "text", *,
     encoder.  One row per chunk: (doc_id, chunk_idx, n_tok, chunk_hash),
     the hash standing in for the chunk key a vector index stores.
 
-    Chunk count is ceil(max(n_toks - chunk, 0) / stride) + 1 for
-    non-empty docs: the final window always reaches the last token, and
-    no window starts past it (so short docs yield exactly one chunk).
-    All in-row codegen'd expressions; the explode output is the only
-    data growth (~n_toks/stride rows per doc), and downstream consumers
-    shuffle on the 8-byte chunk_hash, never chunk text.
+    Geometry (and its invariants) live in :func:`token_windows`; the
+    explode output is the only data growth (~n_toks/stride rows per
+    doc), and downstream consumers shuffle on the 8-byte chunk_hash,
+    never chunk text.
     """
-    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
-    toks = F.col("_toks")
-    nch = (F.ceil(F.greatest(F.size(toks) - chunk, F.lit(0))
-                  / F.lit(float(stride))).cast("int") + 1)
-    windows = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nch - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1,
-                                               F.lit(chunk))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        toked.select("doc_id", F.size(toks).alias("_ntoks"),
-                     F.posexplode(windows).alias("chunk_idx", "chunk_text"))
-        .select(
-            "doc_id", "chunk_idx",
-            F.least(F.lit(chunk),
-                    F.col("_ntoks") - F.col("chunk_idx") * stride)
-                .alias("n_tok"),
-            md5_long(F.col("chunk_text")).alias("chunk_hash"),
-        )
+    return token_windows(docs, text_col, width=chunk, stride=stride).select(
+        "doc_id",
+        F.col("win_idx").alias("chunk_idx"),
+        "n_tok",
+        md5_long(F.col("win_text")).alias("chunk_hash"),
     )
 
 

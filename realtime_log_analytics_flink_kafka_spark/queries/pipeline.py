@@ -249,6 +249,7 @@ scored AS (
                  / (q.nrm * c.nrm), 6) AS cosine
     FROM v c CROSS JOIN q
     WHERE c.vec_id <> q.vec_id
+      AND q.nrm * c.nrm > 0  -- Spark drops NULL cosines (zero-norm) pre-rank
 ),
 ranked AS (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -259,8 +260,9 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.hard_negatives(_embs(spark, sf_dir), k=KNN_K,
-                                     n_queries=KNN_N_QUERIES)
+    embs = _embs(spark, sf_dir)
+    return similarity.hard_negatives(
+        embs, embs.filter(F.col("vec_id") < KNN_N_QUERIES), k=KNN_K)
 
 
 SQL_HARD_NEGATIVES = f"""
@@ -276,6 +278,7 @@ scored AS (
                  / (q.nrm * c.nrm), 6) AS cosine
     FROM v c CROSS JOIN q
     WHERE c.label <> q.label
+      AND q.nrm * c.nrm > 0  -- Spark drops NULL cosines (zero-norm) pre-rank
 ),
 ranked AS (
     SELECT *, row_number() OVER (PARTITION BY query_id

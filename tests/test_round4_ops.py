@@ -137,6 +137,12 @@ class TestDocChunks:
         rows = doc_chunks(_docs(spark, [(1, text)])).orderBy("chunk_idx").collect()
         assert [r["n_tok"] for r in rows] == [32, 17]
 
+    def test_stride_larger_than_chunk_rejected(self, spark):
+        import pytest
+        from realtime_log_analytics_flink_kafka_spark.operators.text import doc_chunks
+        with pytest.raises(ValueError, match="stride"):
+            doc_chunks(_docs(spark, [(1, "a b c")]), chunk=8, stride=32)
+
 
 class TestBpePairCounts:
     def test_pairs_weighted_by_token_frequency(self, spark):
@@ -166,28 +172,6 @@ class TestSemanticDupClusters:
         got = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
-
-class TestHardNegatives:
-    def test_negatives_never_share_query_label(self, spark):
-        from realtime_log_analytics_flink_kafka_spark.operators.similarity import hard_negatives
-        vecs = spark.createDataFrame(
-            [(i, [float(i % 3), 1.0], i % 2) for i in range(20)],
-            "vec_id long, embedding array<float>, label int")
-        rows = hard_negatives(vecs, k=3, n_queries=2).collect()
-        assert rows, "expected mined negatives"
-        assert all(r["neg_label"] != r["query_label"] for r in rows)
-        # full k per query: same-label crowding must not shrink the set
-        from collections import Counter
-        assert set(Counter(r["query_id"] for r in rows).values()) == {3}
-
-    def test_ranks_are_contiguous_from_one(self, spark):
-        from realtime_log_analytics_flink_kafka_spark.operators.similarity import hard_negatives
-        vecs = spark.createDataFrame(
-            [(i, [1.0, float(i)], i % 4) for i in range(12)],
-            "vec_id long, embedding array<float>, label int")
-        rows = hard_negatives(vecs, k=4, n_queries=1).collect()
-        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
-
     def test_long_chain_converges_with_pointer_jumping(self, spark):
         from realtime_log_analytics_flink_kafka_spark.operators import dedup
         # a 33-node path: naive neighbor propagation needs ~32 rounds,
@@ -199,3 +183,27 @@ class TestHardNegatives:
         rows = comp.collect()
         assert len(rows) == 33
         assert {r["cluster_id"] for r in rows} == {0}
+
+
+class TestHardNegatives:
+    def test_negatives_never_share_query_label(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import hard_negatives
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0], i % 2) for i in range(20)],
+            "vec_id long, embedding array<float>, label int")
+        rows = hard_negatives(
+            vecs, vecs.filter(F.col("vec_id") < 2), k=3).collect()
+        assert rows, "expected mined negatives"
+        assert all(r["neg_label"] != r["query_label"] for r in rows)
+        # full k per query: same-label crowding must not shrink the set
+        from collections import Counter
+        assert set(Counter(r["query_id"] for r in rows).values()) == {3}
+
+    def test_ranks_are_contiguous_from_one(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import hard_negatives
+        vecs = spark.createDataFrame(
+            [(i, [1.0, float(i)], i % 4) for i in range(12)],
+            "vec_id long, embedding array<float>, label int")
+        rows = hard_negatives(
+            vecs, vecs.filter(F.col("vec_id") < 1), k=4).collect()
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
