@@ -60,6 +60,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dup_clusters", "doc_chunks", "bpe_pair_counts",
     # new r4: contrastive hard-negative mining (label-filtered top-k)
     "hard_negatives",
+    # r4-changed: pointer-jumping component loop; shared top-k scaffold
+    "dup_clusters", "knn_recall",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
@@ -71,8 +73,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_terms_per_source", "media_summary", "frame_samples", "media_resize",
     "doc_split_counts", "stratified_sample", "doc_length_histogram",
     "decontamination", "near_dup_survivors",
-    # -- r3-green refresh fill --------------------------------------------
-    "error_rate_sliding", "slo_breach_streaks",
 )
 
 

@@ -170,3 +170,50 @@ def test_latency_anomalies_matches_python_zscore(spark, cents):
         "latency_ms double")
     got = latency_anomalies(rows).collect()[0]["n_outliers"]
     assert got == expected
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_pandas_semantics(spark, data):
+    """asof_join (interleave-window, no join node) == the obvious
+    per-row argmax: greatest right_ts <= left_ts within the key."""
+    from realtime_log_analytics_flink_kafka_spark.operators.joins import asof_join
+    keys = ["k0", "k1"]
+    lefts = data.draw(st.lists(
+        st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+        min_size=1, max_size=12))
+    rights = data.draw(st.lists(
+        st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+        min_size=0, max_size=12))
+    l = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)],
+        "key string, lts long, lid long")
+    r = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rights)],
+        "key string, rts long, rid long") if rights else \
+        spark.createDataFrame([], "key string, rts long, rid long")
+    out = {row["lid"]: row["asof_rts"]
+           for row in asof_join(l, r, ["key"], "lts", "rts",
+                                right_cols=["rid"]).collect()}
+    for i, (k, t) in enumerate(lefts):
+        cand = [rt for (rk, rt) in rights if rk == k and rt <= t]
+        assert out[i] == (max(cand) if cand else None)
+
+
+@given(st.lists(st.integers(1, 300), min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None)
+def test_packed_shards_match_serial_packing(spark, tokens):
+    """The two-phase distributed prefix sum assigns every doc to exactly
+    the shard a serial greedy packer would (start-offset convention)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.packing import (
+        packed_shards,
+    )
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tokens)], "doc_id long, n_tokens long")
+    got = {r["doc_id"]: r["shard_id"]
+           for r in packed_shards(docs, budget=256, bucket_span=4).collect()}
+    start, expected = 0, {}
+    for i, n in enumerate(tokens):
+        expected[i] = start // 256
+        start += n
+    assert got == expected
