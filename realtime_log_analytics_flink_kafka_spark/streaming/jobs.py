@@ -265,3 +265,52 @@ def enrich_stream(stream: DataFrame, dim: DataFrame,
     and drop the hint).
     """
     return stream.join(F.broadcast(dim), on=keys, how=how)
+
+
+def anomaly_stream(logs: DataFrame, baseline: DataFrame, *,
+                   z: int = 3) -> DataFrame:
+    """Streaming latency anomaly scoring against a HISTORICAL baseline:
+    the production shape of operators/detect.py:latency_anomalies.  The
+    batch operator computes per-(service, day) moment sums and flags
+    within the same day; a live stream can't see its own day's full
+    distribution, so the streaming twin scores each event against a
+    precomputed per-service baseline table (n, s, q moment sums from
+    yesterday/last week — the output of the batch op's stats stage),
+    broadcast onto the stream.
+
+    Per-event test is the same cross-multiplied integer z-score,
+    (n*x - s)^2 > z^2 * (n*q - s^2), evaluated in DECIMAL — stateless,
+    so the stream needs no watermark, no aggregation state, and emits
+    in append mode with per-event latency (no window close to wait
+    for).  The baseline is re-read per micro-batch (stream-static join
+    semantics), so rolling the baseline table forward daily takes
+    effect without restarting the query.
+    """
+    cs = logs.filter(F.col("latency_ms").isNotNull()).withColumn(
+        "x_cs", F.round(F.col("latency_ms") * 100).cast("decimal(18,0)"))
+    j = cs.join(F.broadcast(baseline), ["service"])
+    dev = F.col("n") * F.col("x_cs") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        j.withColumn("is_anomaly", (dev * dev) > F.lit(z * z) * var_n2)
+        .drop("n", "s", "q", "x_cs")
+    )
+
+
+def latency_baseline(logs: DataFrame, *, key: str = "service") -> DataFrame:
+    """The baseline-building stage for :func:`anomaly_stream`: per-key
+    moment sums (n, s, q) over a historical window of logs, in the same
+    centi-ms DECIMAL arithmetic as the batch detector.  Run as a daily
+    batch job over yesterday's partition; output is key-cardinality
+    rows, trivially broadcastable."""
+    return (
+        logs.filter(F.col("latency_ms").isNotNull())
+        .withColumn("x_cs",
+                    F.round(F.col("latency_ms") * 100).cast("decimal(18,0)"))
+        .groupBy(key)
+        .agg(
+            F.count("*").cast("decimal(18,0)").alias("n"),
+            F.sum("x_cs").alias("s"),
+            F.sum(F.col("x_cs") * F.col("x_cs")).alias("q"),
+        )
+    )

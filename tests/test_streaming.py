@@ -634,3 +634,74 @@ def test_text_operators_are_stream_polymorphic(spark, tmp_path):
         got = {tuple(r) for r in spark.table(name).collect()}
         want = {tuple(r) for r in op(docs).collect()}
         assert got == want, op.__name__
+
+
+def test_anomaly_stream_scores_against_static_baseline(spark, tmp_path):
+    """Stateless stream-static anomaly scoring: events far outside the
+    historical per-service distribution flag, in-distribution events
+    don't, and the stream needs no watermark or state."""
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        anomaly_stream, latency_baseline,
+    )
+    hist_rows = [
+        (i, datetime(2024, 1, 1, 12, 0, i, tzinfo=timezone.utc),
+         "svc-0", 0, 100.0 + (i % 5)) for i in range(40)
+    ]
+    history = spark.createDataFrame(hist_rows, LOG_SCHEMA)
+    baseline = latency_baseline(history)
+
+    live = [
+        (100, datetime(2024, 1, 2, 9, 0, 0, tzinfo=timezone.utc), "svc-0", 0, 102.0),
+        (101, datetime(2024, 1, 2, 9, 0, 1, tzinfo=timezone.utc), "svc-0", 0, 9000.0),
+        (102, datetime(2024, 1, 2, 9, 0, 2, tzinfo=timezone.utc), "svc-0", 0, 99.0),
+    ]
+    path = str(tmp_path / "live")
+    _write_logs(spark, live, path)
+
+    q = start_memory_sink(
+        anomaly_stream(_read_stream(spark, path), baseline),
+        "anom_stream")
+    _drain(q)
+    out = {r["event_id"]: r["is_anomaly"]
+           for r in spark.table("anom_stream").collect()}
+    assert out == {100: False, 101: True, 102: False}
+
+
+def test_incremental_dedup_per_microbatch(spark, tmp_path):
+    """Daily-ingest dedup as a stream: each micro-batch of new docs is
+    LSH-flagged against the static corpus via foreachBatch, so state is
+    the (externally stored) corpus index, not stream state."""
+    from realtime_log_analytics_flink_kafka_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "completely unrelated corpus document with other words")],
+        "doc_id long, text string")
+
+    batches = [
+        [(10, "the quick brown fox jumps over the lazy dog again")],
+        [(20, "novel fresh content nothing shared with anything")],
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(batches[0], "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+    flagged = []
+
+    def step(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        rows = dedup.incremental_dedup_flags(corpus, batch_df).collect()
+        flagged.extend((r["doc_id"], r["matched_corpus_doc"]) for r in rows)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    q = stream.writeStream.foreachBatch(step) \
+        .option("checkpointLocation", str(tmp_path / "ckpt")) \
+        .start()
+    q.processAllAvailable()
+    spark.createDataFrame(batches[1], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(path)
+    q.processAllAvailable()
+    q.stop()
+
+    assert flagged == [(10, 1)]  # dup flagged; fresh batch doc passed
