@@ -1,4 +1,4 @@
-"""JSON-lines and CSV batch sources/sinks.
+"""JSON-lines, CSV, and ORC batch sources/sinks.
 
 The reference's only wire format is JSON strings on Kafka topics
 (kafka/log_producer.py:86-92); landed on storage that is JSONL, and CSV
@@ -50,3 +50,17 @@ def write_csv(df: DataFrame, path: str) -> None:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
         .csv(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch source — the other columnar format Spark ships a native
+    vectorized reader for (no extra jar, unlike Avro).  Schema rides in
+    the file footer like parquet, and the same pushdown/pruning
+    machinery applies (predicate pushdown into ORC stripe/row-group
+    statistics), so ORC-landed data queries with parquet-equivalent
+    plans."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -60,3 +60,26 @@ def test_jsonl_malformed_records_null_out(spark, tmp_path):
     # Type-mismatched field nulls out; the rest of the record survives.
     assert rows[2].service == "payment-service"
     assert rows[2].latency_ms is None
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC lands and reads back exactly, and a filter reaches the ORC
+    scan as a pushed predicate (same plan posture as parquet)."""
+    from realtime_log_analytics_flink_kafka_spark.sources.files import (
+        read_orc, write_orc,
+    )
+    df = spark.createDataFrame(
+        [(i, f"svc-{i % 3}", float(i)) for i in range(100)],
+        "event_id long, service string, latency_ms double")
+    path = str(tmp_path / "events_orc")
+    write_orc(df, path)
+
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+    filtered = back.filter(back.service == "svc-1")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(service), EqualTo(service,svc-1)]" \
+        in plan, f"service filter must reach the ORC scan:\n{plan}"
+    assert filtered.count() == 33
