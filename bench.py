@@ -79,6 +79,7 @@ HEADLINE = [
     "latency_anomalies",
     "semantic_dup_clusters",
     "bpe_pair_counts",
+    "dsir_weights",
 ]
 
 

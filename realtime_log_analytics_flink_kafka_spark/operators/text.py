@@ -622,3 +622,66 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text", *,
         "pair", "pair_count",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+#: DSIR hashed-feature space size (buckets).
+DSIR_BUCKETS = 256
+
+
+def dsir_log_weights(docs: DataFrame, is_target: Column,
+                     text_col: str = "text", *,
+                     buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its hashed n-gram
+    features are under the TARGET distribution (docs where ``is_target``)
+    than under the source distribution (the rest) —
+    ``log w(d) = sum_f tf_f * [ln p_tgt(f) - ln p_src(f)]`` with
+    Laplace-smoothed bucket unigram models over ``buckets`` hashed
+    features.  Selecting/resampling by this weight upweights data that
+    "looks like" the target domain.
+
+    Scale shape mirrors unigram_surprisal: one (doc, bucket) aggregation
+    (map-side combined), bucket-level target/source counts (a
+    ``buckets``-row table) scored ONCE with the engine-independent ln —
+    the two smoothed logs collapse to one det-ln of an integer ratio,
+    ln[(ct+1)(S+B) / ((cs+1)(T+B))] — then broadcast back; corpus rows
+    never shuffle after the first aggregation.  Per-doc contributions
+    fold in sorted bucket order, bit-identical to the oracle's ordered
+    list_reduce.
+    """
+    feats = (
+        docs.select("doc_id", is_target.alias("_tgt"),
+                    F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .select("doc_id", "_tgt", (md5_long(F.col("term")) % buckets).alias("b"))
+    )
+    tfb = feats.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
+    side = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("cs"),
+    )
+    totals = side.agg(F.sum("ct").alias("T"), F.sum("cs").alias("S"))
+    lnt = with_det_ln(
+        side.crossJoin(F.broadcast(totals)),
+        (F.col("ct") + 1) * (F.col("S") + buckets),
+        (F.col("cs") + 1) * (F.col("T") + buckets),
+        "lnv",
+    ).select("b", "lnv")
+    contrib = (
+        tfb.join(F.broadcast(lnt), "b")
+        .select("doc_id", "tf",
+                F.struct("b", (F.col("tf") * F.col("lnv")).alias("c"))
+                    .alias("tc"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"),
+             F.array_sort(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "doc_id", "n_tokens",
+            F.round(
+                F.aggregate(F.transform("tcs", lambda x: x["c"]),
+                            F.lit(0.0), lambda acc, v: acc + v),
+                6).alias("log_weight"),
+        )
+    )

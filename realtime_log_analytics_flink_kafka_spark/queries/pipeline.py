@@ -1907,6 +1907,56 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# --- DSIR importance weights -------------------------------------------------
+
+#: Which fixture source plays the "target domain" for importance scoring.
+DSIR_TARGET_SOURCE = "src0"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text.dsir_log_weights(
+        docs, F.col("source") == DSIR_TARGET_SOURCE)
+
+
+def _dsir_weights_sql() -> str:
+    b = text.DSIR_BUCKETS
+    return f"""
+WITH {TOKENS_CTE},
+feats AS (
+    SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS tgt,
+           {MD5_LONG.format(x='term')} % {b} AS b
+    FROM (SELECT doc_id, source, unnest(toks) AS term FROM tok)
+),
+tfb AS (
+    SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+    FROM feats GROUP BY doc_id, b
+),
+side AS (
+    SELECT b,
+           CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cs
+    FROM feats GROUP BY b
+),
+totals AS (SELECT CAST(sum(ct) AS BIGINT) AS T,
+                  CAST(sum(cs) AS BIGINT) AS S FROM side),
+lnt AS (
+    SELECT b,
+           {det_ln_sql_items(f'(ct + 1) * (S + {b})',
+                             f'(cs + 1) * (T + {b})', 'lnv')}
+    FROM side CROSS JOIN totals
+),
+contrib AS (
+    SELECT doc_id, tf, tfb.b, tf * lnv AS c
+    FROM tfb JOIN lnt ON tfb.b = lnt.b
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(list_reduce(list_prepend(0.0, list(c ORDER BY b)),
+                         (acc, x) -> acc + x), 6) AS log_weight
+FROM contrib GROUP BY doc_id
+"""
+
+
 # --- C4-style segment (line-level) boilerplate dedup -------------------------
 
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2016,6 +2066,7 @@ GROUP BY 1
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "dsir_weights": QuerySpec(q_dsir_weights, _dsir_weights_sql()),
     "semantic_dup_clusters": QuerySpec(q_semantic_dup_clusters,
                                        _semantic_dup_clusters_sql()),
     "doc_chunks": QuerySpec(q_doc_chunks, _doc_chunks_sql()),

@@ -62,6 +62,7 @@ NESTED_LOOP_SANCTIONED = {
     "embedding_quantization": 1,   # single-row scale array broadcast
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
+    "dsir_weights": 1,             # single-row (T, S) totals broadcast
     # composes knn_bruteforce's query-set broadcast with knn_ivf's
     # centroid broadcasts (the corpus assignment subtree appears on both
     # the query and candidate branches); the recall join itself is an

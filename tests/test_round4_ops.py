@@ -207,3 +207,30 @@ class TestHardNegatives:
         rows = hard_negatives(
             vecs, vecs.filter(F.col("vec_id") < 1), k=4).collect()
         assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+
+
+class TestDsirWeights:
+    def test_target_lookalikes_outscore_off_domain(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import (
+            dsir_log_weights,
+        )
+        target_text = "alpha beta gamma delta alpha beta gamma delta"
+        docs = spark.createDataFrame(
+            [(1, target_text, True),
+             (2, "alpha beta gamma delta epsilon zeta", False),
+             (3, "nothing in common with anything here at all", False)],
+            "doc_id long, text string, tgt boolean")
+        out = {r["doc_id"]: r["log_weight"]
+               for r in dsir_log_weights(docs, F.col("tgt")).collect()}
+        # doc 2 shares most vocabulary with the target; doc 3 none
+        assert out[2] > out[3]
+
+    def test_every_nonempty_doc_scored(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import (
+            dsir_log_weights,
+        )
+        docs = spark.createDataFrame(
+            [(1, "a b c", True), (2, "", False), (3, "d e", False)],
+            "doc_id long, text string, tgt boolean")
+        rows = dsir_log_weights(docs, F.col("tgt")).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 3]
