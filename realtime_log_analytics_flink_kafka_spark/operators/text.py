@@ -685,3 +685,33 @@ def dsir_log_weights(docs: DataFrame, is_target: Column,
                 6).alias("log_weight"),
         )
     )
+
+
+def blocklist_stats(docs: DataFrame, blocklist: tuple[str, ...],
+                    text_col: str = "text", *,
+                    max_hit_ratio_e4: int = 0) -> DataFrame:
+    """C4-style blocklist filtering: per-document hit counts against a
+    fixed token blocklist and a keep/drop verdict (C4 dropped any page
+    containing a listed word, i.e. ``max_hit_ratio_e4 = 0``; a ratio
+    threshold generalizes to the softer variants).
+
+    The blocklist is a compile-time IN-list inside one row-wise
+    projection — at realistic blocklist sizes (hundreds of terms) this
+    stays a codegen'd hash-set probe per token, no join, no shuffle, no
+    broadcast needed; the ratio is exact integer arithmetic
+    (hits*10^4 // tokens, see exact_round_div) so the verdict is
+    engine-exact.  Zero-token docs keep (nothing to match), with NULL
+    ratio — the same undefined-not-zero convention as quality_scores.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n_toks = F.size(toks).cast("long")
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(*blocklist))).cast("long")
+    ratio = exact_round_div(n_hits, n_toks, scale=4)
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        n_hits.alias("n_hits"),
+        ratio.alias("hit_ratio"),
+        F.coalesce(ratio <= max_hit_ratio_e4 / 10_000.0, F.lit(True))
+            .alias("keep"),
+    )

@@ -62,8 +62,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hard_negatives",
     # r4-changed: pointer-jumping component loop; shared top-k scaffold
     "dup_clusters", "knn_recall",
-    # new r4: DSIR importance weights (det-ln likelihood ratio)
-    "dsir_weights",
+    # new r4: DSIR importance weights (det-ln likelihood ratio); C4-style
+    # blocklist gate
+    "dsir_weights", "blocklist_filter",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
@@ -74,7 +75,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "label_centroids", "token_counts", "language_id", "doc_fingerprints",
     "top_terms_per_source", "media_summary", "frame_samples", "media_resize",
     "doc_split_counts", "stratified_sample", "doc_length_histogram",
-    "decontamination",
 )
 
 

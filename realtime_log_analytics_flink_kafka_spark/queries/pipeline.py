@@ -1907,6 +1907,41 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# --- blocklist filtering -----------------------------------------------------
+
+#: Stand-in "bad words" list over the synthetic vocabulary (the C4 gate
+#: is a fixed public word list; only membership mechanics matter here).
+BLOCKLIST = ("slow", "leak", "panic")
+#: Soft threshold: keep docs whose blocklist hit ratio <= 2 % (e4=200);
+#: C4's hard drop-on-any-hit is max_hit_ratio_e4=0.
+BLOCKLIST_MAX_E4 = 200
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.blocklist_stats(_docs(spark, sf_dir), BLOCKLIST,
+                                max_hit_ratio_e4=BLOCKLIST_MAX_E4)
+
+
+def _blocklist_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BLOCKLIST)
+    ratio = exact_round_div_sql("n_hits", "n_tokens", 4)
+    return f"""
+WITH {TOKENS_CTE},
+c AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> t IN ({terms}))) AS BIGINT)
+               AS n_hits
+    FROM tok
+)
+SELECT doc_id, n_tokens, n_hits,
+       CASE WHEN n_tokens > 0 THEN {ratio} END AS hit_ratio,
+       COALESCE(CASE WHEN n_tokens > 0 THEN {ratio} END
+                <= {BLOCKLIST_MAX_E4 / 10_000.0}, TRUE) AS keep
+FROM c
+"""
+
+
 # --- DSIR importance weights -------------------------------------------------
 
 #: Which fixture source plays the "target domain" for importance scoring.
@@ -2067,6 +2102,7 @@ GROUP BY 1
 
 QUERIES: dict[str, QuerySpec] = {
     "dsir_weights": QuerySpec(q_dsir_weights, _dsir_weights_sql()),
+    "blocklist_filter": QuerySpec(q_blocklist_filter, _blocklist_sql()),
     "semantic_dup_clusters": QuerySpec(q_semantic_dup_clusters,
                                        _semantic_dup_clusters_sql()),
     "doc_chunks": QuerySpec(q_doc_chunks, _doc_chunks_sql()),

@@ -234,3 +234,33 @@ class TestDsirWeights:
             "doc_id long, text string, tgt boolean")
         rows = dsir_log_weights(docs, F.col("tgt")).collect()
         assert sorted(r["doc_id"] for r in rows) == [1, 3]
+
+
+class TestBlocklist:
+    def test_hard_gate_drops_any_hit(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import (
+            blocklist_stats,
+        )
+        docs = _docs(spark, [
+            (1, "clean words only here"),
+            (2, "one badword inside this document"),
+            (3, ""),
+        ])
+        out = {r["doc_id"]: r for r in blocklist_stats(
+            docs, ("badword",), max_hit_ratio_e4=0).collect()}
+        assert out[1]["keep"] and out[1]["n_hits"] == 0
+        assert not out[2]["keep"] and out[2]["n_hits"] == 1
+        # zero-token docs keep, with NULL (undefined) ratio
+        assert out[3]["keep"] and out[3]["hit_ratio"] is None
+
+    def test_soft_threshold_tolerates_low_ratios(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.text import (
+            blocklist_stats,
+        )
+        # 1 hit / 50 tokens = 2% exactly: keep at <=2%, drop at <=1.99%
+        text = "bad " + " ".join(f"w{i}" for i in range(49))
+        docs = _docs(spark, [(1, text)])
+        keep_at = lambda e4: blocklist_stats(  # noqa: E731
+            docs, ("bad",), max_hit_ratio_e4=e4).collect()[0]["keep"]
+        assert keep_at(200)
+        assert not keep_at(199)
