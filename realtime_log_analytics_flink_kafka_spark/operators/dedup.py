@@ -150,6 +150,26 @@ def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.bucket")
 
 
+def lsh_candidate_pairs(sketch: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}, ...) -> distinct candidate (doc_a, doc_b)
+    pairs sharing at least one LSH band bucket (doc_a < doc_b).  The
+    shared candidate generator behind pair verification
+    (:func:`minhash_lsh_pairs`) and estimator calibration
+    (queries/pipeline.q_minhash_accuracy): an equi-join on
+    (band, bucket) — only colliding documents ever meet, never the
+    n² cross product."""
+    banded = lsh_band_buckets(sketch)
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
                       n: int = 3, threshold: float = 0.4,
                       reuse_sets: bool = False) -> DataFrame:
@@ -176,16 +196,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
         from pyspark import StorageLevel
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
 
-    banded = lsh_band_buckets(sets)
-
-    x, y = banded.alias("x"), banded.alias("y")
-    cand = (
-        x.join(y, (F.col("x.band") == F.col("y.band"))
-               & (F.col("x.bucket") == F.col("y.bucket"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(sets)
 
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset")))

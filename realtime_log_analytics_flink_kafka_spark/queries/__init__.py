@@ -65,6 +65,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: DSIR importance weights (det-ln likelihood ratio); C4-style
     # blocklist gate
     "dsir_weights", "blocklist_filter",
+    # new r4: MinHash estimator calibration, cross-source contamination
+    # matrix, per-source dedup token-loss accounting — never driver-checked
+    "minhash_accuracy", "cross_source_overlap", "dedup_token_loss",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
@@ -74,7 +77,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_bruteforce", "knn_ivf", "knn_ivf_multiprobe", "knn_lsh_pairs",
     "label_centroids", "token_counts", "language_id", "doc_fingerprints",
     "top_terms_per_source", "media_summary", "frame_samples", "media_resize",
-    "doc_split_counts", "stratified_sample", "doc_length_histogram",
+    # (doc_split_counts / stratified_sample / doc_length_histogram rotate
+    # out to make room for the three new never-checked queries: r2-green,
+    # unchanged since, and re-proven by the local sf0.01 parity suite)
 )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detmath import det_ln_sql_items, exact_round_div, \
-    exact_round_div_sql
+    exact_round_div_sql, int_div
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
 from ..operators import (decontam, dedup, multimodal, packing, sampling,
                          similarity, text)
@@ -1070,6 +1070,225 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM ({_minhash_sql()}))
 """
 
 
+# --- dedup diagnostics: estimator calibration, contamination, accounting ----
+
+#: e6 scale of one MinHash signature match (1e6 / k, exact for k = 16).
+_MH_EST_E6 = 1_000_000 // dedup.MINHASH_K
+assert _MH_EST_E6 * dedup.MINHASH_K == 1_000_000, \
+    "MINHASH_K must divide 1e6 for exact estimator arithmetic"
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: over every LSH candidate pair, how
+    well does the k=16-signature match fraction estimate the exact
+    shingle Jaccard?  Output is one row per possible match count
+    (0..k): the estimate it implies, how many candidate pairs produced
+    it, their mean TRUE Jaccard, and the mean absolute estimator error
+    — the approximation *measured*, not assumed (same discipline as
+    knn_recall for ANN).
+
+    Scale: candidates come from the bucketed band join
+    (operators/dedup.py:lsh_candidate_pairs), never the n² cross
+    product, and the report aggregates pairs down to ≤ k+1 rows.  All
+    arithmetic is integer until the final divides: per-pair true
+    Jaccard is rounded to an e6 BIGINT in exact int64 arithmetic, the
+    estimate n_match/16 is exactly n_match·62500 at e6, and each mean
+    is one exact_round_div — bit-identical cross-engine by
+    construction (functions/detmath.py)."""
+    sketch = dedup.minhash_sketch(_docs(spark, sf_dir))
+    cand = dedup.lsh_candidate_pairs(sketch)
+    a, b = sketch.alias("a"), sketch.alias("b")
+    n_match = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int")
+        for i in range(dedup.MINHASH_K)
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset"))) \
+        .cast("long")
+    union = (F.size(F.col("a.hset")) + F.size(F.col("b.hset"))).cast("long") \
+        - inter
+    per = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select(
+            n_match.alias("n_match"),
+            # round(inter/union * 1e6) half-up, entirely in int64
+            int_div(2 * inter * F.lit(1_000_000) + union, 2 * union)
+                .alias("j_e6"),
+        )
+        .withColumn("err_e6",
+                    F.abs(F.col("n_match") * F.lit(_MH_EST_E6)
+                          - F.col("j_e6")))
+    )
+    k = float(dedup.MINHASH_K)
+    return (
+        per.groupBy("n_match")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            exact_round_div(F.sum("j_e6"), F.count("*") * 1_000_000)
+                .alias("mean_exact_jaccard"),
+            exact_round_div(F.sum("err_e6"), F.count("*") * 1_000_000)
+                .alias("mean_abs_err"),
+        )
+        # n/16 is a dyadic rational: the double division is exact on
+        # both engines, no rounding needed
+        .withColumn("est_jaccard", F.col("n_match").cast("double") / F.lit(k))
+        .select("n_match", "est_jaccard", "n_pairs",
+                "mean_exact_jaccard", "mean_abs_err")
+    )
+
+
+def _minhash_accuracy_sql() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(affine_hashes(dedup.MINHASH_K))
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {key} AS bucket FROM mh")
+    bands = "\nUNION ALL\n".join(band_selects)
+    n_match = " + ".join(
+        f"CAST(a.mh{i} = b.mh{i} AS BIGINT)" for i in range(dedup.MINHASH_K))
+    return f"""
+WITH {SHINGLE_CTES},
+mh AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+per AS (
+    SELECT ({n_match}) AS n_match,
+           CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
+           CAST(len(ha.hset) + len(hb.hset)
+                - len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS un
+    FROM cand
+    JOIN mh a ON cand.doc_a = a.doc_id
+    JOIN mh b ON cand.doc_b = b.doc_id
+    JOIN hsets ha ON cand.doc_a = ha.doc_id
+    JOIN hsets hb ON cand.doc_b = hb.doc_id
+),
+pe AS (
+    SELECT n_match,
+           (2 * inter * 1000000 + un) // (2 * un) AS j_e6
+    FROM per
+)
+SELECT n_match,
+       CAST(n_match AS DOUBLE) / {float(dedup.MINHASH_K)!r} AS est_jaccard,
+       count(*) AS n_pairs,
+       {exact_round_div_sql('sum(j_e6)', 'count(*) * 1000000')}
+           AS mean_exact_jaccard,
+       {exact_round_div_sql(f'sum(abs(n_match * {_MH_EST_E6} - j_e6))',
+                            'count(*) * 1000000')} AS mean_abs_err
+FROM pe GROUP BY n_match
+"""
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination matrix: verified near-dup pairs counted per
+    unordered source pair — the diagonal is within-source redundancy,
+    off-diagonal cells are cross-source leakage (the pairs a
+    train/benchmark or train/val split must care about).
+
+    Scale: the pair list is dup-sized, the (doc_id, source) projection
+    is two columns of the corpus; both joins are equi-joins on doc_id
+    (AQE broadcasts the small pair side at bench scale; at 100 TB both
+    sides hash-shuffle on doc_id, never more than corpus-wide)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    sa = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(F.least("src_a", "src_b").alias("source_a"),
+                F.greatest("src_a", "src_b").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+def _cross_source_overlap_sql() -> str:
+    return f"""
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM ({_minhash_sql()}) pairs
+JOIN documents da ON pairs.doc_a = da.doc_id
+JOIN documents db ON pairs.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_token_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation accounting: what near-dup removal costs each source in
+    documents and TOKENS (the budget that actually matters for
+    training).  Applies near_dup_survivors' keep-lowest-id policy and
+    reports, per source: docs and tokens before, docs and tokens
+    dropped, and the token loss rate (exact 4-dp rational).
+
+    Scale: one corpus projection computes token counts; the drop list
+    (distinct doc_b) is dup-sized and joins on doc_id; the final
+    aggregate is #sources rows.  The loss rate divides exact BIGINT
+    token sums (detmath.exact_round_div)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(text.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    drop = (
+        dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    flagged = toks.join(drop, "doc_id", "left").withColumn(
+        "dropped", F.coalesce(F.col("dropped"), F.lit(False)))
+    d = F.col("dropped").cast("long")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(d).alias("n_dropped"),
+            F.sum(F.col("n_tokens") * d).alias("tokens_dropped"),
+            exact_round_div(F.sum(F.col("n_tokens") * d),
+                            F.sum("n_tokens")).alias("token_loss_rate"),
+        )
+    )
+
+
+def _dedup_token_loss_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+t AS (
+    SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok
+),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM ({_minhash_sql()})),
+flagged AS (
+    SELECT t.*, CAST(drops.doc_id IS NOT NULL AS BIGINT) AS d
+    FROM t LEFT JOIN drops ON t.doc_id = drops.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(d) AS BIGINT) AS n_dropped,
+       CAST(sum(n_tokens * d) AS BIGINT) AS tokens_dropped,
+       CASE WHEN sum(n_tokens) > 0 THEN
+           {exact_round_div_sql('sum(n_tokens * d)', 'sum(n_tokens)')}
+       END AS token_loss_rate
+FROM flagged GROUP BY source
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-perplexity quality signal (operators/text.py:unigram_surprisal):
     per-doc mean -ln p(token) under the corpus's own unigram model."""
@@ -2101,6 +2320,10 @@ GROUP BY 1
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "minhash_accuracy": QuerySpec(q_minhash_accuracy, _minhash_accuracy_sql()),
+    "cross_source_overlap": QuerySpec(q_cross_source_overlap,
+                                      _cross_source_overlap_sql()),
+    "dedup_token_loss": QuerySpec(q_dedup_token_loss, _dedup_token_loss_sql()),
     "dsir_weights": QuerySpec(q_dsir_weights, _dsir_weights_sql()),
     "blocklist_filter": QuerySpec(q_blocklist_filter, _blocklist_sql()),
     "semantic_dup_clusters": QuerySpec(q_semantic_dup_clusters,
