@@ -80,6 +80,11 @@ HEADLINE = [
     "semantic_dup_clusters",
     "bpe_pair_counts",
     "dsir_weights",
+    # round-4 continued: per-doc boilerplate share (the heaviest new span
+    # aggregation), dup-graph degree histogram, temperature mixing
+    "boilerplate_fraction",
+    "dup_graph_degrees",
+    "temperature_mixture",
 ]
 
 

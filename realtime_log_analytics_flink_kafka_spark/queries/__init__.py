@@ -68,18 +68,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: MinHash estimator calibration, cross-source contamination
     # matrix, per-source dedup token-loss accounting — never driver-checked
     "minhash_accuracy", "cross_source_overlap", "dedup_token_loss",
+    # new r4: per-doc boilerplate span share, dup-graph degree histogram,
+    # sqrt-temperature source sampling — never driver-checked
+    "boilerplate_fraction", "dup_graph_degrees", "temperature_mixture",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
-    "grouping_sets_orders", "top_revenue_orders", "small_quantity_revenue",
-    "customer_running_spend", "orders_by_priority_pivot",
+    "small_quantity_revenue", "customer_running_spend",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "simhash_pairs", "embedding_near_dups",
     "knn_bruteforce", "knn_ivf", "knn_ivf_multiprobe", "knn_lsh_pairs",
     "label_centroids", "token_counts", "language_id", "doc_fingerprints",
     "top_terms_per_source", "media_summary", "frame_samples", "media_resize",
-    # (doc_split_counts / stratified_sample / doc_length_histogram rotate
-    # out to make room for the three new never-checked queries: r2-green,
-    # unchanged since, and re-proven by the local sf0.01 parity suite)
+    # (doc_split_counts / stratified_sample / doc_length_histogram —
+    # and, for the second batch of never-checked r4 queries,
+    # grouping_sets_orders / top_revenue_orders / orders_by_priority_pivot
+    # — rotate out to make room: all r2-green, unchanged since, and
+    # re-proven by the local sf0.01 parity suite)
 )
 
 

@@ -1289,6 +1289,43 @@ FROM flagged GROUP BY source
 """
 
 
+def q_dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph — the shape diagnostic
+    that decides the dedup POLICY: a long high-degree tail means hub
+    templates (drop the hub, keep the spokes), while a mass of degree-1
+    nodes means pairwise mirrors (keep-lowest-id is enough).  Complements
+    dup_clusters (which sizes the components) with per-NODE structure.
+
+    Scale: pairs come from the bucketed LSH band join (never n²); the
+    endpoint explode is 2·|pairs| rows of one long each; both aggregates
+    shuffle dup-graph-sized keys, and the output is at most
+    max-degree rows.  Integer-only — no float parity surface."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                    threshold=MINHASH_THRESHOLD)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id")))
+    deg = ends.groupBy("doc_id").agg(F.count("*").cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_docs"))
+
+
+def _dup_graph_degrees_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+ends AS (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+),
+deg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+    FROM ends GROUP BY doc_id
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-perplexity quality signal (operators/text.py:unigram_surprisal):
     per-doc mean -ln p(token) under the corpus's own unigram model."""
@@ -1392,6 +1429,85 @@ n AS (
 )
 SELECT doc_id, source, unnest(range(0, n_copies)) AS epoch
 FROM n WHERE n_copies > 0
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling rates (the mC4/XLM-R mixing
+    rule): sampling probability proportional to (token share)^alpha with
+    alpha = 1/2, which upweights small sources and damps the head.  Per
+    source: docs, tokens, raw token share, temperature share, and the
+    boost factor (temp/raw — >1 means the source is upsampled).  Where
+    source_mixture APPLIES fixed epoch weights per doc, this DERIVES the
+    weights from corpus statistics.
+
+    Cross-engine exactness without detmath: alpha = 1/2 makes the power a
+    SQRT, which IEEE 754 requires correctly rounded — so on identical
+    BIGINT token sums both engines produce the identical double, and the
+    shares are divisions of identically-derived doubles (the per-source
+    weight total is an ordered fold over sources, the repo's standard
+    float-sum discipline).  Arbitrary alpha would need a det_exp twin of
+    detmath.det_ln_ratio — sqrt covers the canonical temperature without
+    that machinery.
+
+    Scale: one corpus pass aggregates to #sources rows; everything after
+    is arithmetic on a table small enough to broadcast (the sanctioned
+    single-row cross-join pattern, cf. tfidf's corpus-N broadcast)."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.select(
+            "source",
+            F.size(text.ws_tokens(F.col("text"))).cast("long")
+                .alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_toks").alias("n_tokens"))
+        .withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0), lambda acc, x: acc + x["w"]).alias("tot_w"),
+    )
+    p_raw = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    p_temp = F.col("w") / F.col("tot_w")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.when(F.col("n_tokens") > 0, p_raw).alias("p_raw"),
+            F.when(F.col("n_tokens") > 0, p_temp).alias("p_temp"),
+            F.when(F.col("n_tokens") > 0, p_temp / p_raw).alias("boost"),
+        )
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+per AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM tok GROUP BY source
+),
+w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM per),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+           list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                       (acc, x) -> acc + x) AS tot_w
+    FROM w
+)
+SELECT source, n_docs, n_tokens,
+       CASE WHEN n_tokens > 0 THEN
+           CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+       END AS p_raw,
+       CASE WHEN n_tokens > 0 THEN w / tot_w END AS p_temp,
+       CASE WHEN n_tokens > 0 THEN
+           (w / tot_w) / (CAST(n_tokens AS DOUBLE)
+                          / CAST(tot_tokens AS DOUBLE))
+       END AS boost
+FROM w CROSS JOIN tot
 """
 
 
@@ -1788,6 +1904,69 @@ SELECT min(g) AS gram,
        CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM per_doc GROUP BY gh
 HAVING count(*) >= {SPAN_MIN_DOCS}
+"""
+
+
+def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a document's
+    8-token span POSITIONS whose span also appears in at least one other
+    document — duplicate_ngram_spans turned around into a per-doc
+    quality signal (a page that is 80% shared template text is a removal
+    candidate even if no whole-document dup fires).
+
+    Shuffle shape: the same hashed-gram two-level aggregation as
+    duplicate_ngram_spans — (gh, doc) pre-agg collapses within-doc
+    repeats map-side, keyed on the 8-byte md5 gram id, and no gram
+    STRING ever shuffles (this query needs no representative text, so
+    unlike the span report it ships ids only).  The dup-gram set is
+    boilerplate-sized; at 100 TB AQE broadcasts it into the per-doc
+    join, and the fraction is detmath.exact_round_div over exact BIGINT
+    position counts."""
+    spans = text.ngram_spans(_docs(spark, sf_dir), SPAN_N).select(
+        "doc_id", md5_long(F.col("gram")).alias("gh"))
+    per_doc_gram = spans.groupBy("gh", "doc_id").agg(F.count("*").alias("c"))
+    dup = (per_doc_gram.groupBy("gh")
+           .agg(F.count("*").alias("nd"))
+           .filter(F.col("nd") >= SPAN_MIN_DOCS)
+           .select("gh"))
+    totals = per_doc_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_spans"))
+    dups = (per_doc_gram.join(dup, "gh")
+            .groupBy("doc_id").agg(F.sum("c").cast("long").alias("n_dup")))
+    return (
+        totals.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+                .alias("n_dup_spans"),
+            exact_round_div(F.coalesce(F.col("n_dup"), F.lit(0)),
+                            F.col("n_spans")).alias("dup_frac"),
+        )
+    )
+
+
+def _boilerplate_fraction_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+spans AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - {SPAN_N} + 1),
+                  i -> array_to_string(toks[i + 1:i + {SPAN_N}], ' ')))
+               AS gram
+    FROM tok WHERE len(toks) >= {SPAN_N}
+),
+hs2 AS (SELECT doc_id, {MD5_LONG.format(x='gram')} AS gh FROM spans),
+pdg AS (SELECT gh, doc_id, count(*) AS c FROM hs2 GROUP BY gh, doc_id),
+dup AS (SELECT gh FROM pdg GROUP BY gh HAVING count(*) >= {SPAN_MIN_DOCS}),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans
+        FROM pdg GROUP BY doc_id),
+dups AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_dup
+         FROM pdg JOIN dup USING (gh) GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans,
+       COALESCE(d.n_dup, 0) AS n_dup_spans,
+       {exact_round_div_sql('COALESCE(d.n_dup, 0)', 't.n_spans')} AS dup_frac
+FROM tot t LEFT JOIN dups d ON t.doc_id = d.doc_id
 """
 
 
@@ -2392,4 +2571,10 @@ QUERIES: dict[str, QuerySpec] = {
                                      SQL_CENTROID_SIMILARITY),
     "duplicate_ngram_spans": QuerySpec(q_duplicate_ngram_spans,
                                        SQL_DUPLICATE_NGRAM_SPANS),
+    "boilerplate_fraction": QuerySpec(q_boilerplate_fraction,
+                                      _boilerplate_fraction_sql()),
+    "dup_graph_degrees": QuerySpec(q_dup_graph_degrees,
+                                   _dup_graph_degrees_sql()),
+    "temperature_mixture": QuerySpec(q_temperature_mixture,
+                                     _temperature_mixture_sql()),
 }

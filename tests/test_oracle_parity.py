@@ -39,6 +39,7 @@ def test_queries_nonempty(spark):
         "escalations_every_third", "alert_metrics_daily",
         "dedup_exact", "knn_bruteforce", "token_counts", "media_summary",
         "decontamination", "repetition_filters", "near_dup_survivors",
+        "boilerplate_fraction", "dup_graph_degrees", "temperature_mixture",
     ]
     for name in must_emit:
         df = QUERIES[name].fn(spark, SF_SMOKE)

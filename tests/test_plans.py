@@ -63,6 +63,7 @@ NESTED_LOOP_SANCTIONED = {
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
+    "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
     # composes knn_bruteforce's query-set broadcast with knn_ivf's
     # centroid broadcasts (the corpus assignment subtree appears on both
     # the query and candidate branches); the recall join itself is an
