@@ -85,6 +85,14 @@ HEADLINE = [
     "boilerplate_fraction",
     "dup_graph_degrees",
     "temperature_mixture",
+    # round-4 continued: two-phase global-cumsum budget cut, robust
+    # median/MAD, heavy-hitter skew audit
+    "token_budget_cut",
+    "latency_median_mad",
+    "skew_audit",
+    # round-4 continued: det_exp-composed temperature sweep (the widest
+    # deterministic-float expression in the registry)
+    "mixture_temperature_sweep",
 ]
 
 

@@ -187,6 +187,92 @@ def det_ln_ratio(num: Column, den: Column) -> Column:
     return s * (kd * F.lit(LN2) + F.lit(2.0) * t * poly)
 
 
+#: repr of the double nearest 1/ln2 — same literal embedded in both
+#: dialects (see LN2).
+INV_LN2 = 1.4426950408889634
+
+#: exp(r) Taylor terms 1/i!.  |r| ≤ ln2/2 ≈ 0.3466 after range
+#: reduction, so the i=15 tail is below 0.3466^15/15! ≈ 9e-20 — far
+#: under double precision; more terms would change nothing.
+_EXP_N_TERMS = 15
+_EXP_COEFFS: list[float] = []
+_f = 1.0
+for _i in range(_EXP_N_TERMS):
+    _EXP_COEFFS.append(1.0 / _f)
+    _f *= _i + 1
+
+#: |k| bound for the 2^k reconstruction ladder: exp arguments beyond
+#: ±44·ln2 ≈ ±30.5 do not arise from α·ln(int64 counts); the guard keeps
+#: the CASE ladder small and makes out-of-range inputs NULL, not wrong.
+_EXP_MAX_K = 64
+
+
+def with_det_exp(df: "DataFrame", x: Column, out: str,
+                 pfx: str = "_de") -> "DataFrame":
+    """Add column ``out`` = deterministic ``exp(x)`` — the inverse twin
+    of :func:`with_det_ln`, evaluated as an IDENTICAL arithmetic DAG on
+    both engines so the 64-bit result matches bit for bit:
+
+    - k = floor(x·(1/ln2) + 1/2) — nearest integer; multiply/add are
+      correctly-rounded IEEE ops on identical doubles, floor is exact
+    - r = x − k·ln2 ∈ ~[−ln2/2, ln2/2]
+    - exp(r) by the 15-term Taylor series with literal 1/i! coefficients
+      (Horner), exp(x) = 2^k·exp(r); 2^k is a literal-double CASE ladder
+      on the BIGINT k (cf. det_ln_ratio's range reduction, run backward)
+
+    The result differs from correctly-rounded exp by a few ulp — and by
+    ZERO ulp between engines.  |k| > 64 yields NULL (arguments that
+    large don't arise from α·ln over int64 counts).  STAGED through
+    named columns like with_det_ln — the Horner chain references r 14×,
+    so the inline form would duplicate the k/r subtrees combinatorially.
+
+    Composition ``exp(α · ln(num/den))`` — via with_det_ln then this —
+    is the deterministic power ``(num/den)^α`` for arbitrary α, e.g.
+    temperature-scaled mixture weights (queries/pipeline.py:
+    mixture_temperature_sweep)."""
+    df = df.withColumn(f"{pfx}_x", x)
+    xv = F.col(f"{pfx}_x")
+    df = df.withColumn(
+        f"{pfx}_k",
+        F.floor(xv * F.lit(INV_LN2) + F.lit(0.5)).cast("long"))
+    k = F.col(f"{pfx}_k")
+    df = df.withColumn(f"{pfx}_r", xv - k.cast("double") * F.lit(LN2))
+    r = F.col(f"{pfx}_r")
+    poly = F.lit(_EXP_COEFFS[-1])
+    for c in reversed(_EXP_COEFFS[:-1]):
+        poly = F.lit(c) + r * poly
+    df = df.withColumn(f"{pfx}_p", poly)
+    p2 = F.when(k == F.lit(-_EXP_MAX_K), F.lit(float(2.0 ** -_EXP_MAX_K)))
+    for j in range(-_EXP_MAX_K + 1, _EXP_MAX_K + 1):
+        p2 = p2.when(k == F.lit(j), F.lit(float(2.0 ** j)))
+    df = df.withColumn(out, F.col(f"{pfx}_p") * p2)
+    return df.drop(*[name for name in df.columns
+                     if name.startswith(pfx + "_")])
+
+
+def det_exp_sql_items(x: str, out: str, pfx: str = "_de") -> str:
+    """DuckDB select-list fragment mirroring :func:`with_det_exp` via
+    lateral column aliases — identical literals and operation order
+    (same constants), which is the bit-parity contract."""
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    p2_case = ("CASE " + " ".join(
+        f"WHEN {pfx}_k = {j} THEN {dlit(float(2.0 ** j))}"
+        for j in range(-_EXP_MAX_K, _EXP_MAX_K + 1)) + " ELSE NULL END")
+    poly = dlit(_EXP_COEFFS[-1])
+    for c in reversed(_EXP_COEFFS[:-1]):
+        poly = f"({dlit(c)} + ({pfx}_r * {poly}))"
+    return ",\n           ".join([
+        f"({x}) AS {pfx}_x",
+        f"CAST(floor(({pfx}_x * {dlit(INV_LN2)}) + {dlit(0.5)}) AS BIGINT)"
+        f" AS {pfx}_k",
+        f"{pfx}_x - (CAST({pfx}_k AS DOUBLE) * {dlit(LN2)}) AS {pfx}_r",
+        f"{poly} AS {pfx}_p",
+        f"{pfx}_p * ({p2_case}) AS {out}",
+    ])
+
+
 def det_ln_sql_items(num: str, den: str, out: str, pfx: str = "_ln") -> str:
     """DuckDB select-list fragment computing :func:`det_ln_ratio` via
     lateral column aliases — append to a SELECT list; the final item is

@@ -71,19 +71,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: per-doc boilerplate span share, dup-graph degree histogram,
     # sqrt-temperature source sampling — never driver-checked
     "boilerplate_fraction", "dup_graph_degrees", "temperature_mixture",
+    # new r4: quality-ranked token budget cut (two-phase global cumsum),
+    # robust median/MAD latency, heavy-hitter skew audit — never checked
+    "token_budget_cut", "latency_median_mad", "skew_audit",
+    # new r4: arbitrary-α temperature sweep on det_exp∘det_ln — never
+    # driver-checked (label_centroids rotates out: r2-green and its
+    # composition centroid_similarity was r3-checked)
+    "mixture_temperature_sweep",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
-    "small_quantity_revenue", "customer_running_spend",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "simhash_pairs", "embedding_near_dups",
     "knn_bruteforce", "knn_ivf", "knn_ivf_multiprobe", "knn_lsh_pairs",
-    "label_centroids", "token_counts", "language_id", "doc_fingerprints",
-    "top_terms_per_source", "media_summary", "frame_samples", "media_resize",
+    "token_counts", "language_id", "doc_fingerprints",
+    "top_terms_per_source", "media_summary", "frame_samples",
     # (doc_split_counts / stratified_sample / doc_length_histogram —
-    # and, for the second batch of never-checked r4 queries,
-    # grouping_sets_orders / top_revenue_orders / orders_by_priority_pivot
-    # — rotate out to make room: all r2-green, unchanged since, and
-    # re-proven by the local sf0.01 parity suite)
+    # then grouping_sets_orders / top_revenue_orders /
+    # orders_by_priority_pivot, then small_quantity_revenue /
+    # customer_running_spend / media_resize — rotate out to make room
+    # for the never-driver-checked r4 batches: all r2-green, unchanged
+    # since, and re-proven by the local sf0.01 parity suite)
 )
 
 

@@ -727,9 +727,136 @@ GROUP BY 1, 2
 """
 
 
+# --- robust per-service latency statistics -----------------------------------
+
+def q_latency_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service robust latency center/spread: exact nearest-rank-low
+    median and MAD (median absolute deviation) — the robust twin of
+    latency_anomalies' mean/z-score (a handful of timeout outliers moves
+    a mean by seconds but the median by nothing, so SLO baselines are
+    set on median/MAD in practice).
+
+    Both medians reuse the reference's nearest-rank-low selection
+    discipline (functions/percentile.py, flink/latency_slo_monitor.py:45-64
+    provenance), so the result is an ELEMENT of the data — selection, not
+    arithmetic, hence no float parity surface even on double latencies
+    (the |x − med| deviations are single IEEE subtractions of
+    identically-derived doubles).  Two shuffles on service; the
+    #services-row median table broadcasts back.  At 100 TB the
+    collect_list per service is the documented exact/approx pair:
+    percentile_approx replaces both selections, same schema
+    (cf. latency_p95_daily vs latency_p95_approx)."""
+    from ..functions.percentile import exact_percentile_disc
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events")) \
+        .filter(F.col("latency_ms").isNotNull())
+    med = logs.groupBy("service").agg(
+        exact_percentile_disc(F.col("latency_ms"), 0.5).alias("med"))
+    return (
+        logs.join(F.broadcast(med), "service")
+        .select("service", "med",
+                F.abs(F.col("latency_ms") - F.col("med")).alias("dev"))
+        .groupBy("service")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("med").alias("median_latency"),
+            exact_percentile_disc(F.col("dev"), 0.5).alias("mad_latency"),
+        )
+    )
+
+
+def _latency_median_mad_sql() -> str:
+    from ..functions.percentile import percentile_disc_sql
+
+    return f"""
+WITH {LOGS_CTE},
+l AS (SELECT service, latency_ms FROM logs WHERE latency_ms IS NOT NULL),
+med AS (
+    SELECT service, {percentile_disc_sql('latency_ms', 0.5)} AS med
+    FROM l GROUP BY service
+)
+SELECT l.service,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(m.med) AS median_latency,
+       {percentile_disc_sql('abs(l.latency_ms - m.med)', 0.5)} AS mad_latency
+FROM l JOIN med m ON l.service = m.service
+GROUP BY l.service
+"""
+
+
+# --- partition-skew audit ----------------------------------------------------
+
+#: Heavy hitters reported by the skew audit.
+SKEW_TOP_K = 20
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter audit of the events keyspace: the top-20 user_ids by
+    row count, each with its corpus share and its skew factor vs the
+    mean key (count · n_keys / total) — the measurement that DECIDES
+    whether a keyed join/agg needs the salting treatment
+    (salted_join_revenue is the cure; this query is the diagnosis).
+
+    Scale: one groupBy(key) count — the same shuffle any keyed op would
+    do anyway — then a k-row TakeOrdered (per-partition partial top-k
+    merged on the driver, never a global sort) against a single-row
+    totals broadcast.  Shares and skew factors are
+    detmath.exact_round_div over exact BIGINT counts."""
+    from ..functions.detmath import exact_round_div
+
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    tot = per_key.agg(
+        F.sum("n_events").alias("total_events"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(SKEW_TOP_K)
+        .select(
+            "user_id", "n_events",
+            exact_round_div(F.col("n_events"), F.col("total_events"),
+                            scale=6).alias("share"),
+            exact_round_div(F.col("n_events") * F.col("n_keys"),
+                            F.col("total_events")).alias("skew_vs_mean"),
+        )
+    )
+
+
+def _skew_audit_sql() -> str:
+    from ..functions.detmath import exact_round_div_sql
+
+    return f"""
+WITH per_key AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM per_key
+)
+SELECT user_id, n_events,
+       {exact_round_div_sql('n_events', 'total_events', 6)} AS share,
+       {exact_round_div_sql('n_events * n_keys', 'total_events')}
+           AS skew_vs_mean
+FROM per_key CROSS JOIN tot
+ORDER BY n_events DESC, user_id ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "latency_anomalies": QuerySpec(q_latency_anomalies,
                                    SQL_LATENCY_ANOMALIES),
+    "latency_median_mad": QuerySpec(q_latency_median_mad,
+                                    _latency_median_mad_sql()),
+    "skew_audit": QuerySpec(q_skew_audit, _skew_audit_sql()),
     "funnel_conversion": QuerySpec(q_funnel_conversion, _funnel_sql()),
     "event_lateness_audit": QuerySpec(q_event_lateness_audit,
                                       SQL_EVENT_LATENESS_AUDIT),

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.detmath import det_ln_sql_items, exact_round_div, \
-    exact_round_div_sql, int_div
+    exact_round_div_sql, int_div, with_det_exp, with_det_ln
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
 from ..operators import (decontam, dedup, multimodal, packing, sampling,
                          similarity, text)
@@ -1511,6 +1511,200 @@ FROM w CROSS JOIN tot
 """
 
 
+#: Temperature sweep alphas, as integer percent (30 = α 0.3) so group
+#: keys and output stay integer; the double α is derived identically in
+#: both dialects.
+MIXTURE_ALPHA_PCTS = (30, 50, 70)
+
+
+def q_mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture sensitivity sweep: per-source sampling shares
+    at α ∈ {0.3, 0.5, 0.7} — the table a pipeline owner reads to pick
+    the mixing temperature (α→1 preserves raw shares, α→0 flattens
+    toward uniform).  Generalizes temperature_mixture's sqrt-only α=1/2
+    to arbitrary α via the deterministic power
+    ``w = det_exp(α · det_ln(n_tokens))`` (functions/detmath.py:
+    with_det_ln + with_det_exp) — identical arithmetic DAG on both
+    engines, so the doubles hash-match bit for bit with no rounding.
+
+    Scale: one corpus pass aggregates to #sources rows; the sweep
+    explode, the per-α ordered-fold totals, and the broadcast join back
+    all operate on a #sources×#alphas table."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.select(
+            "source",
+            F.size(text.ws_tokens(F.col("text"))).cast("long")
+                .alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    per = with_det_ln(per, F.col("n_tokens"), F.lit(1), "lnv")
+    sweep = per.withColumn(
+        "alpha_pct",
+        F.explode(F.array(*[F.lit(a) for a in MIXTURE_ALPHA_PCTS])))
+    alpha = F.col("alpha_pct").cast("double") / F.lit(100.0)
+    sweep = with_det_exp(sweep, alpha * F.col("lnv"), "w")
+    tot = sweep.groupBy("alpha_pct").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0), lambda acc, x: acc + x["w"]).alias("tot_w"))
+    return (
+        sweep.join(F.broadcast(tot), "alpha_pct")
+        .select("source",
+                F.col("alpha_pct").cast("long").alias("alpha_pct"),
+                "n_tokens",
+                (F.col("w") / F.col("tot_w")).alias("p_temp"))
+    )
+
+
+def _mixture_temperature_sweep_sql() -> str:
+    from ..functions.detmath import det_exp_sql_items
+
+    alphas = ", ".join(f"({a})" for a in MIXTURE_ALPHA_PCTS)
+    return f"""
+WITH {TOKENS_CTE},
+per AS (
+    SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM tok GROUP BY source HAVING sum(len(toks)) > 0
+),
+l AS (
+    SELECT source, n_tokens,
+           {det_ln_sql_items('n_tokens', '1', 'lnv')}
+    FROM per
+),
+s AS (
+    SELECT source, n_tokens, lnv, alpha_pct
+    FROM l CROSS JOIN (VALUES {alphas}) a(alpha_pct)
+),
+e AS (
+    SELECT source, n_tokens, alpha_pct,
+           {det_exp_sql_items('(CAST(alpha_pct AS DOUBLE) / 100.0) * lnv',
+                              'w')}
+    FROM s
+),
+t AS (
+    SELECT alpha_pct,
+           list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                       (acc, x) -> acc + x) AS tot_w
+    FROM e GROUP BY alpha_pct
+)
+SELECT e.source, CAST(e.alpha_pct AS BIGINT) AS alpha_pct, e.n_tokens,
+       e.w / t.tot_w AS p_temp
+FROM e JOIN t ON e.alpha_pct = t.alpha_pct
+"""
+
+
+#: Token budget for the quality-cut query, as a percent of corpus tokens.
+TOKEN_BUDGET_PCT = 50
+
+#: Range buckets for the budget cut's two-phase cumulative sum.
+BUDGET_BUCKETS = 32
+
+
+def q_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token budget selection: rank every document by the
+    exact integer quality score (best first, doc_id tiebreak), keep docs
+    while the running token total fits a budget of half the corpus, and
+    report per source what made the cut — the curation decision "train
+    on the best N tokens" as a query.
+
+    Scale: the naive form is a GLOBAL running sum (one-task window
+    sort).  This is the range-bucketed two-phase rank instead (same
+    scheme as sampling.deterministic_shuffle): quality is already an
+    integer in [-1, 10000], so ``(10000 − q)·B div 10002`` range-buckets
+    monotonically in rank order with parallelism B; per bucket a local
+    window cumsums; the B-row bucket-total table prefix-sums and
+    broadcasts back as offsets.  Equal scores land in one bucket, so
+    offset + local cum is the exact global running total.  The budget
+    itself is a single-row broadcast (sanctioned), and every comparison
+    is BIGINT — the kept-share is detmath.exact_round_div."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    e = text.quality_exprs()
+    base = docs.select(
+        "doc_id", "source",
+        e["n_tokens"].alias("n_tokens"),
+        F.coalesce(e["quality_score_e4"], F.lit(-1)).cast("long")
+            .alias("q_e4"),
+    )
+    keyed = base.withColumn(
+        "_b", int_div((F.lit(10000) - F.col("q_e4")) * BUDGET_BUCKETS,
+                      F.lit(10002)))
+    w_local = (Window.partitionBy("_b")
+               .orderBy(F.desc("q_e4"), F.asc("doc_id"))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = keyed.withColumn("_cum", F.sum("n_tokens").over(w_local))
+    counts = keyed.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_prefix = (Window.orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_prefix), F.lit(0))
+    ).drop("_bt")
+    budget = base.agg(
+        int_div(F.sum("n_tokens") * TOKEN_BUDGET_PCT, F.lit(100))
+            .alias("_budget"))
+    sel = (
+        local.join(F.broadcast(offsets), "_b")
+        .crossJoin(F.broadcast(budget))
+        .withColumn("_sel",
+                    (F.col("_off") + F.col("_cum")) <= F.col("_budget"))
+    )
+    kept_toks = F.sum(F.when(F.col("_sel"), F.col("n_tokens"))
+                      .otherwise(F.lit(0)))
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("_sel").cast("long")).alias("n_selected"),
+            kept_toks.cast("long").alias("tokens_selected"),
+            exact_round_div(kept_toks, F.sum("n_tokens"))
+                .alias("kept_token_share"),
+        )
+    )
+
+
+def _token_budget_cut_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+{_QUALITY_M_CTES},
+q0 AS (
+    SELECT doc_id, n_tokens, COALESCE(({_QUALITY_E4}), -1) AS q_e4
+    FROM m2
+),
+q AS (
+    SELECT q0.doc_id, d.source, q0.n_tokens, q0.q_e4
+    FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+),
+b AS (
+    SELECT (CAST(sum(n_tokens) AS BIGINT) * {TOKEN_BUDGET_PCT}) // 100
+        AS budget
+    FROM q
+),
+c AS (
+    SELECT *, sum(n_tokens) OVER (ORDER BY q_e4 DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+    FROM q
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       CAST(sum(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_selected,
+       CASE WHEN sum(n_tokens) > 0 THEN
+           {exact_round_div_sql(
+               'sum(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END)',
+               'sum(n_tokens)')}
+       END AS kept_token_share
+FROM c CROSS JOIN b GROUP BY source
+"""
+
+
 #: Inline PII corpus — the synthetic ``documents`` table contains no PII
 #: at all, so an oracle check over it would vacuously pass with any
 #: (even wrong) pattern.  This corpus is rendered from ONE Python list
@@ -2577,4 +2771,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    _dup_graph_degrees_sql()),
     "temperature_mixture": QuerySpec(q_temperature_mixture,
                                      _temperature_mixture_sql()),
+    "token_budget_cut": QuerySpec(q_token_budget_cut,
+                                  _token_budget_cut_sql()),
+    "mixture_temperature_sweep": QuerySpec(q_mixture_temperature_sweep,
+                                           _mixture_temperature_sweep_sql()),
 }

@@ -17,8 +17,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from realtime_log_analytics_flink_kafka_spark.functions.detmath import (
-    det_ln_ratio, det_ln_sql_items, exact_round_div, exact_round_div_sql,
-    with_det_ln)
+    det_exp_sql_items, det_ln_ratio, det_ln_sql_items, exact_round_div,
+    exact_round_div_sql, with_det_exp, with_det_ln)
 
 
 def _bits(x: float) -> bytes:
@@ -94,6 +94,55 @@ def test_with_det_ln_bitwise_equals_inline(spark):
     inline = {r.i: r.v for r in df.select(
         "i", det_ln_ratio(F.col("a"), F.col("b")).alias("v")).collect()}
     assert all(_bits(staged[i]) == _bits(inline[i]) for i in staged)
+
+
+def test_det_exp_bit_identical_and_faithful(spark):
+    """with_det_exp vs its DuckDB twin: zero-ulp cross-engine parity on
+    ln-composed arguments (the temperature-weight use), and few-ulp
+    faithfulness to math.exp."""
+    rng = random.Random(4321)
+    # α·ln(n) arguments in both signs, covering the whole useful range
+    xs = [rng.uniform(-30.0, 30.0) for _ in range(20_000)] \
+        + [0.0, 1.0, -1.0, 0.3466, -0.3466, 29.9, -29.9]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, x double")
+    sp = {r.i: r.v for r in with_det_exp(
+        df, F.col("x"), "v").select("i", "v").collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE q(i BIGINT, x DOUBLE)")
+        con.executemany("INSERT INTO q VALUES (?,?)",
+                        list(enumerate(xs)))
+        items = det_exp_sql_items("x", "v").replace("\n", " ")
+        dk = {r[0]: r[1] for r in con.execute(
+            f"SELECT i, v FROM (SELECT i, {items} FROM q) t").fetchall()}
+    finally:
+        con.close()
+    mism = [i for i in sp if _bits(sp[i]) != _bits(dk[i])]
+    assert not mism, f"{len(mism)} bit mismatches, first x: {xs[mism[0]]}"
+    worst = max(abs(sp[i] - math.exp(xs[i])) / math.exp(xs[i])
+                for i in sp)
+    assert worst < 1e-14
+
+
+def test_det_exp_inverts_det_ln(spark):
+    """exp(α·ln n) at α=1 recovers n to ~1e-14 relative — the
+    deterministic power is a faithful power, not just a consistent
+    hash input."""
+    ns = [1, 2, 3, 10, 999, 10 ** 6, 10 ** 12]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(ns)],
+                               "i long, n long")
+    df = with_det_ln(df, F.col("n"), F.lit(1), "lnv")
+    rows = with_det_exp(df, F.col("lnv"), "v").select("i", "v").collect()
+    for r in rows:
+        assert abs(r.v - ns[r.i]) / ns[r.i] < 1e-14
+
+
+def test_det_exp_out_of_range_is_null(spark):
+    df = spark.createDataFrame([(60.0,), (-60.0,)], "x double")
+    vals = [r.v for r in with_det_exp(df, F.col("x"), "v")
+            .select("v").collect()]
+    assert vals == [None, None]
 
 
 def test_with_det_ln_drops_scratch_columns(spark):

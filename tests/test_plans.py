@@ -64,6 +64,8 @@ NESTED_LOOP_SANCTIONED = {
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
     "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
+    "skew_audit": 1,               # single-row (total, n_keys) broadcast
+    "token_budget_cut": 1,         # single-row token-budget broadcast
     # composes knn_bruteforce's query-set broadcast with knn_ivf's
     # centroid broadcasts (the corpus assignment subtree appears on both
     # the query and candidate branches); the recall join itself is an
