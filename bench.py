@@ -93,6 +93,13 @@ HEADLINE = [
     # round-4 continued: det_exp-composed temperature sweep (the widest
     # deterministic-float expression in the registry)
     "mixture_temperature_sweep",
+    # round-4 continued: the three added relational shapes
+    "metrics_reconciliation",
+    "service_daily_gapfill",
+    "alert_metrics_unpivot",
+    "latency_bands_daily",
+    "error_budget_burn",
+    "cluster_balanced_sample",
 ]
 
 

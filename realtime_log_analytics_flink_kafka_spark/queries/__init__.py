@@ -78,13 +78,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver-checked (label_centroids rotates out: r2-green and its
     # composition centroid_similarity was r3-checked)
     "mixture_temperature_sweep",
+    # new r4: full-outer reconciliation, dense daily gap-fill, native
+    # unpivot — the three relational shapes the registry lacked
+    "metrics_reconciliation", "service_daily_gapfill",
+    "alert_metrics_unpivot",
+    # new r4: one-buffer multi-quantile bands, SLO burn-rate accounting,
+    # cluster-balanced sampling — never driver-checked
+    "latency_bands_daily", "error_budget_burn", "cluster_balanced_sample",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "simhash_pairs", "embedding_near_dups",
-    "knn_bruteforce", "knn_ivf", "knn_ivf_multiprobe", "knn_lsh_pairs",
-    "token_counts", "language_id", "doc_fingerprints",
-    "top_terms_per_source", "media_summary", "frame_samples",
+    "dedup_simhash", "simhash_pairs",
+    "knn_bruteforce", "knn_ivf", "knn_lsh_pairs",
+    "media_summary", "frame_samples",
     # (doc_split_counts / stratified_sample / doc_length_histogram —
     # then grouping_sets_orders / top_revenue_orders /
     # orders_by_priority_pivot, then small_quantity_revenue /

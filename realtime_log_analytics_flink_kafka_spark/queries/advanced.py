@@ -727,6 +727,328 @@ GROUP BY 1, 2
 """
 
 
+# --- multi-quantile latency bands --------------------------------------------
+
+def q_latency_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service daily latency BANDS — p50/p90/p99/max from ONE sorted
+    buffer per (service, day), not one aggregation per quantile: the
+    dashboard query that draws percentile ribbons.  All four outputs are
+    order STATISTICS (selection, never arithmetic), so doubles carry no
+    cross-engine float surface, and the nearest-rank-low convention
+    matches the reference's p95 discipline
+    (flink/latency_slo_monitor.py:45-64, functions/percentile.py).
+
+    Scale: state is O(window) once, shared by every quantile; the
+    documented scale path is ``percentile_approx(col, array(.5,.9,.99))``
+    — Spark's t-digest accepts a quantile ARRAY natively, keeping the
+    one-buffer shape with bounded state (cf. latency_p95_approx)."""
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events")) \
+        .filter(F.col("latency_ms").isNotNull())
+    g = (
+        logs.groupBy("service", F.window("ts", "1 day").alias("window"))
+        .agg(F.array_sort(F.collect_list("latency_ms")).alias("_arr"))
+    )
+
+    def pick(q: float):
+        idx = F.floor(F.lit(q) * (F.size("_arr") - 1)).cast("int")
+        return F.get(F.col("_arr"), idx)
+
+    return g.select(
+        "service",
+        F.col("window.start").cast("long").alias("day_start"),
+        F.size("_arr").cast("long").alias("n_events"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+        F.element_at("_arr", -1).alias("max_latency"),
+    )
+
+
+def _latency_bands_daily_sql() -> str:
+    from ..functions.percentile import percentile_disc_sql
+    from .reference import DAY
+
+    return f"""
+WITH {LOGS_CTE},
+l AS (SELECT service, ts, latency_ms FROM logs WHERE latency_ms IS NOT NULL)
+SELECT service,
+       CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY}
+           AS day_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {percentile_disc_sql('latency_ms', 0.5)} AS p50,
+       {percentile_disc_sql('latency_ms', 0.9)} AS p90,
+       {percentile_disc_sql('latency_ms', 0.99)} AS p99,
+       max(latency_ms) AS max_latency
+FROM l GROUP BY 1, 2
+"""
+
+
+# --- SLO error-budget burn ---------------------------------------------------
+
+#: Error-budget SLO: tolerated error rate, in basis points (2000 = 20%
+#: — sized to the fixture's synthetic error rates so burn crosses 1.0).
+ERROR_SLO_BP = 2000
+
+
+def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget accounting: per (service, day), the daily error
+    rate plus the RUNNING burn ratio — cumulative errors over cumulative
+    budget (tolerated errors at the SLO rate).  burn > 1 means the
+    service has spent more than its to-date budget; the row where it
+    first crosses is when a release freeze triggers.
+
+    Exactness: both the daily rate and the burn ratio divide exact
+    BIGINT running sums (detmath.exact_round_div) — the cumulative
+    window is integer addition, so no float drift accumulates over
+    days.  Scale: one (service, day) aggregation, then a per-service
+    ordered window over #days rows."""
+    from ..functions.detmath import exact_round_div
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    daily = (
+        logs.groupBy("service", F.window("ts", "1 day").alias("window"))
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum("is_error").cast("long").alias("n_errors"))
+        .select("service",
+                F.col("window.start").cast("long").alias("day_start"),
+                "n_events", "n_errors")
+    )
+    w = (Window.partitionBy("service").orderBy("day_start")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = daily.withColumns({
+        "_cum_n": F.sum("n_events").over(w),
+        "_cum_e": F.sum("n_errors").over(w),
+    })
+    return cum.select(
+        "service", "day_start", "n_events", "n_errors",
+        exact_round_div(F.col("n_errors"), F.col("n_events"))
+            .alias("error_rate"),
+        exact_round_div(F.col("_cum_e") * 10_000,
+                        F.col("_cum_n") * ERROR_SLO_BP).alias("burn_ratio"),
+    )
+
+
+def _error_budget_burn_sql() -> str:
+    from ..functions.detmath import exact_round_div_sql
+    from .reference import DAY
+
+    return f"""
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY}
+               AS day_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_error) AS BIGINT) AS n_errors
+    FROM logs GROUP BY 1, 2
+),
+cum AS (
+    SELECT *,
+           sum(n_events) OVER (PARTITION BY service ORDER BY day_start
+                               ROWS UNBOUNDED PRECEDING) AS cum_n,
+           sum(n_errors) OVER (PARTITION BY service ORDER BY day_start
+                               ROWS UNBOUNDED PRECEDING) AS cum_e
+    FROM daily
+)
+SELECT service, day_start, n_events, n_errors,
+       {exact_round_div_sql('n_errors', 'n_events')} AS error_rate,
+       {exact_round_div_sql('cum_e * 10000',
+                            f'cum_n * {ERROR_SLO_BP}')} AS burn_ratio
+FROM cum
+"""
+
+
+# --- full-outer metrics reconciliation ---------------------------------------
+
+def q_metrics_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ops-coverage reconciliation: per (service, day), the
+    log-side p95 FULL OUTER JOINed with the alert-side counts — days
+    with traffic but zero alerts are the (healthy) norm, alert rows
+    without matching traffic would indicate a pipeline bug.  The one
+    join shape the registry didn't exercise: both inputs keep their
+    non-matching rows.
+
+    Scale: both sides are already (service, day)-aggregated — tiny
+    relative to their inputs — and the full outer is an equi-join on
+    the grouping key both sides ALREADY shuffled on, so no extra
+    corpus-sized exchange."""
+    from .reference import q_alert_metrics_daily, q_latency_p95_daily
+
+    p95 = q_latency_p95_daily(spark, sf_dir) \
+        .select("service", "window_start", "p95_latency", "total_logs")
+    al = q_alert_metrics_daily(spark, sf_dir) \
+        .select("service", "window_start", "total_alerts")
+    return (
+        p95.join(al, ["service", "window_start"], "full_outer")
+        .select(
+            "service", "window_start", "p95_latency",
+            F.coalesce(F.col("total_logs"), F.lit(0)).cast("long")
+                .alias("total_logs"),
+            F.coalesce(F.col("total_alerts"), F.lit(0)).cast("long")
+                .alias("total_alerts"),
+            F.when(F.col("total_logs").isNotNull()
+                   & F.col("total_alerts").isNotNull(), F.lit("both"))
+             .when(F.col("total_logs").isNotNull(), F.lit("logs_only"))
+             .otherwise(F.lit("alerts_only")).alias("coverage"),
+        )
+    )
+
+
+def _metrics_reconciliation_sql() -> str:
+    from .reference import SQL_ALERT_METRICS_DAILY, SQL_LATENCY_P95_DAILY
+
+    return f"""
+WITH p95 AS ({SQL_LATENCY_P95_DAILY}),
+al AS ({SQL_ALERT_METRICS_DAILY})
+SELECT COALESCE(p95.service, al.service) AS service,
+       COALESCE(p95.window_start, al.window_start) AS window_start,
+       p95.p95_latency,
+       COALESCE(p95.total_logs, 0) AS total_logs,
+       COALESCE(al.total_alerts, 0) AS total_alerts,
+       CASE WHEN p95.total_logs IS NOT NULL
+                 AND al.total_alerts IS NOT NULL THEN 'both'
+            WHEN p95.total_logs IS NOT NULL THEN 'logs_only'
+            ELSE 'alerts_only' END AS coverage
+FROM p95 FULL OUTER JOIN al
+  ON p95.service = al.service AND p95.window_start = al.window_start
+"""
+
+
+# --- dense time-series gap filling -------------------------------------------
+
+def q_service_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-service daily series: every (service, day) in the
+    corpus's date span gets a row — zero-filled counts for silent days
+    plus ``days_since_activity`` (distance to the last day with any
+    traffic, NULL before first activity) — the resample/gap-fill step
+    every telemetry dashboard and training-cadence monitor needs, which
+    a plain groupBy cannot produce (it emits only observed days).
+
+    Scale: the heavy side is the one (service, day) aggregation the
+    query would do anyway; the spine is |services|·|days| rows built
+    from a single-row min/max broadcast crossed with the distinct
+    service dim (sanctioned small-dim nested loop), and the
+    carried-forward window partitions by service.  Integer-only."""
+    from ..operators.logs import as_logs
+    from .reference import DAY
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    daily = (
+        logs.groupBy("service", F.window("ts", "1 day").alias("window"))
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum("is_error").cast("long").alias("n_errors"))
+        .select("service",
+                F.col("window.start").cast("long").alias("day_start"),
+                "n_events", "n_errors")
+    )
+    bounds = daily.agg(F.min("day_start").alias("lo"),
+                       F.max("day_start").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(DAY)))
+            .alias("day_start"))
+    spine = daily.select("service").distinct().crossJoin(F.broadcast(days))
+    filled = (
+        spine.join(daily, ["service", "day_start"], "left")
+        .select("service", "day_start",
+                F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+                    .alias("n_events"),
+                F.coalesce(F.col("n_errors"), F.lit(0)).cast("long")
+                    .alias("n_errors"))
+    )
+    w = (Window.partitionBy("service").orderBy("day_start")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    last_active = F.max(
+        F.when(F.col("n_events") > 0, F.col("day_start"))).over(w)
+    from ..functions.detmath import int_div
+    return filled.select(
+        "service", "day_start", "n_events", "n_errors",
+        (F.col("n_events") == 0).alias("is_gap"),
+        int_div(F.col("day_start") - last_active, F.lit(DAY))
+            .alias("days_since_activity"),
+    )
+
+
+def _service_daily_gapfill_sql() -> str:
+    from .reference import DAY
+
+    return f"""
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) * {DAY}
+               AS day_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_error) AS BIGINT) AS n_errors
+    FROM logs GROUP BY 1, 2
+),
+bounds AS (SELECT min(day_start) AS lo, max(day_start) AS hi FROM daily),
+days AS (
+    SELECT unnest(range(lo, hi + {DAY}, {DAY})) AS day_start FROM bounds
+),
+spine AS (
+    SELECT s.service, d.day_start
+    FROM (SELECT DISTINCT service FROM daily) s CROSS JOIN days d
+),
+filled AS (
+    SELECT s.service, s.day_start,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.n_errors, 0) AS n_errors
+    FROM spine s LEFT JOIN daily d
+      ON s.service = d.service AND s.day_start = d.day_start
+)
+SELECT service, day_start, n_events, n_errors,
+       n_events = 0 AS is_gap,
+       (day_start - max(CASE WHEN n_events > 0 THEN day_start END)
+            OVER (PARTITION BY service ORDER BY day_start
+                  ROWS UNBOUNDED PRECEDING)) // {DAY}
+           AS days_since_activity
+FROM filled
+"""
+
+
+# --- unpivot (wide metrics -> long) ------------------------------------------
+
+#: Count metrics melted by the unpivot query (shared by both dialects).
+UNPIVOT_METRICS = ("total_alerts", "latency_breaches", "error_spikes",
+                   "max_breach_count")
+
+
+def q_alert_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily alert metrics melted from wide to long — one
+    (service, window, metric, value) row per count column, via Spark's
+    native ``DataFrame.unpivot`` — the shape a metrics store or
+    plotting layer ingests.  NULL values survive the melt (a day with
+    no breach alerts reports max_breach_count NULL, not a dropped row).
+
+    Scale: unpivot is a per-row expand (Expand node), no shuffle beyond
+    the upstream aggregation; output is #rows × #metrics."""
+    from .reference import q_alert_metrics_daily
+
+    m = q_alert_metrics_daily(spark, sf_dir)
+    return m.unpivot(
+        ids=["service", "window_start"],
+        values=list(UNPIVOT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn("value", F.col("value").cast("long"))
+
+
+def _alert_metrics_unpivot_sql() -> str:
+    from .reference import SQL_ALERT_METRICS_DAILY
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT service, window_start, '{c}' AS metric,"
+        f" CAST({c} AS BIGINT) AS value FROM am"
+        for c in UNPIVOT_METRICS)
+    return f"""
+WITH am AS ({SQL_ALERT_METRICS_DAILY})
+{arms}
+"""
+
+
 # --- robust per-service latency statistics -----------------------------------
 
 def q_latency_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,6 +1179,16 @@ QUERIES: dict[str, QuerySpec] = {
     "latency_median_mad": QuerySpec(q_latency_median_mad,
                                     _latency_median_mad_sql()),
     "skew_audit": QuerySpec(q_skew_audit, _skew_audit_sql()),
+    "metrics_reconciliation": QuerySpec(q_metrics_reconciliation,
+                                        _metrics_reconciliation_sql()),
+    "service_daily_gapfill": QuerySpec(q_service_daily_gapfill,
+                                       _service_daily_gapfill_sql()),
+    "alert_metrics_unpivot": QuerySpec(q_alert_metrics_unpivot,
+                                       _alert_metrics_unpivot_sql()),
+    "latency_bands_daily": QuerySpec(q_latency_bands_daily,
+                                     _latency_bands_daily_sql()),
+    "error_budget_burn": QuerySpec(q_error_budget_burn,
+                                   _error_budget_burn_sql()),
     "funnel_conversion": QuerySpec(q_funnel_conversion, _funnel_sql()),
     "event_lateness_audit": QuerySpec(q_event_lateness_audit,
                                       SQL_EVENT_LATENESS_AUDIT),

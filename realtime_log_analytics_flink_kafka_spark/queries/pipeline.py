@@ -344,6 +344,75 @@ SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= {IVF_K}
 """
 
 
+#: Representatives kept per coarse cluster by the balanced sample.
+SAMPLE_PER_CLUSTER = 5
+
+#: Salt for the balanced-sample draw — independent of all other draws.
+CSAMPLE_SALT = ":csample"
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sample: up to k deterministic
+    representatives per coarse embedding cluster — the diversity-
+    preserving subset for labeling/eval (uniform sampling over-draws
+    dense regions; per-cluster quotas cover the space).  Rank within a
+    cluster is a salted md5 draw tie-broken by id, so the sample is
+    rerun- and partitioning-stable (the same discipline as
+    sampling.weighted_sample).
+
+    Scale: reuses the IVF assignment (broadcast centroids, sanctioned);
+    the quota is a per-cluster window over cluster-sized partitions —
+    parallelism = #clusters, never a global sort."""
+    from pyspark.sql import Window
+
+    vecs = _embs(spark, sf_dir)
+    cents = vecs.filter(F.col("vec_id") % IVF_CENTROID_EVERY == 0)
+    assigned = similarity.assign_clusters(vecs, cents)
+    draw = md5_long(F.concat(F.col("vec_id").cast("string"),
+                             F.lit(CSAMPLE_SALT)))
+    w = Window.partitionBy("centroid_id").orderBy(draw.asc(),
+                                                  F.asc("vec_id"))
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SAMPLE_PER_CLUSTER)
+        .select(F.col("centroid_id").cast("long").alias("centroid_id"),
+                "vec_id", "rnk")
+    )
+
+
+def _cluster_balanced_sample_sql() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    draw = md5_long_sql(f"CAST(vec_id AS VARCHAR) || '{CSAMPLE_SALT}'")
+    return f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id % {IVF_CENTROID_EVERY} = 0
+),
+dists AS (
+    SELECT e.vec_id, c.centroid_id,
+           {DIST2_SQL.format(a='e.embedding', b='c.cvec')} AS dist2
+    FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        FROM dists
+    ) t WHERE rn = 1
+),
+ranked AS (
+    SELECT CAST(centroid_id AS BIGINT) AS centroid_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY centroid_id
+                                   ORDER BY {draw} ASC, vec_id ASC)
+                AS BIGINT) AS rnk
+    FROM assigned
+)
+SELECT centroid_id, vec_id, rnk FROM ranked
+WHERE rnk <= {SAMPLE_PER_CLUSTER}
+"""
+
+
 IVF_N_PROBE = 2
 
 
@@ -2775,4 +2844,6 @@ QUERIES: dict[str, QuerySpec] = {
                                   _token_budget_cut_sql()),
     "mixture_temperature_sweep": QuerySpec(q_mixture_temperature_sweep,
                                            _mixture_temperature_sweep_sql()),
+    "cluster_balanced_sample": QuerySpec(q_cluster_balanced_sample,
+                                         _cluster_balanced_sample_sql()),
 }

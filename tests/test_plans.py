@@ -66,6 +66,11 @@ NESTED_LOOP_SANCTIONED = {
     "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
     "token_budget_cut": 1,         # single-row token-budget broadcast
+    # |services| × |days| spine: distinct-service dim crossed with the
+    # single-row min/max day sequence — both sides tiny by construction
+    "service_daily_gapfill": 1,
+    # IVF centroid broadcast (same subtree knn_ivf sanctions)
+    "cluster_balanced_sample": 1,
     # composes knn_bruteforce's query-set broadcast with knn_ivf's
     # centroid broadcasts (the corpus assignment subtree appears on both
     # the query and candidate branches); the recall join itself is an

@@ -112,6 +112,108 @@ class TestSkewAudit:
         assert rows[0].skew_vs_mean >= 1.0 - 5e-5
 
 
+class TestMetricsReconciliation:
+    def test_full_outer_keeps_every_log_day(self, spark):
+        recon = _run(spark, "metrics_reconciliation")
+        p95_days = _run(spark, "latency_p95_daily") \
+            .select("service", "window_start")
+        assert recon.count() >= p95_days.count() > 0
+        missing = p95_days.join(
+            recon.select("service", "window_start"),
+            ["service", "window_start"], "left_anti")
+        assert missing.count() == 0
+
+    def test_alerts_never_orphaned(self, spark):
+        """Alerts are derived from logs, so a day with alerts but no
+        traffic would be a pipeline bug — the reconciliation must show
+        zero 'alerts_only' rows on consistent data."""
+        rows = _run(spark, "metrics_reconciliation").collect()
+        assert all(r.coverage != "alerts_only" for r in rows)
+        assert any(r.coverage == "both" for r in rows)
+
+
+class TestServiceDailyGapfill:
+    def test_dense_rectangular_spine(self, spark):
+        rows = _run(spark, "service_daily_gapfill").collect()
+        services = {r.service for r in rows}
+        days = {r.day_start for r in rows}
+        assert len(rows) == len(services) * len(days)
+        step = 86400
+        lo, hi = min(days), max(days)
+        assert days == set(range(lo, hi + step, step))
+
+    def test_counts_preserved_and_gap_distance(self, spark):
+        rows = _run(spark, "service_daily_gapfill").collect()
+        assert sum(r.n_events for r in rows) == \
+            _run(spark, "latency_p95_daily").agg(
+                F.sum("total_logs")).collect()[0][0]
+        for r in rows:
+            if r.n_events > 0:
+                assert r.days_since_activity == 0
+            assert r.is_gap == (r.n_events == 0)
+
+
+class TestAlertMetricsUnpivot:
+    def test_melt_shape_and_roundtrip(self, spark):
+        wide = _run(spark, "alert_metrics_daily")
+        long = _run(spark, "alert_metrics_unpivot")
+        assert long.count() == 4 * wide.count()
+        # re-pivoting one metric recovers the wide column exactly
+        back = {(r.service, r.window_start): r.value
+                for r in long.filter(F.col("metric") == "total_alerts")
+                .collect()}
+        for r in wide.select("service", "window_start",
+                             "total_alerts").collect():
+            assert back[(r.service, r.window_start)] == r.total_alerts
+
+
+class TestLatencyBandsDaily:
+    def test_band_ordering(self, spark):
+        rows = _run(spark, "latency_bands_daily").collect()
+        assert rows
+        for r in rows:
+            assert r.p50 <= r.p90 <= r.p99 <= r.max_latency
+
+    def test_p50_agrees_with_median_query_overall(self, spark):
+        """Daily p50s must bracket the per-service global median."""
+        med = {r.service: r.median_latency
+               for r in _run(spark, "latency_median_mad").collect()}
+        by_svc: dict[str, list[float]] = {}
+        for r in _run(spark, "latency_bands_daily").collect():
+            by_svc.setdefault(r.service, []).append(r.p50)
+        for svc, p50s in by_svc.items():
+            assert min(p50s) <= med[svc] <= max(p50s)
+
+
+class TestErrorBudgetBurn:
+    def test_burn_is_cumulative_rate_over_slo(self, spark):
+        rows = sorted(_run(spark, "error_budget_burn").collect(),
+                      key=lambda r: (r.service, r.day_start))
+        cum: dict[str, list[int]] = {}
+        for r in rows:
+            n, e = cum.setdefault(r.service, [0, 0])
+            cum[r.service] = [n + r.n_events, e + r.n_errors]
+            n2, e2 = cum[r.service]
+            want = round(e2 * 10_000 / (n2 * 2000), 4)
+            assert r.burn_ratio == pytest.approx(want, abs=1e-9)
+            assert 0.0 <= r.error_rate <= 1.0
+
+
+class TestClusterBalancedSample:
+    def test_quota_and_determinism(self, spark):
+        df1 = _run(spark, "cluster_balanced_sample")
+        rows = df1.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.centroid_id, []).append(r.rnk)
+        for ranks in per.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5
+        again = {(r.centroid_id, r.vec_id, r.rnk)
+                 for r in _run(spark, "cluster_balanced_sample").collect()}
+        assert again == {(r.centroid_id, r.vec_id, r.rnk) for r in rows}
+
+
 class TestLatencyMedianMad:
     def test_per_service_shapes(self, spark):
         rows = _run(spark, "latency_median_mad").collect()
