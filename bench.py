@@ -100,6 +100,9 @@ HEADLINE = [
     "latency_bands_daily",
     "error_budget_burn",
     "cluster_balanced_sample",
+    "cluster_best_representative",
+    "quality_vs_perplexity",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -85,11 +85,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: one-buffer multi-quantile bands, SLO burn-rate accounting,
     # cluster-balanced sampling — never driver-checked
     "latency_bands_daily", "error_budget_burn", "cluster_balanced_sample",
+    # new r4: quality-aware survivor selection, quality×LM contingency,
+    # dedup threshold sensitivity — never driver-checked
+    "cluster_best_representative", "quality_vs_perplexity",
+    "dedup_threshold_sweep",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "simhash_pairs",
-    "knn_bruteforce", "knn_ivf", "knn_lsh_pairs",
+    "dedup_exact", "dedup_minhash_lsh", "simhash_pairs",
+    "knn_bruteforce", "knn_ivf",
     "media_summary", "frame_samples",
     # (doc_split_counts / stratified_sample / doc_length_histogram —
     # then grouping_sets_orders / top_revenue_orders /

@@ -1699,6 +1699,12 @@ def q_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(e["quality_score_e4"], F.lit(-1)).cast("long")
             .alias("q_e4"),
     )
+    # the scored projection feeds FOUR plan branches (local cumsum,
+    # bucket totals, the budget aggregate, and the final join) — persist
+    # it so the regex/fold-heavy quality scan runs once, not per branch
+    # (measured 3.6 s -> ~1 s at sf0.1; at 100 TB: checkpoint to storage)
+    from pyspark import StorageLevel
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     keyed = base.withColumn(
         "_b", int_div((F.lit(10000) - F.col("q_e4")) * BUDGET_BUCKETS,
                       F.lit(10002)))
@@ -1918,6 +1924,222 @@ cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
 SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM cc
+"""
+
+
+def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster,
+    KEEP the highest-quality document (exact integer quality score,
+    doc_id tiebreak) instead of near_dup_survivors' keep-lowest-id — the
+    curation policy that preserves the best copy of boilerplate-heavy
+    mirror sets rather than an arbitrary one.  One row per clustered
+    doc with its keep/drop verdict.
+
+    Scale: composes dup_clusters' bounded-round component propagation
+    with the one-projection quality signals; the verdict window
+    partitions by cluster (cluster-sized, never global)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    comp = dedup.duplicate_components(pairs)
+    e = text.quality_exprs()
+    q = docs.select(
+        "doc_id",
+        F.coalesce(e["quality_score_e4"], F.lit(-1)).cast("long")
+            .alias("q_e4"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q_e4"),
+                                                 F.asc("doc_id"))
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("pick", F.row_number().over(w))
+        .select("cluster_id", "doc_id", "q_e4",
+                (F.col("pick") == 1).alias("keep"))
+    )
+
+
+def _cluster_best_representative_sql() -> str:
+    return f"""
+WITH RECURSIVE mh AS ({_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh
+    UNION
+    SELECT doc_b, doc_a FROM mh
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       FROM reach GROUP BY node),
+{TOKENS_CTE.strip()},
+{_QUALITY_M_CTES},
+q AS (
+    SELECT doc_id, COALESCE(({_QUALITY_E4}), -1) AS q_e4 FROM m2
+)
+SELECT cc.cluster_id, cc.doc_id, q.q_e4,
+       row_number() OVER (PARTITION BY cc.cluster_id
+                          ORDER BY q.q_e4 DESC, cc.doc_id ASC) = 1 AS keep
+FROM cc JOIN q ON cc.doc_id = q.doc_id
+"""
+
+
+def q_quality_vs_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-agreement contingency: per language, documents bucketed by
+    quality-score tercile × surprisal tercile, with counts — the
+    diagonal says the heuristic quality score and the LM-based signal
+    agree; heavy off-diagonal cells name the documents worth manual
+    review before trusting either filter alone.
+
+    Both bucketings are per-LANGUAGE ntiles over cross-engine-exact
+    totals orders (integer quality; deterministic-ln surprisal; doc_id
+    tiebreak) — same windowing discipline and approx-cutoff scale path
+    as perplexity_buckets.  Output is ≤ |langs|·9 rows."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    s = text.unigram_surprisal(docs).select("doc_id", "mean_surprisal")
+    e = text.quality_exprs()
+    base = (
+        docs.select(
+            "doc_id", "lang",
+            F.coalesce(e["quality_score_e4"], F.lit(-1)).cast("long")
+                .alias("q_e4"))
+        .join(s, "doc_id")
+    )
+    wq = Window.partitionBy("lang").orderBy("q_e4", "doc_id")
+    wp = Window.partitionBy("lang").orderBy("mean_surprisal", "doc_id")
+    return (
+        base.select(
+            "lang",
+            F.ntile(3).over(wq).cast("long").alias("quality_bucket"),
+            F.ntile(3).over(wp).cast("long").alias("ppl_bucket"),
+        )
+        .groupBy("lang", "quality_bucket", "ppl_bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _quality_vs_perplexity_sql() -> str:
+    return f"""
+WITH s AS ({SQL_UNIGRAM_SURPRISAL}),
+{TOKENS_CTE.strip()},
+{_QUALITY_M_CTES},
+q AS (
+    SELECT doc_id, COALESCE(({_QUALITY_E4}), -1) AS q_e4 FROM m2
+),
+base AS (
+    SELECT d.doc_id, d.lang, q.q_e4, s.mean_surprisal
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN s ON d.doc_id = s.doc_id
+),
+buckets AS (
+    SELECT lang,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY q_e4, doc_id) AS BIGINT)
+               AS quality_bucket,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY mean_surprisal, doc_id) AS BIGINT)
+               AS ppl_bucket
+    FROM base
+)
+SELECT lang, quality_bucket, ppl_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM buckets GROUP BY 1, 2, 3
+"""
+
+
+#: Jaccard thresholds swept by dedup_threshold_sweep, scaled 10^4.
+THRESH_SWEEP_E4 = (2000, 4000, 6000, 8000)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity: from ONE LSH candidate generation +
+    exact verification pass, the verified-pair count at each candidate
+    threshold — the table that justifies MINHASH_THRESHOLD instead of
+    assuming it (a cliff between two thresholds means the corpus has a
+    near-dup band there; a flat curve means the choice is insensitive).
+
+    Scale: candidates come from the bucketed band join once; each pair's
+    exact Jaccard is computed once as a 10^4-scaled BIGINT (same int64
+    rounding as minhash_accuracy), and the sweep is a 4-way explode of
+    literal thresholds over the pair list — pairs × 4 rows, all integer
+    arithmetic, aggregated to 4 rows."""
+    sketch = dedup.minhash_sketch(_docs(spark, sf_dir))
+    cand = dedup.lsh_candidate_pairs(sketch)
+    a, b = sketch.alias("a"), sketch.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hset"), F.col("b.hset"))) \
+        .cast("long")
+    union = (F.size(F.col("a.hset")) + F.size(F.col("b.hset"))).cast("long") \
+        - inter
+    per = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select(int_div(2 * inter * F.lit(10_000) + union, 2 * union)
+                .alias("j_e4"))
+    )
+    return (
+        per.withColumn(
+            "t_e4",
+            F.explode(F.array(*[F.lit(t) for t in THRESH_SWEEP_E4])))
+        .groupBy("t_e4")
+        .agg(F.sum((F.col("j_e4") >= F.col("t_e4")).cast("long"))
+             .alias("n_pairs"))
+        .select(
+            (F.col("t_e4").cast("double") / F.lit(10_000.0))
+                .alias("threshold"),
+            "n_pairs")
+    )
+
+
+def _dedup_threshold_sweep_sql() -> str:
+    thresholds = ", ".join(f"({t})" for t in THRESH_SWEEP_E4)
+    mh_exprs = ",\n           ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(affine_hashes(dedup.MINHASH_K))
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh{band * dedup.LSH_ROWS + r}"
+                for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {key} AS bucket FROM mh")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {SHINGLE_CTES},
+mh AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+per AS (
+    SELECT (2 * CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT)
+              * 10000
+            + (CAST(len(ha.hset) + len(hb.hset) AS BIGINT)
+               - len(list_intersect(ha.hset, hb.hset))))
+           // (2 * (CAST(len(ha.hset) + len(hb.hset) AS BIGINT)
+                    - len(list_intersect(ha.hset, hb.hset)))) AS j_e4
+    FROM cand
+    JOIN hsets ha ON cand.doc_a = ha.doc_id
+    JOIN hsets hb ON cand.doc_b = hb.doc_id
+)
+SELECT CAST(t.t_e4 AS DOUBLE) / 10000.0 AS threshold,
+       CAST(sum(CASE WHEN per.j_e4 >= t.t_e4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs
+FROM per CROSS JOIN (VALUES {thresholds}) t(t_e4)
+GROUP BY t.t_e4
 """
 
 
@@ -2846,4 +3068,10 @@ QUERIES: dict[str, QuerySpec] = {
                                            _mixture_temperature_sweep_sql()),
     "cluster_balanced_sample": QuerySpec(q_cluster_balanced_sample,
                                          _cluster_balanced_sample_sql()),
+    "cluster_best_representative": QuerySpec(
+        q_cluster_best_representative, _cluster_best_representative_sql()),
+    "quality_vs_perplexity": QuerySpec(q_quality_vs_perplexity,
+                                       _quality_vs_perplexity_sql()),
+    "dedup_threshold_sweep": QuerySpec(q_dedup_threshold_sweep,
+                                       _dedup_threshold_sweep_sql()),
 }

@@ -71,6 +71,8 @@ NESTED_LOOP_SANCTIONED = {
     "service_daily_gapfill": 1,
     # IVF centroid broadcast (same subtree knn_ivf sanctions)
     "cluster_balanced_sample": 1,
+    # composes unigram_surprisal's single-row corpus-total broadcast
+    "quality_vs_perplexity": 1,
     # composes knn_bruteforce's query-set broadcast with knn_ivf's
     # centroid broadcasts (the corpus assignment subtree appears on both
     # the query and candidate branches); the recall join itself is an

@@ -214,6 +214,54 @@ class TestClusterBalancedSample:
         assert again == {(r.centroid_id, r.vec_id, r.rnk) for r in rows}
 
 
+class TestClusterBestRepresentative:
+    def test_exactly_one_keeper_per_cluster(self, spark):
+        rows = _run(spark, "cluster_best_representative").collect()
+        assert rows
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for members in by_cluster.values():
+            keepers = [r for r in members if r.keep]
+            assert len(keepers) == 1
+            # the keeper dominates on (quality desc, doc_id asc)
+            k = keepers[0]
+            for r in members:
+                assert (k.q_e4, -k.doc_id) >= (r.q_e4, -r.doc_id)
+
+    def test_same_membership_as_dup_clusters(self, spark):
+        a = {(r.doc_id, r.cluster_id)
+             for r in _run(spark, "dup_clusters").collect()}
+        b = {(r.doc_id, r.cluster_id)
+             for r in _run(spark, "cluster_best_representative").collect()}
+        assert a == b
+
+
+class TestQualityVsPerplexity:
+    def test_contingency_mass(self, spark):
+        rows = _run(spark, "quality_vs_perplexity").collect()
+        assert rows
+        assert all(1 <= r.quality_bucket <= 3 and 1 <= r.ppl_bucket <= 3
+                   for r in rows)
+        # total docs == surprisal-scored docs (the join keeps exactly them)
+        total = sum(r.n_docs for r in rows)
+        assert total == _run(spark, "unigram_surprisal").count()
+
+
+class TestDedupThresholdSweep:
+    def test_monotone_and_anchored(self, spark):
+        rows = sorted(_run(spark, "dedup_threshold_sweep").collect(),
+                      key=lambda r: r.threshold)
+        assert [r.threshold for r in rows] == [0.2, 0.4, 0.6, 0.8]
+        counts = [r.n_pairs for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        # the 0.4 sweep point must agree with the registry's verified
+        # pair count at MINHASH_THRESHOLD = 0.4... up to rounding: the
+        # sweep rounds jaccard to 4 dp half-up before comparing, exactly
+        # like the verified-pairs query, so the counts are EQUAL
+        assert rows[1].n_pairs == _run(spark, "dedup_minhash_lsh").count()
+
+
 class TestLatencyMedianMad:
     def test_per_service_shapes(self, spark):
         rows = _run(spark, "latency_median_mad").collect()
