@@ -103,6 +103,8 @@ HEADLINE = [
     "cluster_best_representative",
     "quality_vs_perplexity",
     "dedup_threshold_sweep",
+    "embedding_audit",
+    "hourly_profile",
 ]
 
 

@@ -89,10 +89,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup threshold sensitivity — never driver-checked
     "cluster_best_representative", "quality_vs_perplexity",
     "dedup_threshold_sweep",
+    # new r4: embedding hygiene audit, diurnal traffic profile — never
+    # driver-checked (knn_bruteforce/knn_ivf rotate out: r2-green and
+    # knn_recall, in this front, composes and re-proves both subtrees)
+    "embedding_audit", "hourly_profile",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     "dedup_exact", "dedup_minhash_lsh", "simhash_pairs",
-    "knn_bruteforce", "knn_ivf",
     "media_summary", "frame_samples",
     # (doc_split_counts / stratified_sample / doc_length_histogram —
     # then grouping_sets_orders / top_revenue_orders /

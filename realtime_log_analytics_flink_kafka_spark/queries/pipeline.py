@@ -2143,6 +2143,88 @@ GROUP BY t.t_e4
 """
 
 
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus hygiene report: per label, vector count,
+    zero-norm count (degenerate vectors every cosine op must guard
+    against — and does, cf. _broadcast_topk's NULL-cosine drop), and the
+    min/max L2 norm.  The audit a pipeline runs BEFORE trusting any
+    similarity metric: a label whose norms span orders of magnitude has
+    a normalization bug upstream.
+
+    Norms are the engine's standard left-fold + IEEE sqrt (identical
+    DAG both engines); min/max are selections over identically-derived
+    doubles — no rounding anywhere.  One corpus pass, #labels rows."""
+    vecs = similarity.with_norm(_embs(spark, sf_dir))
+    return (
+        vecs.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum((F.col("_norm") == 0.0).cast("long")).alias("n_zero_norm"),
+            F.min("_norm").alias("min_norm"),
+            F.max("_norm").alias("max_norm"),
+        )
+        .select(F.col("label").cast("long").alias("label"),
+                "n_vecs", "n_zero_norm", "min_norm", "max_norm")
+    )
+
+
+SQL_EMBEDDING_AUDIT = f"""
+WITH n AS (
+    SELECT label, {NORM_SQL.format(v='embedding')} AS nrm FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_norm,
+       min(nrm) AS min_norm,
+       max(nrm) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: per (event_type, hour-of-day) event
+    counts plus each hour's share of that type's total — the diurnal
+    fingerprint that capacity planning and anomaly baselining read
+    (error spikes at an hour whose share of normal traffic is tiny are
+    the interesting ones).
+
+    Hour extraction runs in the session's pinned UTC zone on both
+    engines; the share is detmath.exact_round_div over exact BIGINT
+    counts (scale 6 — 24 buckets need finer resolution than 4 dp).
+    One aggregation, ≤ #types·24 rows; the per-type total re-joins from
+    the aggregate itself, never a second corpus pass."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.hour("ts").cast("long").alias("hour"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("_tot"))
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .select("event_type", "hour", "n_events",
+                exact_round_div(F.col("n_events"), F.col("_tot"), scale=6)
+                    .alias("hour_share"))
+    )
+
+
+SQL_HOURLY_PROFILE = f"""
+WITH hourly AS (
+    SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot
+    FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.n_events,
+       {exact_round_div_sql('h.n_events', 't.tot', 6)} AS hour_share
+FROM hourly h JOIN totals t ON h.event_type = t.event_type
+"""
+
+
 # --- round-3 additions: bigram LM, ANN recall, packing audit, funnel ---------
 
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3074,4 +3156,6 @@ QUERIES: dict[str, QuerySpec] = {
                                        _quality_vs_perplexity_sql()),
     "dedup_threshold_sweep": QuerySpec(q_dedup_threshold_sweep,
                                        _dedup_threshold_sweep_sql()),
+    "embedding_audit": QuerySpec(q_embedding_audit, SQL_EMBEDDING_AUDIT),
+    "hourly_profile": QuerySpec(q_hourly_profile, SQL_HOURLY_PROFILE),
 }

@@ -262,6 +262,34 @@ class TestDedupThresholdSweep:
         assert rows[1].n_pairs == _run(spark, "dedup_minhash_lsh").count()
 
 
+class TestEmbeddingAudit:
+    def test_norm_bounds_and_counts(self, spark):
+        rows = _run(spark, "embedding_audit").collect()
+        assert rows
+        from realtime_log_analytics_flink_kafka_spark.sources.batch import \
+            load_table
+        total = sum(r.n_vecs for r in rows)
+        assert total == load_table(spark, SF_SMOKE, "embeddings").count()
+        for r in rows:
+            assert 0 <= r.n_zero_norm <= r.n_vecs
+            assert 0.0 <= r.min_norm <= r.max_norm
+
+
+class TestHourlyProfile:
+    def test_shares_sum_to_one_per_type(self, spark):
+        rows = _run(spark, "hourly_profile").collect()
+        assert rows
+        by_type: dict[str, float] = {}
+        for r in rows:
+            assert 0 <= r.hour <= 23
+            by_type[r.event_type] = by_type.get(r.event_type, 0.0) \
+                + r.hour_share
+        # shares are 6-dp rationals of the exact distribution: per type
+        # they sum to 1 within 24 half-roundings
+        for s in by_type.values():
+            assert abs(s - 1.0) <= 24 * 5e-7
+
+
 class TestLatencyMedianMad:
     def test_per_service_shapes(self, spark):
         rows = _run(spark, "latency_median_mad").collect()
