@@ -105,6 +105,13 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "embedding_audit",
     "hourly_profile",
+    # round-4 continued: the TPC-H Q4/Q21 self-join shapes (the anti/semi
+    # probes over a shared fact shuffle are easy to regress into BNLJ)
+    "order_priority_check",
+    "waiting_suppliers",
+    # round-4 continued: winnowing selection is the widest per-row HOF
+    # pipeline (token -> k-gram hash -> window-min arrays)
+    "winnowing_pairs",
 ]
 
 

@@ -512,3 +512,95 @@ def incremental_dedup_flags(corpus: DataFrame, batch: DataFrame,
             F.max("jaccard").alias("best_jaccard"),
         )
     )
+
+
+# --- winnowing (Schleimer et al., SIGMOD 2003) -------------------------------
+
+#: k-gram length (tokens) hashed into one fingerprint candidate.
+WINNOW_K = 4
+#: Window of consecutive k-gram hashes one fingerprint is selected from.
+#: Guarantee: any shared token run of length >= WINNOW_K + WINNOW_W - 1
+#: (= 7 tokens) produces at least one identical selected fingerprint in
+#: both documents.
+WINNOW_W = 4
+#: Fingerprints appearing in more docs than this are corpus boilerplate:
+#: dropped before pairing, which also caps the equi-join fanout per
+#: fingerprint at WINNOW_MAX_DF^2 — the skew bound that makes the
+#: pair generation safe at 100 TB.
+WINNOW_MAX_DF = 20
+#: Minimum shared selected fingerprints for a reported pair.
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text", *,
+                        k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """doc_id -> distinct winnowing-selected fingerprints.
+
+    Winnowing selects, from every window of ``w`` consecutive k-gram
+    hashes, the window minimum — a position-robust ~1/w subsample of the
+    document's k-gram set with the guarantee documented on WINNOW_W.
+    Unlike MinHash (a per-document global sketch for whole-doc
+    similarity), the selected set is LOCAL: any sufficiently long shared
+    passage surfaces, which is what plagiarism/overlap detection needs.
+
+    Everything here is per-row higher-order-function work over the
+    materialized token array — no window function, no shuffle, no
+    per-doc sort: at 100 TB this stage is embarrassingly parallel and
+    the only shuffle in the overlap pipeline is the fingerprint
+    equi-join downstream.  The token and gram-hash arrays are staged
+    through named projections (cf. shingle_hashes) so the tokenizer and
+    the md5 fold each run once per row, not once per lambda reference.
+    """
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    ghs = F.when(
+        F.size(toks) >= k + w - 1,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+            % HASH_PRIME,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ghd = toked.select("doc_id", ghs.alias("_ghs"))
+    g = F.col("_ghs")
+    sel = F.when(
+        F.size(g) >= w,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(g) - w),
+            lambda p: F.array_min(F.slice(g, p + 1, w)),
+        )),
+    ).otherwise(F.array().cast("array<long>"))
+    return ghd.select("doc_id", F.explode(sel).alias("fp"))
+
+
+def winnowing_pairs(docs: DataFrame, text_col: str = "text", *,
+                    k: int = WINNOW_K, w: int = WINNOW_W,
+                    max_df: int = WINNOW_MAX_DF,
+                    min_shared: int = WINNOW_MIN_SHARED) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    passage-level overlap pairs (doc_a < doc_b, with the shared count).
+
+    Pipeline: per-doc fingerprint selection (map-only) -> doc-frequency
+    gate (one shuffle on fp; fps seen in >max_df docs are boilerplate
+    and df<2 fps cannot pair) -> self equi-join on fp -> pair count.
+    The df gate runs BEFORE the self-join, so no fingerprint fans out
+    to more than max_df^2 candidate pairs — the join cannot explode on
+    a hot key regardless of corpus size.
+    """
+    fps = winnow_fingerprints(docs, text_col, k=k, w=w)
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    sel = fps.join(df_ok, "fp")
+    a = sel.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("doc_a"))
+    b = sel.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, (F.col("fp_a") == F.col("fp_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -93,10 +93,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver-checked (knn_bruteforce/knn_ivf rotate out: r2-green and
     # knn_recall, in this front, composes and re-proves both subtrees)
     "embedding_audit", "hourly_profile",
+    # new r4: the two missing TPC-H self-join shapes — correlated-EXISTS
+    # priority check (Q4) and sole-late-supplier semi+anti (Q21)
+    "order_priority_check", "waiting_suppliers",
+    # new r4: winnowing passage-overlap pairs (local-similarity dedup)
+    "winnowing_pairs",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
-    "dedup_exact", "dedup_minhash_lsh", "simhash_pairs",
-    "media_summary", "frame_samples",
+    "dedup_exact", "dedup_minhash_lsh",
+    # (simhash_pairs rotates out for winnowing_pairs: r2-green,
+    # unchanged since, re-proven by the local sf0.01 parity suite)
+    # (media_summary / frame_samples rotate out for the two TPC-H
+    # self-join shapes: both r2-green, unchanged since, re-proven by the
+    # local sf0.01 parity suite, and the r4-changed decode path is
+    # driver-checked via media_decode in this front)
     # (doc_split_counts / stratified_sample / doc_length_histogram —
     # then grouping_sets_orders / top_revenue_orders /
     # orders_by_priority_pivot, then small_quantity_revenue /

@@ -3065,7 +3065,53 @@ GROUP BY 1
 """
 
 
+# --- winnowing passage-overlap pairs -----------------------------------------
+
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level overlap pairs via winnowing fingerprint selection
+    (operators/dedup.winnowing_pairs) — the local-similarity complement
+    to the whole-document MinHash/SimHash family: any shared run of
+    >= WINNOW_K + WINNOW_W - 1 tokens is guaranteed to collide."""
+    return dedup.winnowing_pairs(_docs(spark, sf_dir))
+
+
+def _winnowing_pairs_sql() -> str:
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    max_df, min_shared = dedup.WINNOW_MAX_DF, dedup.WINNOW_MIN_SHARED
+    gram = MD5_LONG.format(
+        x=f"array_to_string(array_slice(toks, i + 1, i + {k}), ' ')")
+    return f"""
+WITH {TOKENS_CTE},
+ghs AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= {k + w - 1} THEN
+               list_transform(range(0, len(toks) - {k} + 1),
+                              i -> {gram} % {HASH_PRIME})
+           ELSE [] END AS g
+    FROM tok
+),
+fps AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_distinct(list_transform(
+               range(0, len(g) - {w} + 1),
+               p -> list_aggregate(array_slice(g, p + 1, p + {w}), 'min'))))
+               AS fp
+    FROM ghs WHERE len(g) >= {w}
+),
+df_ok AS (
+    SELECT fp FROM fps GROUP BY fp
+    HAVING count(*) >= 2 AND count(*) <= {max_df}
+),
+sel AS (SELECT f.doc_id, f.fp FROM fps f JOIN df_ok USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "winnowing_pairs": QuerySpec(q_winnowing_pairs, _winnowing_pairs_sql()),
     "minhash_accuracy": QuerySpec(q_minhash_accuracy, _minhash_accuracy_sql()),
     "cross_source_overlap": QuerySpec(q_cross_source_overlap,
                                       _cross_source_overlap_sql()),

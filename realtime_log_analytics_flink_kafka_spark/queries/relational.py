@@ -591,7 +591,132 @@ GROUP BY n_name
 """
 
 
+# --- order priority check (TPC-H Q4 shape: correlated-EXISTS semi-join) -----
+
+#: A lineitem is "late" when it ships this many days after the order date.
+#: 80 days is ~the 85th percentile of the fixture's ship-delay distribution,
+#: so the semi-join is selective rather than a near-pass-through.
+LATE_SHIP_DAYS = 80
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority that have AT LEAST ONE
+    late lineitem — a correlated EXISTS, expressed as a LEFT SEMI join
+    whose condition mixes the equi key with a cross-table date predicate.
+
+    Scale shape: the semi join hash-shuffles both sides on the order key
+    once; the date predicate is evaluated at probe time, so no second
+    pass and no row duplication for multi-match orders (semi short-
+    circuits on first match — at 100 TB that is the reason to prefer it
+    over join+distinct).  (No reference parity target: the reference has
+    no joins, SURVEY §2.5 — this is §7.2-step-7 extension surface.)
+    """
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1999-01-01")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate
+               > F.date_add(orders.o_orderdate, LATE_SHIP_DAYS)))
+    return (
+        orders.join(li, cond, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --- waiting suppliers (TPC-H Q21 shape: semi + anti self-join on the fact) --
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — EXISTS(other supplier on the order)
+    AND NOT EXISTS(other LATE supplier on the order), i.e. a semi join
+    and an anti join against two projections of the same joined fact.
+
+    Scale shape: lineitem⋈orders shuffles on the order key once; the
+    semi and the anti probe reuse that same key (co-partitioned, no new
+    shuffle of the big side under AQE), and supplier/nation broadcast.
+    The suppkey inequality rides inside the join condition, never as a
+    post-join filter over an exploded match set.
+    """
+    orders_f = (_t(spark, sf_dir, "orders")
+                .filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lif = (li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+             .withColumn("is_late",
+                         F.col("l_shipdate")
+                         > F.date_add(F.col("o_orderdate"), LATE_SHIP_DAYS))
+             .select("l_orderkey", "l_suppkey", "is_late"))
+    late = lif.filter(F.col("is_late"))
+    other = lif.select(F.col("l_orderkey").alias("o2_orderkey"),
+                       F.col("l_suppkey").alias("o2_suppkey"))
+    other_late = late.select(F.col("l_orderkey").alias("o3_orderkey"),
+                             F.col("l_suppkey").alias("o3_suppkey"))
+    sole_late = (
+        late.join(other,
+                  (late.l_orderkey == other.o2_orderkey)
+                  & (late.l_suppkey != other.o2_suppkey), "leftsemi")
+            .join(other_late,
+                  (late.l_orderkey == other_late.o3_orderkey)
+                  & (late.l_suppkey != other_late.o3_suppkey), "leftanti")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                                "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sole_late.join(F.broadcast(supp),
+                       sole_late.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_WAITING_SUPPLIERS = f"""
+WITH lif AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+late AS (SELECT * FROM lif WHERE is_late)
+SELECT s_name, n_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM lif l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "order_priority_check": QuerySpec(q_order_priority_check,
+                                      SQL_ORDER_PRIORITY_CHECK),
+    "waiting_suppliers": QuerySpec(q_waiting_suppliers,
+                                   SQL_WAITING_SUPPLIERS),
     "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),
     "customer_order_histogram": QuerySpec(q_customer_order_histogram,
                                           SQL_CUSTOMER_ORDER_HISTOGRAM),
