@@ -110,8 +110,10 @@ HEADLINE = [
     "order_priority_check",
     "waiting_suppliers",
     # round-4 continued: winnowing selection is the widest per-row HOF
-    # pipeline (token -> k-gram hash -> window-min arrays)
+    # pipeline (token -> k-gram hash -> window-min arrays); zipf_fit
+    # stacks two det_ln DAGs plus an ordered moment fold
     "winnowing_pairs",
+    "zipf_fit",
 ]
 
 

@@ -715,3 +715,85 @@ def blocklist_stats(docs: DataFrame, blocklist: tuple[str, ...],
         F.coalesce(ratio <= max_hit_ratio_e4 / 10_000.0, F.lit(True))
             .alias("keep"),
     )
+
+
+# --- Zipf rank-frequency fit -------------------------------------------------
+
+#: Ranks used for the log-log OLS fit.  Top-R bounds the per-source
+#: collect_list to R structs (constant driver-side state per group);
+#: fitting the head is also statistically standard — the rank tail is
+#: dominated by hapax noise.
+ZIPF_TOP_R = 128
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text", *,
+             top_r: int = ZIPF_TOP_R) -> DataFrame:
+    """Per-source Zipf fit: OLS slope/intercept/r² of ln(freq) on
+    ln(rank) over the top ``top_r`` term ranks — the corpus-health
+    audit that flags template/generated text (|slope| far from ~1) and
+    vocabulary collapse (r² near 1 with a cliff), per source.
+
+    Determinism: x = ln(rank) and y = ln(count) via det_ln (identical
+    arithmetic DAG both engines, functions/detmath); the six OLS moment
+    sums fold per source in rank order over an array_sort'ed struct
+    list (≤ top_r elements — bounded state), so every downstream double
+    (slope, intercept, r²) is a chain of IEEE ops on bit-identical
+    inputs.  Outputs are emitted UNROUNDED: rounding is the one step
+    where engines could still disagree, and identical 64-bit doubles
+    need none.
+
+    Scale shape: (source, term) counts aggregate map-side; the rank
+    window partitions by source — per-source vocabulary fits a task at
+    any corpus size because vocabulary grows ~sublinearly (Heaps' law),
+    and only the top-R rows survive into the fold.
+    """
+    from pyspark.sql import Window
+
+    ranked = top_terms_per_source(docs, text_col, k=top_r)
+    ranked = with_det_ln(ranked, F.col("term_rank"), F.lit(1), "x",
+                         pfx="_zx")
+    ranked = with_det_ln(ranked, F.col("n"), F.lit(1), "y", pfx="_zy")
+    x, y = F.col("x"), F.col("y")
+    elem = F.struct(
+        F.col("term_rank").cast("double").alias("r"),
+        x.alias("sx"), y.alias("sy"),
+        (x * y).alias("sxy"), (x * x).alias("sxx"), (y * y).alias("syy"),
+    )
+    fields = ("r", "sx", "sy", "sxy", "sxx", "syy")
+    zero = F.struct(*[F.lit(0.0).alias(f) for f in fields])
+    agged = (
+        ranked.groupBy("source")
+        .agg(F.count("*").alias("n_terms"),
+             F.array_sort(F.collect_list(elem)).alias("_es"))
+        .withColumn("_acc", F.aggregate(
+            F.col("_es"), zero,
+            lambda a, e: F.struct(*[(a[f] + e[f]).alias(f)
+                                    for f in fields])))
+    )
+    # OLS staged through named columns so the Spark and SQL operation
+    # trees are the same shape (cf. with_det_ln's staging rationale).
+    agged = agged.withColumns({
+        "_n": F.col("n_terms").cast("double"),
+        "_sx": F.col("_acc.sx"), "_sy": F.col("_acc.sy"),
+        "_sxy": F.col("_acc.sxy"), "_sxx": F.col("_acc.sxx"),
+        "_syy": F.col("_acc.syy"),
+    }).withColumns({
+        "_num1": F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"),
+        "_den1": F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"),
+        "_den2": F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"),
+    }).withColumn(
+        "slope",
+        F.when(F.col("_den1") != 0.0, F.col("_num1") / F.col("_den1")),
+    )
+    return agged.select(
+        "source",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        "slope",
+        F.when(F.col("_den1") != 0.0,
+               (F.col("_sy") - F.col("slope") * F.col("_sx")) / F.col("_n"))
+            .alias("intercept"),
+        F.when((F.col("_den1") != 0.0) & (F.col("_den2") != 0.0),
+               (F.col("_num1") * F.col("_num1"))
+               / (F.col("_den1") * F.col("_den2")))
+            .alias("r2"),
+    )

@@ -3110,7 +3110,74 @@ HAVING count(*) >= {min_shared}
 """
 
 
+# --- Zipf rank-frequency fit per source --------------------------------------
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf OLS fit (operators/text.zipf_fit): slope /
+    intercept / r² of ln(freq) on ln(rank) over the top-128 ranks —
+    emitted unrounded; determinism comes from det_ln + rank-ordered
+    moment folds, not from rounding."""
+    return text.zipf_fit(_docs(spark, sf_dir))
+
+
+def _zipf_fit_sql() -> str:
+    r = text.ZIPF_TOP_R
+    fields = ("r", "sx", "sy", "sxy", "sxx", "syy")
+    zero = "struct_pack(" + ", ".join(f"{f} := 0.0" for f in fields) + ")"
+    merge = "struct_pack(" + ", ".join(f"{f} := a.{f} + b.{f}"
+                                       for f in fields) + ")"
+    return f"""
+WITH {TOKENS_CTE},
+tc AS (
+    SELECT source, t AS term, count(*) AS n
+    FROM (SELECT source, unnest(toks) AS t FROM tok)
+    GROUP BY source, t
+),
+ranked AS (
+    SELECT source, term, n,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n DESC, term ASC) AS term_rank
+    FROM tc
+    QUALIFY term_rank <= {r}
+),
+lned AS (
+    SELECT source, term_rank, n,
+           {det_ln_sql_items('term_rank', '1', 'x', '_zx')},
+           {det_ln_sql_items('n', '1', 'y', '_zy')}
+    FROM ranked
+),
+elems AS (
+    SELECT source,
+           struct_pack(r := CAST(term_rank AS DOUBLE), sx := x, sy := y,
+                       sxy := x * y, sxx := x * x, syy := y * y) AS e
+    FROM lned
+),
+folded AS (
+    SELECT source, count(*) AS n_terms,
+           list_reduce(list_prepend({zero}, list_sort(list(e))),
+                       (a, b) -> {merge}) AS acc
+    FROM elems GROUP BY source
+)
+SELECT source, n_terms, slope,
+       CASE WHEN den1 <> 0.0 THEN (sy - (slope * sx)) / nn END AS intercept,
+       CASE WHEN den1 <> 0.0 AND den2 <> 0.0
+            THEN (num1 * num1) / (den1 * den2) END AS r2
+FROM (
+    SELECT source, n_terms,
+           CAST(n_terms AS DOUBLE) AS nn,
+           acc.sx AS sx, acc.sy AS sy, acc.sxy AS sxy,
+           acc.sxx AS sxx, acc.syy AS syy,
+           (nn * sxy) - (sx * sy) AS num1,
+           (nn * sxx) - (sx * sx) AS den1,
+           (nn * syy) - (sy * sy) AS den2,
+           CASE WHEN den1 <> 0.0 THEN num1 / den1 END AS slope
+    FROM folded
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "zipf_fit": QuerySpec(q_zipf_fit, _zipf_fit_sql()),
     "winnowing_pairs": QuerySpec(q_winnowing_pairs, _winnowing_pairs_sql()),
     "minhash_accuracy": QuerySpec(q_minhash_accuracy, _minhash_accuracy_sql()),
     "cross_source_overlap": QuerySpec(q_cross_source_overlap,
