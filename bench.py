@@ -114,6 +114,7 @@ HEADLINE = [
     # stacks two det_ln DAGs plus an ordered moment fold
     "winnowing_pairs",
     "zipf_fit",
+    "embedding_truncation",
 ]
 
 

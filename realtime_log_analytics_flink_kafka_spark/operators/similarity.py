@@ -716,3 +716,60 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, *, k: int = 5,
         F.col(f"c_{label_col}").alias("neg_label"),
         "cosine", "rank",
     )
+
+
+# --- Matryoshka truncation audit ---------------------------------------------
+
+#: Prefix lengths audited for truncated-embedding serving (Matryoshka
+#: representation learning: store/serve the first p dims if they retain
+#: enough of the vector).
+MATRYOSHKA_PREFIXES = (8, 16, 32)
+#: A prefix "suffices" when it retains this fraction of the full norm.
+MATRYOSHKA_RETENTION = 0.9
+
+
+def truncation_audit(vecs: DataFrame, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     prefixes: tuple[int, ...] = MATRYOSHKA_PREFIXES
+                     ) -> DataFrame:
+    """Per-vector truncated-embedding quality: for each prefix length p,
+    the norm retention ||e[:p]|| / ||e|| — which IS the cosine between
+    the zero-padded truncation and the full vector — plus the smallest
+    audited prefix meeting MATRYOSHKA_RETENTION (full dim if none).
+    The decision table behind serving embeddings truncated: a corpus
+    whose mass concentrates in the leading dims can ship p floats
+    instead of 64 to the ANN index.
+
+    Purely per-row HOF folds (slice -> square -> ordered aggregate), no
+    shuffle at all — at 100 TB this is a map-only scan whose output
+    feeds a groupBy rollup if a corpus summary is wanted.  Fold shape
+    and double casts mirror the oracle's list_reduce exactly; sqrt and
+    division are correctly-rounded IEEE ops on identical inputs, so the
+    unrounded doubles match bit-for-bit.
+    """
+    e = F.col(vec_col)
+
+    def nrm(arr: Column) -> Column:
+        prods = F.transform(arr, lambda x: x.cast("double") * x.cast("double"))
+        return F.sqrt(F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v))
+
+    out = vecs.withColumn("_nfull", nrm(e))
+    ret_cols = {}
+    for p in prefixes:
+        out = out.withColumn(
+            f"_n{p}", nrm(F.slice(e, 1, p)))
+        ret_cols[f"retention_{p}"] = F.when(
+            F.col("_nfull") > 0, F.col(f"_n{p}") / F.col("_nfull"))
+    out = out.withColumns(ret_cols)
+    return out.select(
+        id_col, "label",
+        *[F.col(f"retention_{p}") for p in prefixes],
+        F.size(e).alias("_dim"),
+    ).withColumn(
+        "min_prefix",
+        F.coalesce(
+            *[F.when(F.col(f"retention_{p}") >= F.lit(MATRYOSHKA_RETENTION),
+                     F.lit(p)) for p in prefixes],
+            F.col("_dim").cast("int"),
+        ),
+    ).drop("_dim")

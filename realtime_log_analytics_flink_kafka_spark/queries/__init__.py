@@ -96,17 +96,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: the two missing TPC-H self-join shapes — correlated-EXISTS
     # priority check (Q4) and sole-late-supplier semi+anti (Q21)
     "order_priority_check", "waiting_suppliers",
-    # new r4: winnowing passage-overlap pairs (local-similarity dedup)
-    # and the per-source Zipf rank-frequency OLS fit
-    "winnowing_pairs", "zipf_fit",
+    # new r4: winnowing passage-overlap pairs (local-similarity dedup),
+    # the per-source Zipf rank-frequency OLS fit, and the Matryoshka
+    # truncated-embedding audit
+    "winnowing_pairs", "zipf_fit", "embedding_truncation",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
-    "dedup_exact",
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh
-    # for zipf_fit: both r2-green, unchanged since, re-proven by the
-    # local sf0.01 parity suite — and the minhash subtree is re-proven
-    # in this front via minhash_accuracy/dedup_incremental/
-    # dedup_threshold_sweep)
+    # for zipf_fit, dedup_exact for embedding_truncation: all r2-green,
+    # unchanged since, re-proven by the local sf0.01 parity suite — and
+    # the minhash subtree is re-proven in this front via
+    # minhash_accuracy/dedup_incremental/dedup_threshold_sweep)
     # (media_summary / frame_samples rotate out for the two TPC-H
     # self-join shapes: both r2-green, unchanged since, re-proven by the
     # local sf0.01 parity suite, and the r4-changed decode path is

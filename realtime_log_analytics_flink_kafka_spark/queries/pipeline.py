@@ -3176,7 +3176,57 @@ FROM (
 """
 
 
+# --- Matryoshka truncation audit ---------------------------------------------
+
+def q_embedding_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector Matryoshka truncation audit
+    (operators/similarity.truncation_audit): norm retention of the
+    8/16/32-dim prefixes and the smallest prefix retaining >= 90% —
+    the decision table for serving truncated embeddings."""
+    return similarity.truncation_audit(_embs(spark, sf_dir))
+
+
+def _embedding_truncation_sql() -> str:
+    thr = f"CAST('{similarity.MATRYOSHKA_RETENTION!r}' AS DOUBLE)"
+
+    def nrm(arr: str) -> str:
+        return ("sqrt(" + _fold_sql(
+            f"list_transform({arr}, x -> CAST(x AS DOUBLE)"
+            " * CAST(x AS DOUBLE))") + ")")
+
+    prefixes = similarity.MATRYOSHKA_PREFIXES
+    n_items = ",\n           ".join(
+        [f"{nrm('embedding')} AS nfull"]
+        + [f"{nrm(f'array_slice(embedding, 1, {p})')} AS n{p}"
+           for p in prefixes])
+    ret_items = ",\n           ".join(
+        f"CASE WHEN nfull > 0.0 THEN n{p} / nfull END AS retention_{p}"
+        for p in prefixes)
+    best = ",\n                ".join(
+        f"CASE WHEN retention_{p} >= {thr} THEN {p} END"
+        for p in prefixes)
+    return f"""
+WITH r AS (
+    SELECT vec_id, label, len(embedding) AS dim,
+           {n_items}
+    FROM embeddings
+),
+ret AS (
+    SELECT vec_id, label, dim,
+           {ret_items}
+    FROM r
+)
+SELECT vec_id, label,
+       {", ".join(f"retention_{p}" for p in prefixes)},
+       CAST(coalesce({best},
+                dim) AS INTEGER) AS min_prefix
+FROM ret
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_truncation": QuerySpec(q_embedding_truncation,
+                                      _embedding_truncation_sql()),
     "zipf_fit": QuerySpec(q_zipf_fit, _zipf_fit_sql()),
     "winnowing_pairs": QuerySpec(q_winnowing_pairs, _winnowing_pairs_sql()),
     "minhash_accuracy": QuerySpec(q_minhash_accuracy, _minhash_accuracy_sql()),
