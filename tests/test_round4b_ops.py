@@ -1,0 +1,193 @@
+"""Round-4 additions, part 2: winnowing passage overlap, Zipf fit,
+Matryoshka truncation audit, and the Q4/Q21 self-join shapes — semantics
+pinned on hand-built micro-fixtures (oracle-parity suites cover the
+fixture tables; these cover the guarantees and edge cases).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.operators import dedup, text
+from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+    MATRYOSHKA_PREFIXES, truncation_audit,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestWinnowing:
+    def test_guaranteed_detection_of_shared_run(self, spark):
+        """The winnowing guarantee: a shared token run of length
+        >= WINNOW_K + WINNOW_W - 1 must produce a shared fingerprint."""
+        run = " ".join(f"s{i}" for i in
+                       range(dedup.WINNOW_K + dedup.WINNOW_W - 1))
+        docs = _docs(spark, [
+            (1, "alpha beta gamma delta " + run + " eps zeta eta theta"),
+            (2, "uno dos tres cuatro cinco " + run + " seis siete ocho"),
+        ])
+        fps = dedup.winnow_fingerprints(docs)
+        shared = (fps.filter("doc_id = 1").select("fp")
+                  .intersect(fps.filter("doc_id = 2").select("fp")))
+        assert shared.count() >= 1
+
+    def test_disjoint_docs_share_nothing(self, spark):
+        docs = _docs(spark, [
+            (1, " ".join(f"a{i}" for i in range(20))),
+            (2, " ".join(f"b{i}" for i in range(20))),
+        ])
+        assert dedup.winnowing_pairs(docs, min_shared=1).count() == 0
+
+    def test_short_docs_yield_no_fingerprints(self, spark):
+        # below k + w - 1 tokens there is no complete window
+        n = dedup.WINNOW_K + dedup.WINNOW_W - 2
+        docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(n)))])
+        assert dedup.winnow_fingerprints(docs).count() == 0
+
+    def test_selection_subsamples_grams(self, spark):
+        """Selected fingerprints are a strict subset of the k-gram hashes
+        (~1/w of them for random text)."""
+        toks = " ".join(f"w{i}" for i in range(100))
+        docs = _docs(spark, [(1, toks)])
+        n_grams = 100 - dedup.WINNOW_K + 1
+        n_sel = dedup.winnow_fingerprints(docs).count()
+        assert 0 < n_sel < n_grams / 2
+
+    def test_boilerplate_fp_excluded_by_df_gate(self, spark):
+        """A fingerprint present in more than max_df docs pairs nobody."""
+        shared = " ".join(f"s{i}" for i in range(10))
+        docs = _docs(spark, [
+            (i, shared + f" tail{i} t{i}x t{i}y") for i in range(5)
+        ])
+        # every pair collides at max_df=20 ...
+        assert dedup.winnowing_pairs(docs, min_shared=1).count() == 10
+        # ... and none once the gate marks the fps boilerplate
+        assert dedup.winnowing_pairs(docs, min_shared=1,
+                                     max_df=4).count() == 0
+
+
+class TestZipfFit:
+    def test_exact_powerlaw_recovers_slope(self, spark):
+        """Counts n(rank) = round(C * rank^-1) over distinct terms: the
+        log-log OLS slope must come out near -1 with r2 near 1."""
+        rows = []
+        doc = []
+        for r in range(1, 33):
+            cnt = max(1, round(1024 / r))
+            doc.extend([f"term{r:02d}"] * cnt)
+        rows.append((1, " ".join(doc)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string") \
+            .withColumn("source", F.lit("zipfy"))
+        out = text.zipf_fit(docs).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["n_terms"] == 32
+        assert abs(row["slope"] - (-1.0)) < 0.05
+        assert row["r2"] > 0.99
+
+    def test_uniform_counts_give_zero_slope(self, spark):
+        doc = " ".join(" ".join([f"t{i}"] * 5) for i in range(20))
+        docs = spark.createDataFrame([(1, doc)],
+                                     "doc_id long, text string") \
+            .withColumn("source", F.lit("flat"))
+        row = text.zipf_fit(docs).collect()[0]
+        # all y equal -> slope ~0 (float fold cancellation leaves ulps),
+        # r2 undefined (den2 == 0) -> NULL
+        assert abs(row["slope"]) < 1e-12
+        assert row["r2"] is None
+
+    def test_single_term_source_is_degenerate(self, spark):
+        docs = spark.createDataFrame([(1, "only only only")],
+                                     "doc_id long, text string") \
+            .withColumn("source", F.lit("mono"))
+        row = text.zipf_fit(docs).collect()[0]
+        assert row["n_terms"] == 1 and row["slope"] is None
+
+
+class TestTruncationAudit:
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+
+    def test_leading_mass_truncates_to_first_prefix(self, spark):
+        v = [1.0] * 8 + [0.0] * 56
+        row = truncation_audit(self._vecs(spark, [(1, v, 0)])).collect()[0]
+        assert row["retention_8"] == 1.0
+        assert row["min_prefix"] == MATRYOSHKA_PREFIXES[0]
+
+    def test_tail_mass_needs_full_dim(self, spark):
+        v = [0.0] * 56 + [1.0] * 8
+        row = truncation_audit(self._vecs(spark, [(1, v, 0)])).collect()[0]
+        assert row["retention_32"] == 0.0
+        assert row["min_prefix"] == 64
+
+    def test_uniform_mass_matches_sqrt_ratio(self, spark):
+        v = [1.0] * 64
+        row = truncation_audit(self._vecs(spark, [(1, v, 0)])).collect()[0]
+        for p in MATRYOSHKA_PREFIXES:
+            assert math.isclose(row[f"retention_{p}"],
+                                math.sqrt(p / 64.0), rel_tol=1e-12)
+
+    def test_zero_vector_retention_null_prefix_full(self, spark):
+        v = [0.0] * 64
+        row = truncation_audit(self._vecs(spark, [(1, v, 0)])).collect()[0]
+        assert row["retention_8"] is None and row["min_prefix"] == 64
+
+
+class TestSelfJoinShapes:
+    def _fixture(self, spark):
+        import datetime
+        d = datetime.datetime
+        orders = spark.createDataFrame(
+            [(1, "F", d(1997, 1, 1)),   # two suppliers, one late -> waits
+             (2, "F", d(1997, 1, 1)),   # two suppliers, both late -> no
+             (3, "F", d(1997, 1, 1)),   # single supplier, late -> no
+             (4, "O", d(1997, 1, 1))],  # not finished -> excluded
+            "o_orderkey long, o_orderstatus string, o_orderdate timestamp")
+        late, ok = d(1997, 6, 1), d(1997, 1, 15)
+        li = spark.createDataFrame(
+            [(1, 10, late), (1, 11, ok),
+             (2, 10, late), (2, 11, late),
+             (3, 12, late),
+             (4, 13, late)],
+            "l_orderkey long, l_suppkey long, l_shipdate timestamp")
+        return orders, li
+
+    def test_sole_late_supplier_semantics(self, spark, monkeypatch):
+        from realtime_log_analytics_flink_kafka_spark.queries import relational
+
+        orders, li = self._fixture(spark)
+        supp = spark.createDataFrame(
+            [(s, f"Supplier#{s}", 0) for s in (10, 11, 12, 13)],
+            "s_suppkey long, s_name string, s_nationkey int")
+        nation = spark.createDataFrame([(0, "HOME")],
+                                       "n_nationkey int, n_name string")
+        tables = {"orders": orders, "lineitem": li,
+                  "supplier": supp, "nation": nation}
+        monkeypatch.setattr(relational, "_t",
+                            lambda spark, sf_dir, name: tables[name])
+        out = relational.q_waiting_suppliers(spark, "ignored").collect()
+        assert [(r["s_name"], r["numwait"]) for r in out] == \
+            [("Supplier#10", 1)]
+
+    def test_priority_check_counts_orders_once(self, spark, monkeypatch):
+        from realtime_log_analytics_flink_kafka_spark.queries import relational
+
+        orders, li = self._fixture(spark)
+        orders = orders.withColumn("o_orderpriority", F.lit("1-URGENT"))
+        # order 1 has TWO late lineitems -> must still count once
+        import datetime
+        extra = spark.createDataFrame(
+            [(1, 14, datetime.datetime(1997, 7, 1))],
+            "l_orderkey long, l_suppkey long, l_shipdate timestamp")
+        tables = {"orders": orders, "lineitem": li.unionByName(extra)}
+        monkeypatch.setattr(relational, "_t",
+                            lambda spark, sf_dir, name: tables[name])
+        out = relational.q_order_priority_check(spark, "ignored").collect()
+        # orders 1, 2, 3, 4 all have a late lineitem and fall in range
+        assert [(r["o_orderpriority"], r["order_count"])
+                for r in out] == [("1-URGENT", 4)]
