@@ -115,6 +115,7 @@ HEADLINE = [
     "winnowing_pairs",
     "zipf_fit",
     "embedding_truncation",
+    "bm25_search",
 ]
 
 

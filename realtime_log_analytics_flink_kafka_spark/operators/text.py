@@ -797,3 +797,86 @@ def zipf_fit(docs: DataFrame, text_col: str = "text", *,
                / (F.col("_den1") * F.col("_den2")))
             .alias("r2"),
     )
+
+
+# --- BM25 retrieval scoring --------------------------------------------------
+
+#: Okapi BM25 parameters, fixed at the literature defaults k1 = 1.2 and
+#: b = 0.75.  With these the per-term factor reduces to the exact
+#: rational  22·tf·L / (10·tf·L + 3·L + 9·dl·D)  (multiply numerator and
+#: denominator of  tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·D/L)  by 10·L),
+#: evaluated below in double arithmetic with an explicitly parenthesized
+#: operation tree — IEEE ops on identical inputs are deterministic even
+#: once the products stop being exactly representable, so the scores are
+#: bit-identical cross-engine at ANY corpus size (no int64 overflow
+#: cliff at 100 TB token counts).
+BM25_TOP_K = 20
+
+
+def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
+                text_col: str = "text", *, k: int = BM25_TOP_K) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a bag-of-terms query: classic
+    lexical search over the corpus, the retrieval counterpart of the
+    embedding ANN family.
+
+    idf is the Robertson–Spärck-Jones form ln((N−df+0.5)/(df+0.5)) —
+    doubled to the integer ratio (2N−2df+1)/(2df+1) and evaluated with
+    det_ln (functions/detmath) for bit parity; terms in more than half
+    the docs score negative, as the classic form intends.  Per-doc
+    scores fold contributions in term order (bounded by |query|), and
+    the top-k order (score desc, doc_id asc) is total.
+
+    Scale shape: the tf table is pre-filtered to the query terms before
+    any shuffle — corpus-size work is one tokenize+explode scan with a
+    pushed-down IN filter; term stats (|query| rows) and the (D, L)
+    totals broadcast back; the only corpus-keyed shuffle is the
+    doc-length join on the few docs that contain a query term, and the
+    global top-k is a TakeOrdered, never a full sort.
+    """
+    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    dl = toked.select("doc_id", F.size("_toks").cast("long").alias("dl"))
+    totals = dl.agg(F.count("*").alias("D"), F.sum("dl").alias("L"))
+    tf = (
+        toked.select("doc_id", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = with_det_ln(
+        stats.crossJoin(F.broadcast(totals)),
+        2 * F.col("D") - 2 * F.col("df") + 1,
+        2 * F.col("df") + 1,
+        "idf",
+    ).select("term", "idf", "D", "L")
+    scored = (
+        tf.join(F.broadcast(stats), "term")
+        .join(dl, "doc_id")
+        .withColumns({
+            "_dtf": F.col("tf").cast("double"),
+            "_ddl": F.col("dl").cast("double"),
+            "_dD": F.col("D").cast("double"),
+            "_dL": F.col("L").cast("double"),
+        })
+        .withColumns({
+            "_num": (F.lit(22.0) * F.col("_dtf")) * F.col("_dL"),
+            "_den": (((F.lit(10.0) * F.col("_dtf")) * F.col("_dL"))
+                     + (F.lit(3.0) * F.col("_dL")))
+                    + ((F.lit(9.0) * F.col("_ddl")) * F.col("_dD")),
+        })
+        .withColumn("_c", F.col("idf") * (F.col("_num") / F.col("_den")))
+    )
+    agged = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.array_sort(F.collect_list(
+                F.struct(F.col("term"), F.col("_c").alias("c")))).alias("_cs"),
+        )
+        .select(
+            "doc_id", "n_terms_hit",
+            F.aggregate(F.transform(F.col("_cs"), lambda x: x["c"]),
+                        F.lit(0.0), lambda a, v: a + v).alias("bm25"),
+        )
+    )
+    return agged.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

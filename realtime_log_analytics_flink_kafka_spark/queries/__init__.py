@@ -40,7 +40,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (functions/detmath: exact_round_div + det_ln_ratio)
     "curation_report", "unigram_surprisal",
     # same det-ln / exact-round treatment applied preemptively
-    "bigram_surprisal", "quality_scores", "repetition_filters",
+    # (quality_scores rotates out for bm25_search: its exact_round_div
+    # rework is re-proven through curation_report / quality_filter_funnel
+    # / quality_vs_perplexity in this front, plus local sf0.01 parity)
+    "bigram_surprisal", "repetition_filters",
     "quality_filter_funnel", "tfidf_top_terms", "token_weighted_sample",
     # pq_mse now folds in sorted sub order (ADVICE r3)
     "pq_codes",
@@ -100,6 +103,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the per-source Zipf rank-frequency OLS fit, and the Matryoshka
     # truncated-embedding audit
     "winnowing_pairs", "zipf_fit", "embedding_truncation",
+    # new r4: Okapi BM25 top-k lexical retrieval
+    "bm25_search",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

@@ -3224,7 +3224,63 @@ FROM ret
 """
 
 
+# --- BM25 lexical retrieval --------------------------------------------------
+
+#: Fixed bag-of-terms query spanning common and mid-frequency fixture
+#: vocabulary, so idf signs and magnitudes actually vary.
+BM25_QUERY = ("hash", "join", "stream", "vector")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed bag-of-terms query
+    (operators/text.bm25_scores) — classic lexical retrieval, the
+    counterpart of the embedding ANN family."""
+    return text.bm25_scores(_docs(spark, sf_dir), BM25_QUERY)
+
+
+def _bm25_search_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH {TOKENS_CTE},
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+tot AS (SELECT count(*) AS D, sum(dl) AS L FROM dl),
+tf AS (
+    SELECT doc_id, t AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    WHERE t IN ({terms})
+    GROUP BY doc_id, t
+),
+stats0 AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+    SELECT term, D, L,
+           {det_ln_sql_items('2*D - 2*df + 1', '2*df + 1', 'idf')}
+    FROM stats0 CROSS JOIN tot
+),
+scored AS (
+    -- DuckDB identifiers are case-insensitive: an alias like "dL" would
+    -- collide with the dl COLUMN, so the staged doubles get x-prefixes
+    SELECT tf.doc_id, tf.term,
+           CAST(tf AS DOUBLE) AS xtf, CAST(dl AS DOUBLE) AS xdl,
+           CAST(D AS DOUBLE) AS xd, CAST(L AS DOUBLE) AS xl,
+           (22.0 * xtf) * xl AS num,
+           (((10.0 * xtf) * xl) + (3.0 * xl)) + ((9.0 * xdl) * xd) AS den,
+           idf * (num / den) AS c
+    FROM tf JOIN stats USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       list_reduce(
+           list_prepend(0.0, list_transform(
+               list_sort(list(struct_pack(term := term, c := c))),
+               e -> e.c)),
+           (a, b) -> a + b) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {text.BM25_TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),
     "embedding_truncation": QuerySpec(q_embedding_truncation,
                                       _embedding_truncation_sql()),
     "zipf_fit": QuerySpec(q_zipf_fit, _zipf_fit_sql()),

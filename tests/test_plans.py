@@ -62,6 +62,7 @@ NESTED_LOOP_SANCTIONED = {
     "embedding_quantization": 1,   # single-row scale array broadcast
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
+    "bm25_search": 1,              # single-row (D, L) totals broadcast
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
     "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
     "skew_audit": 1,               # single-row (total, n_keys) broadcast

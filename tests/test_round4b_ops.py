@@ -191,3 +191,39 @@ class TestSelfJoinShapes:
         # orders 1, 2, 3, 4 all have a late lineitem and fall in range
         assert [(r["o_orderpriority"], r["order_count"])
                 for r in out] == [("1-URGENT", 4)]
+
+
+class TestBM25:
+    def test_rarer_term_scores_higher_same_tf(self, spark):
+        """Same tf and doc length: the doc matching the rarer term wins."""
+        filler = " ".join(f"f{i}" for i in range(8))
+        rows = [(1, "rare " + filler), (2, "common " + filler)]
+        rows += [(10 + i, f"common pad{i} " + filler) for i in range(6)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["bm25"]
+               for r in text.bm25_scores(docs, ("rare", "common")).collect()}
+        assert out[1] > out[2]
+
+    def test_score_sums_over_query_terms(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta x y"), (2, "alpha q r s"), (3, "w x y z")],
+            "doc_id long, text string")
+        both = {r["doc_id"]: r for r in
+                text.bm25_scores(docs, ("alpha", "beta")).collect()}
+        assert both[1]["n_terms_hit"] == 2 and both[2]["n_terms_hit"] == 1
+        # doc 3 matches nothing -> absent
+        assert 3 not in both
+
+    def test_top_k_bound_and_order(self, spark):
+        # 30 matching docs of growing length + 60 non-matching, so the
+        # term's idf is positive and length normalization decides rank
+        rows = [(i, "hit " + " ".join(f"p{i}x{j}" for j in range(i + 1)))
+                for i in range(30)]
+        rows += [(100 + i, f"m{i} n{i}") for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = text.bm25_scores(docs, ("hit",), k=5).collect()
+        assert len(out) == 5
+        scores = [r["bm25"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        # shorter docs rank first for equal tf (length normalization)
+        assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
