@@ -116,6 +116,10 @@ HEADLINE = [
     "zipf_fit",
     "embedding_truncation",
     "bm25_search",
+    # round-4 continued: cohort matrix (distinct + double agg over
+    # events) and containment verify over the LSH candidate join
+    "cohort_retention",
+    "dedup_containment",
 ]
 
 

@@ -43,7 +43,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (quality_scores rotates out for bm25_search: its exact_round_div
     # rework is re-proven through curation_report / quality_filter_funnel
     # / quality_vs_perplexity in this front, plus local sf0.01 parity)
-    "bigram_surprisal", "repetition_filters",
+    # (repetition_filters rotates out for cohort_retention: its
+    # det rework is re-proven through quality_filter_funnel, which
+    # composes the same repetition metrics, plus local sf0.01 parity)
+    "bigram_surprisal",
     "quality_filter_funnel", "tfidf_top_terms", "token_weighted_sample",
     # pq_mse now folds in sorted sub order (ADVICE r3)
     "pq_codes",
@@ -53,8 +56,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "media_decode",
     # new: IVF-PQ asymmetric-distance ANN serving composition
     "knn_ivf_pq",
-    # new: CCNet-style perplexity terciles over the deterministic LM score
-    "perplexity_buckets",
+    # (perplexity_buckets rotates out for dedup_containment: it
+    # composes unigram_surprisal's deterministic LM score, which stays
+    # at the head of this front; plus local sf0.01 parity)
     # new r4: C4-style segment dedup, batch-vs-corpus incremental dedup,
     # per-service z-score latency anomalies (exact integer arithmetic)
     "segment_dedup", "dedup_incremental", "latency_anomalies",
@@ -103,8 +107,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the per-source Zipf rank-frequency OLS fit, and the Matryoshka
     # truncated-embedding audit
     "winnowing_pairs", "zipf_fit", "embedding_truncation",
-    # new r4: Okapi BM25 top-k lexical retrieval
-    "bm25_search",
+    # new r4: Okapi BM25 top-k lexical retrieval, cohort retention
+    # matrix, and Broder-containment subset-dup pairs
+    "bm25_search", "cohort_retention", "dedup_containment",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

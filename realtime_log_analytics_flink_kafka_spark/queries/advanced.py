@@ -1173,7 +1173,81 @@ LIMIT {SKEW_TOP_K}
 """
 
 
+# --- cohort retention matrix -------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day, then
+    the fraction of each cohort active again N days later — the
+    (cohort_day, day_offset) retention matrix product analytics reads.
+
+    Shuffle shape: ONE distinct over (user, day) (events collapse
+    map-side to at most users x days rows), one groupBy(user) for the
+    cohort assignment, then the matrix aggregation over user-day rows —
+    no self-join of the raw events table; the cohort-size table
+    (≤ #days rows) broadcasts back.  The retention ratio is
+    detmath.exact_round_div over exact BIGINT counts.
+    """
+    from ..functions.detmath import exact_round_div
+
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = activity.join(first, "user_id").select(
+        "user_id", "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("long")
+            .alias("day_offset"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size"))
+    # (cohort_day, day_offset, user) rows are unique by construction
+    # (activity is distinct, cohort_day is functional on user), so
+    # count(*) IS the distinct-user count — no countDistinct shuffle.
+    ret = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("long").alias("n_active"))
+    return (
+        ret.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset", "n_active", "cohort_size",
+            exact_round_div(F.col("n_active"), F.col("cohort_size"),
+                            scale=4).alias("retention"),
+        )
+    )
+
+
+def _cohort_retention_sql() -> str:
+    from ..functions.detmath import exact_round_div_sql
+
+    return f"""
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+    SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+),
+joined AS (
+    SELECT a.user_id, f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+               AS day_offset
+    FROM activity a JOIN firsts f USING (user_id)
+),
+sizes AS (
+    SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+    FROM firsts GROUP BY cohort_day
+),
+ret AS (
+    SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM joined GROUP BY cohort_day, day_offset
+)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day, r.day_offset,
+       r.n_active, s.cohort_size,
+       {exact_round_div_sql('r.n_active', 's.cohort_size', 4)} AS retention
+FROM ret r JOIN sizes s USING (cohort_day)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cohort_retention": QuerySpec(q_cohort_retention,
+                                  _cohort_retention_sql()),
     "latency_anomalies": QuerySpec(q_latency_anomalies,
                                    SQL_LATENCY_ANOMALIES),
     "latency_median_mad": QuerySpec(q_latency_median_mad,

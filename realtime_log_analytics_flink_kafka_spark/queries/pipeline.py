@@ -3279,8 +3279,95 @@ LIMIT {text.BM25_TOP_K}
 """
 
 
+# --- containment near-dup (subset documents) ---------------------------------
+
+#: Broder containment |A∩B|/|A| threshold: a doc whose shingle set is
+#: mostly inside another's is a quote/subset duplicate even when the
+#: symmetric Jaccard is small (size-mismatched pairs).
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs by Broder CONTAINMENT: LSH band-colliding
+    candidates verified with |A∩B|/|A| and |A∩B|/|B| instead of
+    Jaccard, keeping pairs where either direction clears the threshold.
+    Catches a short doc quoted inside a long one — low Jaccard, high
+    one-sided containment — which dedup_minhash_lsh's symmetric verify
+    intentionally drops.  (Candidate recall is still the LSH bands',
+    which are Jaccard-tuned; a containment-first generator would sketch
+    the SMALLER set's minhashes only — documented trade, same equi-join
+    shape.)  Ratios via exact_round_div over exact set-size BIGINTs.
+    """
+    sets = dedup.minhash_sketch(_docs(spark, sf_dir))
+    cand = dedup.lsh_candidate_pairs(sets)
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("hset").alias("a_set"))
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("hset").alias("b_set"))
+    inter = F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
+    verified = (
+        cand.join(a, cand.doc_a == a.a_id)
+        .join(b, cand.doc_b == b.b_id)
+        .withColumn("_inter", inter.cast("long"))
+        .select(
+            "doc_a", "doc_b", F.col("_inter").alias("n_common"),
+            exact_round_div(F.col("_inter"), F.size("a_set").cast("long"), 4)
+                .alias("containment_a"),
+            exact_round_div(F.col("_inter"), F.size("b_set").cast("long"), 4)
+                .alias("containment_b"),
+        )
+    )
+    thr = CONTAINMENT_THRESHOLD
+    return verified.filter(
+        (F.col("containment_a") >= thr) | (F.col("containment_b") >= thr))
+
+
+def _dedup_containment_sql() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(affine_hashes(dedup.MINHASH_K))
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {key} AS bucket FROM mh")
+    bands = "\nUNION ALL\n".join(band_selects)
+    thr = CONTAINMENT_THRESHOLD
+    ca = exact_round_div_sql("n_common", "len(a.hset)", 4)
+    cb = exact_round_div_sql("n_common", "len(b.hset)", 4)
+    return f"""
+WITH {SHINGLE_CTES},
+mh AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+verified AS (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.hset, b.hset)) AS BIGINT) AS n_common,
+           {ca} AS containment_a,
+           {cb} AS containment_b
+    FROM cand
+    JOIN hsets a ON cand.doc_a = a.doc_id
+    JOIN hsets b ON cand.doc_b = b.doc_id
+)
+SELECT * FROM verified
+WHERE containment_a >= {thr} OR containment_b >= {thr}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),
+    "dedup_containment": QuerySpec(q_dedup_containment,
+                                   _dedup_containment_sql()),
     "embedding_truncation": QuerySpec(q_embedding_truncation,
                                       _embedding_truncation_sql()),
     "zipf_fit": QuerySpec(q_zipf_fit, _zipf_fit_sql()),
