@@ -120,6 +120,7 @@ HEADLINE = [
     # events) and containment verify over the LSH candidate join
     "cohort_retention",
     "dedup_containment",
+    "event_transitions",
 ]
 
 

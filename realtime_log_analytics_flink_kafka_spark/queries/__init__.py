@@ -77,7 +77,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_accuracy", "cross_source_overlap", "dedup_token_loss",
     # new r4: per-doc boilerplate span share, dup-graph degree histogram,
     # sqrt-temperature source sampling — never driver-checked
-    "boilerplate_fraction", "dup_graph_degrees", "temperature_mixture",
+    # (temperature_mixture rotates out for event_transitions:
+    # mixture_temperature_sweep, in this front, generalizes its
+    # det-power math to arbitrary alpha; plus local sf0.01 parity)
+    "boilerplate_fraction", "dup_graph_degrees",
     # new r4: quality-ranked token budget cut (two-phase global cumsum),
     # robust median/MAD latency, heavy-hitter skew audit — never checked
     "token_budget_cut", "latency_median_mad", "skew_audit",
@@ -110,6 +113,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: Okapi BM25 top-k lexical retrieval, cohort retention
     # matrix, and Broder-containment subset-dup pairs
     "bm25_search", "cohort_retention", "dedup_containment",
+    # new r4: first-order Markov event-transition matrix
+    "event_transitions",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

@@ -1245,9 +1245,75 @@ FROM ret r JOIN sizes s USING (cohort_day)
 """
 
 
+# --- event transition matrix -------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) with counts — the navigation-flow /
+    behavioral-model input.  lead() over (user, event-time) pairs each
+    event with its successor; transition counts aggregate map-side; the
+    per-source-type totals (≤ #types rows) broadcast back; probability
+    is detmath.exact_round_div over exact BIGINT counts.
+
+    Scale shape: the window partitions by user_id — per-user history is
+    small at any corpus size, so no partition outgrows a task — and the
+    only corpus-wide shuffle is the user repartition the window needs.
+    """
+    from ..functions.detmath import exact_round_div
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = (
+        pairs.groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("_tot"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select("from_type", "to_type", "n_transitions",
+                exact_round_div(F.col("n_transitions"), F.col("_tot"), 4)
+                    .alias("prob"))
+    )
+
+
+def _event_transitions_sql() -> str:
+    from ..functions.detmath import exact_round_div_sql
+
+    return f"""
+WITH pairs AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM pairs WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+totals AS (
+    SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+    FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_transitions,
+       {exact_round_div_sql('t.n_transitions', 'tt.tot', 4)} AS prob
+FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(q_cohort_retention,
                                   _cohort_retention_sql()),
+    "event_transitions": QuerySpec(q_event_transitions,
+                                   _event_transitions_sql()),
     "latency_anomalies": QuerySpec(q_latency_anomalies,
                                    SQL_LATENCY_ANOMALIES),
     "latency_median_mad": QuerySpec(q_latency_median_mad,
