@@ -121,6 +121,7 @@ HEADLINE = [
     "cohort_retention",
     "dedup_containment",
     "event_transitions",
+    "disjunctive_revenue",
 ]
 
 

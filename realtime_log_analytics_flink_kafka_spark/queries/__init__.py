@@ -80,7 +80,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (temperature_mixture rotates out for event_transitions:
     # mixture_temperature_sweep, in this front, generalizes its
     # det-power math to arbitrary alpha; plus local sf0.01 parity)
-    "boilerplate_fraction", "dup_graph_degrees",
+    # (dup_graph_degrees rotates out for disjunctive_revenue: it is a
+    # degree histogram over the same LSH pair graph that
+    # minhash_accuracy / dedup_threshold_sweep re-prove in this front;
+    # plus local sf0.01 parity)
+    "boilerplate_fraction",
     # new r4: quality-ranked token budget cut (two-phase global cumsum),
     # robust median/MAD latency, heavy-hitter skew audit — never checked
     "token_budget_cut", "latency_median_mad", "skew_audit",
@@ -113,8 +117,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: Okapi BM25 top-k lexical retrieval, cohort retention
     # matrix, and Broder-containment subset-dup pairs
     "bm25_search", "cohort_retention", "dedup_containment",
-    # new r4: first-order Markov event-transition matrix
-    "event_transitions",
+    # new r4: first-order Markov event-transition matrix and the
+    # TPC-H Q19 disjunctive-predicate join shape
+    "event_transitions", "disjunctive_revenue",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

@@ -712,9 +712,62 @@ LIMIT 20
 """
 
 
+# --- disjunctive-predicate join (TPC-H Q19 shape) ----------------------------
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate that mixes
+    columns from BOTH join sides.  The planner must split the condition
+    into the partkey equi-join plus a residual disjunction evaluated at
+    probe time — the join stays a broadcast/shuffled HASH join, never a
+    nested loop, and each disjunct's single-table conjuncts (brand/size/
+    type on part, quantity on lineitem) are NOT pushable individually
+    because they are OR-ed; only the join key carries the pruning.
+    That is exactly the shape that tests an optimizer's conjunction
+    extraction at 100 TB, where a nested-loop fallback would be fatal.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size")
+    b1 = ((F.col("p_brand") == "Brand#1")
+          & F.col("p_size").between(1, 10)
+          & F.col("l_quantity").between(1, 20))
+    b2 = ((F.col("p_brand") == "Brand#2")
+          & F.col("p_size").between(5, 20)
+          & F.col("l_quantity").between(10, 35))
+    b3 = ((F.col("p_type") == "PROMO")
+          & F.col("p_size").between(10, 40)
+          & F.col("l_quantity").between(20, 50))
+    return (
+        li.join(F.broadcast(part),
+                (li.l_partkey == part.p_partkey) & (b1 | b2 | b3))
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 10 AND 40
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(q_order_priority_check,
                                       SQL_ORDER_PRIORITY_CHECK),
+    "disjunctive_revenue": QuerySpec(q_disjunctive_revenue,
+                                     SQL_DISJUNCTIVE_REVENUE),
     "waiting_suppliers": QuerySpec(q_waiting_suppliers,
                                    SQL_WAITING_SUPPLIERS),
     "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING_SUMMARY),

@@ -205,6 +205,70 @@ class _ThrottleAlerts(StatefulProcessor):
         pass
 
 
+#: Output of the streaming event-transition operator (one row per
+#: observed (prev -> current) pair in a user's stream).
+TRANSITION_OUTPUT_SCHEMA = (
+    "user_id long, from_type string, to_type string, ts timestamp")
+
+
+class _EventTransitions(StatefulProcessor):
+    """Streaming twin of queries/advanced.q_event_transitions: per user,
+    remember the LAST event type across micro-batches and emit one
+    (from_type, to_type) row per arriving event that has a predecessor.
+    Downstream, a windowed count over the emitted pairs is the same
+    transition matrix the batch query computes — the classic
+    last-value-state enrichment, O(1) state per user (one string), TTL
+    for users gone idle.
+    """
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState(
+            "last", "last_type string", ttlDurationMs=self._ttl_ms)
+
+    def handleInputRows(self, key: tuple[Any, ...],
+                        rows: Iterator[pd.DataFrame],
+                        timer_values: Any) -> Iterator[pd.DataFrame]:
+        prev = self._last.get()[0] if self._last.exists() else None
+        chunks = [p for p in rows if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values(["ts", "event_id"], kind="mergesort")
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                if prev is not None:
+                    out.append({
+                        "user_id": key[0],
+                        "from_type": prev,
+                        "to_type": row.event_type,
+                        "ts": row.ts,
+                    })
+                prev = row.event_type
+            if out:
+                yield pd.DataFrame(out)
+        if prev is not None:
+            self._last.update((prev,))
+
+    def close(self) -> None:
+        pass
+
+
+def event_transitions_tws(events: DataFrame, *,
+                          ttl_ms: int = STATE_TTL_MS) -> DataFrame:
+    """Native-API streaming transition pairs (W9-family: ValueState +
+    TTL).  Batch equivalence: grouping this output by (from_type,
+    to_type) with a count reproduces q_event_transitions'
+    n_transitions column exactly (proven in tests/test_state_v2.py)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _EventTransitions(ttl_ms),
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
 def escalate_every_n_tws(alerts: DataFrame, *, n: int = ESCALATION_EVERY,
                          ttl_ms: int = STATE_TTL_MS) -> DataFrame:
     """Native-API escalation counter (W9: ValueState + 1 h TTL)."""

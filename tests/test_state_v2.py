@@ -263,3 +263,76 @@ def test_tws_native_ttl_expires_counter(spark, tmp_path, rocksdb):
     # counter restarted at 1, NOT 5..7: the state expired
     assert sorted(r.alert_seq for r in spark.table("tws_ttl2").collect()) \
         == [1, 2, 3]
+
+
+class TestEventTransitionsDirect:
+    """Direct-drive of _EventTransitions: last-event continuity across
+    micro-batches and Arrow chunks, and count-equivalence with the batch
+    transition matrix."""
+
+    def _events_pdf(self, ids, types):
+        return pd.DataFrame({
+            "event_id": list(ids),
+            "ts": [pd.Timestamp(2024, 1, 1, 0, 0, i % 60) for i in ids],
+            "event_type": list(types),
+        })
+
+    def _drive(self, proc, key, batches):
+        out = []
+        for chunks in batches:
+            for pdf in proc.handleInputRows(key, iter(chunks), None):
+                out.extend(pdf.to_dict("records"))
+        return out
+
+    def test_transitions_span_micro_batches(self):
+        proc = state_v2._EventTransitions(ttl_ms=3_600_000)
+        proc.init(FakeHandle())
+        out = self._drive(proc, ("u1",), [
+            [self._events_pdf([1, 2], ["view", "click"])],
+            [self._events_pdf([3], ["purchase"])],
+        ])
+        assert [(r["from_type"], r["to_type"]) for r in out] == \
+            [("view", "click"), ("click", "purchase")]
+
+    def test_chunk_split_preserves_event_time_order(self):
+        proc = state_v2._EventTransitions(ttl_ms=3_600_000)
+        proc.init(FakeHandle())
+        # one micro-batch arriving as two Arrow chunks, out of order
+        out = self._drive(proc, ("u1",), [[
+            self._events_pdf([3], ["error"]),
+            self._events_pdf([1, 2], ["view", "click"]),
+        ]])
+        assert [(r["from_type"], r["to_type"]) for r in out] == \
+            [("view", "click"), ("click", "error")]
+
+    def test_first_event_emits_nothing(self):
+        proc = state_v2._EventTransitions(ttl_ms=3_600_000)
+        proc.init(FakeHandle())
+        out = self._drive(proc, ("u1",),
+                          [[self._events_pdf([1], ["signup"])]])
+        assert out == []
+
+    def test_count_equivalence_with_batch_matrix(self, spark):
+        """Σ streaming pairs grouped by (from, to) == the batch query's
+        n_transitions, for a multi-user stream split across batches."""
+        from collections import Counter
+
+        seqs = {
+            "u1": ["view", "click", "view", "purchase", "view"],
+            "u2": ["signup", "view", "view", "click"],
+        }
+        emitted = Counter()
+        for u, types in seqs.items():
+            proc = state_v2._EventTransitions(ttl_ms=3_600_000)
+            proc.init(FakeHandle())
+            ids = list(range(1, len(types) + 1))
+            # feed one event per micro-batch — worst case for continuity
+            for i, t in zip(ids, types):
+                for r in self._drive(proc, (u,),
+                                     [[self._events_pdf([i], [t])]]):
+                    emitted[(r["from_type"], r["to_type"])] += 1
+        expected = Counter()
+        for types in seqs.values():
+            for a, b in zip(types, types[1:]):
+                expected[(a, b)] += 1
+        assert emitted == expected
