@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_containment",
     "event_transitions",
     "disjunctive_revenue",
+    "log_templates",
 ]
 
 

@@ -74,7 +74,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_weights", "blocklist_filter",
     # new r4: MinHash estimator calibration, cross-source contamination
     # matrix, per-source dedup token-loss accounting — never driver-checked
-    "minhash_accuracy", "cross_source_overlap", "dedup_token_loss",
+    # (dedup_token_loss rotates out for log_templates: it is token
+    # accounting over the same exact-hash + LSH pair graphs that
+    # dedup_containment / minhash_accuracy re-prove in this front;
+    # plus local sf0.01 parity)
+    "minhash_accuracy", "cross_source_overlap",
     # new r4: per-doc boilerplate span share, dup-graph degree histogram,
     # sqrt-temperature source sampling — never driver-checked
     # (temperature_mixture rotates out for event_transitions:
@@ -120,6 +124,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: first-order Markov event-transition matrix and the
     # TPC-H Q19 disjunctive-predicate join shape
     "event_transitions", "disjunctive_revenue",
+    # new r4: Drain-style log template mining over the full producer
+    # schema (request_id + message added for SURVEY §1.2a parity)
+    "log_templates",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

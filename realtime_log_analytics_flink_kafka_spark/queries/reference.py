@@ -438,6 +438,119 @@ FROM logs GROUP BY service, level, spike
 """
 
 
+# --- log template mining (Drain-style message clustering) --------------------
+
+#: Ticks generated for the template-mining corpus.
+TEMPLATE_TICKS = 20_000
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log template mining over the synthetic producer's
+    ``message`` field (SURVEY §1.2a — the reference ships 5+5 canned
+    messages, kafka/log_producer.py:27-41): mask the variable parts
+    (request ids, hosts, numbers) with typed placeholders, then group —
+    recovering each canned template with its level-relative frequency.
+    The everyday triage query ("what KINDS of errors are we seeing?")
+    the reference's print-trace observability cannot answer.
+
+    Scale shape: masking is three codegen'd regexp_replace passes in the
+    scan projection; the groupBy key is the (level, template) pair —
+    template cardinality, not message cardinality, crosses the exchange
+    (map-side partial aggregation collapses per-partition duplicates),
+    so the shuffle carries ~tens of rows at any corpus size.  Shares
+    via detmath.exact_round_div over exact BIGINT counts.
+    """
+    from ..functions.detmath import exact_round_div
+    from ..sources.producer import synthetic_log_batch
+
+    logs = synthetic_log_batch(spark, n=TEMPLATE_TICKS)
+    tpl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("message"),
+                             r"req-[0-9a-f]{8}", "<id>"),
+            r"node-[0-9]", "<host>"),
+        r"[0-9]+", "<num>")
+    grouped = (
+        logs.select("level", tpl.alias("template"))
+        .groupBy("level", "template")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    totals = grouped.groupBy("level").agg(
+        F.sum("n_events").cast("long").alias("_tot"))
+    return (
+        grouped.join(F.broadcast(totals), "level")
+        .select("level", "template", "n_events",
+                exact_round_div(F.col("n_events"), F.col("_tot"), 4)
+                    .alias("level_share"))
+    )
+
+
+def _log_templates_sql() -> str:
+    from ..functions.detmath import exact_round_div_sql
+
+    return f"""
+WITH t AS (SELECT range AS v FROM range({TEMPLATE_TICKS})),
+base AS (
+    SELECT v,
+           'node-' || CAST(v % 3 + 1 AS VARCHAR) AS host,
+           CASE WHEN {_MD5L.format(x="v || ':lvl'")} % 10000
+                     < (CASE WHEN (1700000000 + v) % 60 < 5 THEN 10 ELSE 1 END)
+                       * ([50, 2000, 100, 3000])[CAST(v % 4 AS INT) + 1]
+                THEN 'ERROR' ELSE 'INFO' END AS level,
+           greatest(10,
+                    (CASE WHEN (1700000000 + v) % 60 < 5 THEN 3 ELSE 1 END)
+                      * ([50, 120, 80, 40])[CAST(v % 4 AS INT) + 1]
+                    + {_MD5L.format(x="v || ':lat'")} % 61 - 30) AS latency_ms,
+           'req-' || substr(md5(v || ':req'), 1, 8) AS request_id,
+           CAST({_MD5L.format(x="v || ':msg'")} % 5 AS INT) AS mi
+    FROM t
+),
+msgs AS (
+    SELECT level,
+           CASE WHEN level = 'ERROR' THEN
+               CASE mi
+                   WHEN 0 THEN 'db connection timeout after '
+                               || CAST(latency_ms AS VARCHAR) || ' ms'
+                   WHEN 1 THEN 'failed to process request ' || request_id
+                   WHEN 2 THEN 'upstream dependency returned 503'
+                   WHEN 3 THEN 'cache miss storm detected on ' || host
+                   ELSE 'unhandled exception in worker thread'
+               END
+           ELSE
+               CASE mi
+                   WHEN 0 THEN 'request ' || request_id || ' completed in '
+                               || CAST(latency_ms AS VARCHAR) || ' ms'
+                   WHEN 1 THEN 'health check ok on ' || host
+                   WHEN 2 THEN 'cache refreshed successfully'
+                   WHEN 3 THEN 'user session started'
+                   ELSE 'scheduled job finished'
+               END
+           END AS message
+    FROM base
+),
+tpl AS (
+    SELECT level,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(message, 'req-[0-9a-f]{{8}}', '<id>', 'g'),
+                   'node-[0-9]', '<host>', 'g'),
+               '[0-9]+', '<num>', 'g') AS template
+    FROM msgs
+),
+grouped AS (
+    SELECT level, template, CAST(count(*) AS BIGINT) AS n_events
+    FROM tpl GROUP BY level, template
+),
+totals AS (
+    SELECT level, CAST(sum(n_events) AS BIGINT) AS tot
+    FROM grouped GROUP BY level
+)
+SELECT g.level, g.template, g.n_events,
+       {exact_round_div_sql('g.n_events', 't.tot', 4)} AS level_share
+FROM grouped g JOIN totals t ON g.level = t.level
+"""
+
+
 # --- alert throttling (head-truncation dual of every-nth escalation) --------
 
 THROTTLE_LIMIT = 2
@@ -477,6 +590,7 @@ FROM r WHERE alert_seq <= {THROTTLE_LIMIT}
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "log_templates": QuerySpec(q_log_templates, _log_templates_sql()),
     "alert_throttle": QuerySpec(q_alert_throttle, SQL_ALERT_THROTTLE),
     "error_rate_sliding": QuerySpec(q_error_rate_sliding, SQL_ERROR_RATE_SLIDING),
     "synthetic_log_profile": QuerySpec(q_synthetic_log_profile,

@@ -38,10 +38,23 @@ SPIKE_LATENCY_X = 3
 BASE_EPOCH = 1_700_000_000
 
 
+#: Canned message TEMPLATES (5 ERROR + 5 INFO, mirroring the reference's
+#: 5+5 canned messages, kafka/log_producer.py:27-41) — ours embed the
+#: variable fields (request id, latency, host) so template mining
+#: (queries/reference.q_log_templates) has real masking work to do.
+N_MSGS = 5
+
+
 def ticks_to_logs(ticks: DataFrame, *, tick_col: str = "id",
                   base_epoch: int = BASE_EPOCH) -> DataFrame:
     """(tick long) -> raw log rows with the reference producer's
-    distributions, fully deterministic."""
+    distributions and full schema (SURVEY §1.2a: timestamp, service,
+    host, level, request_id, message, latency_ms), fully deterministic:
+    every draw is md5-derived from the tick with a per-field salt, so
+    the DuckDB oracle regenerates the identical stream.  request_id is
+    the reference's ``req-`` + 8 hex chars (log_producer.py:71) with the
+    hash replacing uuid4 — the seedable variant SURVEY §7.3#6 calls for.
+    """
     v = F.col(tick_col)
     svc_idx = (v % len(SERVICES)).cast("int")
     ts_s = F.lit(base_epoch) + v
@@ -55,15 +68,40 @@ def ticks_to_logs(ticks: DataFrame, *, tick_col: str = "id",
     base_lat = F.when(spike, base_lat * SPIKE_LATENCY_X).otherwise(base_lat)
     jitter = (md5_long(F.concat(v.cast("string"), F.lit(":lat"))) % 61) - 30
 
+    host = F.concat(F.lit("node-"), ((v % 3) + 1).cast("string"))
+    level = F.when(lvl_draw < err_bp, F.lit("ERROR")).otherwise(F.lit("INFO"))
+    latency = F.greatest(F.lit(10), base_lat + jitter).cast("long")
+    req = F.concat(
+        F.lit("req-"),
+        F.substring(F.md5(F.concat(v.cast("string"), F.lit(":req"))), 1, 8))
+    lat_s = latency.cast("string")
+    err_msgs = F.array(
+        F.concat(F.lit("db connection timeout after "), lat_s, F.lit(" ms")),
+        F.concat(F.lit("failed to process request "), req),
+        F.lit("upstream dependency returned 503"),
+        F.concat(F.lit("cache miss storm detected on "), host),
+        F.lit("unhandled exception in worker thread"),
+    )
+    info_msgs = F.array(
+        F.concat(F.lit("request "), req, F.lit(" completed in "), lat_s,
+                 F.lit(" ms")),
+        F.concat(F.lit("health check ok on "), host),
+        F.lit("cache refreshed successfully"),
+        F.lit("user session started"),
+        F.lit("scheduled job finished"),
+    )
+    msg_idx = (md5_long(F.concat(v.cast("string"), F.lit(":msg")))
+               % N_MSGS).cast("int")
     return ticks.select(
         ts_s.alias("ts_s"),
         F.element_at(F.array(*[F.lit(s) for s in SERVICES]), svc_idx + 1)
             .alias("service"),
-        F.concat(F.lit("node-"), ((v % 3) + 1).cast("string")).alias("host"),
-        F.when(lvl_draw < err_bp, F.lit("ERROR")).otherwise(F.lit("INFO"))
-            .alias("level"),
-        F.greatest(F.lit(10), base_lat + jitter).cast("long")
-            .alias("latency_ms"),
+        host.alias("host"),
+        level.alias("level"),
+        req.alias("request_id"),
+        F.element_at(F.when(level == "ERROR", err_msgs).otherwise(info_msgs),
+                     msg_idx + 1).alias("message"),
+        latency.alias("latency_ms"),
     )
 
 
