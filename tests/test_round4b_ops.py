@@ -227,3 +227,59 @@ class TestBM25:
         assert scores == sorted(scores, reverse=True)
         # shorter docs rank first for equal tf (length normalization)
         assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
+
+
+class TestProducerFullSchema:
+    """The producer now emits the reference's complete raw-log schema
+    (SURVEY §1.2a) — request_id/message shape, wire round-trip."""
+
+    def test_request_id_and_message_shape(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.sources.producer import (
+            synthetic_log_batch,
+        )
+        rows = synthetic_log_batch(spark, n=200).collect()
+        import re
+        for r in rows:
+            assert re.fullmatch(r"req-[0-9a-f]{8}", r["request_id"])
+            assert r["message"]
+        # messages embedding the request id carry THAT row's id
+        hits = [r for r in rows if "request req-" in r["message"]]
+        assert hits, "id-bearing templates must occur in 200 ticks"
+        for r in hits:
+            assert r["request_id"] in r["message"]
+        # both levels draw from their own (disjoint) template pools
+        import re as _re
+
+        def tpl(m):
+            return _re.sub(r"req-[0-9a-f]{8}|[0-9]+", "<v>", m)
+
+        err = {tpl(r["message"]) for r in rows if r["level"] == "ERROR"}
+        info = {tpl(r["message"]) for r in rows if r["level"] == "INFO"}
+        assert err and info and err.isdisjoint(info)
+
+    def test_json_wire_round_trip_full_schema(self, spark):
+        """producer -> ISO timestamp projection -> to_json (keyed) ->
+        from_json with RAW_LOG_SCHEMA: the reference's exact wire shape
+        (kafka/log_producer.py:66-74), every field surviving."""
+        from pyspark.sql import functions as F
+        from realtime_log_analytics_flink_kafka_spark.schemas import (
+            RAW_LOG_SCHEMA,
+        )
+        from realtime_log_analytics_flink_kafka_spark.sources.kafka import (
+            decode_json_stream, encode_json_keyed,
+        )
+        from realtime_log_analytics_flink_kafka_spark.sources.producer import (
+            synthetic_log_batch,
+        )
+        logs = synthetic_log_batch(spark, n=50).select(
+            F.date_format(F.timestamp_seconds(F.col("ts_s")),
+                          "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+            "service", "host", "level", "request_id", "message",
+            F.col("latency_ms").cast("int").alias("latency_ms"),
+        )
+        wire = encode_json_keyed(logs, key_col="service")
+        back = decode_json_stream(wire, RAW_LOG_SCHEMA)
+        assert sorted(back.columns) == sorted(logs.columns)
+        orig = {tuple(r) for r in logs.collect()}
+        rt = {tuple(r[c] for c in logs.columns) for r in back.collect()}
+        assert rt == orig
