@@ -705,3 +705,12 @@ def test_incremental_dedup_per_microbatch(spark, tmp_path):
     q.stop()
 
     assert flagged == [(10, 1)]  # dup flagged; fresh batch doc passed
+
+
+def test_demo_topology_fires_alerts(spark):
+    """The runnable demo (python -m realtime_log_analytics_flink_kafka_spark.demo): producer ->
+    both detectors -> union -> foreachBatch, one process, must emit
+    alert rows and exit cleanly within a short run."""
+    from realtime_log_analytics_flink_kafka_spark import demo
+
+    assert demo.main(duration_s=12, rows_per_second=400) == 0
