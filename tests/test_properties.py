@@ -217,3 +217,46 @@ def test_packed_shards_match_serial_packing(spark, tokens):
         expected[i] = start // 256
         start += n
     assert got == expected
+
+
+@given(st.lists(st.integers(0, 30), min_size=2, max_size=6),
+       st.integers(0, 5))
+@settings(max_examples=8, deadline=None)
+def test_winnowing_guarantee_holds_for_any_planted_run(spark, prefix_lens,
+                                                       run_extra):
+    """Schleimer guarantee, property form: whatever distinct prefixes
+    surround it, a shared run of >= k + w - 1 tokens always yields a
+    shared selected fingerprint between every pair of docs carrying it."""
+    from realtime_log_analytics_flink_kafka_spark.operators import dedup
+
+    run_len = dedup.WINNOW_K + dedup.WINNOW_W - 1 + run_extra
+    run = " ".join(f"shared{i}" for i in range(run_len))
+    rows = []
+    for d, plen in enumerate(prefix_lens):
+        prefix = " ".join(f"d{d}tok{i}" for i in range(plen))
+        rows.append((d, (prefix + " " + run).strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.winnowing_pairs(docs, min_shared=1, max_df=100).count()
+    n = len(rows)
+    assert pairs == n * (n - 1) // 2
+
+
+@given(st.lists(st.integers(1, 9), min_size=3, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_bm25_is_monotone_in_tf_for_fixed_length(spark, tfs):
+    """Equal-length docs, one query term with positive idf: BM25 must
+    rank strictly by term frequency."""
+    from realtime_log_analytics_flink_kafka_spark.operators import text as t
+
+    width = max(tfs) + 1
+    rows = [(i, " ".join(["hit"] * tf + [f"pad{i}x{j}"
+                                         for j in range(width - tf)]))
+            for i, tf in enumerate(tfs)]
+    # enough non-matching docs that idf comes out positive
+    rows += [(100 + i, f"a{i} b{i}") for i in range(4 * len(tfs))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = t.bm25_scores(docs, ("hit",), k=len(tfs)).collect()
+    got = [r["doc_id"] for r in out]
+    want = [i for i, _ in sorted(
+        enumerate(tfs), key=lambda p: (-p[1], p[0]))]
+    assert got == want
