@@ -123,6 +123,7 @@ HEADLINE = [
     "event_transitions",
     "disjunctive_revenue",
     "log_templates",
+    "wav_frames",
 ]
 
 

@@ -64,7 +64,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "segment_dedup", "dedup_incremental", "latency_anomalies",
     # new r4: embedding-space dup components, retrieval chunking, BPE
     # merge-candidate counts
-    "semantic_dup_clusters", "doc_chunks", "bpe_pair_counts",
+    # (doc_chunks rotates out for wav_frames: its coverage geometry is
+    # property-tested and sf0.01/sf0.1 locally parity-proven)
+    "semantic_dup_clusters", "bpe_pair_counts",
     # new r4: contrastive hard-negative mining (label-filtered top-k)
     "hard_negatives",
     # r4-changed: pointer-jumping component loop; shared top-k scaffold
@@ -125,8 +127,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H Q19 disjunctive-predicate join shape
     "event_transitions", "disjunctive_revenue",
     # new r4: Drain-style log template mining over the full producer
-    # schema (request_id + message added for SURVEY §1.2a parity)
-    "log_templates",
+    # schema (request_id + message added for SURVEY §1.2a parity); and
+    # frame-level WAV features (one->many multimodal extraction,
+    # golden-oracle checked — media corpus gained a multi-frame blob,
+    # so media_decode's regenerated golden is re-proven in this front)
+    "log_templates", "wav_frames",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

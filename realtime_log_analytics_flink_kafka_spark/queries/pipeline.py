@@ -1836,6 +1836,10 @@ def _media_corpus() -> list[tuple[int, bytes]]:
         (3, multimodal.synth_ppm(1, 1, 255 - 1)),
         (4, multimodal.synth_wav([0, 16384, -16384, 32767], channels=2)),
         (5, multimodal.synth_wav([-1, 1, 0], channels=1)),
+        # a longer deterministic tone ramp: multiple full frames + a
+        # partial tail for the frame-level feature query
+        (10, multimodal.synth_wav(
+            [((i * 1103) % 60000) - 30000 for i in range(29)], channels=1)),
         (6, b"\xff\xd8\xff\xe0 jpeg needs a codec"),
         (7, b"\x89PNG\r\n\x1a\n png needs a codec"),
         (8, b"garbage, not a container"),
@@ -1883,6 +1887,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, fmt,
        feat_mean
 FROM (VALUES {values})
     AS t(doc_id, fmt, byte_len, width, height, feat_mean)
+"""
+
+
+def q_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over the inline blob corpus
+    (operators/multimodal.wav_frame_features): one row per
+    8-sample frame — the one->many multimodal extraction shape, pure
+    integer features (energy=Σs², peak=max|s|)."""
+    df = spark.createDataFrame(_media_corpus(), "doc_id long, payload binary")
+    return multimodal.wav_frame_features(df)
+
+
+def _wav_frames_sql() -> str:
+    """Golden VALUES oracle rendered by the SAME pure-Python framer the
+    workers run (multimodal.wav_frame_py) — cf. _media_decode_sql."""
+    rows = []
+    for doc_id, buf in _media_corpus():
+        for fi, ns, en, pk in multimodal.wav_frame_py(buf):
+            rows.append(f"({doc_id}, {fi}, {ns}, {en}, {pk})")
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(peak AS BIGINT) AS peak
+FROM (VALUES {values})
+    AS t(doc_id, frame_idx, n_samples, energy, peak)
 """
 
 
@@ -3366,6 +3398,7 @@ WHERE containment_a >= {thr} OR containment_b >= {thr}
 
 QUERIES: dict[str, QuerySpec] = {
     "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),
+    "wav_frames": QuerySpec(q_wav_frames, _wav_frames_sql()),
     "dedup_containment": QuerySpec(q_dedup_containment,
                                    _dedup_containment_sql()),
     "embedding_truncation": QuerySpec(q_embedding_truncation,

@@ -101,3 +101,34 @@ def test_real_resize_uses_header_dims(spark):
     assert (out[0].out_width, out[0].out_height) == (256, 48)
     assert (out[1].out_width, out[1].out_height) == (8, 4)
     assert out[2].src_width is None and out[2].out_width is None
+
+
+class TestWavFrames:
+    def test_frames_cover_all_samples_with_partial_tail(self):
+        from realtime_log_analytics_flink_kafka_spark.operators import multimodal as mm
+        buf = mm.synth_wav(list(range(-10, 11)), channels=1)  # 21 samples
+        frames = mm.wav_frame_py(buf)
+        assert [f[0] for f in frames] == [0, 1, 2]
+        assert [f[1] for f in frames] == [8, 8, 5]
+        assert sum(f[1] for f in frames) == 21
+
+    def test_energy_and_peak_are_exact_integers(self):
+        from realtime_log_analytics_flink_kafka_spark.operators import multimodal as mm
+        buf = mm.synth_wav([3, -4], channels=1)
+        ((fi, ns, energy, peak),) = mm.wav_frame_py(buf)
+        assert (fi, ns, energy, peak) == (0, 2, 25, 4)
+
+    def test_non_wav_blobs_yield_no_frames(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators import multimodal as mm
+        df = spark.createDataFrame(
+            [(1, b"not audio"), (2, mm.synth_bmp(2, 2, (1, 2, 3))),
+             (3, mm.synth_wav([100, -100], channels=1))],
+            "doc_id long, payload binary")
+        rows = mm.wav_frame_features(df).collect()
+        assert {r["doc_id"] for r in rows} == {3}
+
+    def test_interleaved_stereo_counts_all_channels(self):
+        from realtime_log_analytics_flink_kafka_spark.operators import multimodal as mm
+        buf = mm.synth_wav([1, 2, 3, 4], channels=2)  # 4 values, 2ch
+        frames = mm.wav_frame_py(buf)
+        assert len(frames) == 1 and frames[0][1] == 4
