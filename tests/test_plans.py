@@ -21,7 +21,8 @@ QUERIES = all_queries()
 #: Queries allowed to carry Arrow-vectorized Python (mapInPandas): the
 #: multimodal codec stubs, whose whole point is the Pandas-UDF batch
 #: plumbing.  Row-at-a-time BatchEvalPython is banned with no exceptions.
-ARROW_SANCTIONED = {"frame_samples", "media_resize", "media_decode"}
+ARROW_SANCTIONED = {"frame_samples", "media_resize", "media_decode",
+                    "wav_frames"}
 
 
 def test_no_python_in_any_registry_query(spark):
