@@ -170,3 +170,34 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
     n_error = filtered.count()
     assert 0 < n_error < back.count()
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
+    """A fact table partitioned on the join key must be pruned by a
+    FILTERED dimension at runtime (DPP): the fact scan's partition
+    filter carries a dynamicpruning subquery instead of reading every
+    partition and filtering after the join — at 100 TB this is the
+    difference between scanning one date partition and all of them."""
+    from pyspark.sql import functions as F
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+    from realtime_log_analytics_flink_kafka_spark.sources.sinks import write_partitioned
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    write_partitioned(ev, str(tmp_path / "fact"), ["day"])
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+
+    dim = ev.select("day").distinct().withColumn(
+        "is_audit_day", F.col("day") <= "2024-01-03")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # DPP inserts the pruning subquery when the build side is
+        # broadcastable and the probe side is partition-keyed
+        joined = (fact.join(F.broadcast(dim.filter("is_audit_day")), "day")
+                  .groupBy("day").count())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
