@@ -124,6 +124,7 @@ HEADLINE = [
     "disjunctive_revenue",
     "log_templates",
     "wav_frames",
+    "dau_wau",
 ]
 
 

@@ -93,7 +93,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "boilerplate_fraction",
     # new r4: quality-ranked token budget cut (two-phase global cumsum),
     # robust median/MAD latency, heavy-hitter skew audit — never checked
-    "token_budget_cut", "latency_median_mad", "skew_audit",
+    # (skew_audit rotates out for dau_wau: its two-level heavy-hitter
+    # agg shape is shared with boilerplate_fraction in this front; plus
+    # local sf0.01/sf0.1 parity)
+    "token_budget_cut", "latency_median_mad",
     # new r4: arbitrary-α temperature sweep on det_exp∘det_ln — never
     # driver-checked (label_centroids rotates out: r2-green and its
     # composition centroid_similarity was r3-checked)
@@ -132,6 +135,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # golden-oracle checked — media corpus gained a multi-frame blob,
     # so media_decode's regenerated golden is re-proven in this front)
     "log_templates", "wav_frames",
+    # new r4: DAU/WAU stickiness via bounded day-expansion
+    "dau_wau",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

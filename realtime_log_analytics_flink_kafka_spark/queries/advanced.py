@@ -1309,9 +1309,72 @@ FROM trans t JOIN totals tt ON t.from_type = tt.from_type
 """
 
 
+# --- DAU / WAU stickiness ----------------------------------------------------
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives, trailing-7-day actives, and the DAU/WAU
+    stickiness ratio per day — the standard engagement dashboard.
+
+    WAU is computed WITHOUT a range join or windowed distinct: each
+    distinct (user, day) row fans out to the 7 days it keeps the user
+    "weekly active" for (a bounded sequence explode), then one distinct
+    + count per day.  Work is 7x the user-day table — linear, map-side
+    expanded, shuffled once on (day, user) — where a range join would
+    rescan and a per-day window would hold growing distinct state.
+    Days with WAU but no same-day activity still appear (DAU 0).
+    """
+    from ..functions.detmath import exact_round_div
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    week = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"),
+                             F.date_add(F.col("day"), 6))).alias("day"),
+    ).distinct()
+    wau = week.groupBy("day").agg(F.count("*").cast("long").alias("wau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "wau",
+            exact_round_div(F.coalesce(F.col("dau"), F.lit(0)),
+                            F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
+def _dau_wau_sql() -> str:
+    from ..functions.detmath import exact_round_div_sql
+
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+week AS (
+    SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+    FROM ud, range(0, 7) r(i)
+),
+wau AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS wau FROM week GROUP BY day
+)
+SELECT strftime(w.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+       w.wau,
+       {exact_round_div_sql('coalesce(d.dau, 0)', 'w.wau', 4)} AS stickiness
+FROM wau w LEFT JOIN dau d ON w.day = d.day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(q_cohort_retention,
                                   _cohort_retention_sql()),
+    "dau_wau": QuerySpec(q_dau_wau, _dau_wau_sql()),
     "event_transitions": QuerySpec(q_event_transitions,
                                    _event_transitions_sql()),
     "latency_anomalies": QuerySpec(q_latency_anomalies,
