@@ -773,3 +773,53 @@ def truncation_audit(vecs: DataFrame, *, vec_col: str = "embedding",
             F.col("_dim").cast("int"),
         ),
     ).drop("_dim")
+
+
+# --- representation anisotropy / collapse audit ------------------------------
+
+ANISOTROPY_SCHEMA = ("label int, n_vecs long, top_ev_share double, "
+                     "effective_rank double")
+
+
+def embedding_anisotropy(vecs: DataFrame, *, vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Per-label spectral audit of the embedding cloud: the top
+    eigenvalue's share of total variance and the participation-ratio
+    effective rank ``(Σλ)² / Σλ²`` of the covariance spectrum — the
+    standard representation-collapse / anisotropy diagnostics (a label
+    whose vectors collapse onto one direction has top_ev_share -> 1 and
+    effective_rank -> 1; a healthy isotropic cloud has share ~ 1/d and
+    rank ~ d).
+
+    This is the engine's grouped applyInPandas surface: a real
+    eigendecomposition is not expressible in Catalyst (or oracle SQL —
+    the registry records it as a rows-only check), so each label group
+    lands in one Arrow batch and LAPACK does the 64x64 eigh.  Scale
+    shape: ONE shuffle on the label key; per-group state is the d×d
+    covariance, NOT the vectors — for corpus-scale groups the same
+    audit runs as a map-side Gram-matrix accumulation (sum of outer
+    products is associative) followed by a driver-side 64x64 eigh; the
+    grouped form here is the per-label (bounded-group) variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        x = x - x.mean(axis=0, keepdims=True)
+        cov = x.T @ x / max(1, len(x))
+        ev = np.linalg.eigvalsh(cov)
+        ev = np.clip(ev, 0.0, None)
+        tot = float(ev.sum())
+        share = float(ev[-1] / tot) if tot > 0 else None
+        erank = float(tot * tot / float((ev * ev).sum())) if tot > 0 else None
+        return pd.DataFrame({
+            "label": [int(pdf[label_col].iloc[0])],
+            "n_vecs": [len(pdf)],
+            "top_ev_share": [None if share is None else round(share, 6)],
+            "effective_rank": [None if erank is None else round(erank, 6)],
+        })
+
+    return (vecs.select(label_col, vec_col)
+            .groupBy(label_col)
+            .applyInPandas(_spectrum, schema=ANISOTROPY_SCHEMA))

@@ -3399,6 +3399,13 @@ WHERE containment_a >= {thr} OR containment_b >= {thr}
 QUERIES: dict[str, QuerySpec] = {
     "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),
     "wav_frames": QuerySpec(q_wav_frames, _wav_frames_sql()),
+    # rows-only: a real eigendecomposition has no SQL oracle — the one
+    # genuinely non-SQL-expressible op in the registry; semantics are
+    # pinned by planted-spectrum tests (tests/test_round4b_ops.py)
+    "embedding_anisotropy": QuerySpec(
+        lambda spark, sf_dir: similarity.embedding_anisotropy(
+            _embs(spark, sf_dir)),
+        None),
     "dedup_containment": QuerySpec(q_dedup_containment,
                                    _dedup_containment_sql()),
     "embedding_truncation": QuerySpec(q_embedding_truncation,

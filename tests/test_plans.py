@@ -22,7 +22,10 @@ QUERIES = all_queries()
 #: multimodal codec stubs, whose whole point is the Pandas-UDF batch
 #: plumbing.  Row-at-a-time BatchEvalPython is banned with no exceptions.
 ARROW_SANCTIONED = {"frame_samples", "media_resize", "media_decode",
-                    "wav_frames"}
+                    "wav_frames",
+                    # grouped applyInPandas: per-label eigendecomposition
+                    # has no Catalyst expression
+                    "embedding_anisotropy"}
 
 
 def test_no_python_in_any_registry_query(spark):

@@ -283,3 +283,55 @@ class TestProducerFullSchema:
         orig = {tuple(r) for r in logs.collect()}
         rt = {tuple(r[c] for c in logs.columns) for r in back.collect()}
         assert rt == orig
+
+
+class TestEmbeddingAnisotropy:
+    def _vecs(self, spark, arrays, label=0):
+        rows = [(i, [float(x) for x in a], label)
+                for i, a in enumerate(arrays)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+
+    def test_collapsed_cloud_has_rank_one(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            embedding_anisotropy,
+        )
+        # all vectors on one line through the origin direction e0
+        arrs = [[float(i + 1)] + [0.0] * 63 for i in range(20)]
+        row = embedding_anisotropy(self._vecs(spark, arrs)).collect()[0]
+        assert row["top_ev_share"] == 1.0
+        assert abs(row["effective_rank"] - 1.0) < 1e-9
+
+    def test_isotropic_cloud_has_high_rank(self, spark):
+        import random
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            embedding_anisotropy,
+        )
+        rng = random.Random(7)
+        arrs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(400)]
+        row = embedding_anisotropy(self._vecs(spark, arrs)).collect()[0]
+        assert row["top_ev_share"] < 0.1
+        assert row["effective_rank"] > 30.0
+
+    def test_two_direction_cloud_has_rank_two(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            embedding_anisotropy,
+        )
+        arrs = []
+        for i in range(10):
+            arrs.append([float(i - 4.5)] + [0.0] * 63)          # axis 0
+            arrs.append([0.0, float(i - 4.5)] + [0.0] * 62)     # axis 1
+        row = embedding_anisotropy(self._vecs(spark, arrs)).collect()[0]
+        assert abs(row["effective_rank"] - 2.0) < 1e-6
+        assert abs(row["top_ev_share"] - 0.5) < 1e-6
+
+    def test_one_row_per_label(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            embedding_anisotropy,
+        )
+        rows = [(i, [float(i)] * 64, i % 3) for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = embedding_anisotropy(df).collect()
+        assert sorted(r["label"] for r in out) == [0, 1, 2]
+        assert all(r["n_vecs"] == 10 for r in out)
