@@ -314,3 +314,34 @@ def latency_baseline(logs: DataFrame, *, key: str = "service") -> DataFrame:
             F.sum(F.col("x_cs") * F.col("x_cs")).alias("q"),
         )
     )
+
+
+def dau_stream(events: DataFrame, *, ts_col: str = "ts",
+               user_col: str = "user_id",
+               watermark: str = "1 hour") -> DataFrame:
+    """Streaming daily-active-users: the streaming twin of the batch
+    ``dau_wau`` query's DAU column.  Composition of two stateful ops the
+    engine already bounds individually: dropDuplicatesWithinWatermark on
+    (user, day) collapses each user's repeat events (state = one entry
+    per ACTIVE user-day, evicted at watermark + 1 day-bucket), then a
+    1-day tumbling window counts survivors in update mode.  Spark 3.4+
+    allows this stateful chaining in update/append because the dedup
+    emits append-only rows with intact event time.
+
+    WAU deliberately has no streaming twin here: a 7-day sliding
+    distinct would hold 7x user-day state per window pane; run the
+    batch query over the streamed bronze table instead (the standard
+    lambda split).
+    """
+    daily = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    )
+    deduped = (daily.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["user_id", "day"]))
+    return (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("dau"))
+        .select(F.col("w.start").alias("day"), "dau")
+    )

@@ -201,3 +201,35 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_curated_corpus_export_roundtrip(spark, tmp_path):
+    """The full curation story a pipeline user runs end to end: quality
+    gate + exact-dedup survivor selection -> partitioned parquet export
+    -> pruned read-back.  Counts must match the in-memory computation
+    and the language filter must prune partitions at the scan."""
+    from pyspark.sql import functions as F
+    from realtime_log_analytics_flink_kafka_spark.operators import dedup, text
+    from realtime_log_analytics_flink_kafka_spark.sources.batch import load_table
+    from realtime_log_analytics_flink_kafka_spark.sources.sinks import write_partitioned
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    survivors = (dedup.exact_duplicates(docs)
+                 .select(F.col("canonical_doc_id").alias("doc_id")))
+    scored = text.quality_scores(docs).filter(F.col("quality_score") >= 0.5) \
+        .select("doc_id")
+    curated = docs.join(survivors, "doc_id").join(scored, "doc_id")
+    expected = curated.count()
+    assert 0 < expected < docs.count()
+
+    out = str(tmp_path / "curated")
+    write_partitioned(curated, out, ["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == expected
+    # identical doc ids, not just identical counts
+    assert back.select("doc_id").exceptAll(
+        curated.select("doc_id")).count() == 0
+
+    one_lang = back.filter(F.col("lang") == "en")
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan

@@ -714,3 +714,35 @@ def test_demo_topology_fires_alerts(spark):
     from realtime_log_analytics_flink_kafka_spark import demo
 
     assert demo.main(duration_s=12, rows_per_second=400) == 0
+
+
+def test_dau_stream_matches_batch_daily_distinct(spark, tmp_path):
+    """dau_stream (dropDuplicatesWithinWatermark -> 1-day window count)
+    equals the batch per-day distinct-user count — the chained-stateful
+    streaming twin of q_dau_wau's DAU column."""
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import dau_stream
+
+    rows = []
+    eid = 0
+    # 3 days x 4 users with repeat events; user 3 active day 0 only
+    for day in range(3):
+        for user in range(4):
+            if user == 3 and day > 0:
+                continue
+            for rep in range(3):  # repeats must collapse
+                eid += 1
+                rows.append((eid, datetime(2024, 1, 1 + day, 8 + rep), user))
+    schema = "event_id long, ts timestamp, user_id long"
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    stream = dau_stream(spark.readStream.schema(schema).parquet(path))
+    q = (stream.writeStream.format("memory").queryName("dau_stream_t")
+         .outputMode("update").trigger(processingTime="1 second").start())
+    _drain(q)
+
+    got = {(r["day"], r["dau"]) for r in
+           spark.table("dau_stream_t").collect()}
+    want = {(datetime(2024, 1, 1), 4), (datetime(2024, 1, 2), 3),
+            (datetime(2024, 1, 3), 3)}
+    assert got == want
