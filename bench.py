@@ -125,6 +125,8 @@ HEADLINE = [
     "log_templates",
     "wav_frames",
     "dau_wau",
+    # the one grouped-applyInPandas op (Arrow batch + LAPACK eigh)
+    "embedding_anisotropy",
 ]
 
 
