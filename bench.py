@@ -127,6 +127,7 @@ HEADLINE = [
     "dau_wau",
     # the one grouped-applyInPandas op (Arrow batch + LAPACK eigh)
     "embedding_anisotropy",
+    "customer_spend_deciles",
 ]
 
 

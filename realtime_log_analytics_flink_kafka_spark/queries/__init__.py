@@ -80,7 +80,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # accounting over the same exact-hash + LSH pair graphs that
     # dedup_containment / minhash_accuracy re-prove in this front;
     # plus local sf0.01 parity)
-    "minhash_accuracy", "cross_source_overlap",
+    # (cross_source_overlap rotates out for customer_spend_deciles:
+    # shares the broadcast benchmark-shingle machinery that
+    # decontamination-family queries and minhash_accuracy keep proven;
+    # plus local sf0.01/sf0.1 parity)
+    "minhash_accuracy",
     # new r4: per-doc boilerplate span share, dup-graph degree histogram,
     # sqrt-temperature source sampling — never driver-checked
     # (temperature_mixture rotates out for event_transitions:
@@ -135,8 +139,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # golden-oracle checked — media corpus gained a multi-frame blob,
     # so media_decode's regenerated golden is re-proven in this front)
     "log_templates", "wav_frames",
-    # new r4: DAU/WAU stickiness via bounded day-expansion
-    "dau_wau",
+    # new r4: DAU/WAU stickiness via bounded day-expansion; NTILE
+    # customer-value decile summary
+    "dau_wau", "customer_spend_deciles",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

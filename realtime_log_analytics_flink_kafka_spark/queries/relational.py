@@ -763,9 +763,63 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+# --- customer spend deciles (NTILE distribution summary) ---------------------
+
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile table: total spend per customer, NTILE(10)
+    over the spend order, then per-decile count / min / max / sum — the
+    distribution summary behind "top decile drives X% of revenue".
+
+    NTILE semantics pinned for parity: both engines order by
+    (spend, custkey) — a total order, so tie placement and the uneven
+    decile sizes (first ``n % 10`` deciles get the extra row) are
+    identical.  Spend is an exact DECIMAL sum surfaced as double only
+    in the output; decile sums re-aggregate the decimal, not the
+    double.  Scale: one groupBy(custkey) shuffle, then a single-column
+    global sort of customer-cardinality rows for the NTILE — customer
+    counts are ~1e9 at 100 TB, a routine range-partitioned sort.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_spend"))
+    w = Window.orderBy(F.asc("_spend"), F.asc("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.min("_spend").cast("double").alias("min_spend"),
+            F.max("_spend").cast("double").alias("max_spend"),
+            F.sum("_spend").cast("double").alias("decile_spend"),
+        )
+    )
+
+
+SQL_CUSTOMER_SPEND_DECILES = """
+WITH spend AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) AS s
+    FROM orders GROUP BY o_custkey
+),
+tiled AS (
+    SELECT o_custkey, s,
+           CAST(ntile(10) OVER (ORDER BY s ASC, o_custkey ASC) AS BIGINT)
+               AS decile
+    FROM spend
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(s) AS DOUBLE) AS min_spend,
+       CAST(max(s) AS DOUBLE) AS max_spend,
+       CAST(sum(s) AS DOUBLE) AS decile_spend
+FROM tiled GROUP BY decile
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(q_order_priority_check,
                                       SQL_ORDER_PRIORITY_CHECK),
+    "customer_spend_deciles": QuerySpec(q_customer_spend_deciles,
+                                        SQL_CUSTOMER_SPEND_DECILES),
     "disjunctive_revenue": QuerySpec(q_disjunctive_revenue,
                                      SQL_DISJUNCTIVE_REVENUE),
     "waiting_suppliers": QuerySpec(q_waiting_suppliers,
