@@ -128,6 +128,7 @@ HEADLINE = [
     # the one grouped-applyInPandas op (Arrow batch + LAPACK eigh)
     "embedding_anisotropy",
     "customer_spend_deciles",
+    "session_bounce_rate",
 ]
 
 

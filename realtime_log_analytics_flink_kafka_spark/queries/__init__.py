@@ -85,8 +85,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # decontamination-family queries and minhash_accuracy keep proven;
     # plus local sf0.01/sf0.1 parity)
     "minhash_accuracy",
-    # new r4: per-doc boilerplate span share, dup-graph degree histogram,
-    # sqrt-temperature source sampling — never driver-checked
+    # (boilerplate_fraction rotates out for session_bounce_rate: its
+    # two-level gram agg is the duplicate_ngram_spans shape, which
+    # stays at the head of this front; plus local sf0.01/sf0.1 parity)
     # (temperature_mixture rotates out for event_transitions:
     # mixture_temperature_sweep, in this front, generalizes its
     # det-power math to arbitrary alpha; plus local sf0.01 parity)
@@ -94,12 +95,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # degree histogram over the same LSH pair graph that
     # minhash_accuracy / dedup_threshold_sweep re-prove in this front;
     # plus local sf0.01 parity)
-    "boilerplate_fraction",
     # new r4: quality-ranked token budget cut (two-phase global cumsum),
     # robust median/MAD latency, heavy-hitter skew audit — never checked
     # (skew_audit rotates out for dau_wau: its two-level heavy-hitter
-    # agg shape is shared with boilerplate_fraction in this front; plus
-    # local sf0.01/sf0.1 parity)
+    # agg shape is shared with duplicate_ngram_spans in this front;
+    # plus local sf0.01/sf0.1 parity)
     "token_budget_cut", "latency_median_mad",
     # new r4: arbitrary-α temperature sweep on det_exp∘det_ln — never
     # driver-checked (label_centroids rotates out: r2-green and its
@@ -142,6 +142,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: DAU/WAU stickiness via bounded day-expansion; NTILE
     # customer-value decile summary
     "dau_wau", "customer_spend_deciles",
+    # new r4: daily bounce rate composed on the session-window operator
+    "session_bounce_rate",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

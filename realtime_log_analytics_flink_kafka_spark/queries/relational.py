@@ -445,6 +445,52 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+# --- daily session bounce rate -----------------------------------------------
+
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of single-event ("bounce") sessions per day — the classic
+    engagement-quality metric, composed on the session-window operator:
+    sessions bucket by their start day, one aggregation over the
+    session-cardinality table (already tiny vs events), bounce share
+    via detmath.exact_round_div over exact BIGINT counts."""
+    from ..functions.detmath import exact_round_div
+
+    sessions = q_user_sessions(spark, sf_dir)
+    daily = (
+        sessions.groupBy(
+            F.date_format(F.timestamp_seconds(F.col("session_start")),
+                          "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                .cast("long").alias("n_bounces"),
+        )
+    )
+    return daily.select(
+        "day", "n_sessions", "n_bounces",
+        exact_round_div(F.col("n_bounces"), F.col("n_sessions"), 4)
+            .alias("bounce_rate"),
+    )
+
+
+def _session_bounce_rate_sql() -> str:
+    from ..functions.detmath import exact_round_div_sql
+
+    return f"""
+WITH base AS ({SQL_USER_SESSIONS}),
+daily AS (
+    SELECT strftime(to_timestamp(session_start), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces
+    FROM base GROUP BY 1
+)
+SELECT day, n_sessions, n_bounces,
+       {exact_round_div_sql('n_bounces', 'n_sessions', 4)} AS bounce_rate
+FROM daily
+"""
+
+
 # --- customer order-count distribution (TPC-H Q13 shape) --------------------
 
 def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +866,8 @@ QUERIES: dict[str, QuerySpec] = {
                                       SQL_ORDER_PRIORITY_CHECK),
     "customer_spend_deciles": QuerySpec(q_customer_spend_deciles,
                                         SQL_CUSTOMER_SPEND_DECILES),
+    "session_bounce_rate": QuerySpec(q_session_bounce_rate,
+                                     _session_bounce_rate_sql()),
     "disjunctive_revenue": QuerySpec(q_disjunctive_revenue,
                                      SQL_DISJUNCTIVE_REVENUE),
     "waiting_suppliers": QuerySpec(q_waiting_suppliers,
