@@ -129,6 +129,7 @@ HEADLINE = [
     "embedding_anisotropy",
     "customer_spend_deciles",
     "session_bounce_rate",
+    "correlated_incidents",
 ]
 
 

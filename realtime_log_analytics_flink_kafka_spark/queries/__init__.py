@@ -119,7 +119,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: embedding hygiene audit, diurnal traffic profile — never
     # driver-checked (knn_bruteforce/knn_ivf rotate out: r2-green and
     # knn_recall, in this front, composes and re-proves both subtrees)
-    "embedding_audit", "hourly_profile",
+    # (hourly_profile rotates out for correlated_incidents: its
+    # exact_round_div-over-counts arithmetic is proven across this
+    # front (cohort_retention, dau_wau, session_bounce_rate, ...);
+    # plus local sf0.01/sf0.1 parity)
+    "embedding_audit",
     # new r4: the two missing TPC-H self-join shapes — correlated-EXISTS
     # priority check (Q4) and sole-late-supplier semi+anti (Q21)
     "order_priority_check", "waiting_suppliers",
@@ -142,8 +146,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: DAU/WAU stickiness via bounded day-expansion; NTILE
     # customer-value decile summary
     "dau_wau", "customer_spend_deciles",
-    # new r4: daily bounce rate composed on the session-window operator
-    "session_bounce_rate",
+    # new r4: daily bounce rate composed on the session-window
+    # operator; detector co-firing correlation view
+    "session_bounce_rate", "correlated_incidents",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

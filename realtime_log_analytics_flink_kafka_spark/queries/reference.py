@@ -438,6 +438,54 @@ FROM logs GROUP BY service, level, spike
 """
 
 
+# --- correlated incidents (both detectors co-firing) --------------------------
+
+def q_correlated_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-days where BOTH detectors fire: the error-rate alert
+    (flink/error_rate_detector.py's gates) joined with an over-limit
+    daily p95 (flink/latency_slo_monitor.py's SLO predicate) on
+    (service, window) — the incident-correlation view an on-call
+    actually triages from, which the reference's topic-per-detector
+    topology leaves implicit in downstream tooling.
+
+    Scale shape: both sides are (service, window)-grained aggregates
+    (already shuffled on that key), so the join is over alert-sized
+    tables co-partitioned by construction — never a raw-event join.
+    """
+    rate = error_rate_alerts(
+        _logs(spark, sf_dir), size="1 day",
+        min_support=TUMBLING_MIN_SUPPORT, threshold=TUMBLING_RATE_THRESHOLD,
+    ).select("service", "window_start", "window_end",
+             "total_logs", "error_rate")
+    # p95 stays the exact order-statistic double: an int cast here would
+    # hit the truncate-vs-round cross-engine split (Spark CAST truncates,
+    # DuckDB rounds) — the identical sample value needs no conversion
+    p95 = (latency_p95(_logs(spark, sf_dir), size="1 day")
+           .filter(F.col("p95_latency") > P95_LIMIT)
+           .select("service", "window_start", "p95_latency"))
+    return (
+        rate.join(p95, ["service", "window_start"])
+        .select("service", "window_start", "window_end", "total_logs",
+                "error_rate", "p95_latency",
+                F.lit("CORRELATED_INCIDENT").alias("type"),
+                F.lit("CRITICAL").alias("severity"))
+    )
+
+
+def _correlated_incidents_sql() -> str:
+    return f"""
+WITH rate AS ({SQL_ERROR_RATE_TUMBLING}),
+p95 AS ({SQL_LATENCY_P95_DAILY})
+SELECT r.service, r.window_start, r.window_end, r.total_logs,
+       r.error_rate,
+       p.p95_latency,
+       'CORRELATED_INCIDENT' AS type, 'CRITICAL' AS severity
+FROM rate r JOIN p95 p
+  ON r.service = p.service AND r.window_start = p.window_start
+WHERE p.p95_latency > {P95_LIMIT}
+"""
+
+
 # --- log template mining (Drain-style message clustering) --------------------
 
 #: Ticks generated for the template-mining corpus.
@@ -591,6 +639,8 @@ FROM r WHERE alert_seq <= {THROTTLE_LIMIT}
 
 QUERIES: dict[str, QuerySpec] = {
     "log_templates": QuerySpec(q_log_templates, _log_templates_sql()),
+    "correlated_incidents": QuerySpec(q_correlated_incidents,
+                                      _correlated_incidents_sql()),
     "alert_throttle": QuerySpec(q_alert_throttle, SQL_ALERT_THROTTLE),
     "error_rate_sliding": QuerySpec(q_error_rate_sliding, SQL_ERROR_RATE_SLIDING),
     "synthetic_log_profile": QuerySpec(q_synthetic_log_profile,
