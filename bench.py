@@ -130,6 +130,7 @@ HEADLINE = [
     "customer_spend_deciles",
     "session_bounce_rate",
     "correlated_incidents",
+    "tokenizer_fertility",
 ]
 
 

@@ -100,7 +100,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (skew_audit rotates out for dau_wau: its two-level heavy-hitter
     # agg shape is shared with duplicate_ngram_spans in this front;
     # plus local sf0.01/sf0.1 parity)
-    "token_budget_cut", "latency_median_mad",
+    # (latency_median_mad rotates out for tokenizer_fertility: its
+    # nearest-rank selection shape is latency_bands_daily's, which
+    # stays in this front; plus local sf0.01/sf0.1 parity)
+    "token_budget_cut",
     # new r4: arbitrary-α temperature sweep on det_exp∘det_ln — never
     # driver-checked (label_centroids rotates out: r2-green and its
     # composition centroid_similarity was r3-checked)
@@ -149,6 +152,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new r4: daily bounce rate composed on the session-window
     # operator; detector co-firing correlation view
     "session_bounce_rate", "correlated_incidents",
+    # new r4: per-source tokenizer fertility (compression table)
+    "tokenizer_fertility",
     # -- evidence rotation: last driver-checked in r2, before the r3
     #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
     # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh

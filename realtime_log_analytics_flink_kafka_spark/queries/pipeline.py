@@ -3396,7 +3396,72 @@ WHERE containment_a >= {thr} OR containment_b >= {thr}
 """
 
 
+# --- tokenizer fertility -----------------------------------------------------
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility: chars per whitespace token, chars
+    per BPE-style pre-token, and the BPE-per-word ratio — the
+    compression table a tokenizer choice is judged by (a source whose
+    fertility balloons under one pre-tokenizer costs that much more
+    sequence length).  Pure integer sums + exact_round_div; one
+    aggregation over per-doc counts that the scan projection computes
+    in-place (no explode — regexp_count and size() only).
+    """
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.size(text.ws_tokens(F.col("text"))).cast("long").alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(text.BPE_PATTERN)).cast("long")
+            .alias("bpe"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("_chars"),
+        F.sum("ws").cast("long").alias("_ws"),
+        F.sum("bpe").cast("long").alias("_bpe"),
+    )
+    return agg.select(
+        "source", "n_docs",
+        exact_round_div(F.col("_chars"), F.col("_ws"), 4)
+            .alias("chars_per_ws_token"),
+        exact_round_div(F.col("_chars"), F.col("_bpe"), 4)
+            .alias("chars_per_bpe_token"),
+        exact_round_div(F.col("_bpe"), F.col("_ws"), 4)
+            .alias("bpe_per_ws_token"),
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+per_doc AS (
+    SELECT source,
+           CAST(len(toks) AS BIGINT) AS ws,
+           CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT)
+               AS bpe,
+           CAST(length(text) AS BIGINT) AS chars
+    FROM tok
+),
+agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS c,
+           CAST(sum(ws) AS BIGINT) AS w,
+           CAST(sum(bpe) AS BIGINT) AS b
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs,
+       {exact_round_div_sql('c', 'w', 4)} AS chars_per_ws_token,
+       {exact_round_div_sql('c', 'b', 4)} AS chars_per_bpe_token,
+       {exact_round_div_sql('b', 'w', 4)} AS bpe_per_ws_token
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tokenizer_fertility": QuerySpec(q_tokenizer_fertility,
+                                     _tokenizer_fertility_sql()),
     "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),
     "wav_frames": QuerySpec(q_wav_frames, _wav_frames_sql()),
     # rows-only: a real eigendecomposition has no SQL oracle — the one
