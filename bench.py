@@ -7,11 +7,17 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": 0.1}
 
 Each query is materialized with count() (full plan execution without
-driver-side row transfer).  The whole suite runs once untimed first —
-absorbing JVM startup, whole-stage-codegen compilation, and parquet
-footer caching — then the timed pass measures steady state, with the
-cache cleared before every query so persisted intermediates (e.g. the
-minhash shingle sets) are recomputed, never carried over from warmup.
+driver-side row transfer), measured in PER-QUERY ISOLATION (VERDICT r4,
+next-round #5): one untimed warmup run immediately before the timed
+runs — absorbing whole-stage-codegen compilation, JIT, and parquet
+footer caching while the generated classes are still hot — then the
+median of RUNS timed executions, with the cache cleared and a full GC
+requested before each so neither persisted intermediates nor a previous
+query's garbage bleed into the measurement.  (The old design ran one
+suite-wide warmup pass then one timed pass over all 75 queries; by the
+timed tail the JVM was a different machine — BENCH_r04 showed ~2x
+"ambient" slowdowns on untouched queries, indistinguishable from real
+regressions.  See also session.py's ReservedCodeCacheSize bump.)
 """
 
 from __future__ import annotations
@@ -19,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -146,14 +153,20 @@ def main() -> None:
     failed: str | None = None
     error: str | None = None
     times: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     try:
-        for name in HEADLINE:  # untimed warmup pass (codegen, JIT, footers)
-            registry[name].fn(spark, sf_dir).count()
         for name in HEADLINE:
-            spark.catalog.clearCache()  # no cross-run reuse of persisted stages
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).count()
-            times[name] = round(time.perf_counter() - t0, 3)
+            fn = registry[name].fn
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).count()  # warmup: codegen/JIT/footers, untimed
+            samples = []
+            for _ in range(runs):
+                spark.catalog.clearCache()  # recompute persisted stages
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            times[name] = round(statistics.median(samples), 3)
     except Exception as exc:  # a failed run must still yield partial timings
         failed = name
         error = f"{type(exc).__name__}: {exc}"[:500]

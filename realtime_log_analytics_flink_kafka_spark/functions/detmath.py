@@ -310,3 +310,37 @@ def det_ln_sql_items(num: str, den: str, out: str, pfx: str = "_ln") -> str:
         f"{pfx}_s * (({pfx}_k * {dlit(LN2)}) + (({dlit(2.0)} * {pfx}_t)"
         f" * {poly})) AS {out}",
     ])
+
+
+def det_round(x: Column, scale: int) -> Column:
+    """Cross-engine-exact ``round(x, scale)`` (half away from zero) for a
+    DOUBLE whose bits are already identical on both engines.
+
+    Engine-native rounding is NOT cross-engine exact even then: Spark
+    routes doubles through BigDecimal-of-shortest-repr HALF_UP while
+    DuckDB scales-and-rounds the raw binary64, and they disagree on
+    values a few ulp from a half boundary (measured ~0.1% at scale 12;
+    the module docstring's class 1).  This twin evaluates the SAME IEEE
+    DAG on both engines instead: ``s * floor(|x|*10^k + 0.5) / 10^k`` —
+    multiply, add, floor, divide are all individually correctly-rounded
+    operations on identical inputs, so the 64-bit result matches bit for
+    bit.  (It may differ from either engine's native round on exactly
+    those boundary values — consistently on both sides, which is what
+    the oracle hash needs.)
+
+    Precondition: |x|*10^scale < 2^53 (float-exact integer range) — true
+    for every score/ratio/similarity this repo rounds.
+    """
+    p = F.lit(float(10 ** scale))
+    s = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return s * F.floor(F.abs(x) * p + F.lit(0.5)).cast("double") / p
+
+
+def det_round_sql(x: str, scale: int) -> str:
+    """DuckDB twin of :func:`det_round` — same constants, same operation
+    order.  ``x`` is interpolated three times; keep it an alias (CTE /
+    lateral column) when it is expensive."""
+    p = f"CAST('{float(10 ** scale)!r}' AS DOUBLE)"
+    return (f"((CASE WHEN ({x}) < 0 THEN CAST('-1.0' AS DOUBLE)"
+            f" ELSE CAST('1.0' AS DOUBLE) END"
+            f" * floor(abs({x}) * {p} + CAST('0.5' AS DOUBLE))) / {p})")

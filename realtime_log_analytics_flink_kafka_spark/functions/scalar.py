@@ -9,13 +9,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .detmath import exact_round_div
+
 
 def guarded_ratio(num: Column, den: Column, ndigits: int = 4) -> Column:
-    """``num/den if den > 0 else 0.0`` — the reference's zero-guarded
-    division (flink/error_rate_detector.py:79) plus its 4-digit rounding
-    (:101)."""
-    ratio = F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
-    return F.round(ratio, ndigits)
+    """``round(num/den, ndigits) if den > 0 else 0.0`` — the reference's
+    zero-guarded division (flink/error_rate_detector.py:79) plus its
+    4-digit rounding (:101), computed in exact BIGINT arithmetic
+    (functions/detmath.exact_round_div) so the double is cross-engine
+    bit-identical even on half-boundary quotients."""
+    return F.coalesce(exact_round_div(num, den, ndigits), F.lit(0.0))
 
 
 def epoch_seconds(ts: Column) -> Column:

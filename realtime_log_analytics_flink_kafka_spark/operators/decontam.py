@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.detmath import exact_round_div
+
 from .dedup import shingle_hashes
 
 #: A doc is contaminated if at least this fraction of its n-gram
@@ -58,7 +60,7 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
             F.count("_hit").alias("n_hits"),
         )
     )
-    ratio = F.round(F.col("n_hits").cast("double") / F.col("n_shingles"), 4)
+    ratio = exact_round_div(F.col("n_hits"), F.col("n_shingles"))
     return per_doc.select(
         "doc_id", "n_shingles", "n_hits",
         ratio.alias("contamination_ratio"),

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
+from ..functions.detmath import exact_round_div
+from ..functions.textnorm import WS_REGEX, ascii_lower
 from .text import ws_tokens
 
 #: MinHash signature size and banding (k = bands * rows_per_band).
@@ -41,8 +43,10 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def normalized_text(col: Column) -> Column:
-    """Lowercase, collapse whitespace, trim — the exact-dedup key."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """ASCII-lowercase, collapse whitespace (explicit separator class),
+    trim — the exact-dedup key.  textnorm primitives, not ``lower``/
+    ``\\s``, so the key is cross-engine exact (see functions/textnorm)."""
+    return F.trim(F.regexp_replace(ascii_lower(col), WS_REGEX, " "))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -206,7 +210,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
         .join(b, cand.doc_b == F.col("b.doc_id"))
         .select(
             "doc_a", "doc_b",
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            # exact BIGINT rounding, not round(double): cross-engine
+            # exact on half-boundary quotients (functions/detmath)
+            exact_round_div(inter, union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -248,8 +254,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", *,
         inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a", "doc_b", block_col,
-            F.round(F.col("inter").cast("double")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4)
+            exact_round_div(
+                F.col("inter"),
+                F.col("sz_a") + F.col("sz_b") - F.col("inter"))
                 .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -500,7 +507,9 @@ def incremental_dedup_flags(corpus: DataFrame, batch: DataFrame,
         .join(b, cand.corpus_doc == F.col("b.doc_id"))
         .select(
             "new_doc", "corpus_doc",
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            # exact BIGINT rounding, not round(double): cross-engine
+            # exact on half-boundary quotients (functions/detmath)
+            exact_round_div(inter, union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.detmath import exact_round_div
 from ..functions.scalar import guarded_ratio
 
 
@@ -36,7 +37,8 @@ def alert_metrics(alerts: DataFrame, *, size: str = "1 minute",
             F.count("*").alias("total_alerts"),
             _count_if(F.col("type") == "LATENCY_SLO_BREACH").alias("latency_breaches"),
             _count_if(F.col("type") == "ERROR_RATE_SPIKE").alias("error_spikes"),
-            F.round(F.avg("p95_latency"), 4).alias("avg_p95_latency"),
+            exact_round_div(F.sum("p95_latency"),
+                            F.count("p95_latency")).alias("avg_p95_latency"),
             F.max("breach_count").alias("max_breach_count"),
             guarded_ratio(
                 F.sum(F.when(F.col("severity") == "CRITICAL", 1).otherwise(0)),
@@ -64,7 +66,8 @@ def escalation_metrics(escalations: DataFrame, *, size: str = "1 minute",
             _count_if(F.col("severity") == "ESCALATED").alias("escalated"),
             _count_if(F.col("escalation_reason") == "MULTIPLE_INCIDENTS")
                 .alias("multiple_incident_escalations"),
-            F.round(F.avg("p95_latency"), 4).alias("avg_p95_latency"),
+            exact_round_div(F.sum("p95_latency"),
+                            F.count("p95_latency")).alias("avg_p95_latency"),
             guarded_ratio(
                 F.sum(F.when(F.col("severity") == "ESCALATED", 1).otherwise(0)),
                 F.count("*"),

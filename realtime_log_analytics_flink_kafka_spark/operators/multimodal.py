@@ -490,6 +490,8 @@ def wav_frame_features(media: DataFrame, *,
             rows = {"doc_id": [], "frame_idx": [], "n_samples": [],
                     "energy": [], "peak": []}
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                if buf is None:  # NULL payload: no frames, not a stage kill
+                    continue
                 for fi, ns, en, pk in wav_frame_py(bytes(buf), frame):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(fi)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.detmath import exact_round_div
+
 
 def packed_shards(docs: DataFrame, *, budget: int = 4096,
                   id_col: str = "doc_id", tokens_col: str = "n_tokens",
@@ -81,7 +83,7 @@ def shard_efficiency(shards: DataFrame, *, budget: int,
         )
         .select(
             "shard_id", "n_docs", "tokens_started",
-            F.round(F.col("tokens_started").cast("double") / budget, 4)
+            exact_round_div(F.col("tokens_started"), F.lit(budget))
                 .alias("fill_rate"),
         )
     )

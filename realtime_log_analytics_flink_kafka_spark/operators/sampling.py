@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.detmath import with_det_ln
+from ..functions.detmath import det_round, with_det_ln
 from ..functions.hashing import md5_long
 
 #: Salt for the sampling draw — distinct from the split salt so the
@@ -169,7 +169,7 @@ def weighted_sample(df: DataFrame, *, weight_col: str, k: int,
         F.col("_un"), F.lit(WSAMPLE_RES), "_lnv")
     return (
         keyed.withColumn(
-            "sample_key", F.round(F.col("_lnv") / F.col(weight_col), 6))
+            "sample_key", det_round(F.col("_lnv") / F.col(weight_col), 6))
         .drop("_un", "_lnv")
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)

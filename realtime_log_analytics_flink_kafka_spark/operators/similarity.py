@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.detmath import det_round, exact_round_div
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Left-fold dot product: ((0 + p0) + p1) + ... over double-cast
@@ -74,7 +76,7 @@ def _broadcast_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
         F.col(vec_col).alias("q_vec"),
         F.col("_norm").alias("q_norm"),
     )
-    sim = F.round(
+    sim = det_round(
         _safe_cosine(_dot(F.col("q_vec"), F.col("c_vec")),
                      F.col("q_norm") * F.col("c_norm")),
         6,
@@ -169,7 +171,7 @@ def ivf_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
         .join(F.broadcast(queries), F.col("c_cluster") == F.col("q_cluster"))
         .filter(F.col("corpus_id") != F.col("query_id"))
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = det_round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         cand.select("query_id", "corpus_id", sim.alias("cosine"))
@@ -218,7 +220,7 @@ def ivf_topk_multiprobe(corpus: DataFrame, *, k: int = 3,
         .join(F.broadcast(probes), F.col("c_cluster") == F.col("q_cluster"))
         .filter(F.col("corpus_id") != F.col("query_id"))
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = det_round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         cand.select("query_id", "corpus_id", sim.alias("cosine"))
@@ -279,7 +281,7 @@ def lsh_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.15,
                  F.col("nrm").alias("norm_a"), "bucket")
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
                  F.col("nrm").alias("norm_b"), F.col("bucket").alias("bucket_b"))
-    sim = F.round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
+    sim = det_round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
                                F.col("norm_a") * F.col("norm_b")), 6)
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b"))
@@ -338,7 +340,7 @@ def label_centroids(vecs: DataFrame, *, vec_col: str = "embedding",
         .select(
             label_col,
             F.col("pos").cast("long").alias("pos"),
-            F.round(
+            det_round(
                 F.aggregate(F.array_sort("sums"), F.lit(0.0),
                             lambda acc, x: acc + x) / F.col("n"),
                 6).alias("mean_v"),
@@ -396,7 +398,7 @@ def quantization_error(vecs: DataFrame, *, vec_col: str = "embedding",
             # ANSI divide-by-zero abort
             F.when(
                 F.size(F.col(vec_col)) > 0,
-                F.round(
+                det_round(
                     F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x)
                     / F.size(F.col(vec_col)), 6)).alias("quant_mse"),
         )
@@ -435,7 +437,7 @@ def clustered_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.25,
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
         F.col("_norm").alias("norm_b"), F.col("centroid_id").alias("cluster_b"))
-    sim = F.round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
+    sim = det_round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
                                F.col("norm_a") * F.col("norm_b")), 6)
     return (
         a.join(b, (F.col("cluster") == F.col("cluster_b"))
@@ -461,7 +463,7 @@ def embedding_near_dup_pairs(vecs: DataFrame, *, threshold: float = 0.9,
                  F.col("nrm").alias("norm_a"))
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
                  F.col("nrm").alias("norm_b"))
-    sim = F.round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
+    sim = det_round(_safe_cosine(_dot(F.col("vec_a"), F.col("vec_b")),
                                F.col("norm_a") * F.col("norm_b")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -498,7 +500,7 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
         )
         .withColumn(
             "recall",
-            F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 4))
+            exact_round_div(F.col("n_hits"), F.col("n_exact")))
     )
 
 
@@ -524,7 +526,7 @@ def centroid_pairs(centroids_long: DataFrame, *,
     )
     a = vecs.select(F.col("label").alias("label_a"), F.col("vec").alias("va"))
     b = vecs.select(F.col("label").alias("label_b"), F.col("vec").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    sim = det_round(cosine(F.col("va"), F.col("vb")), 6)
     return (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", sim.alias("cosine"))
@@ -606,7 +608,7 @@ def pq_codes(corpus: DataFrame, *, m: int = 8, dim: int = 64,
             F.array_join(
                 F.transform("_sc", lambda x: x["cb_id"].cast("string")), "_")
                 .alias("pq_code"),
-            F.round(
+            det_round(
                 F.aggregate(F.transform("_sc", lambda x: x["d2"]),
                             F.lit(0.0), lambda acc, v: acc + v) / dim, 6)
                 .alias("pq_mse"),
@@ -672,7 +674,7 @@ def ivf_pq_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
         .agg(F.array_sort(F.collect_list(F.struct("sub", "d2"))).alias("_sd"))
         .select(
             "query_id", F.col("vid").alias("corpus_id"),
-            F.round(
+            det_round(
                 F.aggregate(F.transform("_sd", lambda x: x["d2"]),
                             F.lit(0.0), lambda acc, v: acc + v), 6)
                 .alias("adc_dist2"),
@@ -730,6 +732,7 @@ MATRYOSHKA_RETENTION = 0.9
 
 def truncation_audit(vecs: DataFrame, *, vec_col: str = "embedding",
                      id_col: str = "vec_id",
+                     carry_cols: tuple[str, ...] = ("label",),
                      prefixes: tuple[int, ...] = MATRYOSHKA_PREFIXES
                      ) -> DataFrame:
     """Per-vector truncated-embedding quality: for each prefix length p,
@@ -762,7 +765,7 @@ def truncation_audit(vecs: DataFrame, *, vec_col: str = "embedding",
             F.col("_nfull") > 0, F.col(f"_n{p}") / F.col("_nfull"))
     out = out.withColumns(ret_cols)
     return out.select(
-        id_col, "label",
+        id_col, *carry_cols,
         *[F.col(f"retention_{p}") for p in prefixes],
         F.size(e).alias("_dim"),
     ).withColumn(

@@ -12,14 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.detmath import exact_round_div, int_div, with_det_ln
+from ..functions.detmath import det_round, exact_round_div, int_div, \
+    with_det_ln
 from ..functions.hashing import md5_long
+from ..functions.textnorm import (BPE_PATTERN, PUNCT_REGEX, WS_REGEX,
+                                  ascii_lower)
 
 #: Fingerprint modulus (1e9+7, prime): acc*31 + h stays < 2^35, no overflow.
 FP_MOD = 1_000_000_007
-
-#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 #: Tiny per-language stopword lists for the n-gram/stopword langid
 #: heuristic.  Deterministic tie-break: first list wins.
@@ -33,9 +33,12 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def ws_tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens, empties dropped (split on leading /
-    trailing whitespace yields '' on both engines)."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    """ASCII-lowercased whitespace tokens, empties dropped (split on
+    leading / trailing whitespace yields '' on both engines).  Uses the
+    explicit separator class + codepoint lowercase from
+    functions/textnorm — engine-native ``\\s`` / ``lower()`` are not
+    cross-engine exact (U+000B, U+0130; see that module)."""
+    return F.filter(F.split(ascii_lower(col), WS_REGEX), lambda t: t != "")
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -85,7 +88,7 @@ def quality_exprs(text_col: str = "text") -> dict[str, Column]:
     ).cast("long")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) \
         .cast("long")
-    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]")) \
+    n_punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_REGEX)) \
         .cast("long")
     n_chars = F.length(text_col).cast("long")
 
@@ -199,7 +202,7 @@ def tf_idf_top_terms(docs: DataFrame, text_col: str = "text", *,
     ).select("term", "df", "_lnv")
     scored = (
         tf.join(F.broadcast(df_ln), "term")
-        .withColumn("tfidf", F.round(F.col("tf") * F.col("_lnv"), 6))
+        .withColumn("tfidf", det_round(F.col("tf") * F.col("_lnv"), 6))
         .drop("_lnv")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -382,7 +385,10 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select(
             "doc_id", "n_tokens",
-            F.round(
+            # det_round, not F.round: the folded sum is bit-identical
+            # cross-engine by construction, but engine-native double
+            # rounding is not (detmath module docstring, class 1)
+            det_round(
                 F.aggregate(F.transform("tcs", lambda x: x["c"]),
                             F.lit(0.0), lambda acc, v: acc + v)
                 / F.col("n_tokens"), 6).alias("mean_surprisal"),
@@ -480,7 +486,7 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select(
             "doc_id", "n_bigrams",
-            F.round(
+            det_round(
                 F.aggregate(F.transform("tcs", lambda x: x["c"]),
                             F.lit(0.0), lambda acc, v: acc + v)
                 / F.col("n_bigrams"), 6).alias("mean_surprisal"),
@@ -679,7 +685,7 @@ def dsir_log_weights(docs: DataFrame, is_target: Column,
              F.array_sort(F.collect_list("tc")).alias("tcs"))
         .select(
             "doc_id", "n_tokens",
-            F.round(
+            det_round(
                 F.aggregate(F.transform("tcs", lambda x: x["c"]),
                             F.lit(0.0), lambda acc, v: acc + v),
                 6).alias("log_weight"),

@@ -35,142 +35,57 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-4 changes needing (re-)proof -------------------------------
-    # the two r3 hash failures, now on engine-exact arithmetic
-    # (functions/detmath: exact_round_div + det_ln_ratio)
-    "curation_report", "unigram_surprisal",
-    # same det-ln / exact-round treatment applied preemptively
-    # (quality_scores rotates out for bm25_search: its exact_round_div
-    # rework is re-proven through curation_report / quality_filter_funnel
-    # / quality_vs_perplexity in this front, plus local sf0.01 parity)
-    # (repetition_filters rotates out for cohort_retention: its
-    # det rework is re-proven through quality_filter_funnel, which
-    # composes the same repetition metrics, plus local sf0.01 parity)
-    "bigram_surprisal",
-    "quality_filter_funnel", "tfidf_top_terms", "token_weighted_sample",
-    # pq_mse now folds in sorted sub order (ADVICE r3)
-    "pq_codes",
-    # gram-hash shuffle rework
-    "duplicate_ngram_spans",
-    # real (non-stub) BMP/PPM/WAV decode over the inline blob corpus
-    "media_decode",
-    # new: IVF-PQ asymmetric-distance ANN serving composition
-    "knn_ivf_pq",
-    # (perplexity_buckets rotates out for dedup_containment: it
-    # composes unigram_surprisal's deterministic LM score, which stays
-    # at the head of this front; plus local sf0.01 parity)
-    # new r4: C4-style segment dedup, batch-vs-corpus incremental dedup,
-    # per-service z-score latency anomalies (exact integer arithmetic)
-    "segment_dedup", "dedup_incremental", "latency_anomalies",
-    # new r4: embedding-space dup components, retrieval chunking, BPE
-    # merge-candidate counts
-    # (doc_chunks rotates out for wav_frames: its coverage geometry is
-    # property-tested and sf0.01/sf0.1 locally parity-proven)
-    "semantic_dup_clusters", "bpe_pair_counts",
-    # new r4: contrastive hard-negative mining (label-filtered top-k)
-    "hard_negatives",
-    # r4-changed: pointer-jumping component loop; shared top-k scaffold
-    "dup_clusters", "knn_recall",
-    # new r4: DSIR importance weights (det-ln likelihood ratio); C4-style
-    # blocklist gate
-    "dsir_weights", "blocklist_filter",
-    # new r4: MinHash estimator calibration, cross-source contamination
-    # matrix, per-source dedup token-loss accounting — never driver-checked
-    # (dedup_token_loss rotates out for log_templates: it is token
-    # accounting over the same exact-hash + LSH pair graphs that
-    # dedup_containment / minhash_accuracy re-prove in this front;
-    # plus local sf0.01 parity)
-    # (cross_source_overlap rotates out for customer_spend_deciles:
-    # shares the broadcast benchmark-shingle machinery that
-    # decontamination-family queries and minhash_accuracy keep proven;
-    # plus local sf0.01/sf0.1 parity)
-    "minhash_accuracy",
-    # (boilerplate_fraction rotates out for session_bounce_rate: its
-    # two-level gram agg is the duplicate_ngram_spans shape, which
-    # stays at the head of this front; plus local sf0.01/sf0.1 parity)
-    # (temperature_mixture rotates out for event_transitions:
-    # mixture_temperature_sweep, in this front, generalizes its
-    # det-power math to arbitrary alpha; plus local sf0.01 parity)
-    # (dup_graph_degrees rotates out for disjunctive_revenue: it is a
-    # degree histogram over the same LSH pair graph that
-    # minhash_accuracy / dedup_threshold_sweep re-prove in this front;
-    # plus local sf0.01 parity)
-    # new r4: quality-ranked token budget cut (two-phase global cumsum),
-    # robust median/MAD latency, heavy-hitter skew audit — never checked
-    # (skew_audit rotates out for dau_wau: its two-level heavy-hitter
-    # agg shape is shared with duplicate_ngram_spans in this front;
-    # plus local sf0.01/sf0.1 parity)
-    # (latency_median_mad rotates out for tokenizer_fertility: its
-    # nearest-rank selection shape is latency_bands_daily's, which
-    # stays in this front; plus local sf0.01/sf0.1 parity)
-    "token_budget_cut",
-    # new r4: arbitrary-α temperature sweep on det_exp∘det_ln — never
-    # driver-checked (label_centroids rotates out: r2-green and its
-    # composition centroid_similarity was r3-checked)
-    "mixture_temperature_sweep",
-    # new r4: full-outer reconciliation, dense daily gap-fill, native
-    # unpivot — the three relational shapes the registry lacked
-    "metrics_reconciliation", "service_daily_gapfill",
-    "alert_metrics_unpivot",
-    # new r4: one-buffer multi-quantile bands, SLO burn-rate accounting,
-    # cluster-balanced sampling — never driver-checked
-    "latency_bands_daily", "error_budget_burn", "cluster_balanced_sample",
-    # new r4: quality-aware survivor selection, quality×LM contingency,
-    # dedup threshold sensitivity — never driver-checked
-    "cluster_best_representative", "quality_vs_perplexity",
-    "dedup_threshold_sweep",
-    # new r4: embedding hygiene audit, diurnal traffic profile — never
-    # driver-checked (knn_bruteforce/knn_ivf rotate out: r2-green and
-    # knn_recall, in this front, composes and re-proves both subtrees)
-    # (hourly_profile rotates out for correlated_incidents: its
-    # exact_round_div-over-counts arithmetic is proven across this
-    # front (cohort_retention, dau_wau, session_bounce_rate, ...);
-    # plus local sf0.01/sf0.1 parity)
-    "embedding_audit",
-    # new r4: the two missing TPC-H self-join shapes — correlated-EXISTS
-    # priority check (Q4) and sole-late-supplier semi+anti (Q21)
-    "order_priority_check", "waiting_suppliers",
-    # new r4: winnowing passage-overlap pairs (local-similarity dedup),
-    # the per-source Zipf rank-frequency OLS fit, and the Matryoshka
-    # truncated-embedding audit
-    "winnowing_pairs", "zipf_fit", "embedding_truncation",
-    # new r4: Okapi BM25 top-k lexical retrieval, cohort retention
-    # matrix, and Broder-containment subset-dup pairs
-    "bm25_search", "cohort_retention", "dedup_containment",
-    # new r4: first-order Markov event-transition matrix and the
-    # TPC-H Q19 disjunctive-predicate join shape
-    "event_transitions", "disjunctive_revenue",
-    # new r4: Drain-style log template mining over the full producer
-    # schema (request_id + message added for SURVEY §1.2a parity); and
-    # frame-level WAV features (one->many multimodal extraction,
-    # golden-oracle checked — media corpus gained a multi-frame blob,
-    # so media_decode's regenerated golden is re-proven in this front)
-    "log_templates", "wav_frames",
-    # new r4: DAU/WAU stickiness via bounded day-expansion; NTILE
-    # customer-value decile summary
-    "dau_wau", "customer_spend_deciles",
-    # new r4: daily bounce rate composed on the session-window
-    # operator; detector co-firing correlation view
-    "session_bounce_rate", "correlated_incidents",
-    # new r4: per-source tokenizer fertility (compression table)
-    "tokenizer_fertility",
-    # -- evidence rotation: last driver-checked in r2, before the r3
-    #    commits (minhash sketch, tfidf, funnel cost rework) ---------------
-    # (simhash_pairs rotates out for winnowing_pairs, dedup_minhash_lsh
-    # for zipf_fit, dedup_exact for embedding_truncation: all r2-green,
-    # unchanged since, re-proven by the local sf0.01 parity suite — and
-    # the minhash subtree is re-proven in this front via
-    # minhash_accuracy/dedup_incremental/dedup_threshold_sweep)
-    # (media_summary / frame_samples rotate out for the two TPC-H
-    # self-join shapes: both r2-green, unchanged since, re-proven by the
-    # local sf0.01 parity suite, and the r4-changed decode path is
-    # driver-checked via media_decode in this front)
-    # (doc_split_counts / stratified_sample / doc_length_histogram —
-    # then grouping_sets_orders / top_revenue_orders /
-    # orders_by_priority_pivot, then small_quantity_revenue /
-    # customer_running_spend / media_resize — rotate out to make room
-    # for the never-driver-checked r4 batches: all r2-green, unchanged
-    # since, and re-proven by the local sf0.01 parity suite)
+    # ==== round-5 evidence policy =========================================
+    # Round 5 changed TWO cross-cutting layers, so the front-50 is chosen
+    # from EVIDENCE.md (tools/evidence.py) as: every tokenizer-affected
+    # query first, then the riskiest rounding-affected carriers.
+    #
+    # 1. textnorm (functions/textnorm.py): every tokenization/lowercase
+    #    path now uses an explicit separator class + ASCII translate()
+    #    lowercase in BOTH dialects — the r4 driver hash failures were
+    #    Java-vs-RE2 \s (U+000B) and JVM-vs-utf8proc lower('İ')
+    #    divergence on driver-corpus characters the local fixtures
+    #    lacked.  All 47 queries whose oracle SQL tokenizes documents
+    #    are in this front: driver data is exactly where local evidence
+    #    was insufficient (tests/test_adversarial_parity.py now covers
+    #    the divergent classes locally, and fails on the pre-r5 code).
+    #
+    # 2. det_round/exact_round_div (functions/detmath.py): every engine-
+    #    native round() of a computed double in an oracle-paired path was
+    #    replaced by an identical-DAG twin in both dialects.  The 32
+    #    rounding-affected-only queries that don't fit the window rotate
+    #    on local sf0.001/sf0.01 value-exact parity plus the structural
+    #    argument (the twin is the SAME IEEE DAG on both engines, so the
+    #    divergence class the swap addresses cannot reappear); three
+    #    high-risk carriers representing each swapped family are in:
+    #    error_rate_sliding (guarded_ratio -> exact_round_div, the A2
+    #    carrier), escalation_metrics_daily (null-skipping avg_p95 +
+    #    ratio), knn_bruteforce (cosine det_round, representative of the
+    #    whole similarity family, driver-stale since r2).
+    #
+    # -- the three r4 driver-red queries, now on textnorm + det_round ------
+    "curation_report", "unigram_surprisal", "segment_dedup",
+    # -- tokenizer-affected, never driver-green (EVIDENCE.md) --------------
+    "boilerplate_fraction", "cross_source_overlap", "dedup_token_loss",
+    "doc_chunks", "dup_graph_degrees", "perplexity_buckets",
+    "temperature_mixture",
+    # -- tokenizer-affected, driver-stale (r2) -----------------------------
+    "decontamination", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprints",
+    "doc_length_histogram", "language_id", "near_dup_survivors",
+    "quality_scores", "repetition_filters", "simhash_pairs",
+    "token_counts", "token_shards", "top_terms_per_source",
+    # -- tokenizer-affected, driver-green r3/r4 but re-proof needed --------
+    "bigram_surprisal", "blocklist_filter", "bm25_search",
+    "bpe_pair_counts", "cluster_best_representative", "dedup_containment",
+    "dedup_incremental", "dedup_threshold_sweep", "dsir_weights",
+    "dup_clusters", "duplicate_ngram_spans", "minhash_accuracy",
+    "mixture_temperature_sweep", "packing_efficiency",
+    "quality_filter_funnel", "quality_vs_perplexity", "tfidf_top_terms",
+    "token_budget_cut", "token_weighted_sample", "tokenizer_fertility",
+    "winnowing_pairs", "zipf_fit",
+    # -- rounding-affected carriers (see policy note above) ----------------
+    "error_rate_sliding", "escalation_metrics_daily", "knn_bruteforce",
 )
 
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.detmath import det_round, det_round_sql, exact_round_div, \
+    exact_round_div_sql
 from ..operators.detect import ANOMALY_Z
 from ..operators.logs import LOGS_CTE
 from ..sources.batch import load_table
@@ -480,7 +482,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("stage")
     return counts.select(
         "stage", "event_type", "n_users",
-        F.round(F.col("n_users").cast("double") / F.first("n_users").over(w), 4)
+        exact_round_div(F.col("n_users"), F.first("n_users").over(w))
             .alias("conversion"),
     )
 
@@ -517,8 +519,8 @@ counts AS (
     GROUP BY stage, event_type
 )
 SELECT stage, event_type, n_users,
-       round(CAST(n_users AS DOUBLE)
-             / first_value(n_users) OVER (ORDER BY stage), 4) AS conversion
+       {exact_round_div_sql('n_users',
+             'first_value(n_users) OVER (ORDER BY stage)', 4)} AS conversion
 FROM counts
 """
 
@@ -551,15 +553,15 @@ def q_rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id",
         n.alias("n_1h"),
-        F.round(s.cast("double") / n, 4).alias("avg_value_1h"),
+        det_round(s.cast("double") / n, 4).alias("avg_value_1h"),
     )
 
 
 SQL_ROLLING_USER_ACTIVITY = f"""
 SELECT event_id, user_id,
        count(*) OVER w AS n_1h,
-       round(CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)
-             / count(*) OVER w, 4) AS avg_value_1h
+       {det_round_sql('''CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)
+             / count(*) OVER w''', 4)} AS avg_value_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {ROLLING_WINDOW_US - 1} PRECEDING AND CURRENT ROW)

@@ -12,9 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.detmath import det_ln_sql_items, exact_round_div, \
-    exact_round_div_sql, int_div, with_det_exp, with_det_ln
+from ..functions.detmath import det_ln_sql_items, det_round_sql, \
+    exact_round_div, exact_round_div_sql, int_div, with_det_exp, with_det_ln
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
+from ..functions.textnorm import PUNCT_REGEX, WS_REGEX, ascii_lower_sql
 from ..operators import (decontam, dedup, multimodal, packing, sampling,
                          similarity, text)
 from ..sources.batch import load_table
@@ -26,9 +27,12 @@ from . import QuerySpec
 
 MD5_LONG = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
-TOKENS_CTE = r"""
+# textnorm primitives, not lower()/'\s+': Java and RE2 disagree on
+# U+000B membership in \s, and JVM vs utf8proc lower() on U+0130 — the
+# round-4 driver hash failures (see functions/textnorm).
+TOKENS_CTE = f"""
 tok AS (
-    SELECT *, list_filter(regexp_split_to_array(lower(text), '\s+'),
+    SELECT *, list_filter(regexp_split_to_array({ascii_lower_sql('text')}, '{WS_REGEX}'),
                           t -> t <> '') AS toks
     FROM documents
 )
@@ -66,8 +70,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
-SQL_DEDUP_EXACT = r"""
-SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+SQL_DEDUP_EXACT = f"""
+SELECT md5(trim(regexp_replace({ascii_lower_sql('text')}, '{WS_REGEX}', ' ', 'g'))) AS text_hash,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
 FROM documents
@@ -114,9 +118,7 @@ cand AS (
 ),
 verified AS (
     SELECT doc_a, doc_b,
-           round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
-                 / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
-                 4) AS jaccard
+           {exact_round_div_sql('len(list_intersect(a.hset, b.hset))', '(len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)))', 4)} AS jaccard
     FROM cand
     JOIN hsets a ON cand.doc_a = a.doc_id
     JOIN hsets b ON cand.doc_b = b.doc_id
@@ -142,14 +144,10 @@ blocked AS (
     FROM hsets h JOIN documents d ON h.doc_id = d.doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-       round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
-             / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
-             4) AS jaccard
+       {exact_round_div_sql('len(list_intersect(a.hset, b.hset))', '(len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)))', 4)} AS jaccard
 FROM blocked a JOIN blocked b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
-            / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
-            4) >= {JACCARD_THRESHOLD}
+WHERE {exact_round_div_sql('len(list_intersect(a.hset, b.hset))', '(len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)))', 4)} >= {JACCARD_THRESHOLD}
 """
 
 
@@ -245,8 +243,8 @@ WITH v AS (
 q AS (SELECT * FROM v WHERE vec_id < {KNN_N_QUERIES}),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-           round({DOT_SQL.format(a='q.embedding', b='c.embedding')}
-                 / (q.nrm * c.nrm), 6) AS cosine
+           {det_round_sql(DOT_SQL.format(a='q.embedding', b='c.embedding')
+                 + ' / (q.nrm * c.nrm)', 6)} AS cosine
     FROM v c CROSS JOIN q
     WHERE c.vec_id <> q.vec_id
       AND q.nrm * c.nrm > 0  -- Spark drops NULL cosines (zero-norm) pre-rank
@@ -274,8 +272,8 @@ q AS (SELECT * FROM v WHERE vec_id < {KNN_N_QUERIES}),
 scored AS (
     SELECT q.vec_id AS query_id, q.label AS query_label,
            c.vec_id AS corpus_id, c.label AS neg_label,
-           round({DOT_SQL.format(a='q.embedding', b='c.embedding')}
-                 / (q.nrm * c.nrm), 6) AS cosine
+           {det_round_sql(DOT_SQL.format(a='q.embedding', b='c.embedding')
+                 + ' / (q.nrm * c.nrm)', 6)} AS cosine
     FROM v c CROSS JOIN q
     WHERE c.label <> q.label
       AND q.nrm * c.nrm > 0  -- Spark drops NULL cosines (zero-norm) pre-rank
@@ -330,8 +328,8 @@ n AS (
 q AS (SELECT * FROM n WHERE vec_id < {KNN_N_QUERIES}),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-           round({DOT_SQL.format(a='q.embedding', b='c.embedding')}
-                 / (q.nrm * c.nrm), 6) AS cosine
+           {det_round_sql(DOT_SQL.format(a='q.embedding', b='c.embedding')
+                 + ' / (q.nrm * c.nrm)', 6)} AS cosine
     FROM n c JOIN q ON c.centroid_id = q.centroid_id
     WHERE c.vec_id <> q.vec_id
 ),
@@ -455,8 +453,8 @@ probes AS (
 ),
 scored AS (
     SELECT p.query_id, c.vec_id AS corpus_id,
-           round({DOT_SQL.format(a='p.q_emb', b='c.embedding')}
-                 / (p.q_nrm * c.nrm), 6) AS cosine
+           {det_round_sql(DOT_SQL.format(a='p.q_emb', b='c.embedding')
+                 + ' / (p.q_nrm * c.nrm)', 6)} AS cosine
     FROM n c JOIN probes p ON c.centroid_id = p.q_cluster
     WHERE c.vec_id <> p.query_id
 ),
@@ -495,10 +493,12 @@ n AS (
     FROM assigned
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id AS cluster,
-       round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+       {det_round_sql(DOT_SQL.format(a='a.embedding', b='b.embedding')
+                 + ' / (a.nrm * b.nrm)', 6)}
            AS cosine
 FROM n a JOIN n b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+WHERE {det_round_sql(DOT_SQL.format(a='a.embedding', b='b.embedding')
+                 + ' / (a.nrm * b.nrm)', 6)}
       >= {NEAR_DUP_COSINE}
 """
 
@@ -529,10 +529,12 @@ WITH v AS (
     FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-       round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+       {det_round_sql(DOT_SQL.format(a='a.embedding', b='b.embedding')
+                 + ' / (a.nrm * b.nrm)', 6)}
            AS cosine
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({DOT_SQL.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+WHERE {det_round_sql(DOT_SQL.format(a='a.embedding', b='b.embedding')
+                 + ' / (a.nrm * b.nrm)', 6)}
       >= {LSH_COSINE_THRESHOLD}
 """
 
@@ -559,8 +561,8 @@ per_chunk AS (
     FROM exploded GROUP BY label, pos, chunk
 )
 SELECT label, pos,
-       round(list_reduce(list_prepend(0.0, list_sort(list(chunk_sum))),
-                         (acc, x) -> acc + x) / sum(chunk_n), 6) AS mean_v
+       {det_round_sql('''list_reduce(list_prepend(0.0, list_sort(list(chunk_sum))),
+                         (acc, x) -> acc + x) / sum(chunk_n)''', 6)} AS mean_v
 FROM per_chunk GROUP BY label, pos
 """
 
@@ -598,7 +600,7 @@ _QUALITY_M_CTES = f"""m AS (
            CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
                        (acc, x) -> acc + x) AS BIGINT) AS tok_chars,
            CAST(len(list_filter(toks, t -> t IN ({_EN_STOPS}))) AS BIGINT) AS n_stop,
-           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '{PUNCT_REGEX}')) AS BIGINT) AS n_punct,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM tok
 ),
@@ -699,7 +701,7 @@ dfn AS (
 ),
 scored AS (
     SELECT tfc.doc_id, tfc.term, tfc.tf,
-           round(tfc.tf * dfn.lnv, 6) AS tfidf
+           {det_round_sql('tfc.tf * dfn.lnv', 6)} AS tfidf
     FROM tfc JOIN dfn ON tfc.term = dfn.term
 )
 SELECT doc_id, term, tf, tfidf, term_rank FROM (
@@ -1024,7 +1026,7 @@ q AS (
 )
 SELECT vec_id,
        CAST(list_max(list_transform(qi, x -> abs(x))) AS BIGINT) AS q_max,
-       round(({_ERR_FOLD}) / len(embedding), 6) AS quant_mse
+       {det_round_sql('(' + _ERR_FOLD + ') / len(embedding)', 6)} AS quant_mse
 FROM q
 """
 
@@ -1056,8 +1058,8 @@ per_doc AS (
     GROUP BY c.doc_id
 )
 SELECT doc_id, n_shingles, n_hits,
-       round(CAST(n_hits AS DOUBLE) / n_shingles, 4) AS contamination_ratio,
-       round(CAST(n_hits AS DOUBLE) / n_shingles, 4)
+       {exact_round_div_sql('n_hits', 'n_shingles', 4)} AS contamination_ratio,
+       {exact_round_div_sql('n_hits', 'n_shingles', 4)}
            >= {decontam.CONTAMINATION_THRESHOLD} AS contaminated
 FROM per_doc
 """
@@ -1419,11 +1421,14 @@ contrib AS (
     SELECT doc_id, tf, term, tf * lnv AS c
     FROM tf JOIN lnt USING (term)
 )
-SELECT doc_id, sum(tf) AS n_tokens,
-       round(list_reduce(list_prepend(0.0, list(c ORDER BY term)),
-                         (acc, x) -> acc + x) / sum(tf), 6)
-         AS mean_surprisal
-FROM contrib GROUP BY doc_id
+SELECT doc_id, n_tokens,
+       {det_round_sql('c_sum / n_tokens', 6)} AS mean_surprisal
+FROM (
+    SELECT doc_id, sum(tf) AS n_tokens,
+           list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                       (acc, x) -> acc + x) AS c_sum
+    FROM contrib GROUP BY doc_id
+)
 """
 
 
@@ -2289,11 +2294,14 @@ contrib AS (
     SELECT doc_id, bf, w1, w2, bf * lnv AS c
     FROM bgf JOIN lnb USING (w1, w2)
 )
-SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
-       round(list_reduce(list_prepend(0.0, list(c ORDER BY w1, w2)),
-                         (acc, x) -> acc + x) / sum(bf), 6)
-         AS mean_surprisal
-FROM contrib GROUP BY doc_id
+SELECT doc_id, n_bigrams,
+       {det_round_sql('c_sum / n_bigrams', 6)} AS mean_surprisal
+FROM (
+    SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(0.0, list(c ORDER BY w1, w2)),
+                       (acc, x) -> acc + x) AS c_sum
+    FROM contrib GROUP BY doc_id
+)
 """
 
 
@@ -2327,7 +2335,7 @@ hits AS (
 SELECT base.query_id,
        CAST(base.n_exact AS BIGINT) AS n_exact,
        CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
-       round(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / base.n_exact, 4)
+       {exact_round_div_sql('COALESCE(hits.n_hits, 0)', 'base.n_exact', 4)}
          AS recall
 FROM base LEFT JOIN hits ON base.query_id = hits.query_id
 """
@@ -2350,7 +2358,7 @@ SQL_PACKING_EFFICIENCY = f"""
 SELECT shard_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
-       round(CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill_rate
+       {exact_round_div_sql('sum(n_tokens)', str(PACK_BUDGET), 4)} AS fill_rate
 FROM ({SQL_TOKEN_SHARDS})
 GROUP BY shard_id
 """
@@ -2585,10 +2593,12 @@ vecs AS (
     FROM cents GROUP BY label
 )
 SELECT a.label AS label_a, b.label AS label_b,
-       round({DOT_SQL.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm), 6)
+       {det_round_sql(DOT_SQL.format(a='a.vec', b='b.vec')
+                 + ' / (a.nrm * b.nrm)', 6)}
          AS cosine
 FROM vecs a JOIN vecs b ON a.label < b.label
-WHERE round({DOT_SQL.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm), 6)
+WHERE {det_round_sql(DOT_SQL.format(a='a.vec', b='b.vec')
+                 + ' / (a.nrm * b.nrm)', 6)}
       >= -1.0
 """
 
@@ -2635,8 +2645,8 @@ best AS (
 )
 SELECT vec_id,
        string_agg(CAST(cb_id AS VARCHAR), '_' ORDER BY sub) AS pq_code,
-       round(list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)),
-                         (acc, x) -> acc + x) / 64, 6) AS pq_mse
+       {det_round_sql('''list_reduce(list_prepend(0.0, list(d2 ORDER BY sub)),
+                         (acc, x) -> acc + x) / 64''', 6)} AS pq_mse
 FROM best GROUP BY vec_id
 """
 
@@ -2710,8 +2720,8 @@ qtab AS (
 ),
 adc AS (
     SELECT p.query_id, k.vec_id AS corpus_id,
-           round(list_reduce(list_prepend(0.0, list(t.d2 ORDER BY k.sub)),
-                             (acc, x) -> acc + x), 6) AS adc_dist2
+           {det_round_sql('''list_reduce(list_prepend(0.0, list(t.d2 ORDER BY k.sub)),
+                             (acc, x) -> acc + x)''', 6)} AS adc_dist2
     FROM codes k
     JOIN probes p ON k.centroid_id = p.centroid_id AND k.vec_id <> p.query_id
     JOIN qtab t ON t.query_id = p.query_id AND t.sub = k.sub
@@ -2760,7 +2770,7 @@ k AS (
     FROM t WHERE n_tokens > 0
 )
 SELECT doc_id, source, n_tokens,
-       round(lnv / n_tokens, 6) AS sample_key
+       {det_round_sql('lnv / n_tokens', 6)} AS sample_key
 FROM k
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT {WSAMPLE_K}
@@ -2982,10 +2992,14 @@ contrib AS (
     SELECT doc_id, tf, tfb.b, tf * lnv AS c
     FROM tfb JOIN lnt ON tfb.b = lnt.b
 )
-SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(list_reduce(list_prepend(0.0, list(c ORDER BY b)),
-                         (acc, x) -> acc + x), 6) AS log_weight
-FROM contrib GROUP BY doc_id
+SELECT doc_id, n_tokens,
+       {det_round_sql('c_sum', 6)} AS log_weight
+FROM (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           list_reduce(list_prepend(0.0, list(c ORDER BY b)),
+                       (acc, x) -> acc + x) AS c_sum
+    FROM contrib GROUP BY doc_id
+)
 """
 
 
@@ -3081,9 +3095,7 @@ cand AS (
 ),
 verified AS (
     SELECT new_doc, corpus_doc,
-           round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
-                 / (len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset))),
-                 4) AS jaccard
+           {exact_round_div_sql('len(list_intersect(a.hset, b.hset))', '(len(a.hset) + len(b.hset) - len(list_intersect(a.hset, b.hset)))', 4)} AS jaccard
     FROM cand
     JOIN hsets a ON cand.new_doc = a.doc_id
     JOIN hsets b ON cand.corpus_doc = b.doc_id

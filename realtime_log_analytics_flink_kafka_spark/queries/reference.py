@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.detmath import exact_round_div, exact_round_div_sql
 from ..operators.logs import LOGS_CTE, as_logs, error_logs
 from ..operators.detect import error_rate_alerts, latency_p95
 from ..operators.escalate import (consecutive_breaches,
@@ -67,13 +68,13 @@ agg AS (
     FROM exploded GROUP BY service, window_start
 )
 SELECT service, window_start, window_end, total_logs, error_logs,
-       round(CASE WHEN total_logs > 0
-                  THEN CAST(error_logs AS DOUBLE) / total_logs ELSE 0.0 END, 4) AS error_rate,
+       CASE WHEN total_logs > 0
+            THEN {exact_round_div_sql('error_logs', 'total_logs', 4)} ELSE 0.0 END AS error_rate,
        'ERROR_RATE_SPIKE' AS type, 'HIGH' AS severity
 FROM agg
 WHERE total_logs >= {SLIDING_MIN_SUPPORT}
-  AND round(CASE WHEN total_logs > 0
-                 THEN CAST(error_logs AS DOUBLE) / total_logs ELSE 0.0 END, 4)
+  AND CASE WHEN total_logs > 0
+           THEN {exact_round_div_sql('error_logs', 'total_logs', 4)} ELSE 0.0 END
       >= {SLIDING_RATE_THRESHOLD}
 """
 
@@ -98,11 +99,11 @@ agg AS (
 )
 SELECT service, window_start, window_start + {DAY} AS window_end,
        total_logs, error_logs,
-       round(CAST(error_logs AS DOUBLE) / total_logs, 4) AS error_rate,
+       CASE WHEN total_logs > 0 THEN {exact_round_div_sql('error_logs', 'total_logs', 4)} ELSE 0.0 END AS error_rate,
        'ERROR_RATE_SPIKE' AS type, 'HIGH' AS severity
 FROM agg
 WHERE total_logs >= {TUMBLING_MIN_SUPPORT}
-  AND round(CAST(error_logs AS DOUBLE) / total_logs, 4) >= {TUMBLING_RATE_THRESHOLD}
+  AND CASE WHEN total_logs > 0 THEN {exact_round_div_sql('error_logs', 'total_logs', 4)} ELSE 0.0 END >= {TUMBLING_RATE_THRESHOLD}
 """
 
 
@@ -243,11 +244,10 @@ SELECT service,
        count(*) AS total_alerts,
        count(CASE WHEN type = 'LATENCY_SLO_BREACH' THEN 1 END) AS latency_breaches,
        count(CASE WHEN type = 'ERROR_RATE_SPIKE' THEN 1 END) AS error_spikes,
-       round(avg(p95_latency), 4) AS avg_p95_latency,
+       CASE WHEN count(p95_latency) > 0 THEN {exact_round_div_sql('sum(p95_latency)', 'count(p95_latency)', 4)} END AS avg_p95_latency,
        max(breach_count) AS max_breach_count,
-       round(CASE WHEN count(*) > 0 THEN
-             CAST(CAST(sum(CASE WHEN severity = 'CRITICAL' THEN 1 ELSE 0 END) AS BIGINT)
-                  AS DOUBLE) / count(*) ELSE 0.0 END, 4) AS critical_ratio
+       CASE WHEN count(*) > 0 THEN
+             {exact_round_div_sql("sum(CASE WHEN severity = 'CRITICAL' THEN 1 ELSE 0 END)", 'count(*)', 4)} ELSE 0.0 END AS critical_ratio
 FROM alerts GROUP BY 1, 2, 3
 """
 
@@ -293,10 +293,9 @@ SELECT service,
        count(CASE WHEN severity = 'ESCALATED' THEN 1 END) AS escalated,
        count(CASE WHEN escalation_reason = 'MULTIPLE_INCIDENTS' THEN 1 END)
            AS multiple_incident_escalations,
-       round(avg(p95_latency), 4) AS avg_p95_latency,
-       round(CASE WHEN count(*) > 0 THEN
-             CAST(CAST(sum(CASE WHEN severity = 'ESCALATED' THEN 1 ELSE 0 END) AS BIGINT)
-                  AS DOUBLE) / count(*) ELSE 0.0 END, 4) AS escalation_ratio
+       CASE WHEN count(p95_latency) > 0 THEN {exact_round_div_sql('sum(p95_latency)', 'count(p95_latency)', 4)} END AS avg_p95_latency,
+       CASE WHEN count(*) > 0 THEN
+             {exact_round_div_sql("sum(CASE WHEN severity = 'ESCALATED' THEN 1 ELSE 0 END)", 'count(*)', 4)} ELSE 0.0 END AS escalation_ratio
 FROM enriched GROUP BY 1, 2, 3
 """
 
@@ -377,17 +376,20 @@ def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            exact_round_div(F.sum("k"), F.count("k")).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
     )
 
 
-SQL_PROPS_JSON_EXTRACT = """
+SQL_PROPS_JSON_EXTRACT = f"""
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       CASE WHEN count(CAST(json_extract_string(props, '$.k') AS INT)) > 0 THEN
+       {exact_round_div_sql("sum(CAST(json_extract_string(props, '$.k') AS INT))",
+                            "count(CAST(json_extract_string(props, '$.k') AS INT))", 4)}
+       END AS avg_k,
        min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type

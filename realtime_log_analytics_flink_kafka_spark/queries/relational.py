@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.detmath import det_round, det_round_sql
 from ..sources.batch import load_table
 from . import QuerySpec
 
@@ -551,7 +552,7 @@ def q_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > PART_REVENUE_SHARE_MIN * F.col("total_revenue"))
         .select(
             "l_partkey", "part_revenue",
-            F.round(F.col("part_revenue") / F.col("total_revenue"), 6)
+            det_round(F.col("part_revenue") / F.col("total_revenue"), 6)
                 .alias("share"),
         )
     )
@@ -570,7 +571,7 @@ tot AS (
     FROM lineitem
 )
 SELECT l_partkey, part_revenue,
-       round(part_revenue / total_revenue, 6) AS share
+       {det_round_sql('part_revenue / total_revenue', 6)} AS share
 FROM rev CROSS JOIN tot
 WHERE part_revenue > {PART_REVENUE_SHARE_MIN} * total_revenue
 """
@@ -663,7 +664,8 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     cond = ((li.l_orderkey == orders.o_orderkey)
             & (li.l_shipdate
-               > F.date_add(orders.o_orderdate, LATE_SHIP_DAYS)))
+               > orders.o_orderdate
+               + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")))
     return (
         orders.join(li, cond, "leftsemi")
         .groupBy("o_orderpriority")
@@ -705,7 +707,8 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lif = (li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
              .withColumn("is_late",
                          F.col("l_shipdate")
-                         > F.date_add(F.col("o_orderdate"), LATE_SHIP_DAYS))
+                         > F.col("o_orderdate")
+                         + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS"))
              .select("l_orderkey", "l_suppkey", "is_late"))
     late = lif.filter(F.col("is_late"))
     other = lif.select(F.col("l_orderkey").alias("o2_orderkey"),

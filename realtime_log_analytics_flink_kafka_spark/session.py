@@ -41,6 +41,11 @@ def get_spark(app_name: str = "realtime_log_analytics_spark",
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 75+ codegen'd queries in one JVM overflow the default 240 MB
+        # JIT code cache -> late queries silently run interpreted (the
+        # BENCH_r04 ~2x "ambient" slowdown on untouched queries)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
     )
     # Opt-in Kafka connector resolution (S2-S5 runtime path).  The test
     # image is offline with no connector jar, so this is gated: set

@@ -318,15 +318,24 @@ def latency_baseline(logs: DataFrame, *, key: str = "service") -> DataFrame:
 
 def dau_stream(events: DataFrame, *, ts_col: str = "ts",
                user_col: str = "user_id",
-               watermark: str = "1 hour") -> DataFrame:
+               watermark: str = "25 hours") -> DataFrame:
     """Streaming daily-active-users: the streaming twin of the batch
     ``dau_wau`` query's DAU column.  Composition of two stateful ops the
     engine already bounds individually: dropDuplicatesWithinWatermark on
-    (user, day) collapses each user's repeat events (state = one entry
-    per ACTIVE user-day, evicted at watermark + 1 day-bucket), then a
-    1-day tumbling window counts survivors in update mode.  Spark 3.4+
-    allows this stateful chaining in update/append because the dedup
-    emits append-only rows with intact event time.
+    (user, day) collapses each user's repeat events, then a 1-day
+    tumbling window counts survivors in update mode.  Spark 3.4+ allows
+    this stateful chaining in update/append because the dedup emits
+    append-only rows with intact event time.
+
+    The dedup horizon IS the watermark delay: dropDuplicatesWithinWatermark
+    evicts a (user, day) entry once the watermark passes its first event's
+    time + delay, so a delay shorter than the day bucket re-emits (and
+    double-counts) a user who goes quiet and comes back later the same
+    day.  Hence the 25-hour default — a full 24 h bucket span plus 1 h of
+    late-arrival slack; equivalence with batch DAU holds only for
+    duplicates within that delay (ADVICE r4).  State cost is one entry
+    per active user-day held ~one day — the same order as the window
+    aggregation itself.
 
     WAU deliberately has no streaming twin here: a 7-day sliding
     distinct would hold 7x user-day state per window pane; run the

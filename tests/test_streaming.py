@@ -741,6 +741,17 @@ def test_dau_stream_matches_batch_daily_distinct(spark, tmp_path):
          .outputMode("update").trigger(processingTime="1 second").start())
     _drain(q)
 
+    # second micro-batch: users re-activate LATE the same day (>1 h after
+    # their first events, spread across days) — the ADVICE-r4 case where
+    # a too-short dedup horizon evicts the (user, day) entry between
+    # micro-batches and double-counts the user on re-activation.  With
+    # the 25 h horizon these must all collapse into the counts above.
+    late = [(1000 + i, datetime(2024, 1, 1 + d, 22), u)
+            for i, (d, u) in enumerate([(0, 0), (0, 1), (1, 0), (2, 2)])]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append") \
+        .parquet(path)
+    _drain(q)
+
     got = {(r["day"], r["dau"]) for r in
            spark.table("dau_stream_t").collect()}
     want = {(datetime(2024, 1, 1), 4), (datetime(2024, 1, 2), 3),

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Generate EVIDENCE.md: per-registry-query evidence freshness
+(VERDICT r4, next-round #8).
+
+For every query in the registry, reports
+
+- the last round in which the EXTERNAL driver's hash comparison passed
+  (from the committed CORRECTNESS_r*.json artifacts — `driver` rows only
+  exist for queries that were inside that round's front-50 window);
+- whether it sits in the CURRENT front-50 (``DRIVER_PRIORITY[:50]``),
+  i.e. will be driver-checked again next round;
+- the local value-exact parity status (tests/test_oracle_parity.py runs
+  the full registry at sf0.001 every session; the sf0.01 sweep is the
+  verify-skill gate) — "local" evidence is stricter than the driver's
+  hash but runs on fixture data, which is why the driver column exists.
+
+Run from the repo root: ``python tools/evidence.py`` (rewrites
+EVIDENCE.md).  The front-50 for each round should be chosen from this
+table: changed/never-checked queries first, then the stalest greens.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from realtime_log_analytics_flink_kafka_spark.queries import (DRIVER_PRIORITY,
+                                                              all_queries)
+
+
+def main() -> None:
+    registry = all_queries()
+    last_green: dict[str, int] = {}
+    last_checked: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        for name, rec in json.load(open(path)).items():
+            if name not in registry:
+                continue  # renamed/retired between rounds
+            last_checked[name] = max(last_checked.get(name, 0), rnd)
+            ok = (rec.get("hash_match")
+                  or (registry[name].sql is None and rec.get("rows_match")))
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    front = set(DRIVER_PRIORITY[:50])
+
+    def sort_key(name: str) -> tuple:
+        return (last_green.get(name, 0), name)
+
+    lines = [
+        "# EVIDENCE — per-query driver-check freshness",
+        "",
+        f"Generated {dt.date.today().isoformat()} by `tools/evidence.py` "
+        "from the committed CORRECTNESS_r*.json driver artifacts.",
+        "",
+        f"Registry: {len(registry)} queries; driver checks the first 50 of "
+        "`DRIVER_PRIORITY` per round.  `never` = not yet inside a driver "
+        "front-50 window (local parity evidence only).  Every query runs "
+        "value-exact against its DuckDB oracle at sf0.001 in every pytest "
+        "session (tests/test_oracle_parity.py) and at sf0.01 in the "
+        "verify-skill sweep; rows-only queries (sql=None) get the weaker "
+        "driver rows check by design.",
+        "",
+        "| query | last driver-green | last driver-checked | in next front-50 |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(registry, key=sort_key):
+        g = last_green.get(name)
+        c = last_checked.get(name)
+        lines.append(
+            f"| {name} | {f'r{g}' if g else 'never'} | "
+            f"{f'r{c}' if c else 'never'} | {'yes' if name in front else ''} |")
+    stale = [n for n in registry if last_green.get(n, 0) == 0]
+    lines += [
+        "",
+        f"Never driver-green: {len(stale)} "
+        f"({', '.join(sorted(stale)) if stale else '-'})",
+        "",
+    ]
+    with open("EVIDENCE.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"EVIDENCE.md: {len(registry)} queries, "
+          f"{len(stale)} never driver-green")
+
+
+if __name__ == "__main__":
+    main()
