@@ -153,19 +153,26 @@ def main() -> None:
     failed: str | None = None
     error: str | None = None
     times: dict[str, float] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5"))
     try:
         for name in HEADLINE:
             fn = registry[name].fn
             spark.catalog.clearCache()
             fn(spark, sf_dir).count()  # warmup: codegen/JIT/footers, untimed
             samples = []
-            for _ in range(runs):
+            while True:
                 spark.catalog.clearCache()  # recompute persisted stages
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 samples.append(time.perf_counter() - t0)
+                # adaptive: past the base runs, keep sampling only while
+                # the observed spread could still move the median >20%
+                if len(samples) >= runs and (
+                        len(samples) >= max_runs
+                        or max(samples) <= 1.2 * min(samples)):
+                    break
             times[name] = round(statistics.median(samples), 3)
     except Exception as exc:  # a failed run must still yield partial timings
         failed = name
