@@ -23,6 +23,10 @@ def get_spark(app_name: str = "realtime_log_analytics_spark",
     UTC session timezone is load-bearing: the DuckDB oracle compares
     epoch-derived window boundaries, and DuckDB timestamps are UTC-naive.
     """
+    # vendored-protobuf bootstrap must precede the JVM launch: TWS python
+    # workers resolve google.protobuf from the PYTHONPATH the JVM inherits
+    from .vendor_support import ensure_protobuf
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = (

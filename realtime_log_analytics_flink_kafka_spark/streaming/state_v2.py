@@ -16,10 +16,14 @@ What the native API buys over the 3.x emulation:
 
 The 3.x ``applyInPandasWithState`` twins in streaming/state.py stay as
 the fallback path for Spark < 4 — or for images whose Python environment
-lacks ``protobuf`` (the TWS worker's state client requires it; this
-sandbox is such an image, so integration tests skip with that reason and
-the processor logic is driven directly instead).  Pick per environment
-via :func:`escalate_every_n_stream` / :func:`consecutive_breach_stream`.
+lacks ``protobuf`` (the TWS worker's state client requires it).  This
+repo additionally vendors the pure-python protobuf runtime
+(``vendor/google/protobuf``, wired up by
+:func:`..vendor_support.ensure_protobuf`), so on this image the NATIVE
+path runs and the integration tests in tests/test_state_v2.py execute
+for real — cross-micro-batch counter continuity and state-store TTL
+expiry across a checkpoint restart included.  Pick per environment via
+:func:`escalate_every_n_stream` / :func:`consecutive_breach_stream`.
 
 Requires the RocksDB state store provider
 (``spark.sql.streaming.stateStore.providerClass`` →
@@ -35,15 +39,20 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..vendor_support import ensure_protobuf
+
 try:  # Spark >= 4 ... and a usable python state client: the TWS worker
     # speaks protobuf to the JVM state server (pyspark.sql.streaming.proto),
-    # so an image without google.protobuf can hold the API but not run it —
-    # this sandbox is exactly that, hence the runtime probe, the
-    # emulation fallback in the *_stream dispatchers, and direct-drive
-    # unit tests of the processor logic (tests/test_state_v2.py)
+    # so an image without google.protobuf can hold the API but not run it.
+    # ensure_protobuf() falls back to the repo-vendored pure-python
+    # runtime (must run before the JVM starts so workers inherit the
+    # PYTHONPATH — session.get_spark calls it too); if neither exists the
+    # *_stream dispatchers fall back to the applyInPandasWithState twins
+    # and the processor logic is direct-driven in tests/test_state_v2.py.
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
-    import google.protobuf  # noqa: F401
+    if not ensure_protobuf():
+        raise ImportError("no protobuf runtime (native or vendored)")
     HAS_TWS = True
 except ImportError:  # Spark 3.x, or no protobuf in the image
     HAS_TWS = False
@@ -66,6 +75,26 @@ ROCKSDB_PROVIDER = (
 def rocksdb_conf() -> tuple[str, str]:
     """(key, value) to enable the state store transformWithState needs."""
     return ("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+def tws_usable() -> bool:
+    """True when the *_stream dispatchers should take the native path.
+
+    Needs both the TWS runtime (Spark 4 + a protobuf runtime, native or
+    vendored) AND the RocksDB state store on the active session —
+    transformWithState is not implemented on the default HDFS-backed
+    store, so dispatching to it on an unconfigured session would trade a
+    working emulation for a runtime failure.  With no active session the
+    runtime check alone decides (plan construction before start()).
+    """
+    if not HAS_TWS:
+        return False
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return True
+    key, _ = rocksdb_conf()
+    return "RocksDB" in (spark.conf.get(key, "") or "")
 
 
 class _EscalateEveryN(StatefulProcessor):
@@ -306,7 +335,7 @@ def throttle_alerts_tws(alerts: DataFrame, *, limit: int = 2,
 def throttle_alerts_stream(alerts: DataFrame, *, limit: int = 2,
                            bucket_seconds: int = 86_400,
                            ttl_ms: int = STATE_TTL_MS) -> DataFrame:
-    if HAS_TWS:
+    if tws_usable():
         return throttle_alerts_tws(alerts, limit=limit,
                                    bucket_seconds=bucket_seconds,
                                    ttl_ms=ttl_ms)
@@ -319,14 +348,14 @@ def escalate_every_n_stream(alerts: DataFrame, *, n: int = ESCALATION_EVERY,
                             ttl_ms: int = STATE_TTL_MS) -> DataFrame:
     """Version dispatch: native transformWithState on Spark 4, the
     applyInPandasWithState emulation otherwise."""
-    if HAS_TWS:
+    if tws_usable():
         return escalate_every_n_tws(alerts, n=n, ttl_ms=ttl_ms)
     return escalate_every_n_stateful(alerts, n=n, ttl_ms=ttl_ms)
 
 
 def consecutive_breach_stream(windowed: DataFrame, *, limit: int = 3,
                               p95_threshold: float = 100.0) -> DataFrame:
-    if HAS_TWS:
+    if tws_usable():
         return consecutive_breach_tws(windowed, limit=limit,
                                       p95_threshold=p95_threshold)
     return consecutive_breach_stateful(windowed, limit=limit,

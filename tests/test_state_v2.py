@@ -1,15 +1,16 @@
 """Native transformWithStateInPandas operators (streaming/state_v2).
 
-Two layers, because this image has the Spark 4 TWS *API* but not the
-``protobuf`` package its Python state client needs at runtime:
+Two layers:
 
 1. Direct-drive unit tests (always run): the StatefulProcessor logic —
    counter continuity, emit-and-clear, Arrow-chunk ordering — executed
    against a fake state handle, so the ported semantics are proven even
    where the TWS runtime can't start.
 2. Integration tests (skipif not HAS_TWS): cross-micro-batch equality
-   with the batch twins and NATIVE TTL expiry, for environments with
-   protobuf installed.
+   with the batch twins and NATIVE TTL expiry.  Since round 5 these RUN
+   on this image — the repo vendors the pure-python protobuf runtime the
+   TWS state client needs (vendor/google/protobuf, wired up by
+   vendor_support.ensure_protobuf before the JVM starts).
 """
 
 from __future__ import annotations
@@ -148,27 +149,41 @@ def test_throttle_processor_quota_spans_chunks_and_batches():
     assert list(out3.sort_values("event_id")["alert_seq"]) == [1, 2]
 
 
-def test_dispatchers_fall_back_without_tws(spark):
-    """In this image HAS_TWS is False (no protobuf), so the *_stream
-    dispatchers must return the applyInPandasWithState plan."""
-    if state_v2.HAS_TWS:
-        pytest.skip("image has a working TWS runtime; fallback not used")
+def test_dispatchers_follow_session_capability(spark):
+    """The *_stream dispatchers pick the native TWS plan only when BOTH
+    the runtime (protobuf, Spark 4) and the session's RocksDB state store
+    are available; otherwise they return the working
+    applyInPandasWithState emulation rather than a plan that fails at
+    start()."""
     df = (spark.readStream.format("rate").load()
           .selectExpr("value AS event_id", "timestamp AS ts",
                       "'auth' AS service", "1 AS is_error",
                       "50.0 AS latency_ms", "'HIGH' AS severity"))
-    plan = state_v2.escalate_every_n_stream(df)
-    assert "FlatMapGroupsInPandasWithState" in plan._jdf.queryExecution() \
-        .analyzed().toString()
+
+    def analyzed():
+        return state_v2.escalate_every_n_stream(df)._jdf \
+            .queryExecution().analyzed().toString()
+
+    # this session has the default HDFS-backed store -> emulation
+    assert "FlatMapGroupsInPandasWithState" in analyzed()
+
+    if not state_v2.HAS_TWS:
+        pytest.skip("no TWS runtime; native direction untestable")
+    key, value = state_v2.rocksdb_conf()
+    spark.conf.set(key, value)
+    try:
+        assert "TransformWithStateInPySpark" in analyzed()
+    finally:
+        spark.conf.unset(key)
 
 
 # --- layer 2: full TWS runtime (needs protobuf) -----------------------------
 
 pytestmark_integration = pytest.mark.skipif(
     not state_v2.HAS_TWS,
-    reason="transformWithStateInPandas runtime needs the protobuf package "
-           "(absent in this image); processor logic covered by the "
-           "direct-drive tests above")
+    reason="transformWithStateInPandas runtime needs Spark >= 4 plus a "
+           "protobuf runtime (native or repo-vendored); processor logic "
+           "covered by the direct-drive tests above")
 
 
 @pytest.fixture()
@@ -231,38 +246,46 @@ def test_tws_escalation_spans_microbatches(spark, tmp_path, rocksdb):
 def test_tws_native_ttl_expires_counter(spark, tmp_path, rocksdb):
     """W9 TTL on the NATIVE API: the value state written in batch 1
     expires after ttl_ms of wall-clock, so batch 2's sequence restarts
-    at 1 — no processing-time-timeout emulation involved."""
+    at 1 — no processing-time-timeout emulation involved.
+
+    The sink is a parquet file sink because the second run restarts
+    FROM THE SAME CHECKPOINT (that is the whole point — state must
+    survive the restart and then be expired by the store, not lost with
+    the query) and the memory sink refuses checkpoint recovery.
+    """
     from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
         drain_query)
 
     schema = LOG_SCHEMA + ", severity string"
     base = tmp_path / "ttl"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
 
     def alerts(ids, minute):
         return [dict(event_id=i, ts=datetime(2024, 1, 1, 0, minute, i % 60),
                      service="auth", is_error=1, latency_ms=50.0,
                      severity="HIGH") for i in ids]
 
+    def run_once():
+        stream = state_v2.escalate_every_n_tws(
+            _read_stream(spark, str(base / "b=*"), schema, per_trigger=1),
+            ttl_ms=1_500)
+        q = (stream.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .start())
+        drain_query(q)
+
     _write(spark, alerts(range(4), 0), str(base / "b=0"), schema)
-    stream = state_v2.escalate_every_n_tws(
-        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1),
-        ttl_ms=1_500)
-    ckpt = str(tmp_path / "ckpt")
-    q = (stream.writeStream.format("memory").queryName("tws_ttl")
-         .outputMode("append").option("checkpointLocation", ckpt).start())
-    drain_query(q)
-    assert sorted(r.alert_seq for r in spark.table("tws_ttl").collect()) \
-        == [1, 2, 3, 4]
-    q.stop()
+    run_once()
+    got = spark.read.parquet(out)
+    assert sorted(r.alert_seq for r in got.collect()) == [1, 2, 3, 4]
 
     time.sleep(2.5)  # let the TTL lapse in wall-clock
     _write(spark, alerts(range(100, 103), 2), str(base / "b=1"), schema)
-    q2 = (stream.writeStream.format("memory").queryName("tws_ttl2")
-          .outputMode("append").option("checkpointLocation", ckpt).start())
-    drain_query(q2)
-    # counter restarted at 1, NOT 5..7: the state expired
-    assert sorted(r.alert_seq for r in spark.table("tws_ttl2").collect()) \
-        == [1, 2, 3]
+    run_once()
+    # counter restarted at 1, NOT 5..7: the state expired in the store
+    new = spark.read.parquet(out).where(F.col("event_id") >= 100)
+    assert sorted(r.alert_seq for r in new.collect()) == [1, 2, 3]
 
 
 class TestEventTransitionsDirect:
