@@ -138,6 +138,8 @@ HEADLINE = [
     "session_bounce_rate",
     "correlated_incidents",
     "tokenizer_fertility",
+    # round-5 addition: the bucketed interval-overlap (range) join
+    "error_burst_busy_overlap",
 ]
 
 

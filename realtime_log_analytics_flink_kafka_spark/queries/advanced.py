@@ -1373,6 +1373,134 @@ FROM wau w LEFT JOIN dau d ON w.day = d.day
 """
 
 
+# --- bucketed interval-overlap (range) join ---------------------------------
+
+#: Error bursts aggregate on 1-hour buckets; busy intervals coalesce
+#: 6-hour buckets, which is also the join grid (≈ the busy-interval
+#: granularity, so the explode factor stays small).
+BURST_BUCKET_S = 3_600
+BUSY_BUCKET_S = 21_600
+
+
+def q_error_burst_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which error bursts happened during busy traffic intervals — an
+    interval-overlap (range) join, the operator Spark has no native form
+    of.
+
+    Both interval sets derive from the log stream: bursts are hours with
+    >= 2 errors per service ([first, last+1) of the actual error times);
+    busy intervals are maximal runs of 6-hour buckets whose event count
+    is >= 1.2x the service's per-bucket average (gaps-and-islands,
+    operators/intervals.islands — the 1.2x gate is the integer-exact
+    cross-multiplied ``5*n*buckets >= 6*total``, no float division).
+    The overlap join is operators/intervals.bucketed_interval_join: both
+    sides explode onto the 6-hour grid and equi-join on (service,
+    bucket) — NOT a range-predicate join on the 4-value service key,
+    which would put each service's full history in one skewed partition;
+    the grid multiplies join-key cardinality by the timeline so the
+    shuffle balances at any scale.  All arithmetic is integer epoch
+    seconds: exact in both engines by construction.
+    """
+    from ..operators.intervals import bucketed_interval_join, islands
+    from ..operators.logs import as_logs, error_logs
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.floor(F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
+
+    bursts = (
+        error_logs(ev).select("service", sec.alias("s"))
+        .groupBy("service", F.floor(F.col("s") / BURST_BUCKET_S).alias("hb"))
+        .agg(F.min("s").alias("burst_start"),
+             (F.max("s") + 1).alias("burst_end"),
+             F.count("*").cast("long").alias("n_errors"))
+        .filter(F.col("n_errors") >= 2)
+        .drop("hb")
+    )
+
+    buckets = (
+        as_logs(ev).select("service", sec.alias("s"))
+        .groupBy("service", F.floor(F.col("s") / BUSY_BUCKET_S).alias("bb"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("service")
+    busy = (
+        buckets
+        .withColumn("nb", F.count("*").over(w))
+        .withColumn("tot", F.sum("n").over(w))
+        .filter(F.lit(5) * F.col("n") * F.col("nb")
+                >= F.lit(6) * F.col("tot"))
+        .select("service", "bb", "n")
+    )
+    busy_islands = (
+        islands(busy, ["service"], "bb", BUSY_BUCKET_S,
+                agg_cols={"busy_events": F.sum("n").cast("long")})
+        .withColumnRenamed("start_s", "busy_start")
+        .withColumnRenamed("end_s", "busy_end")
+        .withColumnRenamed("n_buckets", "n_busy_buckets")
+    )
+
+    pairs = bucketed_interval_join(
+        bursts, busy_islands, ["service"],
+        a_start="burst_start", a_end="burst_end",
+        b_start="busy_start", b_end="busy_end",
+        bucket_s=BUSY_BUCKET_S)
+    return pairs.select(
+        "service", "burst_start", "burst_end", "n_errors",
+        "busy_start", "busy_end", "n_busy_buckets", "busy_events",
+        (F.least("burst_end", "busy_end")
+         - F.greatest("burst_start", "busy_start")).alias("overlap_s"))
+
+
+SQL_ERROR_BURST_BUSY_OVERLAP = f"""
+WITH {LOGS_CTE},
+sec AS (
+    SELECT service, is_error,
+           CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS s
+    FROM logs
+),
+bursts AS (
+    SELECT service,
+           MIN(s) AS burst_start,
+           MAX(s) + 1 AS burst_end,
+           CAST(COUNT(*) AS BIGINT) AS n_errors
+    FROM sec WHERE is_error = 1
+    GROUP BY service, CAST(floor(s / {BURST_BUCKET_S}) AS BIGINT)
+    HAVING COUNT(*) >= 2
+),
+bb AS (
+    SELECT service, CAST(floor(s / {BUSY_BUCKET_S}) AS BIGINT) AS bb,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sec GROUP BY 1, 2
+),
+busy AS (
+    SELECT service, bb, n FROM (
+        SELECT service, bb, n,
+               COUNT(*) OVER (PARTITION BY service) AS nb,
+               SUM(n) OVER (PARTITION BY service) AS tot
+        FROM bb)
+    WHERE 5 * n * nb >= 6 * tot
+),
+isl AS (
+    SELECT service,
+           MIN(bb) * {BUSY_BUCKET_S} AS busy_start,
+           (MAX(bb) + 1) * {BUSY_BUCKET_S} AS busy_end,
+           CAST(COUNT(*) AS BIGINT) AS n_busy_buckets,
+           CAST(SUM(n) AS BIGINT) AS busy_events
+    FROM (SELECT service, bb, n,
+                 bb - ROW_NUMBER() OVER (PARTITION BY service ORDER BY bb)
+                     AS run
+          FROM busy)
+    GROUP BY service, run
+)
+SELECT b.service, burst_start, burst_end, n_errors,
+       busy_start, busy_end, n_busy_buckets, busy_events,
+       LEAST(burst_end, busy_end) - GREATEST(burst_start, busy_start)
+           AS overlap_s
+FROM bursts b JOIN isl i ON b.service = i.service
+WHERE burst_start < busy_end AND busy_start < burst_end
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(q_cohort_retention,
                                   _cohort_retention_sql()),
@@ -1416,4 +1544,6 @@ QUERIES: dict[str, QuerySpec] = {
                                      SQL_SALTED_JOIN_REVENUE),
     "latency_p95_approx": QuerySpec(q_latency_p95_approx,
                                     SQL_LATENCY_P95_APPROX),
+    "error_burst_busy_overlap": QuerySpec(q_error_burst_busy_overlap,
+                                          SQL_ERROR_BURST_BUSY_OVERLAP),
 }

@@ -337,16 +337,17 @@ class TestEmbeddingAnisotropy:
         assert all(r["n_vecs"] == 10 for r in out)
 
     def test_pandas_stage_sees_moments_not_vectors(self, spark):
-        """Scale gate (VERDICT r4 design note): the applyInPandas group
-        must consume the aggregated (label, i, j) moment cells — O(d²)
-        rows per label — never the raw vectors, so per-label pandas
-        state is bounded regardless of corpus size."""
+        """Scale gate (VERDICT r4 design note): the grouped applyInPandas
+        must consume the per-(label, batch) moment rows produced by the
+        map-side mapInPandas combine — never the raw vectors — so what
+        shuffles and what a group materializes is O(batches · d²), not
+        the corpus."""
         from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
             embedding_anisotropy,
         )
         df = embedding_anisotropy(self._vecs(spark, [[1.0] * 8] * 4))
         plan = df._jdf.queryExecution().executedPlan().toString()
         fmg = plan.index("FlatMapGroupsInPandas")
-        # children print below their parent: the moment aggregation must
-        # sit INSIDE the pandas stage's input subtree
-        assert "HashAggregate" in plan[fmg:], plan
+        # children print below their parent: the moment combine must sit
+        # INSIDE the grouped pandas stage's input subtree
+        assert "MapInPandas" in plan[fmg:], plan
