@@ -480,7 +480,12 @@ def _session_bounce_rate_sql() -> str:
     return f"""
 WITH base AS ({SQL_USER_SESSIONS}),
 daily AS (
-    SELECT strftime(to_timestamp(session_start), '%Y-%m-%d') AS day,
+    -- make_timestamp(micros) is a NAIVE timestamp: TZ-independent,
+    -- unlike to_timestamp(bigint) whose TIMESTAMPTZ renders the day in
+    -- the DuckDB session timezone (caught by the TZ=America/New_York
+    -- verify probe)
+    SELECT strftime(make_timestamp(session_start * 1000000), '%Y-%m-%d')
+               AS day,
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_bounces
