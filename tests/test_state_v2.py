@@ -243,6 +243,116 @@ def test_tws_escalation_spans_microbatches(spark, tmp_path, rocksdb):
 
 
 @pytestmark_integration
+def test_tws_breach_spans_microbatches(spark, tmp_path, rocksdb):
+    """A breach streak split across micro-batches still emits at the
+    3rd consecutive over-SLO window, matching the batch
+    gaps-and-islands twin row for row."""
+    from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+        consecutive_breaches)
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        drain_query, start_memory_sink)
+
+    schema = ("service string, window_start long, window_end long, "
+              "p95_latency double")
+    # auth: breach, breach | breach (emit), ok, breach...; pay: never 3
+    vals = {"auth": [150, 160, 170, 90, 180, 190, 200],
+            "pay": [150, 90, 160, 170, 95, 180, 185]}
+    rows = [dict(service=s, window_start=i * 60, window_end=(i + 1) * 60,
+                 p95_latency=float(v))
+            for s, seq in vals.items() for i, v in enumerate(seq)]
+    rows.sort(key=lambda r: r["window_start"])
+    mid = len(rows) // 2
+    base = tmp_path / "wins"
+    _write(spark, rows[:mid], str(base / "b=0"), schema)
+    time.sleep(1.1)
+    _write(spark, rows[mid:], str(base / "b=1"), schema)
+
+    stream = state_v2.consecutive_breach_tws(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1),
+        limit=3, p95_threshold=100.0)
+    q = start_memory_sink(stream, "tws_breach")
+    drain_query(q)
+
+    batch = consecutive_breaches(
+        spark.createDataFrame(rows, schema),
+        breach=F.col("p95_latency") > 100.0, limit=3,
+    ).select("service", "window_start", "window_end", "p95_latency",
+             "breach_count", "type", "severity")
+    got = {tuple(r) for r in
+           spark.table("tws_breach").select(*batch.columns).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+@pytestmark_integration
+def test_tws_throttle_spans_microbatches(spark, tmp_path, rocksdb):
+    """The per-(service, day) quota is state: spent in batch 1, a
+    same-day batch 2 emits nothing, the next day resets — matching the
+    batch windowed-rank twin."""
+    from realtime_log_analytics_flink_kafka_spark.operators.escalate import (
+        throttle_alerts)
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        drain_query, start_memory_sink)
+
+    schema = "service string, event_id long, ts timestamp, latency_ms double"
+
+    def alerts(ids, day):
+        return [dict(service="auth", event_id=i,
+                     ts=datetime(2024, 1, day, 0, 0, i % 60),
+                     latency_ms=50.0) for i in ids]
+
+    day1, day1b, day2 = (alerts(range(3), 1), alerts(range(5, 8), 1),
+                         alerts(range(10, 13), 2))
+    base = tmp_path / "alerts"
+    _write(spark, day1, str(base / "b=0"), schema)
+    time.sleep(1.1)
+    # batch 2: MORE same-day alerts (quota already spent) + next day
+    _write(spark, day1b + day2, str(base / "b=1"), schema)
+
+    stream = state_v2.throttle_alerts_tws(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1),
+        limit=2)
+    q = start_memory_sink(stream, "tws_throttle")
+    drain_query(q)
+
+    got = {(r.service, r.bucket_start, r.event_id, r.alert_seq)
+           for r in spark.table("tws_throttle").collect()}
+    batch = throttle_alerts(
+        spark.createDataFrame(day1 + day1b + day2, schema), limit=2)
+    want = {(r.service, r.bucket_start, r.event_id, r.alert_seq)
+            for r in batch.collect()}
+    assert got == want and len(want) == 4  # 2 per day
+
+
+@pytestmark_integration
+def test_tws_event_transitions_span_microbatches(spark, tmp_path, rocksdb):
+    """The last-event ValueState carries across micro-batches: the
+    boundary-crossing (click -> purchase) pair is emitted even though
+    its two events arrive in different batches."""
+    from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
+        drain_query, start_memory_sink)
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    seq = ["view", "click", "purchase", "view"]
+    rows = [dict(user_id=7, event_id=i, ts=datetime(2024, 1, 1, 0, 0, i),
+                 event_type=t) for i, t in enumerate(seq)]
+    base = tmp_path / "events"
+    _write(spark, rows[:2], str(base / "b=0"), schema)
+    time.sleep(1.1)
+    _write(spark, rows[2:], str(base / "b=1"), schema)
+
+    stream = state_v2.event_transitions_tws(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1))
+    q = start_memory_sink(stream, "tws_trans")
+    drain_query(q)
+
+    got = [(r.from_type, r.to_type) for r in
+           spark.table("tws_trans").orderBy("ts").collect()]
+    assert got == [("view", "click"), ("click", "purchase"),
+                   ("purchase", "view")]
+
+
+@pytestmark_integration
 def test_tws_native_ttl_expires_counter(spark, tmp_path, rocksdb):
     """W9 TTL on the NATIVE API: the value state written in batch 1
     expires after ttl_ms of wall-clock, so batch 2's sequence restarts
