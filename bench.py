@@ -138,8 +138,10 @@ HEADLINE = [
     "session_bounce_rate",
     "correlated_incidents",
     "tokenizer_fertility",
-    # round-5 addition: the bucketed interval-overlap (range) join
+    # round-5 additions: the bucketed interval-overlap (range) join and
+    # the Misra-Gries heavy-hitter candidate pass with exact recount
     "error_burst_busy_overlap",
+    "frequent_terms",
 ]
 
 

@@ -66,10 +66,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- the three r4 driver-red queries, now on textnorm + det_round ------
     "curation_report", "unigram_surprisal", "segment_dedup",
     # -- new in r5, never driver-checked -----------------------------------
-    # (rotated out: packing_efficiency — driver-green r3, tokenizer-
-    # affected only through token counts, re-proven by the adversarial
-    # parity suite + local sf0.01 value-exact sweep)
-    "error_burst_busy_overlap",
+    # (rotated out: packing_efficiency, mixture_temperature_sweep —
+    # driver-green r3/r4, tokenizer-affected only through token counts,
+    # re-proven by the adversarial parity suite + local sf0.01
+    # value-exact sweep)
+    "error_burst_busy_overlap", "frequent_terms",
     # -- tokenizer-affected, never driver-green (EVIDENCE.md) --------------
     "boilerplate_fraction", "cross_source_overlap", "dedup_token_loss",
     "doc_chunks", "dup_graph_degrees", "perplexity_buckets",
@@ -85,7 +86,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_pair_counts", "cluster_best_representative", "dedup_containment",
     "dedup_incremental", "dedup_threshold_sweep", "dsir_weights",
     "dup_clusters", "duplicate_ngram_spans", "minhash_accuracy",
-    "mixture_temperature_sweep",
     "quality_filter_funnel", "quality_vs_perplexity", "tfidf_top_terms",
     "token_budget_cut", "token_weighted_sample", "tokenizer_fertility",
     "winnowing_pairs", "zipf_fit",

@@ -3471,6 +3471,43 @@ FROM agg
 """
 
 
+# --- Misra-Gries heavy hitters with exact recount ---------------------------
+
+#: support threshold num/den: terms covering >= 0.5% of all tokens
+FREQ_NUM, FREQ_DEN = 1, 200
+
+
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter terms (frequency >= 0.5% of all tokens)
+    with EXACT counts — via operators/sketches.frequent_terms: a
+    map-only Misra-Gries candidate pass (O(k) state per partition, no
+    vocabulary shuffle), broadcast semi-join, exact recount of the
+    candidates only, integer cross-multiplied threshold.  The oracle is
+    the naive full-vocabulary GROUP BY ... HAVING — identical output,
+    which is the point: the sketch changes the plan, not the answer.
+    Output share is detmath.exact_round_div over exact BIGINTs."""
+    from ..operators.sketches import frequent_terms
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(text.ws_tokens(F.col("text"))).alias("term"))
+    hh = frequent_terms(toks, "term", num=FREQ_NUM, den=FREQ_DEN)
+    return hh.select(
+        "term", "n", "total_terms",
+        exact_round_div(F.col("n"), F.col("total_terms"), 6).alias("share"))
+
+
+SQL_FREQUENT_TERMS = f"""
+WITH {TOKENS_CTE},
+t AS (SELECT unnest(toks) AS term FROM tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_terms FROM t)
+SELECT term, CAST(count(*) AS BIGINT) AS n, total_terms,
+       {exact_round_div_sql('count(*)', 'total_terms', 6)} AS share
+FROM t, tot
+GROUP BY term, total_terms
+HAVING count(*) * {FREQ_DEN} >= total_terms * {FREQ_NUM}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tokenizer_fertility": QuerySpec(q_tokenizer_fertility,
                                      _tokenizer_fertility_sql()),
@@ -3581,4 +3618,5 @@ QUERIES: dict[str, QuerySpec] = {
                                        _dedup_threshold_sweep_sql()),
     "embedding_audit": QuerySpec(q_embedding_audit, SQL_EMBEDDING_AUDIT),
     "hourly_profile": QuerySpec(q_hourly_profile, SQL_HOURLY_PROFILE),
+    "frequent_terms": QuerySpec(q_frequent_terms, SQL_FREQUENT_TERMS),
 }

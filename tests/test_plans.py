@@ -25,7 +25,10 @@ ARROW_SANCTIONED = {"frame_samples", "media_resize", "media_decode",
                     "wav_frames",
                     # grouped applyInPandas: per-label eigendecomposition
                     # has no Catalyst expression
-                    "embedding_anisotropy"}
+                    "embedding_anisotropy",
+                    # Misra-Gries candidate pass: per-partition bounded
+                    # summary is imperative by nature (operators/sketches)
+                    "frequent_terms"}
 
 
 def test_no_python_in_any_registry_query(spark):
@@ -89,6 +92,8 @@ NESTED_LOOP_SANCTIONED = {
     # single-row global-aggregate broadcasts (Q11/Q22 scalar subqueries)
     "part_revenue_share": 1,
     "rich_idle_customers": 1,
+    # single-row corpus-total broadcast against the exact recount
+    "frequent_terms": 1,
 }
 
 
