@@ -142,6 +142,10 @@ HEADLINE = [
     # the Misra-Gries heavy-hitter candidate pass with exact recount
     "error_burst_busy_overlap",
     "frequent_terms",
+    # round-5 continued: group-aware train/val split (components + split
+    # projection + straddle audit — the deepest composition over the
+    # minhash subtree)
+    "leakage_safe_split",
 ]
 
 

@@ -69,8 +69,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (rotated out: packing_efficiency, mixture_temperature_sweep —
     # driver-green r3/r4, tokenizer-affected only through token counts,
     # re-proven by the adversarial parity suite + local sf0.01
-    # value-exact sweep)
-    "error_burst_busy_overlap", "frequent_terms",
+    # value-exact sweep; dup_clusters — driver-green r4, its whole
+    # minhash+components subtree is re-proven by leakage_safe_split,
+    # which composes it and adds the split/audit layer)
+    "error_burst_busy_overlap", "frequent_terms", "leakage_safe_split",
     # -- tokenizer-affected, never driver-green (EVIDENCE.md) --------------
     "boilerplate_fraction", "cross_source_overlap", "dedup_token_loss",
     "doc_chunks", "dup_graph_degrees", "perplexity_buckets",
@@ -85,7 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_surprisal", "blocklist_filter", "bm25_search",
     "bpe_pair_counts", "cluster_best_representative", "dedup_containment",
     "dedup_incremental", "dedup_threshold_sweep", "dsir_weights",
-    "dup_clusters", "duplicate_ngram_spans", "minhash_accuracy",
+    "duplicate_ngram_spans", "minhash_accuracy",
     "quality_filter_funnel", "quality_vs_perplexity", "tfidf_top_terms",
     "token_budget_cut", "token_weighted_sample", "tokenizer_fertility",
     "winnowing_pairs", "zipf_fit",

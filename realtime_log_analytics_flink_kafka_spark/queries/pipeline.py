@@ -2023,6 +2023,103 @@ FROM cc JOIN q ON cc.doc_id = q.doc_id
 """
 
 
+# Knuth multiplicative bucket over the dedup GROUP id, reduced mod a
+# prime first so the BIGINT product never overflows on either engine
+# (max operand PRIME * KNUTH ≈ 2.7e15 << 2^63).  Both dialects emit the
+# identical integer DAG, so the split is a pure function of group_id.
+_SPLIT_PRIME = 1_000_003
+_SPLIT_KNUTH = 2_654_435_761
+_SPLIT_TRAIN_PCT = 90
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val split: assign every document to a split by
+    hashing its near-dup GROUP (the MinHash-LSH connected component, or
+    the doc itself when unclustered) so no near-duplicate pair ever
+    straddles train and val — the decontamination discipline a training
+    pipeline needs before any held-out evaluation, reported as a per-split
+    summary plus the straddle audit (``leaky_groups`` must be 0).
+
+    Scale: reuses dup_clusters' bounded-round component propagation; the
+    split is a pure integer projection of group_id (no shuffle beyond the
+    components), the audit is one group_id-keyed aggregation, and the
+    final summary is a 2-row broadcast-joined report."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    comp = dedup.duplicate_components(pairs)
+    groups = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("group_id"),
+            F.col("cluster_id").isNotNull().alias("clustered"))
+    )
+    bucket = (
+        (F.col("group_id") % _SPLIT_PRIME) * _SPLIT_KNUTH
+    ) % _SPLIT_PRIME % 100
+    assigned = groups.withColumn(
+        "split",
+        F.when(bucket < _SPLIT_TRAIN_PCT, F.lit("train")).otherwise(
+            F.lit("val")))
+    leaky = (
+        assigned.groupBy("group_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("leaky_groups"))
+    )
+    summary = assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("group_id").alias("n_groups"),
+        F.sum(F.col("clustered").cast("long")).alias("n_clustered_docs"),
+    )
+    return summary.join(F.broadcast(leaky))
+
+
+def _leakage_safe_split_sql() -> str:
+    return f"""
+WITH RECURSIVE mh AS ({_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh
+    UNION
+    SELECT doc_b, doc_a FROM mh
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       FROM reach GROUP BY node),
+grp AS (
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS group_id,
+           cc.doc_id IS NOT NULL AS clustered
+    FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+),
+assigned AS (
+    SELECT *,
+           CASE WHEN ((group_id % {_SPLIT_PRIME}) * {_SPLIT_KNUTH})
+                     % {_SPLIT_PRIME} % 100 < {_SPLIT_TRAIN_PCT}
+                THEN 'train' ELSE 'val' END AS split
+    FROM grp
+),
+leak AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups FROM (
+        SELECT group_id FROM assigned
+        GROUP BY group_id HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clustered_docs,
+       (SELECT leaky_groups FROM leak) AS leaky_groups
+FROM assigned GROUP BY split
+"""
+
+
 def q_quality_vs_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal-agreement contingency: per language, documents bucketed by
     quality-score tercile × surprisal tercile, with counts — the
@@ -3578,6 +3675,8 @@ QUERIES: dict[str, QuerySpec] = {
     "near_dup_survivors": QuerySpec(q_near_dup_survivors,
                                     _near_dup_survivors_sql()),
     "dup_clusters": QuerySpec(q_dup_clusters, _dup_clusters_sql()),
+    "leakage_safe_split": QuerySpec(q_leakage_safe_split,
+                                    _leakage_safe_split_sql()),
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
     "media_decode": QuerySpec(q_media_decode, _media_decode_sql()),
     "source_mixture": QuerySpec(q_source_mixture, _source_mixture_sql()),

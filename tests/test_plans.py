@@ -73,6 +73,7 @@ NESTED_LOOP_SANCTIONED = {
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
     "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
+    "leakage_safe_split": 1,       # single-row straddle-audit broadcast
     "token_budget_cut": 1,         # single-row token-budget broadcast
     # |services| × |days| spine: distinct-service dim crossed with the
     # single-row min/max day sequence — both sides tiny by construction
