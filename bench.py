@@ -146,6 +146,10 @@ HEADLINE = [
     # projection + straddle audit — the deepest composition over the
     # minhash subtree)
     "leakage_safe_split",
+    # round-5 continued: corpus-statistics fits (entropy over distinct-
+    # value factored det-ln; Heaps over power-of-two prefix buckets)
+    "token_entropy",
+    "heaps_law_fit",
 ]
 
 

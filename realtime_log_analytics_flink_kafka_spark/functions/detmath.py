@@ -344,3 +344,30 @@ def det_round_sql(x: str, scale: int) -> str:
     return (f"((CASE WHEN ({x}) < 0 THEN CAST('-1.0' AS DOUBLE)"
             f" ELSE CAST('1.0' AS DOUBLE) END"
             f" * floor(abs({x}) * {p} + CAST('0.5' AS DOUBLE))) / {p})")
+
+
+#: Highest bit the ceil_pow2 ladder covers: 2^42 prefix positions is
+#: ~4.4e12 documents — beyond any corpus while keeping the CASE ladder
+#: short enough for codegen.
+_CEIL_POW2_MAX_BIT = 42
+
+
+def ceil_pow2(x: Column) -> Column:
+    """Smallest power of two ≥ ``x`` for a POSITIVE BIGINT column, as a
+    literal BIGINT compare ladder — no libm log2 (whose rounding could
+    put an exact power on the wrong side on one engine).  Used to
+    range-bucket monotone positions into log-spaced prefix checkpoints
+    (operators/text.heaps_law_fit).  See :func:`ceil_pow2_sql`."""
+    out = F.when(x <= 1, F.lit(1))
+    for j in range(1, _CEIL_POW2_MAX_BIT + 1):
+        out = out.when(x <= F.lit(2 ** j), F.lit(2 ** j))
+    return out.otherwise(F.lit(2 ** (_CEIL_POW2_MAX_BIT + 1))).cast("long")
+
+
+def ceil_pow2_sql(x: str) -> str:
+    """DuckDB twin of :func:`ceil_pow2` (same ladder constants)."""
+    branches = " ".join(
+        f"WHEN ({x}) <= {2 ** j} THEN {2 ** j}"
+        for j in range(0, _CEIL_POW2_MAX_BIT + 1))
+    return (f"CAST(CASE WHEN ({x}) <= 1 THEN 1 {branches}"
+            f" ELSE {2 ** (_CEIL_POW2_MAX_BIT + 1)} END AS BIGINT)")

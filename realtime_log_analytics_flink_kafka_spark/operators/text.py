@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.detmath import det_round, exact_round_div, int_div, \
-    with_det_ln
+from ..functions.detmath import ceil_pow2, det_round, exact_round_div, \
+    int_div, with_det_ln
 from ..functions.hashing import md5_long
 from ..functions.textnorm import (BPE_PATTERN, PUNCT_REGEX, WS_REGEX,
                                   ascii_lower)
@@ -392,6 +392,68 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.aggregate(F.transform("tcs", lambda x: x["c"]),
                             F.lit(0.0), lambda acc, v: acc + v)
                 / F.col("n_tokens"), 6).alias("mean_surprisal"),
+        )
+    )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the document's OWN unigram
+    distribution: ``H = ln(n) - (1/n)·Σ_t c_t·ln(c_t)`` in nats — the
+    lexical-diversity signal (low = repetitive/templated, ~ln(n) =
+    every token distinct) that complements ``repetition_metrics``
+    (which only sees the single worst gram) and ``unigram_surprisal``
+    (which scores against the corpus model, not the doc itself).
+
+    Determinism: every ln is det_ln (functions/detmath) — and both are
+    factored over DISTINCT integer values, not rows: ln(c) is evaluated
+    once per distinct per-doc count value (a handful of small integers
+    corpus-wide) and broadcast back, ln(n) once per distinct doc length.
+    The Σ c·ln(c) folds in sorted term order (array_sort struct list),
+    so the double is bit-identical across engines under any
+    partitioning; H is emitted UNROUNDED — identical 64-bit inputs
+    through an identical op tree need no rounding.
+
+    Scale shape: one (doc, term) aggregation (map-side combined), two
+    tiny distinct-value ln tables broadcast back, one per-doc fold.
+    Zero-token documents have no terms and are absent (the
+    ``unigram_surprisal`` convention).
+    """
+    tf = term_frequencies(docs, text_col)
+    ln_c = with_det_ln(
+        tf.select("tf").distinct(), F.col("tf"), F.lit(1), "ln_c",
+        pfx="_ec")
+    contrib = (
+        tf.join(F.broadcast(ln_c), "tf")
+        .select(
+            "doc_id", "tf",
+            F.struct(
+                "term",
+                (F.col("tf") * F.col("ln_c")).alias("c"),
+            ).alias("tc"),
+        )
+    )
+    per_doc = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.array_sort(F.collect_list("tc")).alias("tcs"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            F.aggregate(F.transform("tcs", lambda x: x["c"]),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("s_sum"),
+        )
+    )
+    ln_n = with_det_ln(
+        per_doc.select("n_tokens").distinct(), F.col("n_tokens"),
+        F.lit(1), "ln_n", pfx="_en")
+    return (
+        per_doc.join(F.broadcast(ln_n), "n_tokens")
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            (F.col("ln_n") - F.col("s_sum") / F.col("n_tokens"))
+            .alias("entropy"),
         )
     )
 
@@ -798,6 +860,112 @@ def zipf_fit(docs: DataFrame, text_col: str = "text", *,
         F.when(F.col("_den1") != 0.0,
                (F.col("_sy") - F.col("slope") * F.col("_sx")) / F.col("_n"))
             .alias("intercept"),
+        F.when((F.col("_den1") != 0.0) & (F.col("_den2") != 0.0),
+               (F.col("_num1") * F.col("_num1"))
+               / (F.col("_den1") * F.col("_den2")))
+            .alias("r2"),
+    )
+
+
+def heaps_law_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source Heaps'-law fit: OLS slope (β) / intercept (ln K) / r²
+    of ln(vocabulary size) on ln(corpus tokens) over log-spaced corpus
+    prefixes — the vocabulary-growth audit that complements
+    :func:`zipf_fit` (a healthy natural-language source grows V ≈ K·N^β
+    with β ≈ 0.4-0.6; β near 0 = closed template vocabulary, β near 1 =
+    id/hash-like unbounded vocabulary).
+
+    Prefixes are the ingestion order (doc_id), checkpointed at
+    power-of-two positions: bucket k = ceil_pow2(doc_id + 1) is a pure
+    per-row compare ladder (functions/detmath.ceil_pow2 — no libm
+    log2), so cumulative (tokens, vocab) at each checkpoint needs only a
+    per-(source, bucket) aggregation plus a cumsum over the ≤ ~40
+    buckets a source can have.  NO per-source row_number/global sort
+    anywhere — the naive rank-based formulation would single-task-sort
+    each source's documents at 100 TB.  A term enters the vocabulary at
+    its min doc_id, i.e. at bucket ceil_pow2(min_doc_id + 1); the last
+    (partial) bucket is exactly the full-corpus point (N_total,
+    V_total).
+
+    Determinism: x/y via det_ln over checkpoint rows (≤ ~40 per
+    source), BIGINT cumsums exact, the six OLS moments fold in bucket
+    order over an array_sort'ed struct list (zipf_fit's scheme), outputs
+    emitted UNROUNDED.
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select("doc_id", "source",
+                        ws_tokens(F.col(text_col)).alias("_toks"))
+    tok_b = (
+        toked.select("source",
+                     ceil_pow2(F.col("doc_id") + 1).alias("k"),
+                     F.size("_toks").cast("long").alias("nt"))
+        .groupBy("source", "k").agg(F.sum("nt").alias("tok_sum"))
+    )
+    first = (
+        toked.select("doc_id", "source", F.explode("_toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    voc_b = (
+        first.select("source",
+                     ceil_pow2(F.col("first_doc") + 1).alias("k"))
+        .groupBy("source", "k").agg(F.count("*").alias("new_terms"))
+    )
+    spine = (
+        tok_b.join(voc_b, ["source", "k"], "full")
+        .select("source", "k",
+                F.coalesce("tok_sum", F.lit(0)).alias("tok_sum"),
+                F.coalesce("new_terms", F.lit(0)).alias("new_terms"))
+    )
+    w = (Window.partitionBy("source").orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    pts = (
+        spine.select(
+            "source", "k",
+            F.sum("tok_sum").over(w).alias("cum_tokens"),
+            F.sum("new_terms").over(w).alias("cum_vocab"))
+        .filter((F.col("cum_tokens") >= 1) & (F.col("cum_vocab") >= 1))
+    )
+    pts = with_det_ln(pts, F.col("cum_tokens"), F.lit(1), "x", pfx="_hx")
+    pts = with_det_ln(pts, F.col("cum_vocab"), F.lit(1), "y", pfx="_hy")
+    x, y = F.col("x"), F.col("y")
+    elem = F.struct(
+        F.col("k").cast("double").alias("r"),
+        x.alias("sx"), y.alias("sy"),
+        (x * y).alias("sxy"), (x * x).alias("sxx"), (y * y).alias("syy"),
+    )
+    fields = ("r", "sx", "sy", "sxy", "sxx", "syy")
+    zero = F.struct(*[F.lit(0.0).alias(f) for f in fields])
+    agged = (
+        pts.groupBy("source")
+        .agg(F.count("*").alias("n_points"),
+             F.array_sort(F.collect_list(elem)).alias("_es"))
+        .withColumn("_acc", F.aggregate(
+            F.col("_es"), zero,
+            lambda a, e: F.struct(*[(a[f] + e[f]).alias(f)
+                                    for f in fields])))
+    )
+    agged = agged.withColumns({
+        "_n": F.col("n_points").cast("double"),
+        "_sx": F.col("_acc.sx"), "_sy": F.col("_acc.sy"),
+        "_sxy": F.col("_acc.sxy"), "_sxx": F.col("_acc.sxx"),
+        "_syy": F.col("_acc.syy"),
+    }).withColumns({
+        "_num1": F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"),
+        "_den1": F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"),
+        "_den2": F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"),
+    }).withColumn(
+        "beta",
+        F.when(F.col("_den1") != 0.0, F.col("_num1") / F.col("_den1")),
+    )
+    return agged.select(
+        "source",
+        F.col("n_points").cast("long").alias("n_points"),
+        "beta",
+        F.when(F.col("_den1") != 0.0,
+               (F.col("_sy") - F.col("beta") * F.col("_sx")) / F.col("_n"))
+            .alias("ln_k"),
         F.when((F.col("_den1") != 0.0) & (F.col("_den2") != 0.0),
                (F.col("_num1") * F.col("_num1"))
                / (F.col("_den1") * F.col("_den2")))

@@ -71,8 +71,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # re-proven by the adversarial parity suite + local sf0.01
     # value-exact sweep; dup_clusters — driver-green r4, its whole
     # minhash+components subtree is re-proven by leakage_safe_split,
-    # which composes it and adds the split/audit layer)
+    # which composes it and adds the split/audit layer;
+    # dedup_containment, dedup_threshold_sweep — driver-green r4, the
+    # shared minhash/shingle subtree keeps three in-window carriers
+    # (dedup_minhash_lsh, minhash_accuracy, dedup_incremental) and the
+    # adversarial corpus suite re-proves their tokenizer exposure)
     "error_burst_busy_overlap", "frequent_terms", "leakage_safe_split",
+    "token_entropy", "heaps_law_fit",
     # -- tokenizer-affected, never driver-green (EVIDENCE.md) --------------
     "boilerplate_fraction", "cross_source_overlap", "dedup_token_loss",
     "doc_chunks", "dup_graph_degrees", "perplexity_buckets",
@@ -85,8 +90,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_counts", "token_shards", "top_terms_per_source",
     # -- tokenizer-affected, driver-green r3/r4 but re-proof needed --------
     "bigram_surprisal", "blocklist_filter", "bm25_search",
-    "bpe_pair_counts", "cluster_best_representative", "dedup_containment",
-    "dedup_incremental", "dedup_threshold_sweep", "dsir_weights",
+    "bpe_pair_counts", "cluster_best_representative",
+    "dedup_incremental", "dsir_weights",
     "duplicate_ngram_spans", "minhash_accuracy",
     "quality_filter_funnel", "quality_vs_perplexity", "tfidf_top_terms",
     "token_budget_cut", "token_weighted_sample", "tokenizer_fertility",

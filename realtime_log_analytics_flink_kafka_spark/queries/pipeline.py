@@ -1432,6 +1432,48 @@ FROM (
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical-diversity entropy (operators/text.token_entropy):
+    Shannon entropy of the doc's own unigram distribution in nats."""
+    return text.token_entropy(_docs(spark, sf_dir))
+
+
+def _token_entropy_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+tf AS (
+    SELECT doc_id, t AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    GROUP BY doc_id, t
+),
+lnc AS (
+    SELECT tf AS cval,
+           {det_ln_sql_items('tf', '1', 'ln_c', '_ec')}
+    FROM (SELECT DISTINCT tf FROM tf)
+),
+contrib AS (
+    SELECT doc_id, tf, term, tf * ln_c AS contr
+    FROM tf JOIN lnc ON lnc.cval = tf.tf
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           list_reduce(list_prepend(0.0, list(contr ORDER BY term)),
+                       (acc, x) -> acc + x) AS s_sum
+    FROM contrib GROUP BY doc_id
+),
+lnn AS (
+    SELECT n_tokens AS nval,
+           {det_ln_sql_items('n_tokens', '1', 'ln_n', '_en')}
+    FROM (SELECT DISTINCT n_tokens FROM per_doc)
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ln_n - (s_sum / n_tokens) AS entropy
+FROM per_doc JOIN lnn ON lnn.nval = per_doc.n_tokens
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity stratification: each document assigned a
     head/middle/tail tercile of the per-language surprisal distribution
@@ -3317,6 +3359,92 @@ FROM (
 """
 
 
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-growth fit (operators/text.heaps_law_fit):
+    OLS of ln(vocab) on ln(tokens) over power-of-two ingestion
+    prefixes."""
+    return text.heaps_law_fit(_docs(spark, sf_dir))
+
+
+def _heaps_law_fit_sql() -> str:
+    from ..functions.detmath import ceil_pow2_sql
+    fields = ("r", "sx", "sy", "sxy", "sxx", "syy")
+    zero = "struct_pack(" + ", ".join(f"{f} := 0.0" for f in fields) + ")"
+    merge = "struct_pack(" + ", ".join(f"{f} := a.{f} + b.{f}"
+                                       for f in fields) + ")"
+    return f"""
+WITH {TOKENS_CTE},
+tok_b AS (
+    SELECT source, {ceil_pow2_sql('doc_id + 1')} AS k,
+           CAST(sum(len(toks)) AS BIGINT) AS tok_sum
+    FROM tok GROUP BY 1, 2
+),
+first AS (
+    SELECT source, t AS term, min(doc_id) AS first_doc
+    FROM (SELECT doc_id, source, unnest(toks) AS t FROM tok)
+    GROUP BY source, t
+),
+voc_b AS (
+    SELECT source, {ceil_pow2_sql('first_doc + 1')} AS k,
+           CAST(count(*) AS BIGINT) AS new_terms
+    FROM first GROUP BY 1, 2
+),
+spine AS (
+    SELECT COALESCE(tok_b.source, voc_b.source) AS source,
+           COALESCE(tok_b.k, voc_b.k) AS k,
+           COALESCE(tok_sum, 0) AS tok_sum,
+           COALESCE(new_terms, 0) AS new_terms
+    FROM tok_b FULL JOIN voc_b
+      ON tok_b.source = voc_b.source AND tok_b.k = voc_b.k
+),
+pts AS (
+    SELECT source, k, cum_tokens, cum_vocab
+    FROM (
+        SELECT source, k,
+               CAST(sum(tok_sum) OVER (PARTITION BY source ORDER BY k
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(sum(new_terms) OVER (PARTITION BY source ORDER BY k
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        FROM spine
+    )
+    WHERE cum_tokens >= 1 AND cum_vocab >= 1
+),
+lned AS (
+    SELECT source, k,
+           {det_ln_sql_items('cum_tokens', '1', 'x', '_hx')},
+           {det_ln_sql_items('cum_vocab', '1', 'y', '_hy')}
+    FROM pts
+),
+elems AS (
+    SELECT source,
+           struct_pack(r := CAST(k AS DOUBLE), sx := x, sy := y,
+                       sxy := x * y, sxx := x * x, syy := y * y) AS e
+    FROM lned
+),
+folded AS (
+    SELECT source, count(*) AS n_points,
+           list_reduce(list_prepend({zero}, list_sort(list(e))),
+                       (a, b) -> {merge}) AS acc
+    FROM elems GROUP BY source
+)
+SELECT source, n_points, beta,
+       CASE WHEN den1 <> 0.0 THEN (sy - (beta * sx)) / nn END AS ln_k,
+       CASE WHEN den1 <> 0.0 AND den2 <> 0.0
+            THEN (num1 * num1) / (den1 * den2) END AS r2
+FROM (
+    SELECT source, n_points,
+           CAST(n_points AS DOUBLE) AS nn,
+           acc.sx AS sx, acc.sy AS sy, acc.sxy AS sxy,
+           acc.sxx AS sxx, acc.syy AS syy,
+           (nn * sxy) - (sx * sy) AS num1,
+           (nn * sxx) - (sx * sx) AS den1,
+           (nn * syy) - (sy * sy) AS den2,
+           CASE WHEN den1 <> 0.0 THEN num1 / den1 END AS beta
+    FROM folded
+)
+"""
+
+
 # --- Matryoshka truncation audit ---------------------------------------------
 
 def q_embedding_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3622,6 +3750,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_truncation": QuerySpec(q_embedding_truncation,
                                       _embedding_truncation_sql()),
     "zipf_fit": QuerySpec(q_zipf_fit, _zipf_fit_sql()),
+    "heaps_law_fit": QuerySpec(q_heaps_law_fit, _heaps_law_fit_sql()),
     "winnowing_pairs": QuerySpec(q_winnowing_pairs, _winnowing_pairs_sql()),
     "minhash_accuracy": QuerySpec(q_minhash_accuracy, _minhash_accuracy_sql()),
     "cross_source_overlap": QuerySpec(q_cross_source_overlap,
@@ -3682,6 +3811,7 @@ QUERIES: dict[str, QuerySpec] = {
     "source_mixture": QuerySpec(q_source_mixture, _source_mixture_sql()),
     "perplexity_buckets": QuerySpec(q_perplexity_buckets,
                                     SQL_PERPLEXITY_BUCKETS),
+    "token_entropy": QuerySpec(q_token_entropy, _token_entropy_sql()),
     "unigram_surprisal": QuerySpec(q_unigram_surprisal,
                                    SQL_UNIGRAM_SURPRISAL),
     "embedding_quantization": QuerySpec(q_embedding_quantization,

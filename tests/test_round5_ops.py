@@ -1,4 +1,5 @@
-"""Round-5 composed ops: leakage-safe train/val split.
+"""Round-5 composed ops: leakage-safe train/val split, token entropy,
+Heaps'-law vocabulary-growth fit.
 
 Cross-engine value parity is covered by the parametrized oracle sweeps
 (test_oracle_parity / test_adversarial_parity — the query's SQL touches
@@ -8,7 +9,9 @@ invariants the summary can't be trusted without.
 
 from __future__ import annotations
 
-from realtime_log_analytics_flink_kafka_spark.operators import dedup
+import math
+
+from realtime_log_analytics_flink_kafka_spark.operators import dedup, text
 from realtime_log_analytics_flink_kafka_spark.queries import all_queries
 from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
     MINHASH_THRESHOLD, _SPLIT_KNUTH, _SPLIT_PRIME, _SPLIT_TRAIN_PCT, _docs)
@@ -59,3 +62,61 @@ def test_split_bucket_distribution():
     train = sum(1 for g in range(n) if _bucket(g) < _SPLIT_TRAIN_PCT)
     assert abs(train / n - _SPLIT_TRAIN_PCT / 100) < 0.01
     assert (_SPLIT_PRIME - 1) * _SPLIT_KNUTH < 2 ** 63
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_token_entropy_planted(spark):
+    df = _doc_df(spark, [
+        (0, "s", "a a a a"),          # degenerate: H = 0
+        (1, "s", "a b c d"),          # uniform distinct: H = ln(4)
+        (2, "s", "a a b b"),          # two symbols, even: H = ln(2)
+        (3, "s", ""),                 # zero tokens: absent
+    ])
+    rows = {r["doc_id"]: r for r in text.token_entropy(df).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["entropy"] == 0.0
+    assert abs(rows[1]["entropy"] - math.log(4)) < 1e-12
+    assert abs(rows[2]["entropy"] - math.log(2)) < 1e-12
+    assert (rows[1]["n_tokens"], rows[1]["n_distinct"]) == (4, 4)
+    assert (rows[2]["n_tokens"], rows[2]["n_distinct"]) == (4, 2)
+
+
+def test_token_entropy_bounds_on_fixture(spark):
+    """0 <= H <= ln(n_distinct) (uniform maximizes entropy) on real data."""
+    out = text.token_entropy(_docs(spark, SF_SMOKE)).collect()
+    assert out
+    for r in out:
+        assert -1e-12 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-9
+
+
+def test_heaps_law_fit_planted(spark):
+    # closed vocabulary: every doc the same token -> V constant 1,
+    # y = ln(1) = 0 at every checkpoint -> beta == 0 exactly
+    closed = _doc_df(spark, [(i, "closed", "tok tok tok") for i in range(8)])
+    # open vocabulary: every doc introduces 3 brand-new terms -> V grows
+    # linearly with N -> beta near 1
+    open_ = _doc_df(spark, [
+        (i, "open", f"w{3 * i} w{3 * i + 1} w{3 * i + 2}") for i in range(8)])
+    rows = {r["source"]: r
+            for r in text.heaps_law_fit(closed.union(open_)).collect()}
+    assert rows["closed"]["beta"] == 0.0
+    assert rows["open"]["beta"] > 0.95
+    # 8 docs -> prefix checkpoints at doc_id+1 <= {1, 2, 4, 8}
+    assert rows["closed"]["n_points"] == 4
+    assert rows["open"]["r2"] > 0.99
+
+
+def test_heaps_law_fit_fixture_sane(spark):
+    out = {r["source"]: r
+           for r in text.heaps_law_fit(_docs(spark, SF_SMOKE)).collect()}
+    assert out
+    fitted = [r for r in out.values() if r["beta"] is not None]
+    # degenerate sources (one checkpoint -> den1 = 0) emit NULL, not junk
+    assert fitted
+    for r in fitted:
+        # vocabulary can only grow sublinearly-or-linearly: 0 <= beta <= 1
+        assert -1e-9 <= r["beta"] <= 1 + 1e-9
+        assert r["r2"] is None or 0.0 <= r["r2"] <= 1 + 1e-9
