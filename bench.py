@@ -150,6 +150,8 @@ HEADLINE = [
     # value factored det-ln; Heaps over power-of-two prefix buckets)
     "token_entropy",
     "heaps_law_fit",
+    # prefix-filtered exact-Jaccard self-join (AllPairs/PPJoin candidates)
+    "jaccard_prefix_join",
 ]
 
 

@@ -77,7 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (dedup_minhash_lsh, minhash_accuracy, dedup_incremental) and the
     # adversarial corpus suite re-proves their tokenizer exposure)
     "error_burst_busy_overlap", "frequent_terms", "leakage_safe_split",
-    "token_entropy", "heaps_law_fit",
+    "token_entropy", "heaps_law_fit", "jaccard_prefix_join",
     # -- tokenizer-affected, never driver-green (EVIDENCE.md) --------------
     "boilerplate_fraction", "cross_source_overlap", "dedup_token_loss",
     "doc_chunks", "dup_graph_degrees", "perplexity_buckets",
@@ -90,8 +90,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_counts", "token_shards", "top_terms_per_source",
     # -- tokenizer-affected, driver-green r3/r4 but re-proof needed --------
     "bigram_surprisal", "blocklist_filter", "bm25_search",
+    # (dsir_weights rotated out: driver-green r4; its det-ln-over-
+    # broadcast-vocab shape keeps the two surprisal carriers in-window)
     "bpe_pair_counts", "cluster_best_representative",
-    "dedup_incremental", "dsir_weights",
+    "dedup_incremental",
     "duplicate_ngram_spans", "minhash_accuracy",
     "quality_filter_funnel", "quality_vs_perplexity", "tfidf_top_terms",
     "token_budget_cut", "token_weighted_sample", "tokenizer_fertility",

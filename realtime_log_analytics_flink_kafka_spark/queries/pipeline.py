@@ -151,6 +151,61 @@ WHERE {exact_round_div_sql('len(list_intersect(a.hset, b.hset))', '(len(a.hset) 
 """
 
 
+# exact-Jaccard threshold as a rational (= JACCARD_THRESHOLD): every
+# prefix/length/verify filter cross-multiplies integers — no float
+# compare in the pair-selection path on either engine.
+_PJ_T_NUM, _PJ_T_DEN = 1, 5
+
+
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard ≥ 0.2 self-join
+    (operators/dedup.prefix_jaccard_pairs — AllPairs/PPJoin candidate
+    scheme): guaranteed-complete near-dup pairs without LSH's
+    probabilistic recall or the shared-shingle join's Σ d² cost."""
+    return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir),
+                                      t_num=_PJ_T_NUM, t_den=_PJ_T_DEN)
+
+
+def _jaccard_prefix_join_sql() -> str:
+    tn, td = _PJ_T_NUM, _PJ_T_DEN
+    return f"""
+WITH {SHINGLE_CTES},
+hsd AS (SELECT DISTINCT doc_id, h FROM hs),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+          FROM hsd GROUP BY doc_id),
+dfh AS (SELECT h, count(*) AS df FROM hsd GROUP BY h),
+ordered AS (
+    SELECT hsd.doc_id, hsd.h, sizes.sz,
+           row_number() OVER (PARTITION BY hsd.doc_id
+                              ORDER BY dfh.df ASC, hsd.h ASC) AS pos
+    FROM hsd JOIN dfh ON hsd.h = dfh.h
+             JOIN sizes ON hsd.doc_id = sizes.doc_id
+),
+pre AS (
+    SELECT doc_id, h, sz FROM ordered
+    WHERE pos <= sz - ((sz * {tn} + {td - 1}) // {td}) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sz AS sz_a, b.sz AS sz_b
+    FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+    WHERE greatest(a.sz, b.sz) * {tn} <= least(a.sz, b.sz) * {td}
+),
+ver AS (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
+           sz_a + sz_b
+               - CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT)
+               AS uni
+    FROM cand JOIN hsets ha ON cand.doc_a = ha.doc_id
+              JOIN hsets hb ON cand.doc_b = hb.doc_id
+)
+SELECT doc_a, doc_b, inter, uni,
+       {exact_round_div_sql('inter', 'uni')} AS jaccard
+FROM ver WHERE inter * {td} >= uni * {tn}
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3772,6 +3827,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _minhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "jaccard_prefix_join": QuerySpec(q_jaccard_prefix_join,
+                                     _jaccard_prefix_join_sql()),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_sql()),
     "simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql()),
     "embedding_near_dups": QuerySpec(q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),

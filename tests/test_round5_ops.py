@@ -120,3 +120,32 @@ def test_heaps_law_fit_fixture_sane(spark):
         # vocabulary can only grow sublinearly-or-linearly: 0 <= beta <= 1
         assert -1e-9 <= r["beta"] <= 1 + 1e-9
         assert r["r2"] is None or 0.0 <= r["r2"] <= 1 + 1e-9
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    """Prefix filtering is an OPTIMIZATION with a completeness proof —
+    the output must equal the brute-force all-pairs exact Jaccard at the
+    threshold, computed here independently from the same shingle sets
+    (exact rational compare, no rounding)."""
+    from fractions import Fraction
+
+    docs = _docs(spark, SF_SMOKE)
+    sets: dict[int, set[int]] = {}
+    for r in dedup.shingle_hashes(docs).distinct().collect():
+        sets.setdefault(r["doc_id"], set()).add(r["h"])
+    t = Fraction(1, 5)
+    expected = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and Fraction(inter, uni) >= t:
+                expected.add((a, b))
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+           for r in dedup.prefix_jaccard_pairs(docs).collect()}
+    assert set(got) == expected
+    assert expected, "smoke fixture must contain at least one pair"
+    for (a, b), (inter, uni) in got.items():
+        assert inter == len(sets[a] & sets[b])
+        assert uni == len(sets[a] | sets[b])
