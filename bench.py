@@ -152,6 +152,8 @@ HEADLINE = [
     "heaps_law_fit",
     # prefix-filtered exact-Jaccard self-join (AllPairs/PPJoin candidates)
     "jaccard_prefix_join",
+    # per-source Pearson matrix over integer-exact signal moments
+    "signal_correlations",
 ]
 
 

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # adversarial corpus suite re-proves their tokenizer exposure)
     "error_burst_busy_overlap", "frequent_terms", "leakage_safe_split",
     "token_entropy", "heaps_law_fit", "jaccard_prefix_join",
+    "signal_correlations",
     # -- tokenizer-affected, never driver-green (EVIDENCE.md) --------------
     "boilerplate_fraction", "cross_source_overlap", "dedup_token_loss",
     "doc_chunks", "dup_graph_degrees", "perplexity_buckets",
@@ -89,9 +90,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_scores", "repetition_filters", "simhash_pairs",
     "token_counts", "token_shards", "top_terms_per_source",
     # -- tokenizer-affected, driver-green r3/r4 but re-proof needed --------
-    "bigram_surprisal", "blocklist_filter", "bm25_search",
-    # (dsir_weights rotated out: driver-green r4; its det-ln-over-
-    # broadcast-vocab shape keeps the two surprisal carriers in-window)
+    "bigram_surprisal", "bm25_search",
+    # (dsir_weights, blocklist_filter rotated out: driver-green r4;
+    # dsir's det-ln-over-broadcast-vocab shape keeps the two surprisal
+    # carriers in-window, blocklist's broadcast-shingle-gate shape keeps
+    # decontamination in-window)
     "bpe_pair_counts", "cluster_best_representative",
     "dedup_incremental",
     "duplicate_ngram_spans", "minhash_accuracy",

@@ -1529,6 +1529,138 @@ FROM per_doc JOIN lnn ON lnn.nval = per_doc.n_tokens
 """
 
 
+def q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation matrix between the three
+    independent per-doc curation signals — quality score, token entropy,
+    token count — the length-bias / signal-redundancy audit ("is the
+    quality score just measuring length?") run before trusting any one
+    signal as a filter.
+
+    Determinism without ordered folds: every per-row signal is an
+    INTEGER (q_e4 is exact by construction; entropy — bit-identical
+    cross-engine — is quantized to ``floor(H·1000 + 0.5)``, exact IEEE
+    ops), so all nine moment sums are order-independent exact decimal
+    arithmetic (DECIMAL(38) / HUGEINT — no float drift to control).
+    The only doubles appear at the very end: moments cross to double
+    via CAST(CAST(m AS STRING) AS DOUBLE) — decimal→string is exact and
+    string→double is correctly-rounded strtod/parseDouble on BOTH
+    engines, sidestepping any direct decimal→double rounding
+    difference — then r = num/sqrt(den1·den2) is three
+    correctly-rounded IEEE ops (sqrt included) on identical inputs.
+
+    Scale: one projection for the signals, one map-side-combinable
+    aggregation per source, a per-source scalar epilogue.  Moment
+    magnitude bound: |x·y| ≤ 1.5e8 per row → exact up to ~1e29 rows per
+    source inside DECIMAL(38).
+    """
+    docs = _docs(spark, sf_dir)
+    ent = text.token_entropy(docs)
+    e = text.quality_exprs()
+    q = docs.select("doc_id", "source",
+                    e["quality_score_e4"].alias("q_e4"))
+    j = (
+        ent.join(q, "doc_id")
+        .filter(F.col("q_e4").isNotNull())
+        .select(
+            "source",
+            F.col("q_e4").alias("x"),
+            F.floor(F.col("entropy") * F.lit(1000.0) + F.lit(0.5))
+                .cast("long").alias("y"),
+            F.col("n_tokens").alias("z"),
+        )
+    )
+
+    def dsum(c, name):
+        return F.sum(c.cast("decimal(38,0)")).alias(name)
+
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+    mo = j.groupBy("source").agg(
+        F.count("*").alias("n"),
+        dsum(x, "sx"), dsum(y, "sy"), dsum(z, "sz"),
+        dsum(x * x, "sxx"), dsum(y * y, "syy"), dsum(z * z, "szz"),
+        dsum(x * y, "sxy"), dsum(x * z, "sxz"), dsum(y * z, "syz"),
+    )
+    nh = F.col("n").cast("decimal(20,0)")
+    mo = mo.withColumns({
+        "_num_xy": nh * F.col("sxy") - F.col("sx") * F.col("sy"),
+        "_num_xz": nh * F.col("sxz") - F.col("sx") * F.col("sz"),
+        "_num_yz": nh * F.col("syz") - F.col("sy") * F.col("sz"),
+        "_den_x": nh * F.col("sxx") - F.col("sx") * F.col("sx"),
+        "_den_y": nh * F.col("syy") - F.col("sy") * F.col("sy"),
+        "_den_z": nh * F.col("szz") - F.col("sz") * F.col("sz"),
+    })
+
+    def dd(name):
+        return F.col(name).cast("string").cast("double")
+
+    def r(num, d1, d2):
+        return F.when(
+            (F.col(d1) > 0) & (F.col(d2) > 0),
+            dd(num) / F.sqrt(dd(d1) * dd(d2)))
+
+    return mo.select(
+        "source", F.col("n").cast("long").alias("n_docs"),
+        r("_num_xy", "_den_x", "_den_y").alias("r_quality_entropy"),
+        r("_num_xz", "_den_x", "_den_z").alias("r_quality_length"),
+        r("_num_yz", "_den_y", "_den_z").alias("r_entropy_length"),
+    )
+
+
+def _signal_correlations_sql() -> str:
+    ent = _token_entropy_sql()
+    moments = ",\n           ".join(
+        f"sum(CAST({expr} AS HUGEINT)) AS {name}" for expr, name in [
+            ("x", "sx"), ("y", "sy"), ("z", "sz"),
+            ("x*x", "sxx"), ("y*y", "syy"), ("z*z", "szz"),
+            ("x*y", "sxy"), ("x*z", "sxz"), ("y*z", "syz"),
+        ])
+
+    def r(num, d1, d2):
+        def dd(m):
+            return f"CAST(CAST({m} AS VARCHAR) AS DOUBLE)"
+        return (f"CASE WHEN {d1} > 0 AND {d2} > 0 THEN "
+                f"{dd(num)} / sqrt({dd(d1)} * {dd(d2)}) END")
+
+    return f"""
+WITH {TOKENS_CTE},
+{_QUALITY_M_CTES},
+qd AS (
+    SELECT q0.doc_id, d.source, q0.q_e4
+    FROM (SELECT doc_id, ({_QUALITY_E4}) AS q_e4 FROM m2) q0
+    JOIN documents d ON q0.doc_id = d.doc_id
+),
+ent AS ({ent}),
+j AS (
+    SELECT source, q_e4 AS x,
+           CAST(floor(entropy * CAST('1000.0' AS DOUBLE)
+                      + CAST('0.5' AS DOUBLE)) AS BIGINT) AS y,
+           ent.n_tokens AS z
+    FROM ent JOIN qd ON ent.doc_id = qd.doc_id
+    WHERE q_e4 IS NOT NULL
+),
+mo AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           {moments}
+    FROM j GROUP BY source
+),
+f AS (
+    SELECT *,
+           CAST(n AS HUGEINT) * sxy - sx * sy AS num_xy,
+           CAST(n AS HUGEINT) * sxz - sx * sz AS num_xz,
+           CAST(n AS HUGEINT) * syz - sy * sz AS num_yz,
+           CAST(n AS HUGEINT) * sxx - sx * sx AS den_x,
+           CAST(n AS HUGEINT) * syy - sy * sy AS den_y,
+           CAST(n AS HUGEINT) * szz - sz * sz AS den_z
+    FROM mo
+)
+SELECT source, n AS n_docs,
+       {r('num_xy', 'den_x', 'den_y')} AS r_quality_entropy,
+       {r('num_xz', 'den_x', 'den_z')} AS r_quality_length,
+       {r('num_yz', 'den_y', 'den_z')} AS r_entropy_length
+FROM f
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity stratification: each document assigned a
     head/middle/tail tercile of the per-language surprisal distribution
@@ -3869,6 +4001,8 @@ QUERIES: dict[str, QuerySpec] = {
     "perplexity_buckets": QuerySpec(q_perplexity_buckets,
                                     SQL_PERPLEXITY_BUCKETS),
     "token_entropy": QuerySpec(q_token_entropy, _token_entropy_sql()),
+    "signal_correlations": QuerySpec(q_signal_correlations,
+                                     _signal_correlations_sql()),
     "unigram_surprisal": QuerySpec(q_unigram_surprisal,
                                    SQL_UNIGRAM_SURPRISAL),
     "embedding_quantization": QuerySpec(q_embedding_quantization,

@@ -149,3 +149,35 @@ def test_prefix_jaccard_matches_bruteforce(spark):
     for (a, b), (inter, uni) in got.items():
         assert inter == len(sets[a] & sets[b])
         assert uni == len(sets[a] | sets[b])
+
+
+def test_signal_correlations_planted(spark, tmp_path):
+    """Perfect positive/negative correlation on planted data: quality
+    rises (falls) monotonically-linearly with length in src_pos
+    (src_neg) via token count, and |r| is exactly 1 for the linear
+    pair."""
+    import pyspark.sql.functions as F
+    from realtime_log_analytics_flink_kafka_spark.queries import all_queries
+
+    # docs whose TOKEN COUNT is linear in doc_id: entropy/quality move
+    # with length deterministically.  Write as parquet so the query fn
+    # (which loads documents.parquet) can run unchanged.
+    rows = []
+    for i in range(12):
+        # all-distinct tokens: entropy = ln(n), n = 5 + i
+        toks = " ".join(f"w{i}x{j}" for j in range(5 + i))
+        rows.append((i, toks, "en", "src_lin", len(toks)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "planted"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {r["source"]: r for r in
+           all_queries()["signal_correlations"].fn(spark, str(d)).collect()}
+    r = out["src_lin"]
+    assert r["n_docs"] == 12
+    # entropy = ln(n) and length = n: strictly monotone pairing in a
+    # single source -> strong positive correlation for every pair
+    assert r["r_entropy_length"] > 0.97
+    assert -1 - 1e-9 <= r["r_quality_entropy"] <= 1 + 1e-9
+    assert -1 - 1e-9 <= r["r_quality_length"] <= 1 + 1e-9
