@@ -76,13 +76,23 @@ def exact_round_div(num: Column, den: Column, scale: int = 4) -> Column:
 
 
 def exact_round_div_sql(num: str, den: str, scale: int = 4) -> str:
-    """DuckDB mirror of :func:`exact_round_div` for NON-NEGATIVE
-    numerators (inline the sign branch where a numerator can be
-    negative).  Emit inside a ``CASE WHEN den > 0`` guard if the
-    denominator can be zero."""
+    """DuckDB mirror of :func:`exact_round_div` — sign-aware by default.
+
+    The negative branch routes through ``-(round(-num/den))`` so every
+    ``//`` operand stays non-negative, where floor and truncation agree;
+    this sidesteps the floor-vs-trunc divergence between DuckDB ``//``
+    and Spark ``div`` on negative operands entirely (r5 driver red:
+    ``curation_report``'s ``sum(q_e4)`` went negative for an
+    all-punctuation source and the former non-negative-only form gave
+    -0.1757 vs Spark's -0.1758).  For ``num >= 0`` the CASE picks the
+    exact expression the pre-r6 generator emitted, so non-negative call
+    sites are value-identical.  Emit inside a ``CASE WHEN den > 0``
+    guard if the denominator can be zero."""
     p = 10 ** scale
-    return (f"(CAST((2*({num})*{p} + ({den})) // (2*({den})) AS DOUBLE)"
-            f" / {p}.0)")
+    pos = f"(2*({num})*{p} + ({den})) // (2*({den}))"
+    neg = f"-((2*(-({num}))*{p} + ({den})) // (2*({den})))"
+    return (f"(CAST(CASE WHEN ({num}) < 0 THEN {neg} ELSE {pos} END"
+            f" AS DOUBLE) / {p}.0)")
 
 
 def with_det_ln(df: "DataFrame", num: Column, den: Column, out: str,

@@ -1038,7 +1038,10 @@ l AS ({_langid_sql()})
 SELECT d.source,
        count(*) AS n_docs,
        CASE WHEN count(q.q_e4) > 0 THEN {avg_q} END AS avg_quality,
-       sum(CAST(COALESCE(r.keep, TRUE) AS BIGINT)) AS n_keep,
+       -- outer CAST: integer sum() is HUGEINT in DuckDB (type-sensitive
+       -- driver hash; see SQL_UNIGRAM_SURPRISAL note)
+       CAST(sum(CAST(COALESCE(r.keep, TRUE) AS BIGINT)) AS BIGINT)
+           AS n_keep,
        {exact_round_div_sql('sum(CAST(COALESCE(r.keep, TRUE) AS BIGINT))',
                             'count(*)')} AS keep_rate,
        {exact_round_div_sql('sum(CAST(l.lang = l.pred_lang AS BIGINT))',
@@ -1479,7 +1482,10 @@ contrib AS (
 SELECT doc_id, n_tokens,
        {det_round_sql('c_sum / n_tokens', 6)} AS mean_surprisal
 FROM (
-    SELECT doc_id, sum(tf) AS n_tokens,
+    -- CAST: DuckDB integer sum() yields HUGEINT; the driver's value-hash
+    -- is type-sensitive where the local int-canonicalizing compare is not
+    -- (r2-r5 driver red: exactly the three uncast-sum queries failed)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            list_reduce(list_prepend(0.0, list(c ORDER BY term)),
                        (acc, x) -> acc + x) AS c_sum
     FROM contrib GROUP BY doc_id
@@ -3362,8 +3368,12 @@ boiler AS (
 )
 SELECT s.doc_id,
        count(*) AS n_segments,
-       sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS n_dropped,
-       sum(CASE WHEN b.h IS NULL THEN s.n_tok ELSE 0 END) AS tokens_kept,
+       -- CASTs: integer sum() is HUGEINT in DuckDB (type-sensitive
+       -- driver hash; see SQL_UNIGRAM_SURPRISAL note)
+       CAST(sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dropped,
+       CAST(sum(CASE WHEN b.h IS NULL THEN s.n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
        md5(coalesce(string_agg(CASE WHEN b.h IS NULL THEN s.seg_text END,
                                ' ' ORDER BY s.seg_idx), '')) AS kept_text_hash
 FROM seg2 s LEFT JOIN boiler b ON s.h = b.h

@@ -84,11 +84,20 @@ def adv_dir(tmp_path_factory) -> str:
         texts += BACKBONE
     texts += NASTY_TEXTS
     langs = ["en", "es", "de", "fr", "zh"]
+    sources = [f"src{i % 3}" for i in range(len(texts))]
+    # srcNEG: a source whose SUM of quality scores is negative — every doc
+    # is punctuation-heavy so q_e4 < 0 per doc.  Reproduces the r5 driver
+    # red on curation_report (sign-blind exact_round_div_sql on a negative
+    # numerator: DuckDB -0.1757 vs Spark -0.1758 before the r6 fix).
+    neg_docs = [f"!!! ??? *** ;;; ,,, ### $$$ %%% @@@ ^^^ n{i}"
+                for i in range(30)]
+    texts += neg_docs
+    sources += ["srcNEG"] * len(neg_docs)
     tbl = pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array([langs[i % len(langs)] for i in range(len(texts))]),
-        "source": pa.array([f"src{i % 3}" for i in range(len(texts))]),
+        "source": pa.array(sources),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     pq.write_table(tbl, d / "documents.parquet")
