@@ -360,6 +360,23 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     any partitioning and matches the oracle's ordered list_reduce
     bit-for-bit — no drift left for round(6) to absorb.
     """
+    return surprisal_sums(docs, text_col).select(
+        "doc_id", "n_tokens",
+        # det_round, not F.round: the folded sum is bit-identical
+        # cross-engine by construction, but engine-native double
+        # rounding is not (detmath module docstring, class 1)
+        det_round(F.col("c_sum") / F.col("n_tokens"), 6)
+        .alias("mean_surprisal"),
+    )
+
+
+def surprisal_sums(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The per-doc layer under :func:`unigram_surprisal`:
+    (doc_id, n_tokens, c_sum) where ``c_sum`` is the sorted-term-order
+    fold of ``tf·ln(T/ctf)`` — bit-identical cross-engine by
+    construction, exposed separately so the r6 driver-bisection
+    diagnostics can hash its integer projection without the final
+    rounding/division layer."""
     tf = term_frequencies(docs, text_col)
     ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     total = ctf.agg(F.sum("ctf").alias("T"))
@@ -385,13 +402,8 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select(
             "doc_id", "n_tokens",
-            # det_round, not F.round: the folded sum is bit-identical
-            # cross-engine by construction, but engine-native double
-            # rounding is not (detmath module docstring, class 1)
-            det_round(
-                F.aggregate(F.transform("tcs", lambda x: x["c"]),
-                            F.lit(0.0), lambda acc, v: acc + v)
-                / F.col("n_tokens"), 6).alias("mean_surprisal"),
+            F.aggregate(F.transform("tcs", lambda x: x["c"]),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("c_sum"),
         )
     )
 

@@ -35,74 +35,51 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ==== round-5 evidence policy =========================================
-    # Round 5 changed TWO cross-cutting layers, so the front-50 is chosen
-    # from EVIDENCE.md (tools/evidence.py) as: every tokenizer-affected
-    # query first, then the riskiest rounding-affected carriers.
+    # ==== round-6 evidence policy =========================================
+    # The window is exactly: (a) the three four-round-red queries, now on
+    # the r6 fixes (BIGINT casts over DuckDB's HUGEINT integer-sum
+    # outputs — the only three oracles that emitted one — plus the
+    # sign-aware exact_round_div_sql for curation_report's negative
+    # quality sum); (b) five TEMPORARY integer-only diagnostics that
+    # decompose them layer-by-layer so a surviving red names its layer
+    # in CORRECTNESS_r06 (VERDICT r5 #2); (c) the three never-checked
+    # queries (VERDICT r5 #5); (d) FIFTEEN carriers for the one changed
+    # SQL construct — 42 oracles call the now-sign-aware
+    # exact_round_div_sql generator, but the emitted construct is
+    # IDENTICAL at every site (CASE + non-negative // branch), every
+    # numerator outside curation_report is provably non-negative (counts
+    # / lengths / conditional sums), the output type is unchanged
+    # (DOUBLE), and NULL propagation is unchanged (NULL < 0 is false →
+    # ELSE branch), so carriers spanning all four query modules, both
+    # scales (4 and 6), NULL-guarded and coalesced numerators cover the
+    # class — same structural-carrier policy r5 used for det_round, with
+    # the rest re-proven by the sf0.01 value-exact sweep; (e) the full
+    # r2-stale cohort (15) plus the nine oldest r3-stale, so after r6 no
+    # query's last driver check is older than r3 (VERDICT r5 #7).
     #
-    # 1. textnorm (functions/textnorm.py): every tokenization/lowercase
-    #    path now uses an explicit separator class + ASCII translate()
-    #    lowercase in BOTH dialects — the r4 driver hash failures were
-    #    Java-vs-RE2 \s (U+000B) and JVM-vs-utf8proc lower('İ')
-    #    divergence on driver-corpus characters the local fixtures
-    #    lacked.  All 47 queries whose oracle SQL tokenizes documents
-    #    are in this front: driver data is exactly where local evidence
-    #    was insufficient (tests/test_adversarial_parity.py now covers
-    #    the divergent classes locally, and fails on the pre-r5 code).
-    #
-    # 2. det_round/exact_round_div (functions/detmath.py): every engine-
-    #    native round() of a computed double in an oracle-paired path was
-    #    replaced by an identical-DAG twin in both dialects.  The 32
-    #    rounding-affected-only queries that don't fit the window rotate
-    #    on local sf0.001/sf0.01 value-exact parity plus the structural
-    #    argument (the twin is the SAME IEEE DAG on both engines, so the
-    #    divergence class the swap addresses cannot reappear); three
-    #    high-risk carriers representing each swapped family are in:
-    #    error_rate_sliding (guarded_ratio -> exact_round_div, the A2
-    #    carrier), escalation_metrics_daily (null-skipping avg_p95 +
-    #    ratio), knn_bruteforce (cosine det_round, representative of the
-    #    whole similarity family, driver-stale since r2).
-    #
-    # -- the three r4 driver-red queries, now on textnorm + det_round ------
+    # -- (a) the three fixed reds ------------------------------------------
     "curation_report", "unigram_surprisal", "segment_dedup",
-    # -- new in r5, never driver-checked -----------------------------------
-    # (rotated out: packing_efficiency, mixture_temperature_sweep —
-    # driver-green r3/r4, tokenizer-affected only through token counts,
-    # re-proven by the adversarial parity suite + local sf0.01
-    # value-exact sweep; dup_clusters — driver-green r4, its whole
-    # minhash+components subtree is re-proven by leakage_safe_split,
-    # which composes it and adds the split/audit layer;
-    # dedup_containment, dedup_threshold_sweep — driver-green r4, the
-    # shared minhash/shingle subtree keeps three in-window carriers
-    # (dedup_minhash_lsh, minhash_accuracy, dedup_incremental) and the
-    # adversarial corpus suite re-proves their tokenizer exposure)
-    "error_burst_busy_overlap", "frequent_terms", "leakage_safe_split",
-    "token_entropy", "heaps_law_fit", "jaccard_prefix_join",
-    "signal_correlations",
-    # -- tokenizer-affected, never driver-green (EVIDENCE.md) --------------
-    "boilerplate_fraction", "cross_source_overlap", "dedup_token_loss",
-    "doc_chunks", "dup_graph_degrees", "perplexity_buckets",
-    "temperature_mixture",
-    # -- tokenizer-affected, driver-stale (r2) -----------------------------
-    "decontamination", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprints",
-    "doc_length_histogram", "language_id", "near_dup_survivors",
-    "quality_scores", "repetition_filters", "simhash_pairs",
-    "token_counts", "token_shards", "top_terms_per_source",
-    # -- tokenizer-affected, driver-green r3/r4 but re-proof needed --------
-    "bigram_surprisal", "bm25_search",
-    # (dsir_weights, blocklist_filter rotated out: driver-green r4;
-    # dsir's det-ln-over-broadcast-vocab shape keeps the two surprisal
-    # carriers in-window, blocklist's broadcast-shingle-gate shape keeps
-    # decontamination in-window)
-    "bpe_pair_counts", "cluster_best_representative",
-    "dedup_incremental",
-    "duplicate_ngram_spans", "minhash_accuracy",
-    "quality_filter_funnel", "quality_vs_perplexity", "tfidf_top_terms",
-    "token_budget_cut", "token_weighted_sample", "tokenizer_fertility",
-    "winnowing_pairs", "zipf_fit",
-    # -- rounding-affected carriers (see policy note above) ----------------
-    "error_rate_sliding", "escalation_metrics_daily", "knn_bruteforce",
+    # -- (b) bisection diagnostics (temporary) -----------------------------
+    "diag_curation_qsum", "diag_unigram_tokens", "diag_unigram_csum",
+    "diag_segment_counts", "diag_segment_boiler",
+    # -- (c) never driver-checked ------------------------------------------
+    "hourly_profile", "latency_median_mad", "skew_audit",
+    # -- (d) sign-aware exact_round_div_sql construct carriers -------------
+    "error_rate_sliding", "error_rate_tumbling",
+    "escalation_metrics_daily", "props_json_extract",
+    "session_bounce_rate", "dau_wau", "cohort_retention",
+    "event_transitions", "error_budget_burn", "quality_scores",
+    "jaccard_prefix_join", "dedup_minhash_lsh", "dedup_token_loss",
+    "minhash_accuracy", "frequent_terms",
+    # -- (e) stale rotation: all 15 r2, then the 9 oldest r3 ---------------
+    "customer_running_spend", "doc_split_counts", "embedding_near_dups",
+    "frame_samples", "grouping_sets_orders", "knn_ivf",
+    "knn_ivf_multiprobe", "knn_lsh_pairs", "label_centroids",
+    "media_resize", "media_summary", "orders_by_priority_pivot",
+    "small_quantity_revenue", "stratified_sample", "top_revenue_orders",
+    "alert_throttle", "alert_union_normalized", "click_attribution_asof",
+    "cube_returns", "escalations_every_third", "latency_p95_daily",
+    "pricing_summary", "salted_join_revenue", "slo_breach_streaks",
 )
 
 
