@@ -76,7 +76,12 @@ def bucketed_interval_join(a: DataFrame, b: DataFrame,
     def grid(df: DataFrame, start: str, end: str) -> DataFrame:
         lo = F.floor(F.col(start) / bucket_s)
         hi = F.floor((F.col(end) - 1) / bucket_s)
-        return df.withColumn("_bk", F.explode(F.sequence(lo, hi)))
+        # empty half-open intervals (end <= start) make hi < lo, where
+        # Spark's sequence() defaults to step -1 and would fabricate a
+        # DESCENDING bucket list (phantom join rows) instead of none —
+        # drop them before the explode (ADVICE r5)
+        return (df.filter(F.col(end) > F.col(start))
+                .withColumn("_bk", F.explode(F.sequence(lo, hi))))
 
     keys = list(key_cols)
     return (

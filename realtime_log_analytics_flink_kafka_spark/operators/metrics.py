@@ -37,6 +37,12 @@ def alert_metrics(alerts: DataFrame, *, size: str = "1 minute",
             F.count("*").alias("total_alerts"),
             _count_if(F.col("type") == "LATENCY_SLO_BREACH").alias("latency_breaches"),
             _count_if(F.col("type") == "ERROR_RATE_SPIKE").alias("error_spikes"),
+            # PRECONDITION: p95_latency is integer-valued (exact
+            # nearest-rank percentile over integer latency_ms, see
+            # functions/percentile.py) — exact_round_div casts its
+            # numerator to long, so a fractional latency source (e.g.
+            # interpolated percentiles) would silently truncate; switch
+            # to det_round(sum/count) if that ever changes (ADVICE r5)
             exact_round_div(F.sum("p95_latency"),
                             F.count("p95_latency")).alias("avg_p95_latency"),
             F.max("breach_count").alias("max_breach_count"),

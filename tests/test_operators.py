@@ -686,3 +686,29 @@ def test_ivf_pq_adc_approximates_exact_neighbors(spark):
         truth.setdefault(r.query_id, set()).add(r.corpus_id)
     hits = sum(1 for r in rows if r.corpus_id in truth.get(r.query_id, set()))
     assert hits > 0, "ADC top-k completely disjoint from exact top-10"
+
+
+def test_bucketed_interval_join_empty_intervals(spark):
+    """Empty half-open intervals (end <= start) must produce NO pairs:
+    pre-guard, sequence(lo, hi) with hi < lo defaulted to step -1 and
+    fabricated a descending bucket grid (phantom rows), and an empty
+    interval even satisfies the raw overlap predicate vacuously
+    (a=[5,5) vs b=[0,10): 5<10 and 0<5) — the operator filters them
+    before the explode (ADVICE r5)."""
+    from realtime_log_analytics_flink_kafka_spark.operators.intervals import (
+        bucketed_interval_join,
+    )
+
+    a = spark.createDataFrame(
+        [("k", 5, 5, "empty"),      # empty: end == start
+         ("k", 9, 2, "inverted"),   # inverted: end < start
+         ("k", 3, 7, "real")],
+        "key string, a_start long, a_end long, a_tag string")
+    b = spark.createDataFrame(
+        [("k", 0, 10, "wide")],
+        "key string, b_start long, b_end long, b_tag string")
+    out = bucketed_interval_join(
+        a, b, ["key"], a_start="a_start", a_end="a_end",
+        b_start="b_start", b_end="b_end", bucket_s=4)
+    rows = [(r.a_tag, r.b_tag) for r in out.collect()]
+    assert rows == [("real", "wide")]
