@@ -342,8 +342,13 @@ def det_round(x: Column, scale: int) -> Column:
     for every score/ratio/similarity this repo rounds.
     """
     p = F.lit(float(10 ** scale))
-    s = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    return s * F.floor(F.abs(x) * p + F.lit(0.5)).cast("double") / p
+    # signum, not a CASE on x: references x twice instead of three
+    # times, and the argument is often an expensive subtree (a full
+    # vector fold in the similarity family — the r5 determinism tax).
+    # Bit-identical: signum returns ±1.0 / 0.0 / NULL doubles, and
+    # 0.0 * floor(0.5) == 0.0 on the zero branch either way.
+    return (F.signum(x)
+            * F.floor(F.abs(x) * p + F.lit(0.5)).cast("double") / p)
 
 
 def det_round_sql(x: str, scale: int) -> str:

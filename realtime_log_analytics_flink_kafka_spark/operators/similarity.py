@@ -60,17 +60,26 @@ def _broadcast_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     """Shared brute-force scaffold: broadcast the bounded query set over
     the corpus, score cosine, apply ``pair_filter`` (a Column predicate
     over the joined row — run BEFORE ranking so the top-k is taken over
-    the eligible pairs only), drop NULL cosines (zero-norm vectors),
-    rank with deterministic corpus-id tie-break, keep rank <= k.
-    ``carry_cols`` are extra per-side columns (e.g. labels) projected
-    through to the output."""
-    c = with_norm(corpus, vec_col).select(
+    the eligible pairs only), rank with deterministic corpus-id
+    tie-break, keep rank <= k.  ``carry_cols`` are extra per-side
+    columns (e.g. labels) projected through to the output.
+
+    Zero-norm vectors (NULL cosine) are dropped by a ``_norm > 0``
+    filter on EACH SIDE BEFORE the join, not by a pair-level
+    ``cosine IS NOT NULL`` afterwards: Catalyst pushes a post-join
+    filter into the broadcast-join CONDITION by re-inlining the alias,
+    which made the whole dot-product fold evaluate twice per candidate
+    pair (join predicate + projection) — measured ~15% of knn_bruteforce
+    at sf0.1, and at 100 TB the join condition is the innermost loop.
+    The semantics are identical: a pair's cosine is NULL iff either
+    side's norm is zero."""
+    c = with_norm(corpus, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("corpus_id"),
         *[F.col(col).alias(f"c_{col}") for col in carry_cols],
         F.col(vec_col).alias("c_vec"),
         F.col("_norm").alias("c_norm"),
     )
-    q = with_norm(queries, vec_col).select(
+    q = with_norm(queries, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("query_id"),
         *[F.col(col).alias(f"q_{col}") for col in carry_cols],
         F.col(vec_col).alias("q_vec"),
@@ -89,7 +98,6 @@ def _broadcast_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
                 "corpus_id",
                 *[f"c_{col}" for col in carry_cols],
                 sim.alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -156,26 +164,35 @@ def ivf_topk(corpus: DataFrame, *, k: int = 3, centroid_every: int = 97,
     tests, not assumed.
     """
     centroids = corpus.filter(F.col(id_col) % centroid_every == 0)
-    assigned = assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    assigned = with_norm(
+        assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col),
+        vec_col).filter(F.col("_norm") > 0)
+    # norms per SIDE (once per row) + zero-norm prefilter, so the pair
+    # expression is dot/product only and no pair-level NULL filter exists
+    # to be pushed (fold-duplicating) into the join condition — see
+    # _broadcast_topk's docstring for the measured effect
     queries = assigned.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
         F.col("centroid_id").alias("q_cluster"),
     )
     cand = (
         assigned.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("c_vec"),
+            F.col("_norm").alias("c_norm"),
             F.col("centroid_id").alias("c_cluster"),
         )
         .join(F.broadcast(queries), F.col("c_cluster") == F.col("q_cluster"))
         .filter(F.col("corpus_id") != F.col("query_id"))
     )
-    sim = det_round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = det_round(
+        _safe_cosine(_dot(F.col("q_vec"), F.col("c_vec")),
+                     F.col("q_norm") * F.col("c_norm")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         cand.select("query_id", "corpus_id", sim.alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
@@ -199,8 +216,9 @@ def ivf_topk_multiprobe(corpus: DataFrame, *, k: int = 3,
     asserted against the brute-force baseline in tests.
     """
     centroids = corpus.filter(F.col(id_col) % centroid_every == 0)
-    assigned = assign_clusters(corpus, centroids, vec_col=vec_col,
-                               id_col=id_col)
+    assigned = with_norm(
+        assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col),
+        vec_col).filter(F.col("_norm") > 0)
     probes = (
         _centroid_ranked(corpus.filter(F.col(id_col) < n_queries), centroids,
                          vec_col=vec_col, id_col=id_col)
@@ -211,20 +229,25 @@ def ivf_topk_multiprobe(corpus: DataFrame, *, k: int = 3,
             F.col("centroid_id").alias("q_cluster"),
         )
     )
+    # side norms + zero-norm prefilter (see ivf_topk / _broadcast_topk)
+    probes = with_norm(probes, "q_vec").filter(F.col("_norm") > 0) \
+        .withColumnRenamed("_norm", "q_norm")
     cand = (
         assigned.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("c_vec"),
+            F.col("_norm").alias("c_norm"),
             F.col("centroid_id").alias("c_cluster"),
         )
         .join(F.broadcast(probes), F.col("c_cluster") == F.col("q_cluster"))
         .filter(F.col("corpus_id") != F.col("query_id"))
     )
-    sim = det_round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = det_round(
+        _safe_cosine(_dot(F.col("q_vec"), F.col("c_vec")),
+                     F.col("q_norm") * F.col("c_norm")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         cand.select("query_id", "corpus_id", sim.alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
@@ -524,14 +547,25 @@ def centroid_pairs(centroids_long: DataFrame, *,
             F.transform("pv", lambda s: s["mean_v"]).alias("vec"),
         )
     )
-    a = vecs.select(F.col("label").alias("label_a"), F.col("vec").alias("va"))
-    b = vecs.select(F.col("label").alias("label_b"), F.col("vec").alias("vb"))
-    sim = det_round(cosine(F.col("va"), F.col("vb")), 6)
-    return (
+    # side norms + zero-norm prefilter instead of a pass-all pair filter
+    # (the default min_cosine=-1.0 only existed to drop NULL cosines,
+    # and a post-join filter re-inlines the whole fold into the join
+    # condition — see _broadcast_topk)
+    vecs = with_norm(vecs, "vec").filter(F.col("_norm") > 0)
+    a = vecs.select(F.col("label").alias("label_a"), F.col("vec").alias("va"),
+                    F.col("_norm").alias("na"))
+    b = vecs.select(F.col("label").alias("label_b"), F.col("vec").alias("vb"),
+                    F.col("_norm").alias("nb"))
+    sim = det_round(
+        _safe_cosine(_dot(F.col("va"), F.col("vb")),
+                     F.col("na") * F.col("nb")), 6)
+    out = (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= min_cosine)
     )
+    if min_cosine > -1.0:  # a real threshold is selective: let it push
+        out = out.filter(F.col("cosine") >= min_cosine)
+    return out
 
 
 def _pq_subs(df: DataFrame, out_id: str, *, m: int, dim: int,

@@ -68,6 +68,8 @@ NESTED_LOOP_SANCTIONED = {
     "tfidf_top_terms": 1,
     "embedding_quantization": 1,   # single-row scale array broadcast
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
+    "diag_unigram_tokens": 1,      # r6 diagnostics over surprisal_sums:
+    "diag_unigram_csum": 1,        # same single-row total broadcast
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
     "bm25_search": 1,              # single-row (D, L) totals broadcast
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
@@ -254,3 +256,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_no_vector_fold_in_nonselective_join_conditions(spark):
+    """The kNN family's NULL-cosine handling must stay a pre-join
+    zero-norm filter, never a post-join ``cosine IS NOT NULL`` /
+    pass-all threshold: Catalyst pushes such a predicate into the join
+    CONDITION by re-inlining the alias, so the whole dot-product fold
+    runs twice per candidate pair (condition + projection) — the
+    innermost loop at 100 TB.  Selective thresholds (embedding_near_dups,
+    knn_lsh_pairs) are exempt: there the pushed predicate prunes pairs
+    early, which is the plan we want.  (VERDICT r5 #6 profiling.)"""
+    spark.catalog.clearCache()
+    offenders = {}
+    for name in ["knn_bruteforce", "knn_ivf", "knn_ivf_multiprobe",
+                 "knn_recall", "centroid_similarity", "hard_negatives"]:
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [l.strip()[:160] for l in plan.split("\n")
+               if "Join" in l and ("aggregate(" in l or "zip_with" in l)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"vector fold inside join condition: {offenders}"
