@@ -154,6 +154,8 @@ HEADLINE = [
     "jaccard_prefix_join",
     # per-source Pearson matrix over integer-exact signal moments
     "signal_correlations",
+    # round-6: RRF hybrid retrieval (BM25 + dense-cosine branch fusion)
+    "hybrid_retrieval",
 ]
 
 

@@ -65,9 +65,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (c) never driver-checked ------------------------------------------
     "hourly_profile", "latency_median_mad", "skew_audit",
     # -- (d) sign-aware exact_round_div_sql construct carriers -------------
+    # (hybrid_retrieval is NEW in r6 — it takes cohort_retention's slot;
+    # the advanced-module carrier family stays covered by
+    # session_bounce_rate, dau_wau, event_transitions, error_budget_burn)
+    "hybrid_retrieval",
     "error_rate_sliding", "error_rate_tumbling",
     "escalation_metrics_daily", "props_json_extract",
-    "session_bounce_rate", "dau_wau", "cohort_retention",
+    "session_bounce_rate", "dau_wau",
     "event_transitions", "error_budget_burn", "quality_scores",
     "jaccard_prefix_join", "dedup_minhash_lsh", "dedup_token_loss",
     "minhash_accuracy", "frequent_terms",

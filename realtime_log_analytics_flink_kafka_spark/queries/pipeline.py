@@ -3852,6 +3852,88 @@ LIMIT {text.BM25_TOP_K}
 """
 
 
+# --- hybrid retrieval: RRF fusion of BM25 + dense cosine ---------------------
+
+#: Both branches cut at the same depth before fusion.
+HYBRID_K = 20
+#: The dense branch's query: the embedding of this vec_id (doc_id and
+#: vec_id share the 0..N-1 id space in the testdata).
+HYBRID_QUERY_VEC = 0
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/retrieval.rrf_fuse): BM25 top-20 for the
+    fixed bag-of-terms query fused with dense-cosine top-20 around the
+    query vector via Reciprocal Rank Fusion — the standard two-branch
+    production retrieval stack.  The dense branch excludes the query
+    vector itself (cosine_topk's self-match rule)."""
+    from ..operators import retrieval
+    lex = retrieval.ranked(
+        text.bm25_scores(_docs(spark, sf_dir), BM25_QUERY, k=HYBRID_K),
+        [F.desc("bm25"), F.asc("doc_id")], "rank_lex",
+    ).select("doc_id", "rank_lex")
+    embs = _embs(spark, sf_dir)
+    dense = (
+        similarity.cosine_topk(
+            embs, embs.filter(F.col("vec_id") == HYBRID_QUERY_VEC),
+            k=HYBRID_K)
+        .select(F.col("corpus_id").alias("doc_id"),
+                F.col("rank").alias("rank_dense"))
+    )
+    return retrieval.rrf_fuse(lex, dense)
+
+
+def _hybrid_retrieval_sql() -> str:
+    from ..operators.retrieval import RRF_K0
+    return f"""
+WITH lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+    FROM ({_bm25_search_sql()})
+),
+v AS (
+    SELECT vec_id, embedding, {NORM_SQL.format(v='embedding')} AS nrm
+    FROM embeddings
+),
+qv AS (SELECT * FROM v WHERE vec_id = {HYBRID_QUERY_VEC}),
+dscored AS (
+    SELECT c.vec_id AS doc_id,
+           {det_round_sql(DOT_SQL.format(a='qv.embedding', b='c.embedding')
+                          + ' / (qv.nrm * c.nrm)', 6)} AS cosine
+    FROM v c CROSS JOIN qv
+    WHERE c.vec_id <> qv.vec_id AND qv.nrm * c.nrm > 0
+),
+dense AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank_dense
+    FROM dscored
+    QUALIFY rank_dense <= {HYBRID_K}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.rank_lex, d.rank_dense
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+),
+terms AS (
+    SELECT doc_id, rank_lex, rank_dense,
+           CAST(CASE WHEN rank_lex IS NULL THEN 0 ELSE 1 END AS BIGINT) AS na,
+           CAST(COALESCE({RRF_K0} + rank_lex, 1) AS BIGINT) AS da,
+           CAST(CASE WHEN rank_dense IS NULL THEN 0 ELSE 1 END AS BIGINT) AS nb,
+           CAST(COALESCE({RRF_K0} + rank_dense, 1) AS BIGINT) AS db
+    FROM fused
+),
+rat AS (
+    SELECT doc_id, rank_lex, rank_dense,
+           na * db + nb * da AS num, da * db AS den,
+           CAST(na * db + nb * da AS DOUBLE) / CAST(da * db AS DOUBLE) AS xr
+    FROM terms
+)
+SELECT doc_id, rank_lex, rank_dense,
+       {exact_round_div_sql('num', 'den', 6)} AS rrf,
+       row_number() OVER (ORDER BY xr DESC, doc_id ASC) AS final_rank
+FROM rat
+"""
+
+
 # --- containment near-dup (subset documents) ---------------------------------
 
 #: Broder containment |A∩B|/|A| threshold: a doc whose shingle set is
@@ -4041,6 +4123,8 @@ QUERIES: dict[str, QuerySpec] = {
     "tokenizer_fertility": QuerySpec(q_tokenizer_fertility,
                                      _tokenizer_fertility_sql()),
     "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),
+    "hybrid_retrieval": QuerySpec(q_hybrid_retrieval,
+                                  _hybrid_retrieval_sql()),
     "wav_frames": QuerySpec(q_wav_frames, _wav_frames_sql()),
     # rows-only: a real eigendecomposition has no SQL oracle — the one
     # genuinely non-SQL-expressible op in the registry; semantics are

@@ -72,6 +72,10 @@ NESTED_LOOP_SANCTIONED = {
     "diag_unigram_csum": 1,        # same single-row total broadcast
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
     "bm25_search": 1,              # single-row (D, L) totals broadcast
+    # composes bm25_search's totals broadcast + cosine_topk's bounded
+    # (here single-row) query broadcast; the RRF fusion itself is a
+    # full-outer equi-join over two <= k-row relations
+    "hybrid_retrieval": 2,
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
     "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
