@@ -156,6 +156,10 @@ HEADLINE = [
     "signal_correlations",
     # round-6: RRF hybrid retrieval (BM25 + dense-cosine branch fusion)
     "hybrid_retrieval",
+    # round-6: Count-Min grid build + probe audit (second sketch family)
+    "cms_term_counts",
+    # round-6: per-source HLL distinct-shingle estimate vs exact recount
+    "hll_shingles",
 ]
 
 

@@ -62,9 +62,9 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_hashes(docs: DataFrame, text_col: str = "text",
-                   n: int = 3) -> DataFrame:
-    """doc_id -> exploded n-token shingle hash (mod HASH_PRIME).
+def shingle_strings(docs: DataFrame, text_col: str = "text",
+                    n: int = 3) -> DataFrame:
+    """doc_id -> exploded n-token shingle STRING (the pre-hash layer).
 
     Shingles via sequence+slice (pure Catalyst); docs shorter than n
     tokens drop out, matching the oracle.
@@ -88,10 +88,15 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text",
     # short docs yield an empty array, which explode() drops — same rows
     # as a size()>=n filter but without a second tokenizer evaluation
     # (predicate pushdown would substitute the alias into the filter).
-    return (
-        toked.select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", (md5_long(F.col("shingle")) % HASH_PRIME).alias("h"))
-    )
+    return toked.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """doc_id -> exploded n-token shingle hash (mod HASH_PRIME); see
+    :func:`shingle_strings` for the shingle construction contract."""
+    return shingle_strings(docs, text_col, n).select(
+        "doc_id", (md5_long(F.col("shingle")) % HASH_PRIME).alias("h"))
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text",

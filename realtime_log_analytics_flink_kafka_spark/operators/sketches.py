@@ -80,3 +80,202 @@ def frequent_terms(terms: DataFrame, term_col: str = "term", *,
         .filter(F.col("n") * den >= F.col("total_terms") * num)
         .select(term_col, "n", "total_terms")
     )
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+#: Depth (independent hash rows) × width (buckets per row).  4×1024
+#: bounds the overestimate by e·N/w with probability 1 - e^-d — and the
+#: whole counter matrix is 4096 cells regardless of vocabulary size.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(h, a: int, b: int, w: int):
+    """Affine-hash a 60-bit md5-fold into a CMS bucket — the same
+    (a·h + b) mod P family MinHash uses (functions/hashing.affine_hashes),
+    reduced mod ``w``.  Pure BIGINT: identical in both dialects."""
+    from ..functions.hashing import HASH_PRIME
+    return ((F.lit(a) * (h % F.lit(HASH_PRIME)) + F.lit(b))
+            % F.lit(HASH_PRIME)) % F.lit(w)
+
+
+def cms_cells(terms: DataFrame, term_col: str = "term", *,
+              d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """The Count-Min counter matrix as a (row, bucket, counter) relation.
+
+    Scale shape: the input collapses to per-term counts first (map-side
+    combined — the only vocabulary-sized step, same as any tf pass),
+    then fans out d rows per TERM (not per occurrence) and re-aggregates
+    onto the fixed d×w grid.  Partial grids merge by cell addition, so
+    the shuffle after the fan-out carries at most d·w rows per
+    partition — the sketch property that matters at 100 TB.
+    """
+    from ..functions.hashing import affine_hashes, md5_long
+
+    ctf = terms.groupBy(term_col).agg(F.count("*").cast("long").alias("ctf"))
+    h = md5_long(F.col(term_col))
+    rows = [
+        ctf.select(
+            F.lit(i).cast("long").alias("row"),
+            _cms_bucket(h, a, b, w).alias("bucket"),
+            F.col("ctf"),
+        )
+        for i, (a, b) in enumerate(affine_hashes(d))
+    ]
+    grid = rows[0]
+    for r in rows[1:]:
+        grid = grid.unionAll(r)
+    return (grid.groupBy("row", "bucket")
+            .agg(F.sum("ctf").cast("long").alias("counter")))
+
+
+def cms_estimate_audit(terms: DataFrame, term_col: str = "term", *,
+                       d: int = CMS_D, w: int = CMS_W,
+                       top: int = 30) -> DataFrame:
+    """Count-Min point-query audit over the ``top`` exact-heaviest terms:
+    (term, n_exact, cms_est, overest) with ``cms_est = min_i
+    counter[i, h_i(term)]`` — always >= n_exact (every collision only
+    adds), so ``overest >= 0`` is an invariant, not a hope.
+
+    The probe set is bounded (top-k by exact count, term tie-break) and
+    broadcast against the 4096-cell grid; the exact recount reuses the
+    same per-term aggregation the grid build starts from.
+    """
+    from ..functions.hashing import affine_hashes, md5_long
+
+    cells = cms_cells(terms, term_col, d=d, w=w)
+    exact = (terms.groupBy(term_col)
+             .agg(F.count("*").cast("long").alias("n_exact"))
+             .orderBy(F.desc("n_exact"), F.asc(term_col)).limit(top))
+    h = md5_long(F.col(term_col))
+    probes = [
+        exact.select(
+            term_col, "n_exact",
+            F.lit(i).cast("long").alias("row"),
+            _cms_bucket(h, a, b, w).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(affine_hashes(d))
+    ]
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionAll(p)
+    return (
+        F.broadcast(probe).join(cells, ["row", "bucket"])
+        .groupBy(term_col)
+        .agg(F.max("n_exact").alias("n_exact"),   # constant per term
+             F.min("counter").alias("cms_est"))
+        .select(term_col, "n_exact", "cms_est",
+                (F.col("cms_est") - F.col("n_exact")).alias("overest"))
+    )
+
+
+# --- HyperLogLog distinct-count sketch ---------------------------------------
+
+#: 2^HLL_P registers; sigma ~ 1.04/sqrt(m) ~ 6.5% at p=8.  The register
+#: index takes the LOW p bits of the 60-bit md5 fold; the rho scan runs
+#: over the remaining W_BITS.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 52  # md5_long < 2^60; h // 2^8 < 2^52
+
+#: alpha_m * m^2 * 2^53 precomputed in Python: ONE double literal shared
+#: by both dialects, so the raw estimate costs exactly one float
+#: division from exact integers.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+
+
+def _rho(w) -> "F.Column":
+    """1-based position of the highest set bit from the MSB of the
+    ``HLL_W_BITS``-wide field (53 when the field is all zeros) — the
+    descending-threshold CASE ladder form both engines evaluate
+    identically on BIGINTs (same shape as detmath's pow2 ladders)."""
+    expr = F.when(w == 0, F.lit(53))
+    for rho in range(1, HLL_W_BITS + 1):
+        # w in [2^(W_BITS-rho), 2^(W_BITS-rho+1)) -> leading zeros rho-1
+        expr = expr.when(w >= F.lit(1 << (HLL_W_BITS - rho)), F.lit(rho))
+    return expr.cast("long")
+
+
+def hll_registers(items: DataFrame, key_col: str, hash_col: str) -> DataFrame:
+    """(key, bucket, M): the HLL register file over 60-bit item hashes,
+    including EMPTY registers (M = 0) via a key × 2^p spine — the
+    harmonic sum needs all m registers, not just the occupied ones.
+
+    Scale shape: one (key, bucket) max-aggregation (map-side combined;
+    at most m rows per key reach the shuffle regardless of item count)
+    plus a broadcast of the 2^p-row register spine.  Registers merge by
+    MAX, so partial sketches from any partitioning combine losslessly —
+    the property that makes HLL the distributed distinct counter.
+    """
+    h = F.col(hash_col)
+    regs = (
+        items.select(
+            F.col(key_col),
+            (h % F.lit(HLL_M)).alias("bucket"),
+            _rho(int_div_col(h, HLL_M)).alias("rho"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    spine = (
+        items.select(key_col).distinct()
+        .crossJoin(F.broadcast(
+            items.sparkSession.range(HLL_M)
+            .select(F.col("id").alias("bucket"))))
+    )
+    return (
+        spine.join(regs, [key_col, "bucket"], "left")
+        .select(key_col, "bucket", F.coalesce("M", F.lit(0)).alias("M"))
+    )
+
+
+def int_div_col(a, b: int):
+    """Truncating integer division by a positive literal (operands are
+    non-negative here, so floor == trunc on both engines)."""
+    from ..functions.detmath import int_div
+    return int_div(a, F.lit(b))
+
+
+def hll_cardinality_audit(items: DataFrame, key_col: str,
+                          hash_col: str) -> DataFrame:
+    """Per-key HLL estimate next to the exact distinct count:
+    (key, n_exact, n_zero_registers, hll_est, rel_err).
+
+    All register math is EXACT integer arithmetic: the harmonic sum
+    folds as ``S·2^53 = Σ_j 2^(53 - M_j)`` (<= 2^61, fits BIGINT, order
+    free), so the raw estimate ``alpha·m²/S`` is one double division of
+    a shared literal by an exact integer — no float summation to
+    diverge cross-engine.  The small-range branch (E <= 2.5m with empty
+    registers) is Flajolet's linear counting ``m·ln(m/V)`` with the ln
+    from functions/detmath (det_ln), deterministic by construction.
+    """
+    from ..functions.detmath import det_round, with_det_ln
+
+    regs = hll_registers(items, key_col, hash_col)
+    per_key = regs.groupBy(key_col).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - M AS INT))"))
+        .cast("long").alias("s_scaled"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0))
+        .cast("long").alias("n_zero_registers"),
+    )
+    exact = items.groupBy(key_col).agg(
+        F.countDistinct(hash_col).cast("long").alias("n_exact"))
+    est = with_det_ln(
+        per_key.join(exact, [key_col]),
+        F.lit(HLL_M), F.greatest(F.col("n_zero_registers"), F.lit(1)),
+        "_ln_mv", pfx="_hl")
+    e_raw = F.lit(HLL_NUM) / F.col("s_scaled").cast("double")
+    e_lin = F.lit(float(HLL_M)) * F.col("_ln_mv")
+    hll_est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0),
+        e_lin).otherwise(e_raw)
+    return (
+        est.withColumn("hll_est", hll_est)
+        .select(
+            key_col, "n_exact", "n_zero_registers", "hll_est",
+            det_round((F.col("hll_est") - F.col("n_exact"))
+                      / F.col("n_exact"), 4).alias("rel_err"),
+        )
+    )

@@ -65,14 +65,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (c) never driver-checked ------------------------------------------
     "hourly_profile", "latency_median_mad", "skew_audit",
     # -- (d) sign-aware exact_round_div_sql construct carriers -------------
-    # (hybrid_retrieval is NEW in r6 — it takes cohort_retention's slot;
-    # the advanced-module carrier family stays covered by
-    # session_bounce_rate, dau_wau, event_transitions, error_budget_burn)
-    "hybrid_retrieval",
+    # (hybrid_retrieval, cms_term_counts, hll_shingles are NEW in r6 —
+    # they take the cohort_retention / dau_wau / event_transitions
+    # carrier slots; the advanced-module sign-aware-div carrier family
+    # stays covered by session_bounce_rate and error_budget_burn)
+    "hybrid_retrieval", "cms_term_counts", "hll_shingles",
     "error_rate_sliding", "error_rate_tumbling",
     "escalation_metrics_daily", "props_json_extract",
-    "session_bounce_rate", "dau_wau",
-    "event_transitions", "error_budget_burn", "quality_scores",
+    "session_bounce_rate",
+    "error_budget_burn", "quality_scores",
     "jaccard_prefix_join", "dedup_minhash_lsh", "dedup_token_loss",
     "minhash_accuracy", "frequent_terms",
     # -- (e) stale rotation: all 15 r2, then the 9 oldest r3 ---------------

@@ -4119,7 +4119,166 @@ HAVING count(*) * {FREQ_DEN} >= total_terms * {FREQ_NUM}
 """
 
 
+# --- Count-Min sketch audit --------------------------------------------------
+
+CMS_TOP = 30
+#: Audit-sized width: the synthetic corpus has a ~31-term vocabulary, so
+#: the production default (operators/sketches.CMS_W = 1024) would never
+#: collide and the audit would measure nothing.  16 buckets force real
+#: collisions (nonzero overest) while the estimate stays a strict upper
+#: bound — the invariant the query exists to demonstrate.  Production
+#: sizing is w = ceil(e/eps) for an eps*N error bound.
+CMS_AUDIT_W = 16
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-query audit (operators/sketches.cms_estimate_audit):
+    a 4-row CMS grid built over all corpus tokens, probed at the 30
+    exact-heaviest terms — (term, n_exact, cms_est, overest), overest >= 0
+    by construction.  The oracle rebuilds the same grid naively in SQL;
+    identical BIGINT arithmetic (md5-fold + MinHash's affine family),
+    identical answer — the sketch changes the plan's memory bound, not
+    the result."""
+    from ..operators.sketches import cms_estimate_audit
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(text.ws_tokens(F.col("text"))).alias("term"))
+    return cms_estimate_audit(toks, "term", w=CMS_AUDIT_W, top=CMS_TOP)
+
+
+def _cms_term_counts_sql() -> str:
+    from ..operators.sketches import CMS_D
+    CMS_W = CMS_AUDIT_W
+
+    hh = MD5_LONG.format(x="term")
+    bucket = {
+        i: f"((({a} * (({hh}) % {HASH_PRIME}) + {b}) % {HASH_PRIME})"
+           f" % {CMS_W})"
+        for i, (a, b) in enumerate(affine_hashes(CMS_D))
+    }
+    grid_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS row, {bucket[i]} AS bucket, ctf"
+        f" FROM ctf" for i in range(CMS_D))
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT term, n_exact, CAST({i} AS BIGINT) AS row,"
+        f" {bucket[i]} AS bucket FROM exact" for i in range(CMS_D))
+    return f"""
+WITH {TOKENS_CTE},
+t AS (SELECT unnest(toks) AS term FROM tok),
+ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM t GROUP BY term),
+cells AS (
+    SELECT row, bucket, CAST(sum(ctf) AS BIGINT) AS counter
+    FROM ({grid_rows}) GROUP BY row, bucket
+),
+exact AS (
+    SELECT term, ctf AS n_exact FROM ctf
+    ORDER BY ctf DESC, term ASC LIMIT {CMS_TOP}
+),
+probe AS ({probe_rows})
+SELECT p.term,
+       CAST(max(p.n_exact) AS BIGINT) AS n_exact,
+       CAST(min(c.counter) AS BIGINT) AS cms_est,
+       CAST(min(c.counter) - max(p.n_exact) AS BIGINT) AS overest
+FROM probe p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY p.term
+"""
+
+
+# --- HyperLogLog distinct-shingle cardinality --------------------------------
+
+
+def q_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality: HLL estimate vs exact
+    (operators/sketches.hll_cardinality_audit) — the distributed
+    distinct counter for 100 TB (registers merge by max; at most 2^p
+    rows per key reach the shuffle), audited against the exact
+    count(DISTINCT) the sketch replaces.  All register math is exact
+    BIGINT; the only float steps are one division by an exact integer
+    and det_ln's deterministic linear-counting branch."""
+    from ..operators.sketches import hll_cardinality_audit
+
+    docs = _docs(spark, sf_dir)
+    items = (
+        dedup.shingle_strings(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", md5_long(F.col("shingle")).alias("h"))
+    )
+    return hll_cardinality_audit(items, "source", "h")
+
+
+def _hll_shingles_sql() -> str:
+    from ..functions.detmath import det_ln_sql_items
+    from ..operators.sketches import HLL_M, HLL_NUM, HLL_W_BITS
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << (HLL_W_BITS - rho)} THEN {rho}"
+        for rho in range(1, HLL_W_BITS + 1))
+    num = f"CAST('{HLL_NUM!r}' AS DOUBLE)"
+    e_raw = f"({num} / CAST(s_scaled AS DOUBLE))"
+    return f"""
+WITH {TOKENS_CTE},
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - {_N} + 1),
+                                 i -> array_to_string(array_slice(toks, i + 1, i + {_N}),
+                                                      ' '))) AS shingle
+    FROM tok WHERE len(toks) >= {_N}
+),
+items AS (
+    SELECT d.source, {MD5_LONG.format(x='shingle')} AS h
+    FROM sh JOIN documents d USING (doc_id)
+),
+rho AS (
+    SELECT source, h % {HLL_M} AS bucket,
+           CAST(CASE WHEN (h // {HLL_M}) = 0 THEN 53 {ladder} END AS BIGINT)
+               AS rho
+    FROM (SELECT source, h, h // {HLL_M} AS w FROM items)
+),
+regs0 AS (SELECT source, bucket, max(rho) AS M FROM rho GROUP BY 1, 2),
+spine AS (
+    SELECT source, bucket
+    FROM (SELECT DISTINCT source FROM items)
+    CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket)
+),
+regs AS (
+    SELECT s.source, s.bucket, COALESCE(r.M, 0) AS M
+    FROM spine s LEFT JOIN regs0 r ON s.source = r.source AND s.bucket = r.bucket
+),
+perkey AS (
+    SELECT source,
+           CAST(sum(CAST(1 AS BIGINT) << CAST(53 - M AS INTEGER)) AS BIGINT)
+               AS s_scaled,
+           CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_registers
+    FROM regs GROUP BY source
+),
+exact AS (
+    SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+    FROM items GROUP BY source
+),
+lnv AS (
+    SELECT source, s_scaled, n_zero_registers, n_exact,
+           {det_ln_sql_items(str(HLL_M), 'greatest(n_zero_registers, 1)',
+                             '_ln_mv', '_hl')}
+    FROM perkey JOIN exact USING (source)
+),
+est AS (
+    SELECT source, n_exact, n_zero_registers,
+           CASE WHEN {e_raw} <= CAST('{2.5 * HLL_M!r}' AS DOUBLE)
+                     AND n_zero_registers > 0
+                THEN CAST('{float(HLL_M)!r}' AS DOUBLE) * _ln_mv
+                ELSE {e_raw} END AS hll_est
+    FROM lnv
+)
+SELECT source, n_exact, n_zero_registers, hll_est,
+       {det_round_sql('(hll_est - n_exact) / n_exact', 4)} AS rel_err
+FROM est
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cms_term_counts": QuerySpec(q_cms_term_counts, _cms_term_counts_sql()),
+    "hll_shingles": QuerySpec(q_hll_shingles, _hll_shingles_sql()),
     "tokenizer_fertility": QuerySpec(q_tokenizer_fertility,
                                      _tokenizer_fertility_sql()),
     "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),

@@ -712,3 +712,50 @@ def test_bucketed_interval_join_empty_intervals(spark):
         b_start="b_start", b_end="b_end", bucket_s=4)
     rows = [(r.a_tag, r.b_tag) for r in out.collect()]
     assert rows == [("real", "wide")]
+
+
+def test_cms_upper_bound_and_grid_size(spark):
+    """Count-Min invariants on a forced-collision vocabulary (200 terms
+    over a 4x16 grid): the estimate is an upper bound for EVERY probed
+    term, exact-equal where no collision occurred, and the materialized
+    grid never exceeds d*w cells regardless of vocabulary size."""
+    from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+        cms_cells, cms_estimate_audit,
+    )
+
+    rows = [(f"t{i:03d}",) for i in range(200) for _ in range(i % 7 + 1)]
+    terms = spark.createDataFrame(rows, "term string")
+    d, w = 4, 16
+    audit = cms_estimate_audit(terms, "term", d=d, w=w, top=50).collect()
+    assert len(audit) == 50
+    assert all(r.cms_est >= r.n_exact for r in audit)
+    assert all(r.overest == r.cms_est - r.n_exact for r in audit)
+    # 200 terms over 16 buckets/row must collide somewhere in the top-50
+    assert any(r.overest > 0 for r in audit)
+    assert cms_cells(terms, "term", d=d, w=w).count() <= d * w
+
+
+def test_hll_both_branches(spark):
+    """HLL audit on one tiny key (3 distinct -> Flajolet linear-counting
+    branch, near-exact) and one large key (5000 distinct -> raw harmonic
+    branch, within ~4 sigma of the p=8 standard error)."""
+    from pyspark.sql import functions as F
+    from realtime_log_analytics_flink_kafka_spark.functions.hashing import md5_long
+    from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+        HLL_M, hll_cardinality_audit,
+    )
+
+    rows = [("small", f"s{i % 3}") for i in range(50)]
+    rows += [("big", f"b{i}") for i in range(5000)]
+    items = (spark.createDataFrame(rows, "key string, s string")
+             .select("key", md5_long(F.col("s")).alias("h")))
+    out = {r.key: r for r in hll_cardinality_audit(items, "key", "h").collect()}
+    small, big = out["small"], out["big"]
+    assert small.n_exact == 3
+    # linear counting with V = m - 3 is near-exact at this cardinality
+    assert abs(small.hll_est - 3) < 1.0, small.hll_est
+    assert small.n_zero_registers >= HLL_M - 3
+    assert big.n_exact == 5000
+    # raw-branch estimate: 1.04/sqrt(256) ~ 6.5% sigma; allow 4 sigma
+    assert abs(big.rel_err) < 0.26, big.rel_err
+    assert big.n_zero_registers == 0 or big.hll_est > 2.5 * HLL_M

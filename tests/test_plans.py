@@ -101,6 +101,9 @@ NESTED_LOOP_SANCTIONED = {
     "rich_idle_customers": 1,
     # single-row corpus-total broadcast against the exact recount
     "frequent_terms": 1,
+    # distinct-source spine × the 2^p-row register-id broadcast (HLL
+    # needs every register, including empties, for the harmonic sum)
+    "hll_shingles": 1,
 }
 
 
