@@ -160,6 +160,9 @@ HEADLINE = [
     "cms_term_counts",
     # round-6: per-source HLL distinct-shingle estimate vs exact recount
     "hll_shingles",
+    # round-6: within-doc repeated-span removal (per-doc agg, no corpus
+    # shuffle — the plan-shape contrast to segment_dedup)
+    "intra_doc_dedup",
 ]
 
 

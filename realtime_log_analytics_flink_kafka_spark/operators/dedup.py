@@ -706,3 +706,55 @@ def winnowing_pairs(docs: DataFrame, text_col: str = "text", *,
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def intra_doc_dedup(docs: DataFrame, text_col: str = "text", *,
+                    seg: int = SEGMENT_TOKENS) -> DataFrame:
+    """WITHIN-document repeated-span removal: keep the FIRST occurrence
+    of each distinct segment inside a document, drop later repeats —
+    the self-repetition cleanup (looping generations, copy-pasted
+    paragraphs) that corpus-level :func:`segment_dedup` does not touch
+    (a segment repeated 10× inside ONE doc has corpus df = 1 there if
+    no other doc shares it).  One row per non-empty doc: segment
+    counts, tokens kept, and the md5 of the cleaned text (kept segments
+    re-joined in original order).
+
+    Plan shape for 100 TB: everything is per-document — the segment
+    explode feeds ONE doc_id-keyed aggregation (map-side combinable);
+    no corpus-wide segment shuffle, no broadcast, no second pass.  The
+    first-occurrence rule is computed inside the aggregation from the
+    ordered (seg_idx, h) list, not with a window function, so there is
+    no per-(doc, h) partitioning step.
+    """
+    segs = corpus_segments(docs, text_col, seg)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("seg_idx", "h", "n_tok", "seg_text")))
+    # a segment is kept iff no EARLIER list element carries its hash —
+    # an index-aware filter over the seg_idx-ordered struct list
+    return (
+        segs.groupBy("doc_id")
+        .agg(ordered.alias("_segs"))
+        .select(
+            "doc_id",
+            F.size("_segs").cast("long").alias("n_segments"),
+            F.filter(
+                F.col("_segs"),
+                lambda s, i: F.size(
+                    F.filter(
+                        F.slice(F.col("_segs"), 1, i),
+                        lambda p: p["h"] == s["h"],
+                    )) == 0,
+            ).alias("_kept"),
+        )
+        .select(
+            "doc_id", "n_segments",
+            (F.col("n_segments") - F.size("_kept")).cast("long")
+            .alias("n_dropped"),
+            F.aggregate(F.transform("_kept", lambda s: s["n_tok"]),
+                        F.lit(0).cast("long"), lambda a, v: a + v)
+            .alias("tokens_kept"),
+            F.md5(F.concat_ws(
+                " ", F.transform("_kept", lambda s: s["seg_text"])))
+            .alias("kept_text_hash"),
+        )
+    )

@@ -70,7 +70,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # carrier slots; the advanced-module sign-aware-div carrier family
     # stays covered by session_bounce_rate and error_budget_burn)
     "hybrid_retrieval", "cms_term_counts", "hll_shingles",
-    "error_rate_sliding", "error_rate_tumbling",
+    "intra_doc_dedup",
+    # (error_rate_tumbling's slot went to intra_doc_dedup: its oracle is
+    # the same exact_round_div_sql call pattern error_rate_sliding
+    # carries, reference.py:72 vs :102)
+    "error_rate_sliding",
     "escalation_metrics_daily", "props_json_extract",
     "session_bounce_rate",
     "error_budget_burn", "quality_scores",

@@ -3394,6 +3394,41 @@ GROUP BY 1
 """
 
 
+# --- intra-document repeated-span dedup --------------------------------------
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span removal
+    (operators/dedup.intra_doc_dedup): keep each distinct segment's
+    FIRST occurrence inside a doc, drop later repeats — the
+    self-repetition cleanup corpus-level segment_dedup cannot see.
+    Purely per-document (one doc_id-keyed aggregation, no corpus-wide
+    segment shuffle); the oracle expresses the same first-occurrence
+    rule with a (doc, h) window."""
+    return dedup.intra_doc_dedup(_docs(spark, sf_dir))
+
+
+def _intra_doc_dedup_sql() -> str:
+    return f"""
+WITH {_segment_ctes()},
+marked AS (
+    SELECT doc_id, seg_idx, seg_text, n_tok,
+           row_number() OVER (PARTITION BY doc_id, h
+                              ORDER BY seg_idx) AS rn
+    FROM seg2
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+                               ' ' ORDER BY seg_idx), '')) AS kept_text_hash
+FROM marked
+GROUP BY doc_id
+"""
+
+
 # --- r6 driver-bisection diagnostics (VERDICT r5, next-round #2) -------------
 # TEMPORARY registry entries that decompose the three four-round-red
 # queries layer-by-layer with integer-only (or integer+md5) outputs, so
@@ -4310,6 +4345,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_chunks": QuerySpec(q_doc_chunks, _doc_chunks_sql()),
     "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, _bpe_pair_counts_sql()),
     "segment_dedup": QuerySpec(q_segment_dedup, _segment_dedup_sql()),
+    "intra_doc_dedup": QuerySpec(q_intra_doc_dedup, _intra_doc_dedup_sql()),
     # r6 driver-bisection diagnostics (temporary; see section comment)
     "diag_segment_counts": QuerySpec(q_diag_segment_counts,
                                      _diag_segment_counts_sql()),

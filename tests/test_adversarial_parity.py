@@ -58,6 +58,11 @@ NASTY_TEXTS = [
     "!!! ??? *** ;;; ,,,",                           # all-punctuation
     "a" * 300 + " b",                                # one huge token
     "the the the the the the the the the the the the",  # repetition
+    # intra-doc repeated 8-token paragraph (× 3) — exercises
+    # intra_doc_dedup's drop path, which the backbone (corpus-level
+    # duplicates only) never does
+    ("alpha bravo charlie delta echo foxtrot golf hotel " * 3
+     + "india juliet kilo lima mike november oscar papa"),
 ]
 
 # corpus backbone: overlapping ASCII docs so shingle/minhash/tfidf/bm25

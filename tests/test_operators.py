@@ -759,3 +759,29 @@ def test_hll_both_branches(spark):
     # raw-branch estimate: 1.04/sqrt(256) ~ 6.5% sigma; allow 4 sigma
     assert abs(big.rel_err) < 0.26, big.rel_err
     assert big.n_zero_registers == 0 or big.hll_est > 2.5 * HLL_M
+
+
+def test_intra_doc_dedup_drops_repeats(spark):
+    """First-occurrence rule on constructed repeats: a doc whose 8-token
+    paragraph repeats 3x keeps exactly one copy; a doc of distinct
+    segments keeps everything; order of kept text is original order."""
+    import hashlib
+    from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+        SEGMENT_TOKENS, intra_doc_dedup,
+    )
+
+    para = " ".join(f"w{i}" for i in range(SEGMENT_TOKENS))      # 8 tokens
+    tail = " ".join(f"t{i}" for i in range(SEGMENT_TOKENS))
+    docs = spark.createDataFrame(
+        [(1, f"{para} {para} {para} {tail}"),   # repeat x3 then distinct
+         (2, f"{tail} {para}")],                # all distinct
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in intra_doc_dedup(docs).collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1.n_segments, r1.n_dropped, r1.tokens_kept) == (4, 2, 16)
+    assert (r2.n_segments, r2.n_dropped, r2.tokens_kept) == (2, 0, 16)
+    # kept text = first para + tail, in original order
+    assert r1.kept_text_hash == hashlib.md5(
+        f"{para} {tail}".encode()).hexdigest()
+    assert r2.kept_text_hash == hashlib.md5(
+        f"{tail} {para}".encode()).hexdigest()
