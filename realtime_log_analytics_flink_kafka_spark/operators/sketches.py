@@ -198,6 +198,24 @@ def _rho(w) -> "F.Column":
     return expr.cast("long")
 
 
+def hll_bucket_rho(items: DataFrame, key_col: str,
+                   hash_col: str) -> DataFrame:
+    """(key, bucket, rho) per item — the pre-aggregation projection.
+
+    Exposed separately because it is the STREAMING unit: a readStream
+    over items -> this projection -> ``groupBy(key, bucket).max(rho)``
+    in update mode IS the live HLL (registers only ever grow, so
+    update-mode emissions converge to the batch register file — proven
+    in tests/test_streaming.py); the spine/harmonic-sum step in
+    :func:`hll_cardinality_audit` is the read-side finisher."""
+    h = F.col(hash_col)
+    return items.select(
+        F.col(key_col),
+        (h % F.lit(HLL_M)).alias("bucket"),
+        _rho(int_div_col(h, HLL_M)).alias("rho"),
+    )
+
+
 def hll_registers(items: DataFrame, key_col: str, hash_col: str) -> DataFrame:
     """(key, bucket, M): the HLL register file over 60-bit item hashes,
     including EMPTY registers (M = 0) via a key × 2^p spine — the
@@ -209,13 +227,8 @@ def hll_registers(items: DataFrame, key_col: str, hash_col: str) -> DataFrame:
     MAX, so partial sketches from any partitioning combine losslessly —
     the property that makes HLL the distributed distinct counter.
     """
-    h = F.col(hash_col)
     regs = (
-        items.select(
-            F.col(key_col),
-            (h % F.lit(HLL_M)).alias("bucket"),
-            _rho(int_div_col(h, HLL_M)).alias("rho"),
-        )
+        hll_bucket_rho(items, key_col, hash_col)
         .groupBy(key_col, "bucket")
         .agg(F.max("rho").alias("M"))
     )

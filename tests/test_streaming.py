@@ -757,3 +757,60 @@ def test_dau_stream_matches_batch_daily_distinct(spark, tmp_path):
     want = {(datetime(2024, 1, 1), 4), (datetime(2024, 1, 2), 3),
             (datetime(2024, 1, 3), 3)}
     assert got == want
+
+
+def test_hll_registers_merge_and_stream(spark, tmp_path):
+    """The sketch property that makes HLL the distributed/streaming
+    distinct counter: (1) registers over a split corpus merged by MAX
+    equal registers over the union (partition-order independence at
+    100 TB); (2) a readStream over the same items through
+    hll_bucket_rho -> update-mode max aggregation converges to the
+    batch register file across micro-batch boundaries."""
+    from realtime_log_analytics_flink_kafka_spark.functions.hashing import (
+        md5_long,
+    )
+    from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+        hll_bucket_rho, hll_registers,
+    )
+
+    rows = [("k1", f"a{i}") for i in range(300)]
+    rows += [("k2", f"b{i}") for i in range(40)]
+    schema = "key string, s string"
+    with_h = lambda df: df.select("key", md5_long(F.col("s")).alias("h"))
+
+    full = spark.createDataFrame(rows, schema)
+    batch_regs = {(r.key, r.bucket): r.M
+                  for r in hll_registers(with_h(full), "key", "h").collect()}
+
+    # (1) mergeability: max-merge of two half-corpus register files
+    half_a = spark.createDataFrame(rows[::2], schema)
+    half_b = spark.createDataFrame(rows[1::2], schema)
+    merged = (
+        hll_registers(with_h(half_a), "key", "h")
+        .unionAll(hll_registers(with_h(half_b), "key", "h"))
+        .groupBy("key", "bucket").agg(F.max("M").alias("M"))
+    )
+    assert {(r.key, r.bucket): r.M for r in merged.collect()} == batch_regs
+
+    # (2) streaming: two micro-batches, update mode, last emission per
+    # (key, bucket) equals the batch OCCUPIED registers (the spine adds
+    # the empties read-side)
+    base = tmp_path / "items"
+    mid = len(rows) // 2
+    _write_logs(spark, rows[:mid], str(base / "b=0"), schema)
+    time.sleep(1.1)
+    _write_logs(spark, rows[mid:], str(base / "b=1"), schema)
+    stream_regs = (
+        hll_bucket_rho(
+            with_h(_read_stream(spark, str(base / "b=*"), schema,
+                                per_trigger=1)),
+            "key", "h")
+        .groupBy("key", "bucket").agg(F.max("rho").alias("M"))
+    )
+    q = (stream_regs.writeStream.format("memory")
+         .queryName("hll_stream").outputMode("update").start())
+    _drain(q)
+    got = (spark.table("hll_stream")
+           .groupBy("key", "bucket").agg(F.max("M").alias("M")))
+    occupied = {k: v for k, v in batch_regs.items() if v > 0}
+    assert {(r.key, r.bucket): r.M for r in got.collect()} == occupied
