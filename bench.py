@@ -163,6 +163,8 @@ HEADLINE = [
     # round-6: within-doc repeated-span removal (per-doc agg, no corpus
     # shuffle — the plan-shape contrast to segment_dedup)
     "intra_doc_dedup",
+    # round-6: JM-interpolated bigram LM (rational-mixture det_ln)
+    "jm_bigram_surprisal",
 ]
 
 

@@ -1066,3 +1066,67 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
         )
     )
     return agged.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+def jm_bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean surprisal under a Jelinek–Mercer interpolated bigram
+    LM: ``p(w2|w1) = ½·c(w1,w2)/c(w1,·) + ½·u(w2)/T`` — the standard
+    smoothing upgrade over :func:`bigram_surprisal`'s raw ML
+    conditional.  Smoothing matters even scoring the training corpus
+    itself: rare-context estimates (c(w1,·) small) stop being 0/1-ish
+    and get pulled toward the unigram prior, so the score separates
+    "rare but natural" from "templated" far better than the unsmoothed
+    form.
+
+    With λ = ½ the probability is the EXACT rational
+    ``(c12·T + u2·c1) / (2·c1·T)``, so each bigram's −ln p is ONE
+    det_ln of an integer ratio — no float mixture arithmetic at all.
+    Overflow bound: c12·T and u2·c1 must stay under 2^63 — fine to
+    ~10^9-token corpora; beyond that, rescale both counts by a common
+    2^k (the ratio, hence the ln, is unchanged) before the twin.
+
+    Scale shape: same one-shuffle window formulation as
+    bigram_surprisal (ctx and cbf as window sums over the per-doc
+    bigram table — HashPartitioning(w1) satisfies both windows), plus
+    two broadcasts: the vocabulary-sized unigram table on w2 and the
+    single-row token total.  Per-doc contributions fold in sorted
+    (w1, w2) order, matching the oracle's ordered list_reduce.
+    """
+    from pyspark.sql import Window
+
+    bf = bigram_frequencies(docs, text_col)
+    uni = (term_frequencies(docs, text_col)
+           .groupBy("term").agg(F.sum("tf").alias("u2"))
+           .withColumnRenamed("term", "w2"))
+    total = uni.agg(F.sum("u2").alias("T"))
+    w_ctx = Window.partitionBy("w1")
+    w_cbf = Window.partitionBy("w1", "w2")
+    contrib = with_det_ln(
+        bf.withColumn("ctx", F.sum("bf").over(w_ctx))
+        .withColumn("cbf", F.sum("bf").over(w_cbf))
+        .join(F.broadcast(uni), "w2")
+        .crossJoin(F.broadcast(total)),
+        2 * F.col("ctx") * F.col("T"),
+        F.col("cbf") * F.col("T") + F.col("u2") * F.col("ctx"),
+        "lnv", pfx="_jm",
+    ).select(
+        "doc_id", "bf",
+        F.struct(
+            "w1", "w2",
+            (F.col("bf") * F.col("lnv")).alias("c"),
+        ).alias("tc"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            F.array_sort(F.collect_list("tc")).alias("tcs"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            det_round(
+                F.aggregate(F.transform("tcs", lambda x: x["c"]),
+                            F.lit(0.0), lambda acc, v: acc + v)
+                / F.col("n_bigrams"), 6).alias("mean_jm_surprisal"),
+        )
+    )

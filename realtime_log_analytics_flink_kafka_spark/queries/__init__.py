@@ -78,7 +78,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "escalation_metrics_daily", "props_json_extract",
     "session_bounce_rate",
     "error_budget_burn", "quality_scores",
-    "jaccard_prefix_join", "dedup_minhash_lsh", "dedup_token_loss",
+    # (dedup_token_loss's slot went to jm_bigram_surprisal: its
+    # sum-ratio construct is carried by dedup_minhash_lsh /
+    # jaccard_prefix_join / minhash_accuracy)
+    "jm_bigram_surprisal",
+    "jaccard_prefix_join", "dedup_minhash_lsh",
     "minhash_accuracy", "frequent_terms",
     # -- (e) stale rotation: all 15 r2, then the 9 oldest r3 ---------------
     "customer_running_spend", "doc_split_counts", "embedding_near_dups",

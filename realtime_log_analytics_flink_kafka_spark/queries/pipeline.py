@@ -2642,6 +2642,54 @@ FROM (
 """
 
 
+def q_jm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram LM scoring
+    (operators/text.jm_bigram_surprisal): λ=½ mixture of the bigram
+    conditional and the unigram prior, each bigram's −ln p one det_ln
+    of the exact rational (c12·T + u2·c1)/(2·c1·T)."""
+    return text.jm_bigram_surprisal(_docs(spark, sf_dir))
+
+
+SQL_JM_BIGRAM_SURPRISAL = f"""
+WITH {TOKENS_CTE},
+bg AS (
+    SELECT doc_id,
+           unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM tok WHERE len(toks) >= 2
+),
+bgf AS (
+    SELECT doc_id, w1, w2, count(*) AS bf FROM bg GROUP BY doc_id, w1, w2
+),
+cbf AS (SELECT w1, w2, CAST(sum(bf) AS BIGINT) AS cbf
+        FROM bgf GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(cbf) AS BIGINT) AS ctx FROM cbf GROUP BY w1),
+uni AS (
+    SELECT t AS w2, CAST(count(*) AS BIGINT) AS u2
+    FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t
+),
+tot AS (SELECT CAST(sum(u2) AS BIGINT) AS T FROM uni),
+lnb AS (
+    SELECT w1, w2,
+           {det_ln_sql_items('2 * ctx * T', 'cbf * T + u2 * ctx',
+                             'lnv', '_jm')}
+    FROM cbf JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN tot
+),
+contrib AS (
+    SELECT doc_id, bf, w1, w2, bf * lnv AS c
+    FROM bgf JOIN lnb USING (w1, w2)
+)
+SELECT doc_id, n_bigrams,
+       {det_round_sql('c_sum / n_bigrams', 6)} AS mean_jm_surprisal
+FROM (
+    SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(0.0, list(c ORDER BY w1, w2)),
+                       (acc, x) -> acc + x) AS c_sum
+    FROM contrib GROUP BY doc_id
+)
+"""
+
+
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured single-probe IVF recall@k against the exact brute-force
     top-k (operators/similarity.py:recall_at_k) — the ANN quality metric
@@ -4419,6 +4467,8 @@ QUERIES: dict[str, QuerySpec] = {
                                         SQL_EMBEDDING_QUANTIZATION),
     "curation_report": QuerySpec(q_curation_report, _curation_report_sql()),
     "bigram_surprisal": QuerySpec(q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
+    "jm_bigram_surprisal": QuerySpec(q_jm_bigram_surprisal,
+                                     SQL_JM_BIGRAM_SURPRISAL),
     "knn_recall": QuerySpec(q_knn_recall, SQL_KNN_RECALL),
     "packing_efficiency": QuerySpec(q_packing_efficiency,
                                     SQL_PACKING_EFFICIENCY),
