@@ -785,3 +785,27 @@ def test_intra_doc_dedup_drops_repeats(spark):
         f"{para} {tail}".encode()).hexdigest()
     assert r2.kept_text_hash == hashlib.md5(
         f"{tail} {para}".encode()).hexdigest()
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion pins: both-branch docs sum two reciprocal terms,
+    single-branch docs get one, scores are the half-rounded exact
+    rationals, and final_rank orders by the UNROUNDED rational with key
+    tie-break."""
+    from realtime_log_analytics_flink_kafka_spark.operators.retrieval import (
+        RRF_K0, rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank_lex long")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank_dense long")
+    out = {r.doc_id: r for r in rrf_fuse(a, b).collect()}
+    assert set(out) == {10, 20, 30}
+    # doc 20: 1/(60+2) + 1/(60+1); docs 10/30: single terms
+    exp20 = round(1 / (RRF_K0 + 2) + 1 / (RRF_K0 + 1), 6)
+    assert out[20].rrf == exp20
+    assert out[10].rrf == round(1 / (RRF_K0 + 1), 6)
+    assert out[30].rrf == round(1 / (RRF_K0 + 2), 6)
+    assert out[20].final_rank == 1          # two terms beat any single
+    assert out[10].final_rank == 2          # 1/61 > 1/62
+    assert out[30].final_rank == 3
+    assert out[10].rank_dense is None and out[30].rank_lex is None
