@@ -165,6 +165,9 @@ HEADLINE = [
     "intra_doc_dedup",
     # round-6: JM-interpolated bigram LM (rational-mixture det_ln)
     "jm_bigram_surprisal",
+    "source_kl_divergence",
+    "ngram_diversity",
+    "nation_trade_volume",
 ]
 
 

@@ -1130,3 +1130,133 @@ def jm_bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 / F.col("n_bigrams"), 6).alias("mean_jm_surprisal"),
         )
     )
+
+
+def source_kl_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source KL divergence KL(P_s || P_corpus) between each source's
+    unigram distribution and the whole-corpus distribution — the standard
+    domain-drift / mixture audit for a multi-source training corpus
+    (which sources are lexical outliers; which are near-duplicates of the
+    global mix).  No smoothing is needed: support(P_s) is a subset of the
+    corpus support by construction, so every term in the sum has a
+    positive corpus probability.
+
+        KL_s = (1/T_s) * sum_t c_st * [ln(c_st/T_s) - ln(ctf_t/T)]
+
+    Scale shape: one (source, term) aggregation (map-side combined — the
+    shuffle carries vocab x sources pairs, not token instances); source
+    totals are a sources-sized broadcast; the per-term corpus ln table is
+    vocabulary-sized and broadcast back (same shape as
+    :func:`unigram_surprisal`'s ctf table).  Corpus rows never shuffle
+    after the first aggregation.
+
+    Determinism: both lns are det_ln (functions/detmath) staged through
+    named columns; per-source contributions fold in sorted term order, so
+    the double sum is bit-identical across engines under any
+    partitioning; the final ratio is det_round(6).
+    """
+    stf = (
+        docs.select("source", F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    st = stf.groupBy("source").agg(F.sum("c").alias("ts"))
+    ctf = stf.groupBy("term").agg(F.sum("c").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("T"))
+    term_ln = with_det_ln(
+        ctf.crossJoin(F.broadcast(total)),
+        F.col("ctf"), F.col("T"), "ln_q", pfx="_lq",
+    ).select("term", "ln_q")
+    contrib = with_det_ln(
+        stf.join(F.broadcast(st), "source"),
+        F.col("c"), F.col("ts"), "ln_p", pfx="_lp",
+    ).join(F.broadcast(term_ln), "term").select(
+        "source", "c",
+        F.struct(
+            "term",
+            (F.col("c") * (F.col("ln_p") - F.col("ln_q"))).alias("kc"),
+        ).alias("tc"),
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("c").alias("n_tokens"),
+            F.array_sort(F.collect_list("tc")).alias("tcs"),
+        )
+        .select(
+            "source", "n_terms", "n_tokens",
+            det_round(
+                F.aggregate(F.transform("tcs", lambda x: x["kc"]),
+                            F.lit(0.0), lambda acc, v: acc + v)
+                / F.col("n_tokens"), 6).alias("kl_divergence"),
+        )
+    )
+
+
+#: n-gram joiner for :func:`ngram_diversity` — U+001F (unit separator)
+#: cannot be produced by the tokenizer BETWEEN tokens (it is not in the
+#: whitespace split class, so it can only occur INSIDE a token; a token
+#: containing it could collide with a joined n-gram, but identically in
+#: both engines, so parity holds and the distortion is one pathological
+#: token class).
+NGRAM_SEP = "\x1f"
+
+#: distinct-n orders measured by :func:`ngram_diversity`.
+NGRAM_ORDERS = (1, 2, 3)
+
+
+def ngram_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source distinct-n diversity (Li et al. 2016's distinct-1/2/3,
+    the standard repetitiveness / mode-collapse audit for a training
+    corpus): for n in {1,2,3}, ``distinct n-grams / total n-grams``.
+    Low distinct-2/3 flags boilerplate-heavy or template-generated
+    sources long before exact dedup fires.
+
+    Scale shape: the n-gram relation is built INSIDE each row (one
+    transform per order over the staged token array — the same
+    try-element-at shift :func:`bigram_frequencies` uses) and exploded
+    once, so the single shuffle carries (source, n, gram) partial
+    distincts; Spark's two-phase distinct aggregation keeps the
+    map-side output bounded by per-partition vocabulary, never token
+    instances.  No joins.
+
+    Determinism: counts only — the one ratio is exact BIGINT rounding
+    (:func:`exact_round_div`), no floats accumulate.
+
+    Docs shorter than n tokens contribute nothing at that order, and a
+    source with no document of length >= n has no row at that n —
+    identical group-dropping in both engines.
+    """
+    toked = docs.select("source", ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    sep = F.lit(NGRAM_SEP)
+
+    def grams(n: int) -> Column:
+        # struct(n, gram): F.concat propagates NULL past the array end,
+        # so the filter drops the (n-1) tail windows of each doc.
+        def one(t: Column, i: Column) -> Column:
+            parts: list[Column] = [t]
+            for k in range(1, n):
+                parts += [sep, F.try_element_at(toks, i + F.lit(k + 1))]
+            return F.struct(F.lit(n).alias("n"),
+                            F.concat(*parts).alias("g"))
+        return F.filter(F.transform(toks, one),
+                        lambda s: s["g"].isNotNull())
+
+    exploded = toked.select(
+        "source",
+        F.explode(F.concat(*[grams(n) for n in NGRAM_ORDERS])).alias("s"),
+    )
+    return (
+        exploded.groupBy("source", F.col("s.n").alias("n"))
+        .agg(
+            F.countDistinct("s.g").alias("distinct_ngrams"),
+            F.count("*").alias("total_ngrams"),
+        )
+        .select(
+            "source", "n", "distinct_ngrams", "total_ngrams",
+            exact_round_div(F.col("distinct_ngrams"),
+                            F.col("total_ngrams"), 6).alias("diversity"),
+        )
+    )

@@ -81,7 +81,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (dedup_token_loss's slot went to jm_bigram_surprisal: its
     # sum-ratio construct is carried by dedup_minhash_lsh /
     # jaccard_prefix_join / minhash_accuracy)
-    "jm_bigram_surprisal",
+    "jm_bigram_surprisal", "source_kl_divergence",
+    "ngram_diversity", "nation_trade_volume",
     "jaccard_prefix_join", "dedup_minhash_lsh",
     "minhash_accuracy", "frequent_terms",
     # -- (e) stale rotation: all 15 r2, then the 9 oldest r3 ---------------
@@ -91,8 +92,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "media_resize", "media_summary", "orders_by_priority_pivot",
     "small_quantity_revenue", "stratified_sample", "top_revenue_orders",
     "alert_throttle", "alert_union_normalized", "click_attribution_asof",
-    "cube_returns", "escalations_every_third", "latency_p95_daily",
-    "pricing_summary", "salted_join_revenue", "slo_breach_streaks",
+    "escalations_every_third",
+    "pricing_summary", "salted_join_revenue",
+    # (slo_breach_streaks', cube_returns' and latency_p95_daily's slots
+    # went to source_kl_divergence / ngram_diversity /
+    # nation_trade_volume — NEW in r6.  All three evictees stay r3-green
+    # within the no-older-than-r3 freshness bar, and their constructs
+    # keep in-window carriers: grouping_sets_orders covers the
+    # grouping-sets/CUBE class, latency_median_mad the exact-percentile
+    # class, and slo has a pytest streaming twin.)
 )
 
 

@@ -2690,6 +2690,87 @@ FROM (
 """
 
 
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain-drift audit (operators/text.source_kl_divergence):
+    KL(P_source || P_corpus) over unigram distributions — which sources
+    are lexical outliers vs the global mixture."""
+    return text.source_kl_divergence(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_KL_DIVERGENCE = f"""
+WITH {TOKENS_CTE},
+stf AS (
+    SELECT source, t AS term, count(*) AS c
+    FROM (SELECT source, unnest(toks) AS t FROM tok)
+    GROUP BY source, t
+),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM stf GROUP BY source),
+ctf AS (SELECT term, CAST(sum(c) AS BIGINT) AS ctf FROM stf GROUP BY term),
+tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS T FROM ctf),
+lnq AS (
+    SELECT term,
+           {det_ln_sql_items('ctf', 'T', 'ln_q', '_lq')}
+    FROM ctf CROSS JOIN tot
+),
+lnp AS (
+    SELECT source, term, c,
+           {det_ln_sql_items('c', 'ts', 'ln_p', '_lp')}
+    FROM stf JOIN st USING (source)
+),
+contrib AS (
+    SELECT source, term, c, c * (ln_p - ln_q) AS kc
+    FROM lnp JOIN lnq USING (term)
+)
+SELECT source, n_terms, n_tokens,
+       {det_round_sql('k_sum / n_tokens', 6)} AS kl_divergence
+FROM (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           list_reduce(list_prepend(0.0, list(kc ORDER BY term)),
+                       (acc, x) -> acc + x) AS k_sum
+    FROM contrib GROUP BY source
+)
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 per source (operators/text.ngram_diversity): the
+    repetitiveness / template-collapse audit — low distinct-2/3 flags
+    boilerplate-heavy sources before exact dedup fires."""
+    return text.ngram_diversity(_docs(spark, sf_dir))
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH {TOKENS_CTE},
+g1 AS (SELECT source, unnest(toks) AS g FROM tok),
+g2 AS (
+    SELECT source, w1 || chr(31) || w2 AS g
+    FROM (SELECT source,
+                 unnest(toks[1:len(toks) - 1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2
+          FROM tok WHERE len(toks) >= 2)
+),
+g3 AS (
+    SELECT source, w1 || chr(31) || w2 || chr(31) || w3 AS g
+    FROM (SELECT source,
+                 unnest(toks[1:len(toks) - 2]) AS w1,
+                 unnest(toks[2:len(toks) - 1]) AS w2,
+                 unnest(toks[3:len(toks)]) AS w3
+          FROM tok WHERE len(toks) >= 3)
+),
+grams AS (
+    SELECT source, 1 AS n, g FROM g1
+    UNION ALL SELECT source, 2 AS n, g FROM g2
+    UNION ALL SELECT source, 3 AS n, g FROM g3
+)
+SELECT source, n,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       {exact_round_div_sql('count(DISTINCT g)', 'count(*)', 6)} AS diversity
+FROM grams GROUP BY source, n
+"""
+
+
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured single-probe IVF recall@k against the exact brute-force
     top-k (operators/similarity.py:recall_at_k) — the ANN quality metric
@@ -4469,6 +4550,9 @@ QUERIES: dict[str, QuerySpec] = {
     "bigram_surprisal": QuerySpec(q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "jm_bigram_surprisal": QuerySpec(q_jm_bigram_surprisal,
                                      SQL_JM_BIGRAM_SURPRISAL),
+    "source_kl_divergence": QuerySpec(q_source_kl_divergence,
+                                      SQL_SOURCE_KL_DIVERGENCE),
+    "ngram_diversity": QuerySpec(q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "knn_recall": QuerySpec(q_knn_recall, SQL_KNN_RECALL),
     "packing_efficiency": QuerySpec(q_packing_efficiency,
                                     SQL_PACKING_EFFICIENCY),

@@ -164,6 +164,73 @@ GROUP BY r_name, n_name
 """
 
 
+# --- cross-nation trade volume (TPC-H Q7 shape: two nation legs) ------------
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped BETWEEN distinct nations by year —
+    the nation dimension joins twice (supplier leg and customer leg), so
+    it exercises self-referential dimension reuse plus an inequality
+    post-join filter.
+
+    Scale shape: both (key -> nation name) maps are dimension-sized and
+    broadcast — supplier and customer pre-project to two columns before
+    broadcasting, so at 100 TB the only shuffle is lineitem x orders on
+    the order key; the inequality filter runs AFTER the equi-joins (a
+    theta-join would be quadratic).  Group count is bounded by
+    nations^2 x years.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+          .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+          .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       strftime(l_shipdate, '%Y') AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, strftime(l_shipdate, '%Y')
+"""
+
+
 # --- top-k per group (windowed rank, no global sort) ------------------------
 
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,6 +956,8 @@ QUERIES: dict[str, QuerySpec] = {
                                      SQL_RICH_IDLE_CUSTOMERS),
     "shipping_priority": QuerySpec(q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "regional_revenue": QuerySpec(q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "nation_trade_volume": QuerySpec(q_nation_trade_volume,
+                                     SQL_NATION_TRADE_VOLUME),
     "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND),
     "customers_without_orders": QuerySpec(q_customers_without_orders,
                                           SQL_CUSTOMERS_WITHOUT_ORDERS),

@@ -104,6 +104,12 @@ NESTED_LOOP_SANCTIONED = {
     # distinct-source spine × the 2^p-row register-id broadcast (HLL
     # needs every register, including empties, for the harmonic sum)
     "hll_shingles": 1,
+    # single-row corpus-total broadcast onto the bigram context table
+    # (the JM mixture's T factor — same shape as unigram_surprisal's)
+    "jm_bigram_surprisal": 1,
+    # single-row corpus-total broadcast onto the vocabulary-sized ctf
+    # table (the ln(ctf/T) corpus-distribution leg of the KL sum)
+    "source_kl_divergence": 1,
 }
 
 
