@@ -168,6 +168,7 @@ HEADLINE = [
     "source_kl_divergence",
     "ngram_diversity",
     "nation_trade_volume",
+    "order_fulfillment_lag",
 ]
 
 

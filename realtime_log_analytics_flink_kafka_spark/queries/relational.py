@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.detmath import det_round, det_round_sql
+from ..functions.detmath import (
+    det_round,
+    det_round_sql,
+    exact_round_div,
+    exact_round_div_sql,
+    int_div,
+)
 from ..sources.batch import load_table
 from . import QuerySpec
 
@@ -228,6 +234,91 @@ JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
 WHERE sn.n_name <> cn.n_name
 GROUP BY sn.n_name, cn.n_name, strftime(l_shipdate, '%Y')
+"""
+
+
+# --- order-to-ship lag percentiles (distributed exact nearest-rank) ---------
+
+def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lag distribution per order priority: count, mean, and
+    EXACT p50/p95 lag in days — computed distributively.
+
+    Unlike the per-(key, window) exact percentile
+    (functions/percentile.py), which buffers each group's values in a sorted
+    array, this uses the two-phase shape that stays exact AND bounded at
+    100 TB when the value domain is small (lag in whole days spans a few
+    hundred values): (1) one map-side-combined groupBy to (priority,
+    lag_days) counts — the only pass over the fact join; (2) cumulative
+    counts over the tiny histogram (priorities × distinct lags rows; one
+    Exchange feeds both window frames) and the nearest-rank pick is
+    ``min(lag_days WHERE cum >= rank)``.  No collect_list ever sees a
+    fact row.
+
+    Determinism: all-integer — lag is an epoch-second difference divided
+    by 86400 (ship/order timestamps are midnight-aligned so floor and
+    trunc division agree even on negative lags), ranks are
+    ``(q·(n−1)) // 100`` in BIGINT, and the mean is exact_round_div.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        int_div(F.unix_timestamp("l_shipdate")
+                - F.unix_timestamp("o_orderdate"),
+                F.lit(86400)).alias("lag_days"),
+    )
+    hist = (lag.groupBy("o_orderpriority", "lag_days")
+            .agg(F.count("*").alias("cnt")))
+    w_cum = Window.partitionBy("o_orderpriority").orderBy("lag_days")
+    w_tot = Window.partitionBy("o_orderpriority")
+    wdf = (hist.withColumn("cum", F.sum("cnt").over(w_cum))
+           .withColumn("tot", F.sum("cnt").over(w_tot)))
+
+    def rank_pick(q_pct: int) -> Column:
+        rank = int_div(F.lit(q_pct) * (F.col("tot") - 1), F.lit(100)) + 1
+        return F.min(F.when(F.col("cum") >= rank, F.col("lag_days")))
+
+    return (
+        wdf.groupBy("o_orderpriority")
+        .agg(
+            F.max("tot").alias("n_lineitems"),
+            exact_round_div(F.sum(F.col("lag_days") * F.col("cnt")),
+                            F.max("tot"), 4).alias("avg_lag_days"),
+            rank_pick(50).alias("p50_lag_days"),
+            rank_pick(95).alias("p95_lag_days"),
+        )
+    )
+
+
+SQL_ORDER_FULFILLMENT_LAG = f"""
+WITH lag AS (
+    SELECT o_orderpriority,
+           (CAST(floor(epoch_us(l_shipdate) / 1000000) AS BIGINT)
+            - CAST(floor(epoch_us(o_orderdate) / 1000000) AS BIGINT))
+           // 86400 AS lag_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+hist AS (
+    SELECT o_orderpriority, lag_days, count(*) AS cnt
+    FROM lag GROUP BY o_orderpriority, lag_days
+),
+w AS (
+    SELECT o_orderpriority, lag_days, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY o_orderpriority
+                               ORDER BY lag_days) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
+    FROM hist
+)
+SELECT o_orderpriority,
+       CAST(max(tot) AS BIGINT) AS n_lineitems,
+       {exact_round_div_sql('sum(lag_days * cnt)', 'max(tot)', 4)}
+           AS avg_lag_days,
+       CAST(min(CASE WHEN cum >= (50 * (tot - 1)) // 100 + 1
+                     THEN lag_days END) AS BIGINT) AS p50_lag_days,
+       CAST(min(CASE WHEN cum >= (95 * (tot - 1)) // 100 + 1
+                     THEN lag_days END) AS BIGINT) AS p95_lag_days
+FROM w GROUP BY o_orderpriority
 """
 
 
@@ -958,6 +1049,8 @@ QUERIES: dict[str, QuerySpec] = {
     "regional_revenue": QuerySpec(q_regional_revenue, SQL_REGIONAL_REVENUE),
     "nation_trade_volume": QuerySpec(q_nation_trade_volume,
                                      SQL_NATION_TRADE_VOLUME),
+    "order_fulfillment_lag": QuerySpec(q_order_fulfillment_lag,
+                                       SQL_ORDER_FULFILLMENT_LAG),
     "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND),
     "customers_without_orders": QuerySpec(q_customers_without_orders,
                                           SQL_CUSTOMERS_WITHOUT_ORDERS),
