@@ -169,6 +169,9 @@ HEADLINE = [
     "ngram_diversity",
     "nation_trade_volume",
     "order_fulfillment_lag",
+    "pmi_collocations",
+    "term_typo_variants",
+    "latency_ewma_daily",
 ]
 
 

@@ -87,3 +87,63 @@ def escalation_metrics(escalations: DataFrame, *, size: str = "1 minute",
             "avg_p95_latency", "escalation_ratio",
         )
     )
+
+
+def ewma_p95_daily(p95_daily: DataFrame) -> DataFrame:
+    """Per-service exponentially-weighted smoothing of the daily p95
+    latency series: ``e_t = (x_t + 3·e_{t-1}) div 4`` (α = ¼, a
+    power-of-two weight chosen so the recurrence stays in EXACT BIGINT
+    arithmetic — no float accumulates, so the fold is bit-identical
+    across engines and partitionings), seeded ``e_0 = x_0``.  The
+    standard trend-vs-noise smoother for SLO dashboards: a one-day
+    latency spike moves the EWMA 25%, a regime change converges in ~5
+    days.
+
+    Input is the output of :func:`~..operators.detect.latency_p95`
+    (service, window_start, p95_latency, …) — composition over the same
+    daily-p95 operator the SLO detector uses, not a re-aggregation.
+
+    Scale shape: groupBy(service) over the DAYS table (|services| ×
+    |days| rows, already thousands of times smaller than the log
+    stream), ordered struct fold per group — the sorted array is
+    days-long, not events-long, so collect never sees a raw event.
+
+    Determinism: p95 values are floored to whole ms before the fold
+    (see the inline note — the raw daily p95 is a non-integral but
+    bit-identical double); the fold order is fixed by array_sort on
+    window_start; both operands of the division are non-negative so
+    Spark ``div`` (trunc) and DuckDB ``//`` (floor) agree; the mean is
+    exact_round_div.
+    """
+    # latency_ms (events.value) is a 2-decimal DOUBLE, so the daily p95
+    # is a non-integral double (bit-identical across engines — nearest-
+    # rank picks an actual data value, no arithmetic).  The fold needs
+    # integers: an explicit floor() is the same correctly-rounded IEEE
+    # op on both sides, whereas a bare BIGINT cast truncates on Spark
+    # but rounds on DuckDB.
+    p95i = F.floor("p95_latency").cast("long")
+    days = (
+        p95_daily.groupBy("service")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(p95i).alias("_s"),
+            F.array_sort(
+                F.collect_list(F.struct("window_start",
+                                        p95i.alias("p95_latency")))
+            ).alias("_xs"),
+        )
+    )
+    from ..functions.detmath import int_div
+
+    fold = F.aggregate(
+        F.transform("_xs", lambda s: s["p95_latency"]),
+        F.lit(None).cast("long"),
+        lambda acc, x: F.when(acc.isNull(), x)
+                        .otherwise(int_div(x + 3 * acc, F.lit(4))),
+    )
+    return days.select(
+        "service",
+        "n_days",
+        exact_round_div(F.col("_s"), F.col("n_days"), 4).alias("mean_p95"),
+        fold.alias("ewma_p95"),
+    )

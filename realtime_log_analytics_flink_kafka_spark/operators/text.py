@@ -1260,3 +1260,117 @@ def ngram_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
                             F.col("total_ngrams"), 6).alias("diversity"),
         )
     )
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_support: int = 5) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent token pairs, ``PMI(w1,w2) = ln(c12·N / (c1·c2))`` with c1 =
+    left-marginal c(w1,·), c2 = right-marginal c(·,w2), N = total
+    bigrams — the classic measure for "these words co-occur far more
+    than chance" (multiword expressions, named entities, templated
+    boilerplate).  Pairs below ``min_support`` corpus occurrences are
+    dropped AFTER the marginals are taken, so rare-pair noise never
+    inflates the ranking but the probability model still sees the full
+    mass.
+
+    Scale shape: ONE token-instance shuffle (the map-side-combined
+    (w1, w2) count); everything after runs on the distinct-bigram table,
+    which is vocabulary²-bounded and in practice Zipf-tiny relative to
+    the corpus.  The two marginals are window sums over that table (one
+    Exchange each on w1 / w2); N is a single-row broadcast (sanctioned
+    in tests/test_plans.py).
+
+    Determinism: all counts are integers, and the ln is evaluated as
+    ``det_ln(c12, c1) + det_ln(N, c2)`` — algebraically ln(c12·N/(c1·c2))
+    but with every det_ln operand an actual corpus count, so the
+    2^53-exactness precondition of functions/detmath holds for any
+    corpus up to 9·10^15 bigrams (the fused single-ratio form would
+    overflow c12·N at ~2^63/N).  The first term is a ratio < 1 and
+    comes out negative via det_ln's swap-and-negate; both engines stage
+    the identical IEEE DAG, then det_round(6).
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select(ws_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("w1"),
+                F.try_element_at(toks, i + F.lit(2)).alias("w2"),
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    cbf = (
+        toked.select(F.explode(pairs).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("c12"))
+    )
+    tot = cbf.agg(F.sum("c12").alias("nb"))
+    m = (
+        cbf.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("c2", F.sum("c12").over(Window.partitionBy("w2")))
+        .filter(F.col("c12") >= min_support)
+        .crossJoin(F.broadcast(tot))
+    )
+    m = with_det_ln(m, F.col("c12"), F.col("c1"), "ln1", pfx="_p1")
+    m = with_det_ln(m, F.col("nb"), F.col("c2"), "ln2", pfx="_p2")
+    return m.select(
+        "w1", "w2", "c12",
+        det_round(F.col("ln1") + F.col("ln2"), 6).alias("pmi"),
+    )
+
+
+def term_typo_variants(docs: DataFrame, text_col: str = "text",
+                       top_n: int = 50, max_dist: int = 2) -> DataFrame:
+    """Fuzzy vocabulary linkage: for the ``top_n`` most frequent terms,
+    every other vocabulary term within Levenshtein distance
+    ``[1, max_dist]`` — the OCR-noise / typo-variant discovery pass that
+    precedes vocabulary normalization in a training-data pipeline.
+
+    Scale shape: the vocabulary is ONE map-side-combined token shuffle;
+    the head is a TakeOrderedAndProject (no global sort materializes);
+    then CANDIDATE LENGTH EXPANSION turns the fuzzy join into a pure
+    broadcast equi-join — each head term emits (top_n · (2·max_dist+1))
+    rows keyed by candidate length, joined on ``length(term)``.  Length
+    banding is a correct blocking key (|len(a)−len(b)| ≤ distance is an
+    edit-distance invariant, unlike first-character blocking which a
+    single head-deletion breaks), so no nested-loop join and no missed
+    pair.  The quadratic levenshtein runs only on band survivors, with
+    Spark's thresholded form (early exit past ``max_dist``).
+
+    Determinism: the head is ordered (tf DESC, term ASC) — total order,
+    no boundary ties.  Both vocab and head are restricted to
+    ``^[a-z0-9]+$``: DuckDB's levenshtein counts BYTES (café→cafe = 2)
+    while Spark counts CHARACTERS (= 1), and on ASCII the two agree by
+    construction.
+    """
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("tf"))
+        .filter(F.col("term").rlike("^[a-z0-9]+$"))
+    )
+    head = (vocab.orderBy(F.col("tf").desc(), F.col("term")).limit(top_n)
+            .select(F.col("term").alias("dict_term")))
+    cand = head.select(
+        "dict_term",
+        F.explode(F.sequence(F.length("dict_term") - max_dist,
+                             F.length("dict_term") + max_dist)
+                  ).alias("cand_len"),
+    )
+    joined = vocab.join(F.broadcast(cand),
+                        F.length(vocab.term) == cand.cand_len)
+    dist = F.levenshtein(F.col("term"), F.col("dict_term"), max_dist)
+    return (
+        joined.withColumn("distance", dist)
+        .filter(F.col("distance") >= 1)   # thresholded form: -1 = "> max"
+        .select(
+            "dict_term",
+            F.col("term").alias("variant"),
+            F.col("tf").cast("long").alias("variant_tf"),
+            F.col("distance").cast("long").alias("distance"),
+        )
+    )

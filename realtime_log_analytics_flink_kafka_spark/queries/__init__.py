@@ -83,13 +83,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # jaccard_prefix_join / minhash_accuracy)
     "jm_bigram_surprisal", "source_kl_divergence",
     "ngram_diversity", "nation_trade_volume",
-    "order_fulfillment_lag",
+    "order_fulfillment_lag", "pmi_collocations", "term_typo_variants",
+    # (escalations_every_third's slot went to term_typo_variants — NEW
+    # in r6; escalations stays r3-green and its every-Nth window
+    # construct is carried by customer_spend_deciles' ntile class.)
+    # (pricing_summary's slot went to pmi_collocations — NEW in r6.
+    # pricing stays r3-green; its sum/avg/count-by-flag constructs are
+    # carried in-window by order_fulfillment_lag and nation_trade_volume,
+    # and pmi's det_ln/ordered-fold constructs by jm_bigram_surprisal
+    # and source_kl_divergence.)
     # (salted_join_revenue's slot went to order_fulfillment_lag — NEW
     # in r6.  salted_join stays r3-green; its join+agg constructs are
-    # carried in-window by nation_trade_volume and pricing_summary, and
-    # the int-div / exact_round_div constructs order_fulfillment_lag
-    # leans on keep error_rate_sliding / session_bounce_rate as
-    # carriers.)
+    # carried in-window by nation_trade_volume, and the int-div /
+    # exact_round_div constructs order_fulfillment_lag leans on keep
+    # error_rate_sliding / session_bounce_rate as carriers.)
     "jaccard_prefix_join", "dedup_minhash_lsh",
     "minhash_accuracy", "frequent_terms",
     # -- (e) stale rotation: all 15 r2, then the 9 oldest r3 ---------------
@@ -99,8 +106,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "media_resize", "media_summary", "orders_by_priority_pivot",
     "small_quantity_revenue", "stratified_sample", "top_revenue_orders",
     "alert_throttle", "alert_union_normalized", "click_attribution_asof",
-    "escalations_every_third",
-    "pricing_summary",
     # (slo_breach_streaks', cube_returns' and latency_p95_daily's slots
     # went to source_kl_divergence / ngram_diversity /
     # nation_trade_volume — NEW in r6.  All three evictees stay r3-green

@@ -2733,6 +2733,73 @@ FROM (
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text.pmi_collocations): PMI of
+    adjacent token pairs vs the corpus bigram model, min support 5 —
+    multiword expressions and templated boilerplate surface at the top."""
+    return text.pmi_collocations(_docs(spark, sf_dir))
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH {TOKENS_CTE},
+bg AS (
+    SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM tok WHERE len(toks) >= 2
+),
+cbf AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM cbf),
+marg AS (
+    SELECT w1, w2, c12,
+           CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+           CAST(sum(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2
+    FROM cbf
+),
+l1 AS (
+    SELECT w1, w2, c12, c2, nb,
+           {det_ln_sql_items('c12', 'c1', 'ln1', '_p1')}
+    FROM marg CROSS JOIN tot WHERE c12 >= 5
+),
+l2 AS (
+    SELECT w1, w2, c12, ln1,
+           {det_ln_sql_items('nb', 'c2', 'ln2', '_p2')}
+    FROM l1
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       {det_round_sql('ln1 + ln2', 6)} AS pmi
+FROM l2
+"""
+
+
+def q_term_typo_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary linkage (operators/text.term_typo_variants):
+    edit-distance-≤2 variants of the 50 head terms via length-band
+    candidate expansion — a pure broadcast equi-join, no nested loop."""
+    return text.term_typo_variants(_docs(spark, sf_dir))
+
+
+SQL_TERM_TYPO_VARIANTS = f"""
+WITH {TOKENS_CTE},
+vocab AS (
+    SELECT t AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t
+    HAVING regexp_matches(t, '^[a-z0-9]+$')
+),
+head AS (SELECT term AS dict_term FROM vocab
+         ORDER BY tf DESC, term LIMIT 50),
+cand AS (
+    SELECT dict_term,
+           unnest(range(length(dict_term) - 2, length(dict_term) + 3))
+               AS cand_len
+    FROM head
+)
+SELECT dict_term, term AS variant, tf AS variant_tf,
+       CAST(levenshtein(term, dict_term) AS BIGINT) AS distance
+FROM vocab JOIN cand ON length(term) = cand_len
+WHERE levenshtein(term, dict_term) BETWEEN 1 AND 2
+"""
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3 per source (operators/text.ngram_diversity): the
     repetitiveness / template-collapse audit — low distinct-2/3 flags
@@ -4553,6 +4620,9 @@ QUERIES: dict[str, QuerySpec] = {
     "source_kl_divergence": QuerySpec(q_source_kl_divergence,
                                       SQL_SOURCE_KL_DIVERGENCE),
     "ngram_diversity": QuerySpec(q_ngram_diversity, SQL_NGRAM_DIVERSITY),
+    "pmi_collocations": QuerySpec(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "term_typo_variants": QuerySpec(q_term_typo_variants,
+                                    SQL_TERM_TYPO_VARIANTS),
     "knn_recall": QuerySpec(q_knn_recall, SQL_KNN_RECALL),
     "packing_efficiency": QuerySpec(q_packing_efficiency,
                                     SQL_PACKING_EFFICIENCY),

@@ -127,6 +127,41 @@ FROM logs GROUP BY 1, 2, 3
 """
 
 
+def q_latency_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily p95 per service (operators/metrics.
+    ewma_p95_daily): α=¼ integer recurrence over the exact daily p95
+    series — the trend line the SLO dashboard plots over the raw p95."""
+    from ..operators.metrics import ewma_p95_daily
+
+    return ewma_p95_daily(latency_p95(_logs(spark, sf_dir), size="1 day"))
+
+
+SQL_LATENCY_EWMA_DAILY = f"""
+WITH {{LOGS_CTE}},
+p95 AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {{DAY_US}}) AS BIGINT) * {{DAY}} AS window_start,
+           CAST(floor({{P95}}) AS BIGINT) AS p95_latency
+    FROM logs GROUP BY 1, 2
+),
+agg AS (
+    SELECT service, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(p95_latency) AS BIGINT) AS s,
+           list(p95_latency ORDER BY window_start) AS xs
+    FROM p95 GROUP BY service
+)
+SELECT service, n_days,
+       {{MEAN}} AS mean_p95,
+       CAST(list_reduce(list_prepend(CAST(NULL AS BIGINT), xs),
+                        (acc, x) -> CASE WHEN acc IS NULL THEN x
+                                         ELSE (x + 3 * acc) // 4 END)
+            AS BIGINT) AS ewma_p95
+FROM agg
+""".format(LOGS_CTE=LOGS_CTE, DAY_US=DAY * 1_000_000, DAY=DAY,
+           P95=P95_SQL_EXPR,
+           MEAN=exact_round_div_sql("s", "n_days", 4))
+
+
 # --- 4. consecutive-breach SLO detector (A10/W10-W12, batch islands) --------
 
 def q_slo_breach_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +684,8 @@ QUERIES: dict[str, QuerySpec] = {
                                        SQL_SYNTHETIC_LOG_PROFILE),
     "error_rate_tumbling": QuerySpec(q_error_rate_tumbling, SQL_ERROR_RATE_TUMBLING),
     "latency_p95_daily": QuerySpec(q_latency_p95_daily, SQL_LATENCY_P95_DAILY),
+    "latency_ewma_daily": QuerySpec(q_latency_ewma_daily,
+                                    SQL_LATENCY_EWMA_DAILY),
     "slo_breach_streaks": QuerySpec(q_slo_breach_streaks, SQL_SLO_BREACH_STREAKS),
     "escalations_every_third": QuerySpec(q_escalations_every_third,
                                          SQL_ESCALATIONS_EVERY_THIRD),

@@ -77,6 +77,7 @@ NESTED_LOOP_SANCTIONED = {
     # full-outer equi-join over two <= k-row relations
     "hybrid_retrieval": 2,
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
+    "pmi_collocations": 1,         # single-row bigram-total broadcast
     "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
     "leakage_safe_split": 1,       # single-row straddle-audit broadcast
