@@ -172,6 +172,10 @@ HEADLINE = [
     "pmi_collocations",
     "term_typo_variants",
     "latency_ewma_daily",
+    "error_trend_slope",
+    "benford_price_audit",
+    "zorder_locality",
+    "spend_gini",
 ]
 
 

@@ -152,3 +152,57 @@ def latency_p95(logs: DataFrame, *, size: str, q: float = 0.95,
             "total_logs",
         )
     )
+
+
+#: Arbitrary day-number rebase for the trend regression below.  The OLS
+#: slope is EXACTLY invariant under x -> x - c in integer arithmetic
+#: (n·Σxy − Σx·Σy and n·Σx² − (Σx)² both reduce to the centered sums),
+#: so the constant only controls overflow headroom: with |x| ~ the span
+#: in days instead of ~20600 days-since-epoch, n·Σx²y-scale terms stay
+#: under 2^63 even at 10^9 errors/day over a decade.
+DAY_REBASE = 20_000
+
+
+def error_trend_slope(err_logs: DataFrame) -> DataFrame:
+    """Per-service OLS trend of the daily error-count series:
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` in errors/day — the
+    detector behind "errors are drifting up 3%/day" alerts, one Markov
+    step beyond the reference's threshold spikes
+    (flink/error_rate_detector.py:89-99 reacts to levels; this reacts
+    to drift).
+
+    Input should be pre-filtered error logs (operators/logs.error_logs)
+    so the event_type predicate reaches the parquet scan.
+
+    Scale shape: one map-side-combined (service, day) count — the only
+    pass over raw events — then a per-service aggregation over the tiny
+    daily table.  No window, no sort, no collect: the four sufficient
+    statistics (Σx, Σy, Σxy, Σx²) fold associatively, so the same query
+    runs unchanged as a streaming aggregation.
+
+    Determinism: all-integer sufficient statistics (day index is an
+    epoch-second div, counts are BIGINT), and the final ratio —
+    numerator may be negative on a falling trend — is the sign-aware
+    exact_round_div.  NULL slope when a service has a single active day
+    (zero variance).
+    """
+    from ..functions.detmath import exact_round_div, int_div
+
+    x = (int_div(F.unix_timestamp("ts"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x")
+    daily = err_logs.groupBy("service", x).agg(F.count("*").alias("y"))
+    s = daily.groupBy("service").agg(
+        F.count("*").alias("n_days"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "service",
+        "n_days",
+        F.col("sy").alias("total_errors"),
+        exact_round_div(num, den, 6).alias("slope_per_day"),
+    )

@@ -84,6 +84,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "jm_bigram_surprisal", "source_kl_divergence",
     "ngram_diversity", "nation_trade_volume",
     "order_fulfillment_lag", "pmi_collocations", "term_typo_variants",
+    "error_trend_slope", "latency_ewma_daily", "zorder_locality",
+    # (the last three r3 rotation slots — alert_throttle,
+    # alert_union_normalized, click_attribution_asof — went to these
+    # three NEW r6 queries.  Driver-red risk concentrates in new
+    # cross-engine construct classes (the HUGEINT lesson), and these
+    # carry the newest ones: a sign-aware exact division whose
+    # numerator genuinely goes negative on falling trends (the exact
+    # class that burned r5), a CASE-conditional list_reduce fold, and
+    # the Morton div/mod arithmetic.  The three evictees stay r3-green;
+    # their throttle/union/as-of constructs have pytest twins
+    # (test_operators) and rotate back in r7.)
     # (escalations_every_third's slot went to term_typo_variants — NEW
     # in r6; escalations stays r3-green and its every-Nth window
     # construct is carried by customer_spend_deciles' ntile class.)
@@ -105,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_ivf_multiprobe", "knn_lsh_pairs", "label_centroids",
     "media_resize", "media_summary", "orders_by_priority_pivot",
     "small_quantity_revenue", "stratified_sample", "top_revenue_orders",
-    "alert_throttle", "alert_union_normalized", "click_attribution_asof",
     # (slo_breach_streaks', cube_returns' and latency_p95_daily's slots
     # went to source_kl_divergence / ngram_diversity /
     # nation_trade_volume — NEW in r6.  All three evictees stay r3-green

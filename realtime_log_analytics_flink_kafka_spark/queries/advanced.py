@@ -1175,6 +1175,64 @@ LIMIT {SKEW_TOP_K}
 """
 
 
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/layout): bucket events onto a
+    256×256 (user, latency) grid, interleave to a Morton key, and
+    measure per 256-cell key tile how bounded BOTH dimensions stay —
+    the property that makes a Z-ordered file layout prune on either
+    predicate (a single-column sort gives n_x=1 but n_y up to 256; the
+    Z-curve bounds both at 16).  This is the read-side audit for
+    layout.write_zordered.
+
+    Scale: one projection computes the key inside codegen (pure
+    div/%/multiply arithmetic, no bit intrinsics), one
+    map-side-combined groupBy onto ≤256 tile rows.
+
+    Determinism: all-integer — the latency bucket floors a
+    bit-identical double, everything after is BIGINT.
+    """
+    from ..functions.detmath import int_div
+    from ..operators.layout import morton_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("zx"),
+        F.greatest(F.lit(0), F.least(
+            F.lit(255), F.floor("value").cast("long"))).alias("zy"),
+    )
+    keyed = ev.select(morton_key(F.col("zx"), F.col("zy")).alias("zkey"),
+                      "zx", "zy")
+    return (
+        keyed.groupBy(int_div(F.col("zkey"), F.lit(256)).alias("tile"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("zx").alias("n_x"),
+            F.countDistinct("zy").alias("n_y"),
+            F.min("zkey").alias("zkey_min"),
+            F.max("zkey").alias("zkey_max"),
+        )
+    )
+
+
+def _zorder_locality_sql() -> str:
+    from ..operators.layout import morton_key_sql
+
+    return f"""
+WITH keyed AS (
+    SELECT {morton_key_sql('zx', 'zy')} AS zkey, zx, zy
+    FROM (SELECT user_id % 256 AS zx,
+                 greatest(0, least(255, CAST(floor(value) AS BIGINT))) AS zy
+          FROM events)
+)
+SELECT zkey // 256 AS tile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT zx) AS BIGINT) AS n_x,
+       CAST(count(DISTINCT zy) AS BIGINT) AS n_y,
+       CAST(min(zkey) AS BIGINT) AS zkey_min,
+       CAST(max(zkey) AS BIGINT) AS zkey_max
+FROM keyed GROUP BY 1
+"""
+
+
 # --- cohort retention matrix -------------------------------------------------
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,6 +1570,7 @@ QUERIES: dict[str, QuerySpec] = {
     "latency_median_mad": QuerySpec(q_latency_median_mad,
                                     _latency_median_mad_sql()),
     "skew_audit": QuerySpec(q_skew_audit, _skew_audit_sql()),
+    "zorder_locality": QuerySpec(q_zorder_locality, _zorder_locality_sql()),
     "metrics_reconciliation": QuerySpec(q_metrics_reconciliation,
                                         _metrics_reconciliation_sql()),
     "service_daily_gapfill": QuerySpec(q_service_daily_gapfill,

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.detmath import exact_round_div, exact_round_div_sql
 from ..operators.logs import LOGS_CTE, as_logs, error_logs
-from ..operators.detect import error_rate_alerts, latency_p95
+from ..operators.detect import DAY_REBASE, error_rate_alerts, latency_p95
 from ..operators.escalate import (consecutive_breaches,
                                   escalate_every_nth_scalable,
                                   throttle_alerts)
@@ -125,6 +125,41 @@ SELECT service,
        count(*) AS total_logs
 FROM logs GROUP BY 1, 2, 3
 """
+
+
+def q_error_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service OLS drift of daily error counts (operators/detect.
+    error_trend_slope): level detectors say "too many errors today",
+    this says "errors are climbing N/day" — all-integer sufficient
+    statistics, sign-aware exact division."""
+    from ..operators.detect import error_trend_slope
+
+    return error_trend_slope(error_logs(load_table(spark, sf_dir, "events")))
+
+
+SQL_ERROR_TREND_SLOPE = f"""
+WITH {{LOGS_CTE}},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {{DAY_US}}) AS BIGINT) - {{REBASE}} AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+s AS (
+    SELECT service, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM daily GROUP BY service
+)
+SELECT service, n_days, sy AS total_errors,
+       CASE WHEN n_days > 1 THEN
+           {{SLOPE}}
+       END AS slope_per_day
+FROM s
+""".format(LOGS_CTE=LOGS_CTE, DAY_US=DAY * 1_000_000, REBASE=DAY_REBASE,
+           SLOPE=exact_round_div_sql("n_days * sxy - sx * sy",
+                                     "n_days * sxx - sx * sx", 6))
 
 
 def q_latency_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +721,8 @@ QUERIES: dict[str, QuerySpec] = {
     "latency_p95_daily": QuerySpec(q_latency_p95_daily, SQL_LATENCY_P95_DAILY),
     "latency_ewma_daily": QuerySpec(q_latency_ewma_daily,
                                     SQL_LATENCY_EWMA_DAILY),
+    "error_trend_slope": QuerySpec(q_error_trend_slope,
+                                   SQL_ERROR_TREND_SLOPE),
     "slo_breach_streaks": QuerySpec(q_slo_breach_streaks, SQL_SLO_BREACH_STREAKS),
     "escalations_every_third": QuerySpec(q_escalations_every_third,
                                          SQL_ESCALATIONS_EVERY_THIRD),

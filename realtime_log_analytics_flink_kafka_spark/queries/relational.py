@@ -322,6 +322,151 @@ FROM w GROUP BY o_orderpriority
 """
 
 
+# --- Benford first-digit audit (data-quality forensics) ---------------------
+
+#: log10(1 + 1/d) for d = 1..9 — Benford's-law expected first-digit
+#: shares.  Computed once here and embedded as the SAME repr literal in
+#: both dialects, so the doubles are bit-identical by construction.
+_BENFORD = [__import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice vs Benford's law — the
+    classic fabricated-/corrupted-numeric-data forensic for a large
+    ingest: natural multi-magnitude amounts follow log10(1+1/d); a
+    synthetic or truncated feed shows up as a large excess.
+
+    Scale shape: one map-side-combined groupBy onto ≤9 digit rows; the
+    grand total is a window over that 9-row table (no second scan, no
+    broadcast).  The scan reads one column.
+
+    Determinism: cents = floor(price·100 + 0.5) is the det_round DAG
+    (identical IEEE ops on identical doubles), the digit is the first
+    character of the BIGINT's decimal rendering, shares are
+    exact_round_div, and the Benford expectations are shared literals.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+    digit = F.substring(cents.cast("long").cast("string"), 1, 1)
+    hist = (orders.select(digit.alias("digit"))
+            .groupBy("digit").agg(F.count("*").alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    bexp = F.element_at(F.array(*[F.lit(v) for v in _BENFORD]),
+                        F.col("digit").cast("int"))
+    return (
+        hist.withColumn("total", total)
+        .select(
+            "digit", "n",
+            exact_round_div(F.col("n"), F.col("total"), 6).alias("share"),
+            det_round(bexp, 6).alias("benford_share"),
+            det_round(exact_round_div(F.col("n"), F.col("total"), 6) - bexp,
+                      6).alias("excess"),
+        )
+    )
+
+
+SQL_BENFORD_PRICE_AUDIT = f"""
+WITH hist AS (
+    SELECT substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+),
+w AS (
+    SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total,
+           ([{", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in _BENFORD)}]
+            )[CAST(digit AS INT)] AS bexp
+    FROM hist
+)
+SELECT digit, n,
+       {exact_round_div_sql('n', 'total', 6)} AS share,
+       {det_round_sql('bexp', 6)} AS benford_share,
+       {det_round_sql(exact_round_div_sql('n', 'total', 6) + ' - bexp', 6)}
+           AS excess
+FROM w
+"""
+
+
+# --- per-segment spend Gini (inequality audit) ------------------------------
+
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    one-number inequality audit behind "the top decile drives X%"
+    (customer_spend_deciles shows the shape; this scores it):
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` over ascending-ranked
+    spend.
+
+    Scale shape: one groupBy(custkey) over orders, a shuffle join to
+    customer for the segment, then a PER-SEGMENT ranked sum — the sort
+    is partitioned by segment, never global.  Ties in spend cannot
+    change the result (equal x's contribute the same Σi·x under any
+    permutation of their ranks), but the order is still pinned
+    (spend, custkey) so both engines materialize identical ranks.
+
+    Determinism/overflow: per-customer spend is exact whole dollars
+    (cents via the det_round DAG, then integer-divided by 100 — both
+    engines trunc on non-negatives); the Gini numerator/denominator are
+    exact BIGINTs and the final ratio divides them as doubles (exact
+    casts — both < 2^53 up to ~10^7 customers × 10^6-dollar spend per
+    segment; beyond that, stratify the segment key) and det_rounds.
+    Customers with no orders are out of population by construction
+    (inner join through the spend table).
+    """
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(int_div(F.sum(cents.cast("long")), F.lit(100)).alias("spend_d"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ranked = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .withColumn("i", F.row_number().over(
+            Window.partitionBy("c_mktsegment")
+            .orderBy("spend_d", "o_custkey")).cast("long"))
+    )
+    s = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend_d").alias("sx"),
+        F.sum(F.col("i") * F.col("spend_d")).alias("sixi"),
+    )
+    num = 2 * F.col("sixi") - (F.col("n_customers") + 1) * F.col("sx")
+    den = F.col("n_customers") * F.col("sx")
+    return s.select(
+        "c_mktsegment",
+        "n_customers",
+        F.col("sx").alias("total_spend_dollars"),
+        det_round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
+
+
+SQL_SPEND_GINI = f"""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) // 100 AS spend_d
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT c_mktsegment, spend_d,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY spend_d, o_custkey)
+                AS BIGINT) AS i
+    FROM spend JOIN customer ON o_custkey = c_custkey
+),
+s AS (
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(spend_d) AS BIGINT) AS sx,
+           CAST(sum(i * spend_d) AS BIGINT) AS sixi
+    FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers, sx AS total_spend_dollars,
+       {det_round_sql('CAST(2 * sixi - (n_customers + 1) * sx AS DOUBLE)'
+                      ' / CAST(n_customers * sx AS DOUBLE)', 6)} AS gini
+FROM s
+"""
+
+
 # --- top-k per group (windowed rank, no global sort) ------------------------
 
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,6 +1196,9 @@ QUERIES: dict[str, QuerySpec] = {
                                      SQL_NATION_TRADE_VOLUME),
     "order_fulfillment_lag": QuerySpec(q_order_fulfillment_lag,
                                        SQL_ORDER_FULFILLMENT_LAG),
+    "benford_price_audit": QuerySpec(q_benford_price_audit,
+                                     SQL_BENFORD_PRICE_AUDIT),
+    "spend_gini": QuerySpec(q_spend_gini, SQL_SPEND_GINI),
     "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND),
     "customers_without_orders": QuerySpec(q_customers_without_orders,
                                           SQL_CUSTOMERS_WITHOUT_ORDERS),

@@ -1,0 +1,96 @@
+"""operators/layout: Morton key correctness, dialect parity, Z-order
+locality bound, and the Z-ordered write's file-pruning property."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from realtime_log_analytics_flink_kafka_spark.operators.layout import (
+    DEFAULT_BITS,
+    morton_key,
+    morton_key_sql,
+    write_zordered,
+)
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+CASES = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (85, 170),
+         (1, 255), (128, 64), (200, 3), (7, 200)]
+
+
+def test_morton_key_matches_reference(spark):
+    df = spark.createDataFrame(CASES, "x long, y long").select(
+        "x", "y", morton_key(F.col("x"), F.col("y")).alias("z"))
+    for r in df.collect():
+        assert r.z == _morton_ref(r.x, r.y, DEFAULT_BITS), (r.x, r.y)
+
+
+def test_morton_key_sql_twin_matches_reference():
+    con = duckdb.connect()
+    rows = ", ".join(f"({x}, {y})" for x, y in CASES)
+    got = con.execute(
+        f"SELECT x, y, {morton_key_sql('x', 'y')} AS z"
+        f" FROM (VALUES {rows}) AS t(x, y)").fetchall()
+    for x, y, z in got:
+        assert z == _morton_ref(x, y, DEFAULT_BITS), (x, y)
+
+
+def test_morton_key_is_bijective_on_grid(spark):
+    grid = spark.range(32).selectExpr("id % 8 AS x", "id div 8 AS y")
+    n = (grid.select(morton_key(F.col("x"), F.col("y")).alias("z"))
+         .distinct().count())
+    assert n == 32
+
+
+def test_zorder_tiles_bound_both_dimensions(spark):
+    """Every aligned 256-key tile of the Z-curve covers a 16x16
+    rectangle: <=16 distinct values in EACH dimension (a row-major key
+    would give 1 x 256)."""
+    full = spark.range(256 * 256).selectExpr(
+        "id % 256 AS x", "id div 256 AS y")
+    tiles = (
+        full.select(morton_key(F.col("x"), F.col("y")).alias("z"),
+                    "x", "y")
+        .groupBy((F.col("z") / 256).cast("long").alias("tile"))
+        .agg(F.countDistinct("x").alias("nx"),
+             F.countDistinct("y").alias("ny"))
+    )
+    mx = tiles.agg(F.max("nx"), F.max("ny")).first()
+    assert mx[0] == 16 and mx[1] == 16
+
+
+def test_write_zordered_prunes_on_both_predicates(spark, tmp_path):
+    """After a Z-ordered write, per-file min/max of BOTH bucket columns
+    are tight: for any point predicate on x (or y), most files are
+    prunable by their column stats."""
+    df = (spark.range(65536)
+          .selectExpr("id % 256 AS x", "id div 256 AS y", "id AS payload"))
+    out = str(tmp_path / "zordered")
+    write_zordered(df, F.col("x"), F.col("y"), out, num_files=16)
+
+    import pyarrow.parquet as pq
+    import glob
+    spans_x, spans_y = [], []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        t = pq.read_table(f, columns=["x", "y"])
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans_x.append((min(xs), max(xs)))
+        spans_y.append((min(ys), max(ys)))
+    assert len(spans_x) == 16
+
+    def hit(spans, v):
+        return sum(1 for lo, hi in spans if lo <= v <= hi)
+
+    # a point predicate on either dimension touches a minority of files
+    for v in (0, 100, 255):
+        assert hit(spans_x, v) <= 8, (v, spans_x)
+        assert hit(spans_y, v) <= 8, (v, spans_y)
