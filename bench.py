@@ -176,6 +176,7 @@ HEADLINE = [
     "benford_price_audit",
     "zorder_locality",
     "spend_gini",
+    "fk_integrity_audit",
 ]
 
 
@@ -226,7 +227,33 @@ def main() -> None:
     if failed is not None:
         out["failed_query"] = failed
         out["error"] = error
-    print(json.dumps(out))
+
+    # The driver records only the LAST 2000 chars of stdout and
+    # json.loads them (BENCH_r{1,3} parsed, r{2,4,5} did not once the
+    # suite outgrew the window).  Persist the full per-query map as a
+    # committed artifact, and make the FINAL stdout line a compact JSON
+    # that always fits: suite metric + the slowest queries that fit the
+    # window, with a pointer to the full detail.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(out), file=sys.stderr)  # full line for local diffing
+    compact = dict(out)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+    head: dict[str, float] = {}
+    for k, v in slowest.items():
+        head[k] = v
+        if len(json.dumps(head)) > 1300:
+            head.pop(k)
+            break
+    compact["queries"] = head
+    compact["n_queries"] = len(times)
+    compact["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(compact, separators=(",", ":")))
     if failed is not None:
         sys.exit(1)
 

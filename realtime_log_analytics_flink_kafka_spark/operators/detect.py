@@ -177,8 +177,12 @@ def error_trend_slope(err_logs: DataFrame) -> DataFrame:
     Scale shape: one map-side-combined (service, day) count — the only
     pass over raw events — then a per-service aggregation over the tiny
     daily table.  No window, no sort, no collect: the four sufficient
-    statistics (Σx, Σy, Σxy, Σx²) fold associatively, so the same query
-    runs unchanged as a streaming aggregation.
+    statistics (Σx, Σy, Σxy, Σx²) fold associatively.  Streaming uses
+    the standard two-stage split (Spark disallows chained streaming
+    aggregations): the daily count as a windowed streaming agg, then
+    :func:`trend_slope_from_daily` over the tiny maintained state per
+    micro-batch — proven equal to this batch path in
+    tests/test_streaming.py::test_error_trend_stream_matches_batch.
 
     Determinism: all-integer sufficient statistics (day index is an
     epoch-second div, counts are BIGINT), and the final ratio —
@@ -186,11 +190,20 @@ def error_trend_slope(err_logs: DataFrame) -> DataFrame:
     exact_round_div.  NULL slope when a service has a single active day
     (zero variance).
     """
-    from ..functions.detmath import exact_round_div, int_div
+    from ..functions.detmath import int_div
 
     x = (int_div(F.unix_timestamp("ts"), F.lit(86400))
          - F.lit(DAY_REBASE)).alias("x")
     daily = err_logs.groupBy("service", x).agg(F.count("*").alias("y"))
+    return trend_slope_from_daily(daily)
+
+
+def trend_slope_from_daily(daily: DataFrame) -> DataFrame:
+    """Slope stage of :func:`error_trend_slope`: per-service OLS over a
+    ``(service, x, y)`` daily table.  Separated so the streaming path
+    can feed it the maintained daily-count state each micro-batch."""
+    from ..functions.detmath import exact_round_div
+
     s = daily.groupBy("service").agg(
         F.count("*").alias("n_days"),
         F.sum("y").alias("sy"),

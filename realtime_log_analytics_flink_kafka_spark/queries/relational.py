@@ -467,6 +467,66 @@ FROM s
 """
 
 
+# --- referential-integrity audit (ingest health sweep) ----------------------
+
+#: FK edges of the star schema: (edge label, child table, child key,
+#: parent table, parent key).
+_FK_EDGES = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: one row per FK edge of the star
+    schema with the child row count and the orphan count (child keys
+    with no parent) — the first thing a 100 TB ingest pipeline checks
+    before any join-based query is trusted (an orphan silently DROPS
+    rows from every inner join downstream).
+
+    Scale shape: per edge, ONE pass — a left join against the
+    DISTINCT parent keys (dimension-sized, broadcast where small;
+    Catalyst picks shuffle for the fact-fact edges) with the orphan
+    count as a conditional aggregate, so no second scan and no
+    count-action on the driver.  The 7 single-row results union.
+
+    Determinism: pure integer counts.
+    """
+    rows = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = (_t(spark, sf_dir, parent)
+             .select(F.col(pkey).alias("k")).distinct()
+             .withColumn("_hit", F.lit(1)))
+        rows.append(
+            c.join(p, "k", "left").agg(
+                F.lit(label).alias("edge"),
+                F.count("*").alias("n_child"),
+                F.sum(F.when(F.col("_hit").isNull(), 1)
+                      .otherwise(0)).alias("n_orphans"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_FK_INTEGRITY_AUDIT = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS edge, CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+FROM (SELECT {ckey} AS k FROM {child}) c
+LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p ON c.k = p.k"""
+    for label, child, ckey, parent, pkey in _FK_EDGES
+)
+
+
 # --- top-k per group (windowed rank, no global sort) ------------------------
 
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,6 +1259,8 @@ QUERIES: dict[str, QuerySpec] = {
     "benford_price_audit": QuerySpec(q_benford_price_audit,
                                      SQL_BENFORD_PRICE_AUDIT),
     "spend_gini": QuerySpec(q_spend_gini, SQL_SPEND_GINI),
+    "fk_integrity_audit": QuerySpec(q_fk_integrity_audit,
+                                    SQL_FK_INTEGRITY_AUDIT),
     "top_parts_per_brand": QuerySpec(q_top_parts_per_brand, SQL_TOP_PARTS_PER_BRAND),
     "customers_without_orders": QuerySpec(q_customers_without_orders,
                                           SQL_CUSTOMERS_WITHOUT_ORDERS),

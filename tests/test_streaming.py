@@ -25,7 +25,7 @@ from realtime_log_analytics_flink_kafka_spark.streaming.jobs import (
 from realtime_log_analytics_flink_kafka_spark.streaming.state import (
     consecutive_breach_stateful, escalate_every_n_stateful,
 )
-from tests.fixtures import LOG_SCHEMA, gen_logs
+from tests.fixtures import LOG_SCHEMA, T0, gen_logs
 
 
 def _write_logs(spark, rows, path, schema=LOG_SCHEMA):
@@ -814,3 +814,58 @@ def test_hll_registers_merge_and_stream(spark, tmp_path):
            .groupBy("key", "bucket").agg(F.max("M").alias("M")))
     occupied = {k: v for k, v in batch_regs.items() if v > 0}
     assert {(r.key, r.bucket): r.M for r in got.collect()} == occupied
+
+
+def test_error_trend_stream_matches_batch(spark, tmp_path):
+    """error_trend_slope's streaming decomposition: daily error counts
+    as a complete-mode streaming aggregation (tiny state: services x
+    days), slope re-derived from the maintained state — equal to the
+    one-shot batch operator because the four sufficient statistics are
+    pure functions of that state."""
+    from datetime import timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.functions.detmath import int_div
+    from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+        DAY_REBASE, error_trend_slope, trend_slope_from_daily)
+
+    # 6 days, deterministic per-day error counts: one rising service,
+    # one falling, one flat
+    rows, eid = [], 0
+    for svc, counts in [("svc-up", [10, 13, 16, 19, 22, 25]),
+                        ("svc-down", [40, 35, 30, 25, 20, 15]),
+                        ("svc-flat", [7, 7, 7, 7, 7, 7])]:
+        for d, n in enumerate(counts):
+            for i in range(n):
+                rows.append({
+                    "event_id": eid,
+                    "ts": T0 + timedelta(days=d, seconds=i),
+                    "service": svc,
+                    "is_error": 1,
+                    "latency_ms": 100.0,
+                })
+                eid += 1
+    path = str(tmp_path / "errlogs")
+    _write_logs(spark, rows, path)
+
+    daily_stream = (
+        _read_stream(spark, path)
+        .groupBy("service", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("y"))
+    )
+    q = start_memory_sink(daily_stream, "trend_daily", output_mode="complete")
+    _drain(q)
+
+    daily = spark.table("trend_daily").select(
+        "service",
+        (int_div(F.col("w.start").cast("long"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x"),
+        "y",
+    )
+    got = {tuple(r) for r in trend_slope_from_daily(daily).collect()}
+    want = {tuple(r) for r in
+            error_trend_slope(spark.read.parquet(path)).collect()}
+    assert got == want and len(want) == 3
+    by_svc = {r[0]: r[3] for r in want}
+    assert by_svc["svc-up"] == 3.0
+    assert by_svc["svc-down"] == -5.0
+    assert by_svc["svc-flat"] == 0.0
