@@ -345,10 +345,16 @@ def det_round(x: Column, scale: int) -> Column:
     # signum, not a CASE on x: references x twice instead of three
     # times, and the argument is often an expensive subtree (a full
     # vector fold in the similarity family — the r5 determinism tax).
-    # Bit-identical: signum returns ±1.0 / 0.0 / NULL doubles, and
-    # 0.0 * floor(0.5) == 0.0 on the zero branch either way.
+    # The trailing +0.0 normalizes the sign of zero: signum(-0.0) is
+    # -0.0 on Spark (so a zero-magnitude result would be -0.0) while
+    # the SQL twin's CASE ('x < 0' is false for -0.0) yields +0.0 —
+    # IEEE (-0.0 + 0.0) == +0.0 and x + 0.0 == x for every other x,
+    # so both dialects carry the same +0.0 term and emit +0.0 for ANY
+    # zero-magnitude result (including a tiny-negative x that floors
+    # to zero, where BOTH engines would otherwise emit -0.0).
     return (F.signum(x)
-            * F.floor(F.abs(x) * p + F.lit(0.5)).cast("double") / p)
+            * F.floor(F.abs(x) * p + F.lit(0.5)).cast("double") / p
+            + F.lit(0.0))
 
 
 def det_round_sql(x: str, scale: int) -> str:
@@ -356,9 +362,10 @@ def det_round_sql(x: str, scale: int) -> str:
     order.  ``x`` is interpolated three times; keep it an alias (CTE /
     lateral column) when it is expensive."""
     p = f"CAST('{float(10 ** scale)!r}' AS DOUBLE)"
-    return (f"((CASE WHEN ({x}) < 0 THEN CAST('-1.0' AS DOUBLE)"
+    return (f"(((CASE WHEN ({x}) < 0 THEN CAST('-1.0' AS DOUBLE)"
             f" ELSE CAST('1.0' AS DOUBLE) END"
-            f" * floor(abs({x}) * {p} + CAST('0.5' AS DOUBLE))) / {p})")
+            f" * floor(abs({x}) * {p} + CAST('0.5' AS DOUBLE))) / {p})"
+            f" + CAST('0.0' AS DOUBLE))")
 
 
 #: Highest bit the ceil_pow2 ladder covers: 2^42 prefix positions is

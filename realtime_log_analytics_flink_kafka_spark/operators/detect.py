@@ -157,9 +157,20 @@ def latency_p95(logs: DataFrame, *, size: str, q: float = 0.95,
 #: Arbitrary day-number rebase for the trend regression below.  The OLS
 #: slope is EXACTLY invariant under x -> x - c in integer arithmetic
 #: (n·Σxy − Σx·Σy and n·Σx² − (Σx)² both reduce to the centered sums),
-#: so the constant only controls overflow headroom: with |x| ~ the span
-#: in days instead of ~20600 days-since-epoch, n·Σx²y-scale terms stay
-#: under 2^63 even at 10^9 errors/day over a decade.
+#: so the constant only controls overflow headroom.  The global rebase
+#: is a cheap first shift; the binding protection is the PER-SERVICE
+#: centering inside trend_slope_from_daily (x − trunc(Σx/n)), which
+#: shrinks |x| to the service's own span in days regardless of where
+#: its activity falls on the calendar.  Real bound after centering:
+#: exact_round_div at scale 6 multiplies the slope numerator by 2·10^6
+#: in BIGINT, so exactness requires |n·Σx'y − Σx'·Σy| < ~4.6e12 with
+#: x' the centered day index — with |x'| ≤ span/2 that is
+#: n·(span/2)·Σ|y−ȳ| headroom, e.g. a decade of daily points
+#: (n≈3650, span/2≈1825) tolerates ~7e5 total ABSOLUTE DEVIATION from
+#: the mean daily count times; a near-flat 10^9/day series is fine
+#: (deviations cancel into the centered covariance), a 10^9-scale
+#: monotone ramp is not — pre-aggregate to weeks or lower the round
+#: scale for such series.
 DAY_REBASE = 20_000
 
 
@@ -201,9 +212,24 @@ def error_trend_slope(err_logs: DataFrame) -> DataFrame:
 def trend_slope_from_daily(daily: DataFrame) -> DataFrame:
     """Slope stage of :func:`error_trend_slope`: per-service OLS over a
     ``(service, x, y)`` daily table.  Separated so the streaming path
-    can feed it the maintained daily-count state each micro-batch."""
-    from ..functions.detmath import exact_round_div
+    can feed it the maintained daily-count state each micro-batch.
 
+    x is first centered PER SERVICE (x − trunc(Σx/n), any integer shift
+    is exact-invariant for the slope) so the sufficient statistics sit
+    at centered-covariance scale instead of days-since-rebase scale —
+    the overflow-headroom fix from ADVICE r6 (see DAY_REBASE note for
+    the real bound).  The centering pass aggregates the already-tiny
+    daily table and re-joins by broadcast, so it costs no fact-table
+    work.  The oracle SQL does NOT center: DuckDB's integer sums are
+    HUGEINT so it has no overflow to defend against, and the slope is
+    exactly shift-invariant, so both sides emit identical values.
+    """
+    from ..functions.detmath import exact_round_div, int_div
+
+    ctr = daily.groupBy("service").agg(
+        int_div(F.sum("x"), F.count("*")).alias("_cx"))
+    daily = (daily.join(F.broadcast(ctr), "service")
+             .select("service", (F.col("x") - F.col("_cx")).alias("x"), "y"))
     s = daily.groupBy("service").agg(
         F.count("*").alias("n_days"),
         F.sum("y").alias("sy"),

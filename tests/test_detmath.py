@@ -155,3 +155,38 @@ def test_exact_round_div_null_on_zero_denominator(spark):
     df = spark.createDataFrame([(5, 0)], "a long, b long")
     [r] = df.select(exact_round_div(F.col("a"), F.col("b")).alias("v")).collect()
     assert r.v is None
+
+
+def test_det_round_zero_sign_bit_parity(spark):
+    """ADVICE r6: Spark signum(-0.0) is -0.0, so before the +0.0
+    normalization a zero-magnitude det_round result was -0.0 on Spark
+    and +0.0 on the DuckDB CASE twin ('x < 0' is false for -0.0) — a
+    bit-level asymmetry the driver's type/bit-sensitive hash punishes.
+    Both dialects now carry a trailing +0.0; this pins (a) zero-ulp
+    cross-engine parity on adversarial zero-neighborhood inputs and
+    (b) that every zero-magnitude result is POSITIVE zero bits."""
+    from realtime_log_analytics_flink_kafka_spark.functions.detmath import (
+        det_round, det_round_sql)
+
+    # NaN/inf are outside det_round's precondition (|x|·10^k < 2^53)
+    # — Spark's floor returns BIGINT so they aren't representable.
+    xs = [-0.0, 0.0, -1e-10, 1e-10, -4.9e-7, 4.9e-7, -5.1e-7,
+          -1.0, 1.0, -0.00000049999, -123.4567891, 123.4567894, -1e-300]
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    sp = {r.i: r.v for r in
+          df.select("i", det_round(F.col("x"), 6).alias("v")).collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE q(i BIGINT, x DOUBLE)")
+        con.executemany("INSERT INTO q VALUES (?,?)", rows)
+        dk = {r[0]: r[1] for r in con.execute(
+            f"SELECT i, {det_round_sql('x', 6)} AS v FROM q").fetchall()}
+    finally:
+        con.close()
+    mism = [i for i in sp if _bits(sp[i]) != _bits(dk[i])]
+    assert not mism, f"bit mismatches at inputs {[xs[i] for i in mism]}"
+    # every zero-magnitude output must be +0.0, not -0.0
+    for i, x in enumerate(xs):
+        if sp[i] == 0.0:
+            assert _bits(sp[i]) == _bits(0.0), f"-0.0 leaked for x={x}"

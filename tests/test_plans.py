@@ -272,6 +272,33 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_spend_gini_has_no_row_level_rank_sort(spark):
+    """spend_gini (VERDICT r6 scale-killer fix): the Gini ranked sum
+    must come from the two-phase value-domain histogram, never a
+    ``row_number`` over the customer-cardinality spend relation — TPC-H
+    has 5 market segments, so a per-segment rank is 5 near-global sort
+    partitions at 100×.  Gate: no row_number in the plan, and every
+    Window sits ABOVE an aggregate (its input is the compact
+    (segment, spend_d) histogram, not raw per-customer rows)."""
+    df = QUERIES["spend_gini"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "row_number" not in plan, f"rank-sort resurfaced:\n{plan}"
+    # the only Sort allowed is the window's sort over the HISTOGRAM:
+    # the Window's input chain must be Sort <- Exchange <- HashAggregate
+    # (the groupBy(segment, spend_d) count), never a Scan/Join directly
+    tree = [l for l in plan.split("\n")
+            if ("+-" in l or ":-" in l) and "(" in l]
+    win_at = [i for i, l in enumerate(tree) if "Window" in l]
+    assert win_at, f"expected a Window over the histogram:\n{plan}"
+    i = win_at[0]
+    chain = " ".join(tree[i + 1:i + 4])
+    for node in ("Sort", "Exchange", "HashAggregate"):
+        assert node in chain, (
+            f"Window not fed by the histogram aggregate:\n{plan}")
+    assert "Sort" not in " ".join(tree[:i]) and "Sort" not in " ".join(
+        tree[i + 4:]), f"extra row-level sort in plan:\n{plan}"
+
+
 def test_no_vector_fold_in_nonselective_join_conditions(spark):
     """The kNN family's NULL-cosine handling must stay a pre-join
     zero-norm filter, never a post-join ``cosine IS NOT NULL`` /

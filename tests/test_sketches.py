@@ -93,3 +93,33 @@ class TestMisraGries:
         assert "MapInPandas" in plan
         assert "BatchEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_broadcast_guard_fallback(self, spark):
+        """VERDICT r6 #3: the MG candidate union is O(k·P), so the
+        forced broadcast hint must disengage above
+        ``broadcast_candidate_limit`` and leave the join strategy to
+        Catalyst.  With auto-broadcast disabled, the guarded path must
+        show NO BroadcastHashJoin on the recount (the hint is gone)
+        while the under-limit path still forces one — and both paths
+        return identical exact results."""
+        rng = random.Random(11)
+        words = self._zipf_corpus(rng, vocab=300, n=5_000)
+        df = _terms_df(spark, words, 8)
+        want = _naive(spark, words, 1, 50)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            forced = frequent_terms(df, "term", num=1, den=50)
+            guarded = frequent_terms(df, "term", num=1, den=50,
+                                     broadcast_candidate_limit=1)
+            p_forced = forced._jdf.queryExecution() \
+                .executedPlan().toString()
+            p_guarded = guarded._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert "BroadcastHashJoin" in p_forced
+            assert "BroadcastHashJoin" not in p_guarded, p_guarded
+            got_f = {(r["term"], r["n"]) for r in forced.collect()}
+            got_g = {(r["term"], r["n"]) for r in guarded.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert got_f == want and got_g == want and want
