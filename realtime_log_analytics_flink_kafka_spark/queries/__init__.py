@@ -35,94 +35,59 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ==== round-6 evidence policy =========================================
-    # The window is exactly: (a) the three four-round-red queries, now on
-    # the r6 fixes (BIGINT casts over DuckDB's HUGEINT integer-sum
-    # outputs — the only three oracles that emitted one — plus the
-    # sign-aware exact_round_div_sql for curation_report's negative
-    # quality sum); (b) five TEMPORARY integer-only diagnostics that
-    # decompose them layer-by-layer so a surviving red names its layer
-    # in CORRECTNESS_r06 (VERDICT r5 #2); (c) the three never-checked
-    # queries (VERDICT r5 #5); (d) FIFTEEN carriers for the one changed
-    # SQL construct — 42 oracles call the now-sign-aware
-    # exact_round_div_sql generator, but the emitted construct is
-    # IDENTICAL at every site (CASE + non-negative // branch), every
-    # numerator outside curation_report is provably non-negative (counts
-    # / lengths / conditional sums), the output type is unchanged
-    # (DOUBLE), and NULL propagation is unchanged (NULL < 0 is false →
-    # ELSE branch), so carriers spanning all four query modules, both
-    # scales (4 and 6), NULL-guarded and coalesced numerators cover the
-    # class — same structural-carrier policy r5 used for det_round, with
-    # the rest re-proven by the sf0.01 value-exact sweep; (e) the full
-    # r2-stale cohort (15) plus the nine oldest r3-stale, so after r6 no
-    # query's last driver check is older than r3 (VERDICT r5 #7).
+    # ==== round-7 evidence policy =========================================
+    # The r6 board was 50/50 green and the 5 diag_* bisection
+    # temporaries are dropped per their drop-once-green contract, so r7
+    # finishes driver coverage and burns down staleness (VERDICT r6
+    # next-round #1): (a) the FOUR queries that have never been inside
+    # a front-50 window — benford_price_audit / fk_integrity_audit /
+    # spend_gini were added after the r6 window froze (spend_gini
+    # additionally carries its r7 histogram rewrite, proven
+    # byte-identical to the rank form at sf0.01; benford carries the r7
+    # digit-domain guard, a no-op on TPC-H data) and
+    # embedding_anisotropy (sql=None — gets its first rows-only check);
+    # (b) the two queries whose SPARK SIDE changed this round:
+    # error_trend_slope (per-service x-centering — slope exactly
+    # shift-invariant, values identical by construction, re-proven
+    # anyway) and frequent_terms (the O(k·P) broadcast guard; at driver
+    # scale the chosen path is byte-identical, re-proven anyway); the
+    # third r7 change class, det_round's ±0.0 normalization, changed
+    # BOTH dialects by the same trailing +0.0 term, is bit-parity-gated
+    # in tests/test_detmath.py, and has in-window carriers across all
+    # four query modules (benford_price_audit, spend_gini,
+    # part_revenue_share, regional_revenue, latency_p95_approx,
+    # source_mixture, plus every det_round user in the r3 cohort);
+    # (c) the ENTIRE 37-query r3-stale cohort, retiring the oldest
+    # freshness tier — after r7 no registry query's last driver check
+    # is older than r4 (VERDICT r6 done-bar); (d) the seven
+    # alphabetically-first r4-stale queries with the remaining slots.
+    # Everything out-of-window is re-proven by the sf0.01 161-query
+    # value-exact sweep each session (tests/test_oracle_parity*.py).
     #
-    # -- (a) the three fixed reds ------------------------------------------
-    "curation_report", "unigram_surprisal", "segment_dedup",
-    # -- (b) bisection diagnostics (temporary) -----------------------------
-    "diag_curation_qsum", "diag_unigram_tokens", "diag_unigram_csum",
-    "diag_segment_counts", "diag_segment_boiler",
-    # -- (c) never driver-checked ------------------------------------------
-    "hourly_profile", "latency_median_mad", "skew_audit",
-    # -- (d) sign-aware exact_round_div_sql construct carriers -------------
-    # (hybrid_retrieval, cms_term_counts, hll_shingles are NEW in r6 —
-    # they take the cohort_retention / dau_wau / event_transitions
-    # carrier slots; the advanced-module sign-aware-div carrier family
-    # stays covered by session_bounce_rate and error_budget_burn)
-    "hybrid_retrieval", "cms_term_counts", "hll_shingles",
-    "intra_doc_dedup",
-    # (error_rate_tumbling's slot went to intra_doc_dedup: its oracle is
-    # the same exact_round_div_sql call pattern error_rate_sliding
-    # carries, reference.py:72 vs :102)
-    "error_rate_sliding",
-    "escalation_metrics_daily", "props_json_extract",
-    "session_bounce_rate",
-    "error_budget_burn", "quality_scores",
-    # (dedup_token_loss's slot went to jm_bigram_surprisal: its
-    # sum-ratio construct is carried by dedup_minhash_lsh /
-    # jaccard_prefix_join / minhash_accuracy)
-    "jm_bigram_surprisal", "source_kl_divergence",
-    "ngram_diversity", "nation_trade_volume",
-    "order_fulfillment_lag", "pmi_collocations", "term_typo_variants",
-    "error_trend_slope", "latency_ewma_daily", "zorder_locality",
-    # (the last three r3 rotation slots — alert_throttle,
-    # alert_union_normalized, click_attribution_asof — went to these
-    # three NEW r6 queries.  Driver-red risk concentrates in new
-    # cross-engine construct classes (the HUGEINT lesson), and these
-    # carry the newest ones: a sign-aware exact division whose
-    # numerator genuinely goes negative on falling trends (the exact
-    # class that burned r5), a CASE-conditional list_reduce fold, and
-    # the Morton div/mod arithmetic.  The three evictees stay r3-green;
-    # their throttle/union/as-of constructs have pytest twins
-    # (test_operators) and rotate back in r7.)
-    # (escalations_every_third's slot went to term_typo_variants — NEW
-    # in r6; escalations stays r3-green and its every-Nth window
-    # construct is carried by customer_spend_deciles' ntile class.)
-    # (pricing_summary's slot went to pmi_collocations — NEW in r6.
-    # pricing stays r3-green; its sum/avg/count-by-flag constructs are
-    # carried in-window by order_fulfillment_lag and nation_trade_volume,
-    # and pmi's det_ln/ordered-fold constructs by jm_bigram_surprisal
-    # and source_kl_divergence.)
-    # (salted_join_revenue's slot went to order_fulfillment_lag — NEW
-    # in r6.  salted_join stays r3-green; its join+agg constructs are
-    # carried in-window by nation_trade_volume, and the int-div /
-    # exact_round_div constructs order_fulfillment_lag leans on keep
-    # error_rate_sliding / session_bounce_rate as carriers.)
-    "jaccard_prefix_join", "dedup_minhash_lsh",
-    "minhash_accuracy", "frequent_terms",
-    # -- (e) stale rotation: all 15 r2, then the 9 oldest r3 ---------------
-    "customer_running_spend", "doc_split_counts", "embedding_near_dups",
-    "frame_samples", "grouping_sets_orders", "knn_ivf",
-    "knn_ivf_multiprobe", "knn_lsh_pairs", "label_centroids",
-    "media_resize", "media_summary", "orders_by_priority_pivot",
-    "small_quantity_revenue", "stratified_sample", "top_revenue_orders",
-    # (slo_breach_streaks', cube_returns' and latency_p95_daily's slots
-    # went to source_kl_divergence / ngram_diversity /
-    # nation_trade_volume — NEW in r6.  All three evictees stay r3-green
-    # within the no-older-than-r3 freshness bar, and their constructs
-    # keep in-window carriers: grouping_sets_orders covers the
-    # grouping-sets/CUBE class, latency_median_mad the exact-percentile
-    # class, and slo has a pytest streaming twin.)
+    # -- (a) never driver-checked ------------------------------------------
+    "benford_price_audit", "fk_integrity_audit", "spend_gini",
+    "embedding_anisotropy",
+    # -- (b) spark-side changed this round ----------------------------------
+    "error_trend_slope", "frequent_terms",
+    # -- (c) the full r3-stale cohort (37) ----------------------------------
+    "alert_metrics_daily", "alert_throttle", "alert_union_normalized",
+    "centroid_similarity", "click_attribution_asof", "corpus_shuffle",
+    "cube_returns", "customer_order_histogram", "customers_without_orders",
+    "embedding_quantization", "error_click_pairs", "error_interarrival",
+    "error_rate_tumbling", "escalations_every_third",
+    "event_lateness_audit", "funnel_conversion", "latency_p95_approx",
+    "latency_p95_daily", "packing_efficiency", "part_revenue_share",
+    "pii_redaction", "pricing_summary", "purchase_attribution",
+    "regional_revenue", "returns_rollup", "rich_idle_customers",
+    "rolling_user_activity", "salted_join_revenue",
+    "segment_approx_distinct", "segment_distinct_nations",
+    "shipping_priority", "slo_breach_streaks", "source_mixture",
+    "suppliers_with_shipments", "synthetic_log_profile",
+    "top_parts_per_brand", "user_sessions",
+    # -- (d) oldest r4-stale fill (7) ----------------------------------------
+    "alert_metrics_unpivot", "blocklist_filter", "cluster_balanced_sample",
+    "cohort_retention", "correlated_incidents", "customer_spend_deciles",
+    "dau_wau",
 )
 
 

@@ -3625,100 +3625,6 @@ GROUP BY doc_id
 """
 
 
-# --- r6 driver-bisection diagnostics (VERDICT r5, next-round #2) -------------
-# TEMPORARY registry entries that decompose the three four-round-red
-# queries layer-by-layer with integer-only (or integer+md5) outputs, so
-# if any red survives the r6 fixes (HUGEINT casts + sign-aware
-# exact_round_div_sql), CORRECTNESS_r06 names the first diverging layer
-# instead of another opaque hash mismatch.  Drop once the originals are
-# driver-green.
-
-
-def q_diag_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """segment_dedup minus kept_text_hash: isolates the count columns
-    (n_segments / n_dropped / tokens_kept) from the re-joined-text md5."""
-    return dedup.segment_dedup(_docs(spark, sf_dir)).drop("kept_text_hash")
-
-
-def _diag_segment_counts_sql() -> str:
-    return (f"SELECT doc_id, n_segments, n_dropped, tokens_kept "
-            f"FROM ({_segment_dedup_sql()})")
-
-
-def q_diag_segment_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level segment layer under segment_dedup: one row of
-    (distinct segments, boilerplate-set size, total segment rows)."""
-    segs = dedup.corpus_segments(_docs(spark, sf_dir))
-    per_h = segs.groupBy("h").agg(F.count("*").alias("df"))
-    return per_h.agg(
-        F.count("*").alias("n_distinct_segments"),
-        F.sum(F.when(F.col("df") >= dedup.SEGMENT_MIN_DF, 1).otherwise(0))
-        .cast("long").alias("n_boiler"),
-        F.sum("df").cast("long").alias("n_segment_rows"),
-    )
-
-
-def _diag_segment_boiler_sql() -> str:
-    min_df = dedup.SEGMENT_MIN_DF
-    return f"""
-WITH {_segment_ctes()}
-SELECT count(*) AS n_distinct_segments,
-       CAST(sum(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_boiler,
-       CAST(sum(df) AS BIGINT) AS n_segment_rows
-FROM (SELECT h, count(*) AS df FROM seg2 GROUP BY 1)
-"""
-
-
-def q_diag_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unigram_surprisal's n_tokens column alone (pure BIGINT): isolates
-    the tokenize/term-count layer from the ln fold and rounding."""
-    return text.surprisal_sums(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens")
-
-
-def q_diag_unigram_csum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The UNROUNDED surprisal fold scaled to BIGINT: floor(c_sum·10^6).
-    Green here + red mean_surprisal → the final det_round/division layer;
-    red here + green n_tokens → the det_ln fold."""
-    return text.surprisal_sums(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens",
-        F.floor(F.col("c_sum") * F.lit(1000000.0)).cast("long")
-        .alias("c_sum_e6"),
-    )
-
-
-def q_diag_curation_qsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """curation_report's raw quality numerator per source (pure BIGINT,
-    negative for punctuation-heavy sources): isolates the quality-score
-    layer from the sign-sensitive rounded division."""
-    docs = _docs(spark, sf_dir)
-    row = docs.select(
-        "doc_id", "source",
-        text.quality_exprs()["quality_score_e4"].alias("q_e4"))
-    return row.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.count("q_e4").alias("n_scored"),
-        F.sum("q_e4").cast("long").alias("sum_q_e4"),
-    )
-
-
-def _diag_curation_qsum_sql() -> str:
-    return f"""
-WITH q AS (
-    WITH {TOKENS_CTE},
-    {_QUALITY_M_CTES}
-    SELECT doc_id, {_QUALITY_E4} AS q_e4 FROM m2
-)
-SELECT d.source,
-       count(*) AS n_docs,
-       count(q.q_e4) AS n_scored,
-       CAST(sum(q.q_e4) AS BIGINT) AS sum_q_e4
-FROM documents d JOIN q ON d.doc_id = q.doc_id
-GROUP BY d.source
-"""
-
-
 # --- incremental (batch-vs-corpus) near-dedup --------------------------------
 
 #: Every 10th doc plays the freshly-ingested batch; the rest, the corpus.
@@ -4542,20 +4448,9 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, _bpe_pair_counts_sql()),
     "segment_dedup": QuerySpec(q_segment_dedup, _segment_dedup_sql()),
     "intra_doc_dedup": QuerySpec(q_intra_doc_dedup, _intra_doc_dedup_sql()),
-    # r6 driver-bisection diagnostics (temporary; see section comment)
-    "diag_segment_counts": QuerySpec(q_diag_segment_counts,
-                                     _diag_segment_counts_sql()),
-    "diag_segment_boiler": QuerySpec(q_diag_segment_boiler,
-                                     _diag_segment_boiler_sql()),
-    "diag_unigram_tokens": QuerySpec(
-        q_diag_unigram_tokens,
-        f"SELECT doc_id, n_tokens FROM ({_SQL_SURPRISAL_SUMS})"),
-    "diag_unigram_csum": QuerySpec(
-        q_diag_unigram_csum,
-        f"SELECT doc_id, n_tokens, CAST(floor(c_sum * 1000000.0) AS BIGINT)"
-        f" AS c_sum_e6 FROM ({_SQL_SURPRISAL_SUMS})"),
-    "diag_curation_qsum": QuerySpec(q_diag_curation_qsum,
-                                    _diag_curation_qsum_sql()),
+    # (the five r6 diag_* bisection diagnostics were dropped in r7 per
+    # their own drop-once-green contract: all three originals they
+    # decomposed went driver-green in CORRECTNESS_r06)
     "dedup_incremental": QuerySpec(q_dedup_incremental,
                                    _dedup_incremental_sql()),
     "corpus_shuffle": QuerySpec(q_corpus_shuffle, _corpus_shuffle_sql()),

@@ -68,8 +68,6 @@ NESTED_LOOP_SANCTIONED = {
     "tfidf_top_terms": 1,
     "embedding_quantization": 1,   # single-row scale array broadcast
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
-    "diag_unigram_tokens": 1,      # r6 diagnostics over surprisal_sums:
-    "diag_unigram_csum": 1,        # same single-row total broadcast
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
     "bm25_search": 1,              # single-row (D, L) totals broadcast
     # composes bm25_search's totals broadcast + cosine_topk's bounded
