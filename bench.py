@@ -177,6 +177,18 @@ HEADLINE = [
     "zorder_locality",
     "spend_gini",
     "fk_integrity_audit",
+    # round-7: degree-ordered wedge-join triangle census over the LSH
+    # dup graph (the closure-rate structure audit)
+    "dup_graph_triangles",
+    # round-7: per-source Bloom filter over shingles + FPR probe audit
+    # (third mergeable sketch family: set-union merge)
+    "bloom_prefilter_audit",
+    # round-7: iteration-free CUSUM change-point detector (prefix-sum
+    # identity over stacked window frames)
+    "error_cusum_drift",
+    # round-7: Cohen's-kappa gate-agreement audit (double-DAG scalar
+    # over an integer contingency table)
+    "gate_agreement_kappa",
 ]
 
 

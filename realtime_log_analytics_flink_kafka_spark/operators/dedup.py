@@ -63,11 +63,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_strings(docs: DataFrame, text_col: str = "text",
-                    n: int = 3) -> DataFrame:
+                    n: int = 3, *,
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """doc_id -> exploded n-token shingle STRING (the pre-hash layer).
 
     Shingles via sequence+slice (pure Catalyst); docs shorter than n
-    tokens drop out, matching the oracle.
+    tokens drop out, matching the oracle.  ``carry_cols`` are projected
+    through unchanged (e.g. ``("source",)``) so group-keyed consumers
+    don't need a per-occurrence join back to the documents table.
 
     The token array is materialized in its own projection first: if the
     tokenizer expression (regex split + filter HOF) were inlined inside
@@ -76,7 +79,8 @@ def shingle_strings(docs: DataFrame, text_col: str = "text",
     CollapseProject leaves the projection alone (non-cheap expression
     referenced more than once), so tokenization runs once per row.
     """
-    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toked = docs.select("doc_id", *carry_cols,
+                        ws_tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     sh = F.when(
         F.size(toks) >= n,
@@ -88,7 +92,7 @@ def shingle_strings(docs: DataFrame, text_col: str = "text",
     # short docs yield an empty array, which explode() drops — same rows
     # as a size()>=n filter but without a second tokenizer evaluation
     # (predicate pushdown would substitute the alias into the filter).
-    return toked.select("doc_id", F.explode(sh).alias("shingle"))
+    return toked.select("doc_id", *carry_cols, F.explode(sh).alias("shingle"))
 
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text",
@@ -757,4 +761,74 @@ def intra_doc_dedup(docs: DataFrame, text_col: str = "text", *,
                 " ", F.transform("_kept", lambda s: s["seg_text"])))
             .alias("kept_text_hash"),
         )
+    )
+
+
+# --- dup-graph triangle census ------------------------------------------------
+
+def triangle_stats(pairs: DataFrame, *, left_col: str = "doc_a",
+                   right_col: str = "doc_b") -> DataFrame:
+    """Exact triangle count and global clustering coefficient of the
+    near-dup pair graph — the structure audit that separates
+    TEMPLATE-like duplication (hub-and-spoke: many wedges, few
+    closures, cc ~ 0 — drop the hub, keep the spokes) from true
+    mirror CLIQUES (every wedge closes, cc ~ 1 — keep one
+    representative per component).  Complements dup_graph_degrees
+    (per-node structure) and dup_clusters (component sizes) with the
+    closure rate.
+
+    Scale shape: the distributed-standard degree-ordered wedge join
+    (Schank–Wagner ordering, the algorithm behind every MapReduce/
+    Spark triangle count): orient each edge from its lower-(degree,
+    id) endpoint, so every node's OUT-degree is O(√m) and the wedge
+    self-join materializes O(m^{3/2}) candidates total instead of
+    Σ deg² hub explosions; closure is an equi-join of the wedge list
+    against the oriented edge set (a wedge (a,b) with rank(a) <
+    rank(b) closes iff oriented edge a→b exists).  Three shuffles on
+    edge/wedge keys; the output is one row.
+
+    Determinism: pure BIGINT counts; the clustering coefficient
+    3·T / Σ deg·(deg−1)/2 is exact_round_div (NULL on a wedge-free
+    graph).  Input pairs must be canonical (left < right, distinct),
+    which every pair generator in this module guarantees.
+    """
+    edges = pairs.select(F.col(left_col).alias("u"),
+                         F.col(right_col).alias("v"))
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node")))
+    deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedge = (
+        o1.join(o2, (F.col("o1.s") == F.col("o2.s"))
+                & ((F.col("o1.dt") < F.col("o2.dt"))
+                   | ((F.col("o1.dt") == F.col("o2.dt"))
+                      & (F.col("o1.t") < F.col("o2.t")))))
+        .select(F.col("o1.t").alias("a"), F.col("o2.t").alias("b"))
+    )
+    closing = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    tri = wedge.join(closing, ["a", "b"]).agg(
+        F.count("*").cast("long").alias("n_triangles"))
+
+    shape = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        int_div(F.sum("deg"), F.lit(2)).alias("n_edges"),
+        F.sum(int_div(F.col("deg") * (F.col("deg") - 1), F.lit(2)))
+        .cast("long").alias("n_wedges"),
+    )
+    return shape.crossJoin(F.broadcast(tri)).select(  # single-row broadcast
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        exact_round_div(3 * F.col("n_triangles"), F.col("n_wedges"), 6)
+        .alias("global_cc"),
     )

@@ -248,3 +248,71 @@ def trend_slope_from_daily(daily: DataFrame) -> DataFrame:
         F.col("sy").alias("total_errors"),
         exact_round_div(num, den, 6).alias("slope_per_day"),
     )
+
+
+#: CUSUM alarm threshold as a multiple of the per-service reference
+#: (trunc-mean daily count): alarm when the accumulated positive drift
+#: exceeds three "typical days" worth of errors.
+CUSUM_H_MULT = 3
+
+
+def cusum_drift(err_logs: DataFrame) -> DataFrame:
+    """Per-service one-sided CUSUM over the daily error-count series —
+    the change-point detector that catches a sustained small LEVEL
+    SHIFT (e.g. +20%/day after a bad deploy) long before a threshold
+    detector fires and without the lag of the OLS trend
+    (:func:`error_trend_slope`): classic ``C_t = max(0, C_{t-1} +
+    (y_t − k))`` with reference ``k`` = the service's trunc-mean daily
+    count, alarming when ``C_t > h = CUSUM_H_MULT·k``.
+
+    Scale shape: the recurrence looks sequential but is computed
+    WITHOUT iteration via the prefix-sum identity ``C_t = S_t −
+    min(0, min_{s≤t} S_s)`` with ``S_t = Σ_{s≤t}(y_s − k)`` — two
+    stacked window frames over the tiny (service, day) table (the same
+    single Exchange the trend detector uses); the only pass over raw
+    events is the map-side-combined daily count.
+
+    Determinism: all-integer — k is a trunc division of BIGINT sums
+    (both engines), S/cusum are BIGINT window sums, and the output is
+    counts plus the first alarm's epoch day (NULL when never alarmed).
+
+    Gap semantics: the recurrence runs over OBSERVED days only — a
+    zero-error day produces no log rows, so it neither decays the
+    accumulator nor counts toward the reference mean.  Zero-filling is
+    a composition with the gapfill spine (queries/relational.
+    service_daily_gapfill) when absence itself must decay the alarm.
+
+    Reference parity note: flink/error_rate_detector.py reacts to
+    instantaneous rate levels; this is the §7 drift extension on the
+    same keyed daily series.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.detmath import int_div
+
+    x = int_div(F.unix_timestamp("ts"), F.lit(86400)).alias("x")
+    daily = err_logs.groupBy("service", x).agg(
+        F.count("*").cast("long").alias("y"))
+
+    w_all = Window.partitionBy("service")
+    k = int_div(F.sum("y").over(w_all), F.count("*").over(w_all))
+    d1 = daily.select("service", "x", "y", k.alias("k"))
+
+    w_ord = (Window.partitionBy("service").orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d2 = d1.select("service", "x", "y", "k",
+                   F.sum(F.col("y") - F.col("k")).over(w_ord).alias("s"))
+    cusum = (F.col("s")
+             - F.least(F.lit(0).cast("long"), F.min("s").over(w_ord)))
+    d3 = d2.select("service", "x", "y", "k", cusum.alias("cusum"))
+
+    alarm = F.col("cusum") > CUSUM_H_MULT * F.col("k")
+    return d3.groupBy("service").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("total_errors"),
+        F.max("k").cast("long").alias("k_ref"),          # constant per svc
+        F.max("cusum").cast("long").alias("max_cusum"),
+        F.sum(alarm.cast("long")).cast("long").alias("n_alarm_days"),
+        F.min(F.when(alarm, F.col("x"))).cast("long")
+        .alias("first_alarm_day"),
+    )

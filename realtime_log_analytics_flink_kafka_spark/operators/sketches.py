@@ -338,3 +338,46 @@ def hll_cardinality_audit(items: DataFrame, key_col: str,
                       / F.col("n_exact"), 4).alias("rel_err"),
         )
     )
+
+
+# --- Bloom filter -------------------------------------------------------------
+
+#: k hash functions onto an m-bit array.  At per-group vocabularies of
+#: ~10^3 shingles, m=4096/k=4 runs at fill factor ~0.5-0.7 and a
+#: false-positive rate (1-e^{-kn/m})^k of a few percent — deliberately
+#: UNDER-sized so the audit query measures a real FPR instead of a
+#: vanishing one.  Production prefilters size m ~ 10·n (two literals).
+BLOOM_K = 4
+BLOOM_M = 4096
+
+
+def bloom_set_bits(items: DataFrame, term_col: str = "term",
+                   group_cols: tuple[str, ...] = ("source",), *,
+                   k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """The Bloom filter as a DISTINCT (group…, bit) set-bit relation —
+    the third mergeable-sketch family next to CMS (cell addition) and
+    HLL (register max): Bloom partials merge by set UNION, the cheapest
+    merge there is, so per-partition/per-corpus filters combine
+    losslessly.  Membership test: term is POSSIBLY present iff ALL k of
+    its bits are set; definitely absent otherwise (no false negatives —
+    the property that makes Bloom the standard decontamination /
+    blocklist PREFILTER: only possibly-present rows pay the exact
+    check).
+
+    Scale shape: ≤ k rows per DISTINCT term fan out (not per
+    occurrence), collapsing onto at most m rows per group regardless of
+    vocabulary.  Bits come from the same public affine family CMS and
+    MinHash use, over the 60-bit md5 fold — identical arithmetic in the
+    SQL twin.
+    """
+    from ..functions.hashing import affine_hashes, md5_long
+
+    h = md5_long(F.col(term_col))
+    rows = [
+        items.select(*group_cols, _cms_bucket(h, a, b, m).alias("bit"))
+        for a, b in affine_hashes(k)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.distinct()

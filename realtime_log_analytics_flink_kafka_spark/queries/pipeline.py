@@ -12,12 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.detmath import det_ln_sql_items, det_round_sql, \
+from ..functions.detmath import det_ln_sql_items, det_round, det_round_sql, \
     exact_round_div, exact_round_div_sql, int_div, with_det_exp, with_det_ln
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
 from ..functions.textnorm import PUNCT_REGEX, WS_REGEX, ascii_lower_sql
 from ..operators import (decontam, dedup, multimodal, packing, sampling,
-                         similarity, text)
+                         similarity, sketches, text)
 from ..sources.batch import load_table
 from . import QuerySpec
 
@@ -1452,6 +1452,312 @@ deg AS (
 )
 SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
 FROM deg GROUP BY degree
+"""
+
+
+#: Quality-gate threshold for the kappa agreement audit: pass iff the
+#: 10^4-scaled composite quality score clears 0.5.
+_KAPPA_Q_GATE_E4 = 5000
+
+
+def q_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent curation gates per source
+    — the chance-corrected agreement audit a filtering pipeline runs
+    before replacing an expensive gate with a cheap one (raw percent
+    agreement is inflated when both gates pass almost everything;
+    kappa discounts exactly that).  Gate A: composite quality score
+    >= 0.5 (NULL-scored docs fail); gate B: labeled language matches
+    the stopword-vote language ID.
+
+    Scale shape: both gates are row-level expressions, so the
+    contingency table is ONE map-side-combined projection+groupBy to
+    4 counts per source (the funnel-query rule — no per-signal
+    self-joins); kappa is a post-agg scalar.
+
+    Determinism: the contingency counts are exact BIGINTs; kappa =
+    (n·(a+d) − pe) / (n² − pe) with pe = (a+b)(a+c)+(c+d)(b+d) is
+    evaluated in DOUBLE from exact inputs with the IDENTICAL
+    parenthesization in both dialects (each IEEE op is correctly
+    rounded, so the results are bit-equal at any count scale — the
+    all-BIGINT form would overflow n² beyond ~2·10^6 docs/source),
+    then det_rounds.  NULL kappa when a gate is constant (n² == pe).
+    """
+    docs = _docs(spark, sf_dir)
+    scores = text.language_scores()
+    qe4 = text.quality_exprs()["quality_score_e4"]
+    row = docs.select(
+        "source",
+        F.coalesce(qe4 >= _KAPPA_Q_GATE_E4, F.lit(False))
+        .cast("long").alias("ga"),
+        (F.col("lang") == text.language_pred(scores))
+        .cast("long").alias("gb"),
+    )
+    s = row.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("ga") * F.col("gb")).cast("long").alias("a"),
+        F.sum(F.col("ga") * (1 - F.col("gb"))).cast("long").alias("b"),
+        F.sum((1 - F.col("ga")) * F.col("gb")).cast("long").alias("c"),
+        F.sum((1 - F.col("ga")) * (1 - F.col("gb"))).cast("long")
+        .alias("d"),
+    )
+    nd, ad, bd, cd, dd = [F.col(x).cast("double")
+                          for x in ("n", "a", "b", "c", "d")]
+    s = s.withColumn("pe", (ad + bd) * (ad + cd) + (cd + dd) * (bd + dd))
+    num = nd * (ad + dd) - F.col("pe")
+    den = nd * nd - F.col("pe")
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("n_both_pass"),
+        F.col("b").alias("n_quality_only"),
+        F.col("c").alias("n_lang_only"),
+        F.col("d").alias("n_both_fail"),
+        F.when(den != 0, det_round(num / den, 6)).alias("kappa"),
+    )
+
+
+def _gate_agreement_kappa_sql() -> str:
+    dbl = {x: f"CAST({x} AS DOUBLE)" for x in "nabcd"}
+    pe = (f"({dbl['a']} + {dbl['b']}) * ({dbl['a']} + {dbl['c']})"
+          f" + ({dbl['c']} + {dbl['d']}) * ({dbl['b']} + {dbl['d']})")
+    num = f"{dbl['n']} * ({dbl['a']} + {dbl['d']}) - pe"
+    den = f"{dbl['n']} * {dbl['n']} - pe"
+    return f"""
+WITH q AS (
+    WITH {TOKENS_CTE},
+    {_QUALITY_M_CTES}
+    SELECT doc_id, {_QUALITY_E4} AS q_e4 FROM m2
+),
+l AS ({_langid_sql()}),
+g AS (
+    SELECT dd.source,
+           CAST(COALESCE(q.q_e4 >= {_KAPPA_Q_GATE_E4}, FALSE) AS BIGINT)
+               AS ga,
+           CAST(l.lang = l.pred_lang AS BIGINT) AS gb
+    FROM documents dd
+    JOIN q ON dd.doc_id = q.doc_id
+    JOIN l ON dd.doc_id = l.doc_id
+),
+s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ga * gb) AS BIGINT) AS a,
+           CAST(sum(ga * (1 - gb)) AS BIGINT) AS b,
+           CAST(sum((1 - ga) * gb) AS BIGINT) AS c,
+           CAST(sum((1 - ga) * (1 - gb)) AS BIGINT) AS d
+    FROM g GROUP BY source
+),
+k AS (SELECT *, {pe} AS pe FROM s)
+SELECT source, n AS n_docs, a AS n_both_pass, b AS n_quality_only,
+       c AS n_lang_only, d AS n_both_fail,
+       CASE WHEN {den} <> 0
+            THEN {det_round_sql(f'({num}) / ({den})', 6)} END AS kappa
+FROM k
+"""
+
+
+#: Deterministic definitely-absent probe shingles for the Bloom audit
+#: (the zz prefix keeps them out of the fixture vocabulary; the audit
+#: does not DEPEND on absence — exact membership is computed anyway).
+_BLOOM_ABSENT_PROBES = tuple(f"zzabsent{i:02d}" for i in range(50))
+_BLOOM_TOP_PROBES = 50
+
+
+def q_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter membership audit per source
+    (operators/sketches.bloom_set_bits): build one Bloom filter over
+    each source's 3-gram SHINGLE vocabulary (the decontamination unit —
+    operators/decontam probes benchmark shingles exactly like this),
+    probe all filters with a shared 100-shingle probe set (the 50
+    corpus-heaviest shingles + 50 synthetic absent ones), and report
+    possibly-present vs exactly-present counts and the measured
+    false-positive rate — the sizing audit run before trusting a Bloom
+    prefilter (the no-false-negative invariant n_bloom_pos >= n_present
+    is gated in tests/test_round7_ops.py).
+
+    Scale shape: the filter is <= k rows per DISTINCT shingle
+    collapsing onto <= m set bits per source; probing joins the
+    (probe, bit) fan-out (<= 100·k rows, broadcastable) against the
+    set-bit relation on the bit value; the exact check is a left join
+    of the bounded source × probe spine against the distinct
+    vocabulary.  No step touches per-occurrence data after the first
+    distinct.
+
+    Determinism: pure BIGINT hashing/counting; fpr is exact_round_div
+    (NULL when every probe is present).  The top-probe pick orders by
+    (count DESC, shingle) — a total order.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = dedup.shingle_strings(docs, carry_cols=("source",)).select(
+        "source", F.col("shingle").alias("term"))
+    vocab = toks.distinct()
+    bits = sketches.bloom_set_bits(vocab, "term", ("source",))
+
+    ctf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
+    top = (ctf.orderBy(F.desc("ctf"), F.asc("term"))
+           .limit(_BLOOM_TOP_PROBES).select("term"))
+    absent = spark.range(1).select(F.explode(F.array(
+        *[F.lit(s) for s in _BLOOM_ABSENT_PROBES])).alias("term"))
+    probes = top.unionAll(absent)
+
+    from ..functions.hashing import affine_hashes, md5_long
+    from ..operators.sketches import _cms_bucket
+    h = md5_long(F.col("term"))
+    pb_parts = [
+        probes.select("term", _cms_bucket(
+            h, a, b, sketches.BLOOM_M).alias("bit"))
+        for a, b in affine_hashes(sketches.BLOOM_K)
+    ]
+    pb = pb_parts[0]
+    for p in pb_parts[1:]:
+        pb = pb.unionAll(p)
+    pb = pb.distinct()
+    nb = pb.groupBy("term").agg(F.count("*").cast("long").alias("nb"))
+
+    spine = (docs.select("source").distinct()
+             .crossJoin(F.broadcast(probes)))  # bounded: sources × 100
+    hits = (pb.join(bits, "bit")
+            .groupBy("source", "term")
+            .agg(F.count("*").cast("long").alias("n_hit")))
+    audit = (
+        spine.join(F.broadcast(nb), "term")
+        .join(hits, ["source", "term"], "left")
+        .join(vocab.withColumn("present", F.lit(1)),
+              ["source", "term"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("nb"))
+            .cast("long").alias("bloom_pos"),
+            F.coalesce(F.col("present"), F.lit(0)).cast("long")
+            .alias("present"),
+        )
+    )
+    return audit.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("present").cast("long").alias("n_present"),
+        F.sum("bloom_pos").cast("long").alias("n_bloom_pos"),
+        F.sum(F.col("bloom_pos") * (1 - F.col("present"))).cast("long")
+        .alias("n_false_pos"),
+        exact_round_div(
+            F.sum(F.col("bloom_pos") * (1 - F.col("present"))),
+            F.count("*") - F.sum("present"), 6).alias("fpr"),
+    )
+
+
+def _bloom_prefilter_audit_sql() -> str:
+    from ..operators.sketches import BLOOM_K, BLOOM_M
+    md5h = MD5_LONG.format(x="term")
+    fan = " UNION ALL ".join(
+        f"SELECT source, (({a} * (h % {HASH_PRIME}) + {b})"
+        f" % {HASH_PRIME}) % {BLOOM_M} AS bit FROM vh"
+        for a, b in affine_hashes(BLOOM_K))
+    pfan = " UNION ALL ".join(
+        f"SELECT term, (({a} * (h % {HASH_PRIME}) + {b})"
+        f" % {HASH_PRIME}) % {BLOOM_M} AS bit FROM ph"
+        for a, b in affine_hashes(BLOOM_K))
+    absents = ", ".join(f"'{s}'" for s in _BLOOM_ABSENT_PROBES)
+    return f"""
+WITH {TOKENS_CTE},
+shingles AS (
+    SELECT source,
+           unnest(list_transform(range(0, len(toks) - {_N} + 1),
+                  i -> array_to_string(array_slice(toks, i + 1, i + {_N}),
+                                       ' '))) AS term
+    FROM tok WHERE len(toks) >= {_N}
+),
+vocab AS (SELECT DISTINCT source, term FROM shingles),
+vh AS (SELECT source, {md5h} AS h FROM vocab),
+bits AS (SELECT DISTINCT source, bit FROM ({fan})),
+ctf AS (SELECT term, count(*) AS ctf FROM shingles GROUP BY term),
+probes AS (
+    SELECT term FROM (SELECT term FROM ctf
+                      ORDER BY ctf DESC, term LIMIT {_BLOOM_TOP_PROBES})
+    UNION ALL
+    SELECT unnest([{absents}]) AS term
+),
+ph AS (SELECT term, {md5h} AS h FROM probes),
+pb AS (SELECT DISTINCT term, bit FROM ({pfan})),
+nb AS (SELECT term, CAST(count(*) AS BIGINT) AS nb FROM pb GROUP BY term),
+hits AS (
+    SELECT b.source, p.term, CAST(count(*) AS BIGINT) AS n_hit
+    FROM pb p JOIN bits b ON p.bit = b.bit
+    GROUP BY b.source, p.term
+),
+spine AS (
+    SELECT s.source, pr.term
+    FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN probes pr
+),
+audit AS (
+    SELECT sp.source,
+           CASE WHEN coalesce(h.n_hit, 0) = nb.nb
+                THEN 1 ELSE 0 END AS bloom_pos,
+           CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS present
+    FROM spine sp
+    JOIN nb ON nb.term = sp.term
+    LEFT JOIN hits h ON h.source = sp.source AND h.term = sp.term
+    LEFT JOIN vocab v ON v.source = sp.source AND v.term = sp.term
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(present) AS BIGINT) AS n_present,
+       CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_pos,
+       CAST(sum(bloom_pos * (1 - present)) AS BIGINT) AS n_false_pos,
+       {exact_round_div_sql('sum(bloom_pos * (1 - present))',
+                            'count(*) - sum(present)', 6)} AS fpr
+FROM audit GROUP BY source
+"""
+
+
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph
+    (operators/dedup.triangle_stats): exact triangle count + global
+    clustering coefficient via the degree-ordered wedge join — the
+    closure-rate audit that separates hub-template duplication
+    (cc ~ 0) from mirror cliques (cc ~ 1)."""
+    return dedup.triangle_stats(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                threshold=MINHASH_THRESHOLD))
+
+
+def _dup_graph_triangles_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN t_du.deg < t_dv.deg
+                  OR (t_du.deg = t_dv.deg AND u < v) THEN u ELSE v END AS s,
+           CASE WHEN t_du.deg < t_dv.deg
+                  OR (t_du.deg = t_dv.deg AND u < v) THEN v ELSE u END AS t,
+           CASE WHEN t_du.deg < t_dv.deg
+                  OR (t_du.deg = t_dv.deg AND u < v)
+                THEN t_dv.deg ELSE t_du.deg END AS dt
+    FROM edges
+    JOIN deg t_du ON t_du.node = u
+    JOIN deg t_dv ON t_dv.node = v
+),
+wedge AS (
+    SELECT o1.t AS a, o2.t AS b
+    FROM oriented o1 JOIN oriented o2
+      ON o1.s = o2.s
+     AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))
+),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedge w JOIN oriented o ON o.s = w.a AND o.t = w.b
+),
+shape AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(deg) AS BIGINT) // 2 AS n_edges,
+           CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+    FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       {exact_round_div_sql('3 * n_triangles', 'n_wedges', 6)} AS global_cc
+FROM shape CROSS JOIN tri
 """
 
 
@@ -4529,6 +4835,12 @@ QUERIES: dict[str, QuerySpec] = {
                                        SQL_DUPLICATE_NGRAM_SPANS),
     "boilerplate_fraction": QuerySpec(q_boilerplate_fraction,
                                       _boilerplate_fraction_sql()),
+    "dup_graph_triangles": QuerySpec(q_dup_graph_triangles,
+                                     _dup_graph_triangles_sql()),
+    "bloom_prefilter_audit": QuerySpec(q_bloom_prefilter_audit,
+                                       _bloom_prefilter_audit_sql()),
+    "gate_agreement_kappa": QuerySpec(q_gate_agreement_kappa,
+                                      _gate_agreement_kappa_sql()),
     "dup_graph_degrees": QuerySpec(q_dup_graph_degrees,
                                    _dup_graph_degrees_sql()),
     "temperature_mixture": QuerySpec(q_temperature_mixture,

@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 from ..functions.detmath import exact_round_div, exact_round_div_sql
 from ..operators.logs import LOGS_CTE, as_logs, error_logs
-from ..operators.detect import DAY_REBASE, error_rate_alerts, latency_p95
+from ..operators.detect import (CUSUM_H_MULT, DAY_REBASE,
+                                error_rate_alerts, latency_p95)
 from ..operators.escalate import (consecutive_breaches,
                                   escalate_every_nth_scalable,
                                   throttle_alerts)
@@ -160,6 +161,59 @@ FROM s
 """.format(LOGS_CTE=LOGS_CTE, DAY_US=DAY * 1_000_000, REBASE=DAY_REBASE,
            SLOPE=exact_round_div_sql("n_days * sxy - sx * sy",
                                      "n_days * sxx - sx * sx", 6))
+
+
+def q_error_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service one-sided CUSUM change-point detector over daily
+    error counts (operators/detect.cusum_drift): catches sustained
+    small level shifts that sit below the reference's instantaneous
+    rate thresholds and lead the OLS trend — computed iteration-free
+    via the prefix-sum identity over two stacked window frames."""
+    from ..operators.detect import cusum_drift
+
+    return cusum_drift(error_logs(load_table(spark, sf_dir, "events")))
+
+
+SQL_ERROR_CUSUM_DRIFT = """
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY_US}) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+d1 AS (
+    SELECT service, x, y,
+           CAST(sum(y) OVER (PARTITION BY service) AS BIGINT)
+           // CAST(count(*) OVER (PARTITION BY service) AS BIGINT) AS k
+    FROM daily
+),
+d2 AS (
+    SELECT service, x, y, k,
+           CAST(sum(y - k) OVER (PARTITION BY service ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s
+    FROM d1
+),
+d3 AS (
+    SELECT service, x, y, k,
+           s - least(CAST(0 AS BIGINT),
+                     CAST(min(s) OVER (PARTITION BY service ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT)) AS cusum
+    FROM d2
+)
+SELECT service,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(y) AS BIGINT) AS total_errors,
+       CAST(max(k) AS BIGINT) AS k_ref,
+       CAST(max(cusum) AS BIGINT) AS max_cusum,
+       CAST(sum(CASE WHEN cusum > {H} * k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarm_days,
+       CAST(min(CASE WHEN cusum > {H} * k THEN x END) AS BIGINT)
+           AS first_alarm_day
+FROM d3 GROUP BY service
+""".format(LOGS_CTE=LOGS_CTE, DAY_US=DAY * 1_000_000, H=CUSUM_H_MULT)
 
 
 def q_latency_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,6 +777,8 @@ QUERIES: dict[str, QuerySpec] = {
                                     SQL_LATENCY_EWMA_DAILY),
     "error_trend_slope": QuerySpec(q_error_trend_slope,
                                    SQL_ERROR_TREND_SLOPE),
+    "error_cusum_drift": QuerySpec(q_error_cusum_drift,
+                                   SQL_ERROR_CUSUM_DRIFT),
     "slo_breach_streaks": QuerySpec(q_slo_breach_streaks, SQL_SLO_BREACH_STREAKS),
     "escalations_every_third": QuerySpec(q_escalations_every_third,
                                          SQL_ESCALATIONS_EVERY_THIRD),

@@ -109,6 +109,11 @@ NESTED_LOOP_SANCTIONED = {
     # single-row corpus-total broadcast onto the vocabulary-sized ctf
     # table (the ln(ctf/T) corpus-distribution leg of the KL sum)
     "source_kl_divergence": 1,
+    # single-row broadcast: graph-shape aggregate × triangle-count
+    # aggregate (operators/dedup.triangle_stats)
+    "dup_graph_triangles": 1,
+    # bounded spine: distinct sources × the 100-probe relation
+    "bloom_prefilter_audit": 1,
 }
 
 
