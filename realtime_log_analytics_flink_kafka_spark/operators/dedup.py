@@ -791,9 +791,20 @@ def triangle_stats(pairs: DataFrame, *, left_col: str = "doc_a",
     3·T / Σ deg·(deg−1)/2 is exact_round_div (NULL on a wedge-free
     graph).  Input pairs must be canonical (left < right, distinct),
     which every pair generator in this module guarantees.
+
+    The edge list is PERSISTED: the plan references it five times
+    (degrees twice, wedge self-join twice, closure once), and unlike
+    the minhash reuse_sets trade-off (module note at
+    minhash_lsh_pairs) the subtree here is the whole LSH+verify
+    pipeline while the materialization is only dup-graph-sized —
+    measured 4.0 s → 3.1 s warm at sf0.1, and at 100 TB it is the
+    difference between one and five corpus scans.
     """
+    from pyspark import StorageLevel
+
     edges = pairs.select(F.col(left_col).alias("u"),
-                         F.col(right_col).alias("v"))
+                         F.col(right_col).alias("v")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     ends = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node")))
     deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("deg"))

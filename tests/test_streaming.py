@@ -866,6 +866,39 @@ def test_cms_grid_merges_and_streams(spark, tmp_path):
     assert {(r.row, r.bucket): r.counter for r in got.collect()} == batch
 
 
+def test_bloom_bits_stream_union(spark, tmp_path):
+    """Bloom completes the streaming-sketch trio (HLL max-merge, CMS
+    cell-addition, Bloom set-UNION): the set-bit relation over a
+    readStream — stateful Deduplicate in update mode — converges to
+    the batch filter across micro-batch boundaries, because set bits
+    only ever accumulate."""
+    from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+        bloom_set_bits,
+    )
+
+    rows = [("sA", f"t{i}") for i in range(200)] + \
+           [("sB", f"u{i}") for i in range(80)]
+    schema = "source string, term string"
+    full = spark.createDataFrame(rows, schema)
+    batch = {(r.source, r.bit)
+             for r in bloom_set_bits(full, "term", ("source",)).collect()}
+
+    base = tmp_path / "terms"
+    mid = len(rows) // 2
+    _write_logs(spark, rows[:mid], str(base / "b=0"), schema)
+    time.sleep(1.1)
+    _write_logs(spark, rows[mid:], str(base / "b=1"), schema)
+    stream_bits = bloom_set_bits(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1),
+        "term", ("source",))
+    q = (stream_bits.writeStream.format("memory")
+         .queryName("bloom_stream").outputMode("update").start())
+    _drain(q)
+    got = {(r.source, r.bit)
+           for r in spark.table("bloom_stream").distinct().collect()}
+    assert got == batch
+
+
 def test_error_trend_stream_matches_batch(spark, tmp_path):
     """error_trend_slope's streaming decomposition: daily error counts
     as a complete-mode streaming aggregation (tiny state: services x
