@@ -189,6 +189,9 @@ HEADLINE = [
     # round-7: Cohen's-kappa gate-agreement audit (double-DAG scalar
     # over an integer contingency table)
     "gate_agreement_kappa",
+    # round-7: fixed-iteration PageRank over the dup graph (bounded
+    # iterative joins, sorted-order float folds)
+    "dup_pagerank",
 ]
 
 

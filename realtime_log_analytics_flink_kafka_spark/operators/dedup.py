@@ -843,3 +843,67 @@ def triangle_stats(pairs: DataFrame, *, left_col: str = "doc_a",
         exact_round_div(3 * F.col("n_triangles"), F.col("n_wedges"), 6)
         .alias("global_cc"),
     )
+
+
+#: PageRank defaults: 3 power iterations at the standard 0.85 damping —
+#: enough to separate hub templates from spokes on a dup graph whose
+#: components are shallow (LSH cliques/stars), while keeping the SQL
+#: oracle a fixed 3-CTE unroll.
+PAGERANK_ITERS = 3
+PAGERANK_D = 0.85
+
+
+def pagerank(pairs: DataFrame, *, iters: int = PAGERANK_ITERS,
+             left_col: str = "doc_a", right_col: str = "doc_b") -> DataFrame:
+    """Fixed-iteration PageRank over the UNDIRECTED near-dup graph —
+    ranks the hub documents that near-duplicate everything else (the
+    canonical-representative pick for web-style corpora: keep the page
+    everyone mirrors, not a mirror).  Complements triangle_stats
+    (closure rate) and duplicate_components (membership) with
+    per-node centrality.
+
+    Scale shape: each of the ``iters`` power steps is one equi-join of
+    the (u, v, deg) adjacency (persisted once — referenced every
+    iteration) with the current rank vector plus one
+    map-side-combinable aggregation; state between steps is one row
+    per node.  No collect, no driver-side loop beyond the fixed
+    iteration count — the O(log d)-rounds pattern duplicate_components
+    uses, with a constant bound.
+
+    Determinism: ranks are doubles, but every step folds the incoming
+    contributions in SORTED-VALUE order (array_sort(collect_list) /
+    list_sort(list)) and applies the identical
+    ``0.15/N + 0.85·Σ`` DAG, so both engines round identically at
+    every intermediate — the label_centroids treatment for iterated
+    sums.  Isolated documents are not graph nodes (rank is defined on
+    the dup graph); every node has deg >= 1 so there are no dangling
+    redistributions.
+    """
+    from pyspark import StorageLevel
+
+    ed = pairs.select(F.col(left_col).alias("u"),
+                      F.col(right_col).alias("v")).unionAll(
+        pairs.select(F.col(right_col).alias("u"),
+                     F.col(left_col).alias("v")))
+    deg = (ed.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    g = (ed.join(deg, "u")
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    n_row = deg.agg(F.count("*").cast("long").alias("n"))
+
+    r = (deg.crossJoin(F.broadcast(n_row))  # single-row broadcast
+         .select(F.col("u").alias("node"),
+                 (F.lit(1.0) / F.col("n").cast("double")).alias("pr")))
+    for _ in range(iters):
+        contrib = g.join(r, g.u == r.node).select(
+            F.col("v"), (F.col("pr") / F.col("deg").cast("double"))
+            .alias("c"))
+        r = (contrib.groupBy("v")
+             .agg(F.aggregate(F.array_sort(F.collect_list("c")),
+                              F.lit(0.0), lambda a, x: a + x).alias("s"))
+             .crossJoin(F.broadcast(n_row))  # single-row broadcast
+             .select(F.col("v").alias("node"),
+                     (F.lit(0.15) / F.col("n").cast("double")
+                      + F.lit(0.85) * F.col("s")).alias("pr")))
+    return r.join(deg, r.node == deg.u).select(
+        F.col("node").alias("doc_id"), "deg", "pr")

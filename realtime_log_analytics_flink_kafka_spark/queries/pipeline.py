@@ -1761,6 +1761,53 @@ FROM shape CROSS JOIN tri
 """
 
 
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the near-dup graph
+    (operators/dedup.pagerank): hub-document centrality for the
+    canonical-representative pick — a bounded iterative algorithm with
+    cross-engine-deterministic float folds (sorted-order contribution
+    sums, identical damping DAG)."""
+    return dedup.pagerank(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                threshold=MINHASH_THRESHOLD))
+
+
+def _dup_pagerank_sql() -> str:
+    from ..operators.dedup import PAGERANK_ITERS
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list(c))),"
+            " (acc, x) -> acc + x)")
+    its = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{i - 1}"
+        its.append(f"""r{i} AS (
+    SELECT v AS node,
+           CAST('0.15' AS DOUBLE) / CAST(n AS DOUBLE)
+           + CAST('0.85' AS DOUBLE) * {fold} AS pr
+    FROM (SELECT g.v AS v, {prev}.pr / CAST(g.deg AS DOUBLE) AS c
+          FROM g JOIN {prev} ON g.u = {prev}.node)
+    CROSS JOIN nn
+    GROUP BY v, n
+)""")
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+ed AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+g AS (SELECT ed.u, ed.v, deg.deg FROM ed JOIN deg ON ed.u = deg.u),
+r0 AS (
+    SELECT u AS node, CAST('1.0' AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+    FROM deg CROSS JOIN nn
+),
+{",".join(its)}
+SELECT node AS doc_id, deg.deg AS deg, pr
+FROM r{PAGERANK_ITERS} JOIN deg ON node = deg.u
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-perplexity quality signal (operators/text.py:unigram_surprisal):
     per-doc mean -ln p(token) under the corpus's own unigram model."""
@@ -4841,6 +4888,7 @@ QUERIES: dict[str, QuerySpec] = {
                                        _bloom_prefilter_audit_sql()),
     "gate_agreement_kappa": QuerySpec(q_gate_agreement_kappa,
                                       _gate_agreement_kappa_sql()),
+    "dup_pagerank": QuerySpec(q_dup_pagerank, _dup_pagerank_sql()),
     "dup_graph_degrees": QuerySpec(q_dup_graph_degrees,
                                    _dup_graph_degrees_sql()),
     "temperature_mixture": QuerySpec(q_temperature_mixture,

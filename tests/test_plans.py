@@ -114,6 +114,9 @@ NESTED_LOOP_SANCTIONED = {
     "dup_graph_triangles": 1,
     # bounded spine: distinct sources × the 100-probe relation
     "bloom_prefilter_audit": 1,
+    # single-row node-count broadcast at init + once per power
+    # iteration (operators/dedup.pagerank, 3 iterations)
+    "dup_pagerank": 4,
 }
 
 

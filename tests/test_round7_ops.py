@@ -65,6 +65,46 @@ class TestTriangleStats:
             len(v) * (len(v) - 1) // 2 for v in adj.values())
 
 
+class TestPagerank:
+    def test_star_ranks_hub_highest(self, spark):
+        """Hub-and-spoke: the hub must dominate; a clique stays
+        uniform.  Values checked against the sequential power-iteration
+        recurrence with the same sorted-sum order."""
+        star = [(0, i) for i in range(1, 5)]
+        df = spark.createDataFrame(star, "doc_a long, doc_b long")
+        got = {r.doc_id: (r.deg, r.pr)
+               for r in dedup.pagerank(df).collect()}
+        # python reference with identical float ops
+        import itertools
+        adj = {0: [1, 2, 3, 4], 1: [0], 2: [0], 3: [0], 4: [0]}
+        deg = {n: len(v) for n, v in adj.items()}
+        pr = {n: 1.0 / 5.0 for n in adj}
+        for _ in range(3):
+            pr = {v: 0.15 / 5.0 + 0.85 * sum(
+                sorted(pr[u] / float(deg[u]) for u in adj[v]))
+                for v in adj}
+        for n in adj:
+            assert got[n][0] == deg[n]
+            assert got[n][1] == pr[n], n  # bit-equal: identical DAG
+        assert got[0][1] > 3 * got[1][1]  # hub dominates
+
+    def test_clique_is_uniform(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        df = spark.createDataFrame(k4, "doc_a long, doc_b long")
+        prs = {r.pr for r in dedup.pagerank(df).collect()}
+        assert len(prs) == 1  # symmetry => identical rank
+
+    def test_rank_mass_is_conserved(self, spark):
+        """Σ pr stays 1 on a graph with no dangling nodes (undirected,
+        deg >= 1 everywhere)."""
+        import math
+
+        edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (5, 6)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        total = sum(r.pr for r in dedup.pagerank(df).collect())
+        assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+
 class TestBloom:
     def test_no_false_negatives_and_merge_is_union(self, spark):
         """Bloom invariants: (1) every present term tests positive (no
