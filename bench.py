@@ -192,6 +192,9 @@ HEADLINE = [
     # round-7: fixed-iteration PageRank over the dup graph (bounded
     # iterative joins, sorted-order float folds)
     "dup_pagerank",
+    # round-7: HDR log-bucketed quantile sketch vs exact (fourth
+    # mergeable sketch family: fixed-size cell-addition histogram)
+    "hdr_latency_quantiles",
 ]
 
 

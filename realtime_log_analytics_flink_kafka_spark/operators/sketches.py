@@ -381,3 +381,85 @@ def bloom_set_bits(items: DataFrame, term_col: str = "term",
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.distinct()
+
+
+# --- HDR-histogram quantile sketch --------------------------------------------
+
+#: Log-bucketed histogram resolution: 2^HDR_SUB_BITS sub-buckets per
+#: octave gives a guaranteed per-bucket relative width of 1/8 (bucket
+#: lower bound m·2^k with mantissa m in [8, 16) → width/lower = 1/m
+#: <= 1/8).  HDR_MAX_EXP octaves cover values up to 2^41 (16 months in
+#: centi-ms) in at most 8·(HDR_MAX_EXP − 1) buckets per key — the
+#: FIXED-size property that makes this the quantile sketch for
+#: continuous domains at 100 TB, where the exact value-domain
+#: histogram (order_fulfillment_lag's shape) would carry one row per
+#: distinct value.  Cells merge by ADDITION (like CMS), so partial
+#: histograms from any partitioning or stream combine losslessly.
+HDR_SUB_BITS = 3
+HDR_SUB = 1 << HDR_SUB_BITS
+HDR_MAX_EXP = 40
+
+
+def hdr_bucket(c) -> "F.Column":
+    """POSITIVE BIGINT value -> HDR bucket index.  Values below 16 map
+    to themselves (exact); above, bucket = 8·(e−2) + (c div 2^(e−3)) −
+    8 with e = floor(log2 c) — rendered as ONE ascending compare
+    ladder whose branches embed the shift as a literal (the detmath/
+    HLL ladder shape: no libm log2, no variable shifts, identical
+    arithmetic in the SQL twin).  Monotone in c; contiguous at every
+    octave boundary (bucket(c) = c for c < 16)."""
+    from ..functions.detmath import int_div
+
+    out = F.when(c < F.lit(16), c)
+    for j in range(4, HDR_MAX_EXP + 1):
+        out = out.when(
+            c < F.lit(1 << (j + 1)),
+            F.lit(8 * (j - 2) - 8) + int_div(c, F.lit(1 << (j - 3))))
+    return out.otherwise(  # beyond 2^41: stay monotone in the top octave
+        F.lit(8 * (HDR_MAX_EXP - 2) - 8)
+        + int_div(c, F.lit(1 << (HDR_MAX_EXP - 3)))).cast("long")
+
+
+def hdr_bucket_sql(c: str) -> str:
+    """DuckDB twin of :func:`hdr_bucket` — same ladder constants."""
+    branches = " ".join(
+        f"WHEN ({c}) < {1 << (j + 1)}"
+        f" THEN {8 * (j - 2) - 8} + ({c}) // {1 << (j - 3)}"
+        for j in range(4, HDR_MAX_EXP + 1))
+    return (f"CAST(CASE WHEN ({c}) < 16 THEN ({c}) {branches}"
+            f" ELSE {8 * (HDR_MAX_EXP - 2) - 8} + ({c})"
+            f" // {1 << (HDR_MAX_EXP - 3)} END AS BIGINT)")
+
+
+def hdr_lower(b) -> "F.Column":
+    """Bucket index -> the bucket's INCLUSIVE lower-bound value
+    ((b mod 8 + 8) · 2^(b div 8 − 1) above the linear region) — the
+    deterministic quantile ESTIMATE: the true rank-q value v satisfies
+    lower <= v < lower·(1 + 1/8)."""
+    out = F.when(b < F.lit(16), b)
+    for j in range(2, HDR_MAX_EXP + 1):
+        out = out.when(b < F.lit(8 * (j + 1)),
+                       (b % F.lit(8) + F.lit(8)) * F.lit(1 << (j - 1)))
+    return out.otherwise(F.lit(None)).cast("long")
+
+
+def hdr_lower_sql(b: str) -> str:
+    """DuckDB twin of :func:`hdr_lower`."""
+    branches = " ".join(
+        f"WHEN ({b}) < {8 * (j + 1)}"
+        f" THEN (({b}) % 8 + 8) * {1 << (j - 1)}"
+        for j in range(2, HDR_MAX_EXP + 1))
+    return (f"CAST(CASE WHEN ({b}) < 16 THEN ({b}) {branches}"
+            f" ELSE NULL END AS BIGINT)")
+
+
+def hdr_cells(values: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """(key, bucket, cnt): the HDR histogram as a relation — one
+    map-side-combined aggregation onto <= 8·HDR_MAX_EXP rows per key;
+    cells merge by addition across partitions, corpora, or stream
+    micro-batches."""
+    return (values
+            .select(F.col(key_col), hdr_bucket(F.col(value_col))
+                    .alias("bucket"))
+            .groupBy(key_col, "bucket")
+            .agg(F.count("*").cast("long").alias("cnt")))

@@ -216,6 +216,125 @@ FROM d3 GROUP BY service
 """.format(LOGS_CTE=LOGS_CTE, DAY_US=DAY * 1_000_000, H=CUSUM_H_MULT)
 
 
+def q_hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service p50/p95/p99 from the HDR log-bucketed histogram
+    sketch (operators/sketches.hdr_cells) NEXT TO the exact values —
+    the quantile-sketch audit.  The exact side uses the value-domain
+    histogram (order_fulfillment_lag's two-phase shape: bounded by
+    distinct centi-ms values); the sketch side is the FIXED <=328-cell
+    histogram that stays bounded even when the value domain is
+    continuous — its estimate is the containing bucket's lower bound,
+    guaranteed est <= exact < est·(1 + 1/8) above the linear region
+    (gated in tests/test_round7_ops.py).
+
+    Scale shape: each side is one map-side-combined groupBy plus
+    cumulative windows over its compact histogram; nothing sorts or
+    buffers raw events.  Cells merge by addition (CMS-style), so the
+    sketch is partition-, corpus-, and stream-mergeable.
+
+    Determinism: centi-ms via the det_round DAG; everything after is
+    BIGINT (ladder bucketing, nearest-rank picks, exact inverse).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.detmath import int_div
+    from ..operators.sketches import hdr_cells, hdr_lower
+
+    logs = _logs(spark, sf_dir)
+    vals = (logs.filter(F.col("latency_ms").isNotNull())
+            .select("service",
+                    F.floor(F.col("latency_ms") * F.lit(100.0)
+                            + F.lit(0.5)).cast("long").alias("c"))
+            .filter(F.col("c") >= 1))
+
+    def ranked(hist: DataFrame, val_col: str) -> DataFrame:
+        w_cum = Window.partitionBy("service").orderBy(val_col)
+        w_tot = Window.partitionBy("service")
+        wdf = (hist.withColumn("cum", F.sum("cnt").over(w_cum))
+               .withColumn("tot", F.sum("cnt").over(w_tot)))
+
+        def pick(q_pct: int):
+            r = int_div(F.lit(q_pct) * (F.col("tot") - 1), F.lit(100)) + 1
+            return F.min(F.when(F.col("cum") >= r, F.col(val_col)))
+
+        return wdf.groupBy("service").agg(
+            F.max("tot").alias("n"),
+            F.count("*").cast("long").alias("n_cells"),
+            pick(50).alias("q50"), pick(95).alias("q95"),
+            pick(99).alias("q99"))
+
+    sk = ranked(hdr_cells(vals, "service", "c"), "bucket")
+    ex = ranked(vals.groupBy("service", "c")
+                .agg(F.count("*").cast("long").alias("cnt")), "c")
+    return (
+        sk.alias("s").join(ex.alias("e"), "service")
+        .select(
+            "service",
+            F.col("s.n").alias("n_events"),
+            F.col("s.n_cells").alias("n_sketch_cells"),
+            F.col("e.n_cells").alias("n_exact_cells"),
+            hdr_lower(F.col("s.q50")).alias("est_p50_cs"),
+            F.col("e.q50").alias("exact_p50_cs"),
+            hdr_lower(F.col("s.q95")).alias("est_p95_cs"),
+            F.col("e.q95").alias("exact_p95_cs"),
+            hdr_lower(F.col("s.q99")).alias("est_p99_cs"),
+            F.col("e.q99").alias("exact_p99_cs"),
+        )
+    )
+
+
+def _hdr_latency_quantiles_sql() -> str:
+    from ..operators.sketches import hdr_bucket_sql, hdr_lower_sql
+
+    def ranked(src: str, val: str) -> str:
+        def pick(q):
+            return (f"CAST(min(CASE WHEN cum >= ({q} * (tot - 1)) // 100"
+                    f" + 1 THEN {val} END) AS BIGINT)")
+        return f"""
+    SELECT service, CAST(max(tot) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           {pick(50)} AS q50, {pick(95)} AS q95, {pick(99)} AS q99
+    FROM (SELECT service, {val}, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY service ORDER BY {val})
+                      AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY service) AS BIGINT) AS tot
+          FROM {src})
+    GROUP BY service"""
+
+    return f"""
+WITH {LOGS_CTE},
+vals AS (
+    SELECT service,
+           CAST(floor(latency_ms * 100.0 + 0.5) AS BIGINT) AS c
+    FROM logs
+    WHERE latency_ms IS NOT NULL
+      AND CAST(floor(latency_ms * 100.0 + 0.5) AS BIGINT) >= 1
+),
+sk_hist AS (
+    SELECT service, {hdr_bucket_sql('c')} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM vals GROUP BY 1, 2
+),
+ex_hist AS (
+    SELECT service, c, CAST(count(*) AS BIGINT) AS cnt
+    FROM vals GROUP BY 1, 2
+),
+sk AS ({ranked('sk_hist', 'bucket')}),
+ex AS ({ranked('ex_hist', 'c')})
+SELECT sk.service,
+       sk.n AS n_events,
+       sk.n_cells AS n_sketch_cells,
+       ex.n_cells AS n_exact_cells,
+       {hdr_lower_sql('sk.q50')} AS est_p50_cs,
+       ex.q50 AS exact_p50_cs,
+       {hdr_lower_sql('sk.q95')} AS est_p95_cs,
+       ex.q95 AS exact_p95_cs,
+       {hdr_lower_sql('sk.q99')} AS est_p99_cs,
+       ex.q99 AS exact_p99_cs
+FROM sk JOIN ex ON sk.service = ex.service
+"""
+
+
 def q_latency_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA-smoothed daily p95 per service (operators/metrics.
     ewma_p95_daily): α=¼ integer recurrence over the exact daily p95
@@ -779,6 +898,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    SQL_ERROR_TREND_SLOPE),
     "error_cusum_drift": QuerySpec(q_error_cusum_drift,
                                    SQL_ERROR_CUSUM_DRIFT),
+    "hdr_latency_quantiles": QuerySpec(q_hdr_latency_quantiles,
+                                       _hdr_latency_quantiles_sql()),
     "slo_breach_streaks": QuerySpec(q_slo_breach_streaks, SQL_SLO_BREACH_STREAKS),
     "escalations_every_third": QuerySpec(q_escalations_every_third,
                                          SQL_ESCALATIONS_EVERY_THIRD),

@@ -213,6 +213,75 @@ class TestGateAgreementKappa:
         assert r.k is None
 
 
+class TestHdrHistogram:
+    def test_bucket_monotone_and_bounds(self, spark):
+        """hdr_bucket is monotone, hdr_lower inverts to the bucket's
+        true lower bound, and every value sits in [lower, lower+width)
+        with width/lower <= 1/8 — over an adversarial value sweep
+        (octave boundaries ±1 and random values)."""
+        import random
+
+        from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+            HDR_MAX_EXP, hdr_bucket, hdr_lower)
+
+        rng = random.Random(5)
+        vals = sorted(set(
+            [1, 2, 7, 8, 15, 16, 17]
+            + [(1 << j) + d for j in range(3, HDR_MAX_EXP + 1)
+               for d in (-1, 0, 1)]
+            + [rng.randint(1, 1 << 40) for _ in range(500)]))
+        df = spark.createDataFrame([(v,) for v in vals], "c long")
+        rows = (df.select("c", hdr_bucket(F.col("c")).alias("b"))
+                .withColumn("lo", hdr_lower(F.col("b")))
+                .orderBy("c").collect())
+        prev_b = -1
+        for r in rows:
+            assert r.b >= prev_b, (r.c, r.b, prev_b)  # monotone
+            prev_b = r.b
+            width = 1 if r.b < 16 else 1 << (r.b // 8 - 1)
+            assert r.lo <= r.c < r.lo + width, (r.c, r.b, r.lo, width)
+            if r.b >= 16:
+                assert width * 8 <= r.lo  # relative width <= 1/8
+
+    def test_quantile_estimates_bounded_on_fixture(self, spark):
+        """est <= exact < est·(1 + 1/8) for every quantile and service
+        (the sketch's guarantee), and the sketch is an order of
+        magnitude smaller than the exact value-domain histogram."""
+        from realtime_log_analytics_flink_kafka_spark.queries import (
+            all_queries)
+
+        rows = all_queries()["hdr_latency_quantiles"] \
+            .fn(spark, SF_SMOKE).collect()
+        assert rows
+        for r in rows:
+            for q in (50, 95, 99):
+                est = r[f"est_p{q}_cs"]
+                exact = r[f"exact_p{q}_cs"]
+                # bucket width: 1 in the linear region (est < 16), else
+                # est = m·2^k with m in [8,16) => k = bit_length - 4
+                width = 1 if est < 16 else 1 << (est.bit_length() - 4)
+                assert est <= exact < est + width, (r.service, q)
+            assert r.n_sketch_cells < r.n_exact_cells
+
+    def test_cells_merge_by_addition(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+            hdr_cells)
+
+        import random
+        rng = random.Random(9)
+        rows = [("k", rng.randint(1, 10**6)) for _ in range(2000)]
+        df = spark.createDataFrame(rows, "k string, c long")
+        full = {(r.k, r.bucket): r.cnt
+                for r in hdr_cells(df, "k", "c").collect()}
+        a = hdr_cells(spark.createDataFrame(rows[::2], "k string, c long"),
+                      "k", "c")
+        b = hdr_cells(spark.createDataFrame(rows[1::2], "k string, c long"),
+                      "k", "c")
+        merged = (a.unionAll(b).groupBy("k", "bucket")
+                  .agg(F.sum("cnt").cast("long").alias("cnt")))
+        assert {(r.k, r.bucket): r.cnt for r in merged.collect()} == full
+
+
 class TestCusumDrift:
     def _run(self, spark, series: dict[str, list[int]]):
         """Build error logs with the given per-service daily counts and
