@@ -899,6 +899,40 @@ def test_bloom_bits_stream_union(spark, tmp_path):
     assert got == batch
 
 
+def test_hdr_cells_stream_converges_to_batch(spark, tmp_path):
+    """HDR histogram cells merge by addition, so hdr_cells — a single
+    projection+aggregation — runs UNCHANGED on a readStream in update
+    mode and its final emission per cell equals the batch histogram
+    (the CMS convergence property, for the quantile sketch)."""
+    import random
+
+    from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+        hdr_cells,
+    )
+
+    rng = random.Random(13)
+    rows = [("svc", rng.randint(1, 10**6)) for _ in range(1_000)]
+    schema = "k string, c long"
+    batch = {(r.k, r.bucket): r.cnt
+             for r in hdr_cells(
+                 spark.createDataFrame(rows, schema), "k", "c").collect()}
+
+    base = tmp_path / "vals"
+    mid = len(rows) // 2
+    _write_logs(spark, rows[:mid], str(base / "b=0"), schema)
+    time.sleep(1.1)
+    _write_logs(spark, rows[mid:], str(base / "b=1"), schema)
+    grid = hdr_cells(
+        _read_stream(spark, str(base / "b=*"), schema, per_trigger=1),
+        "k", "c")
+    q = (grid.writeStream.format("memory")
+         .queryName("hdr_stream").outputMode("update").start())
+    _drain(q)
+    got = (spark.table("hdr_stream")
+           .groupBy("k", "bucket").agg(F.max("cnt").alias("cnt")))
+    assert {(r.k, r.bucket): r.cnt for r in got.collect()} == batch
+
+
 def test_error_trend_stream_matches_batch(spark, tmp_path):
     """error_trend_slope's streaming decomposition: daily error counts
     as a complete-mode streaming aggregation (tiny state: services x
