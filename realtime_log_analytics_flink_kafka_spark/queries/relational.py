@@ -1218,17 +1218,58 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile sizes (first ``n % 10`` deciles get the extra row) are
     identical.  Spend is an exact DECIMAL sum surfaced as double only
     in the output; decile sums re-aggregate the decimal, not the
-    double.  Scale: one groupBy(custkey) shuffle, then a single-column
-    global sort of customer-cardinality rows for the NTILE — customer
-    counts are ~1e9 at 100 TB, a routine range-partitioned sort.
+    double.
+
+    Scale shape (r7 rewrite — the r6-flagged spend_gini lesson applied
+    proactively): a literal ``NTILE(10) OVER (ORDER BY …)`` is an
+    UNPARTITIONED window — Spark executes it as a single task holding
+    every customer.  This computes the identical tiling from a
+    range-bucketed two-phase rank instead (sampling.deterministic_
+    shuffle's scheme, value-bucketed): HDR log-buckets of spend cents
+    give a monotone ≤328-way split, a per-bucket window ranks locally,
+    the ≤328-row bucket-count table prefix-sums into offsets and
+    broadcasts back, and global rank = offset + local rank (exact —
+    bucket order equals value order, ties share a bucket and break by
+    custkey).  The NTILE number is then closed-form integer arithmetic
+    on the rank: the first ``n mod 10`` tiles take ``n div 10 + 1``
+    rows.  The oracle SQL keeps the literal NTILE form, so the
+    hash-match PROVES the rewrite is value-identical.  (Parallelism is
+    bounded by occupied log-buckets; raise HDR_SUB_BITS for finer
+    splits at extreme skew.)
     """
+    from ..operators.sketches import hdr_bucket
+
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_spend"))
-    w = Window.orderBy(F.asc("_spend"), F.asc("o_custkey"))
-    tiled = spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    # cents are an exact positive BIGINT (2dp prices); hdr_bucket is
+    # monotone, so bucket order == spend order
+    keyed = spend.withColumn(
+        "_bkt", hdr_bucket((F.col("_spend") * 100).cast("long")))
+    w_local = Window.partitionBy("_bkt").orderBy("_spend", "o_custkey")
+    local = keyed.withColumn("_lr", F.row_number().over(w_local)
+                             .cast("long"))
+    counts = keyed.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    w_prefix = (Window.orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (counts
+               .withColumn("_off", F.coalesce(F.sum("_n").over(w_prefix),
+                                              F.lit(0)))
+               .withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+               .drop("_n"))
+    i = (F.col("_off") + F.col("_lr")).alias("_i")
+    ranked = (local.join(F.broadcast(offsets), "_bkt")
+              .select("_spend", F.col("_tot").alias("_n_all"), i))
+    size = int_div(F.col("_n_all"), F.lit(10))
+    rem = F.col("_n_all") % 10
+    cut = rem * (size + 1)
+    decile = F.when(
+        F.col("_i") <= cut,
+        int_div(F.col("_i") - 1, size + 1) + 1,
+    ).otherwise(rem + int_div(F.col("_i") - cut - 1, size) + 1)
     return (
-        tiled.groupBy("decile")
+        ranked.select("_spend", decile.cast("long").alias("decile"))
+        .groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
             F.min("_spend").cast("double").alias("min_spend"),

@@ -305,6 +305,30 @@ def test_spend_gini_has_no_row_level_rank_sort(spark):
         tree[i + 4:]), f"extra row-level sort in plan:\n{plan}"
 
 
+def test_spend_deciles_has_no_unpartitioned_customer_window(spark):
+    """customer_spend_deciles (r7 rewrite): the NTILE must come from
+    the bucketed two-phase rank — a literal unpartitioned
+    NTILE/row_number window over the customer-cardinality spend
+    relation is a single Spark task at scale.  Gate: no ntile node,
+    and the ranking window's sort is partitioned on the HDR bucket
+    (an Exchange hashpartitioning(_bkt) feeds it), never a
+    SinglePartition exchange over the spend rows."""
+    df = QUERIES["customer_spend_deciles"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "ntile" not in plan, plan
+    assert "row_number" in plan  # the per-bucket local rank
+    assert "hashpartitioning(_bkt" in plan, plan
+    # the only SinglePartition exchange allowed is the one feeding the
+    # <=328-row bucket-offset prefix window, whose input is the bucket
+    # COUNT aggregate, never raw spend rows
+    import re
+    singles = [m.start() for m in re.finditer("SinglePartition", plan)]
+    for s in singles:
+        # locate the exchange node id and check its child is an agg
+        ctx = plan[max(0, s - 400):s + 200]
+        assert "_n" in ctx or "count" in ctx, plan[s - 400:s + 200]
+
+
 def test_no_vector_fold_in_nonselective_join_conditions(spark):
     """The kNN family's NULL-cosine handling must stay a pre-join
     zero-norm filter, never a post-join ``cosine IS NOT NULL`` /
