@@ -305,6 +305,23 @@ def test_spend_gini_has_no_row_level_rank_sort(spark):
         tree[i + 4:]), f"extra row-level sort in plan:\n{plan}"
 
 
+def test_topk_per_group_gets_partial_window_group_limit(spark):
+    """rank<=k windows must keep Spark's WindowGroupLimit rewrite: a
+    PARTIAL top-k prune runs map-side BEFORE the Exchange, so the
+    shuffle carries at most k rows per (group, input partition) instead
+    of every part row.  If a refactor breaks the pattern (e.g. filters
+    on a derived rank column), the partial node disappears and this
+    trips."""
+    plan = formatted_plan(QUERIES["top_parts_per_brand"].fn(spark, SF_SMOKE))
+    tree = [l for l in plan.split("\n") if "+-" in l or ":-" in l]
+    wgl = [i for i, l in enumerate(tree) if "WindowGroupLimit" in l]
+    exch = [i for i, l in enumerate(tree) if "Exchange" in l]
+    assert wgl and exch, plan
+    # deepest WindowGroupLimit sits BELOW (after, in tree order) the
+    # exchange: the map-side partial prune
+    assert max(wgl) > min(exch), plan
+
+
 def test_spend_deciles_has_no_unpartitioned_customer_window(spark):
     """customer_spend_deciles (r7 rewrite): the NTILE must come from
     the bucketed two-phase rank — a literal unpartitioned
