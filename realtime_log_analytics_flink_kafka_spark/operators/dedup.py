@@ -881,10 +881,14 @@ def pagerank(pairs: DataFrame, *, iters: int = PAGERANK_ITERS,
     """
     from pyspark import StorageLevel
 
+    # persist the directed edge list itself: deg and g both consume it,
+    # and without the cache each materialization re-runs the upstream
+    # pair generator (the whole LSH+verify pipeline for dup graphs)
     ed = pairs.select(F.col(left_col).alias("u"),
                       F.col(right_col).alias("v")).unionAll(
         pairs.select(F.col(right_col).alias("u"),
-                     F.col(left_col).alias("v")))
+                     F.col(left_col).alias("v"))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     deg = (ed.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
            .persist(StorageLevel.MEMORY_AND_DISK))
     g = (ed.join(deg, "u")

@@ -293,6 +293,18 @@ def cusum_drift(err_logs: DataFrame) -> DataFrame:
     x = int_div(F.unix_timestamp("ts"), F.lit(86400)).alias("x")
     daily = err_logs.groupBy("service", x).agg(
         F.count("*").cast("long").alias("y"))
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM stage of :func:`cusum_drift` over a ``(service, x, y)``
+    daily table — separated (like trend_slope_from_daily) so the
+    streaming path can feed it the maintained daily-count state each
+    micro-batch; proven equal to the batch operator in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    from ..functions.detmath import int_div
 
     w_all = Window.partitionBy("service")
     k = int_div(F.sum("y").over(w_all), F.count("*").over(w_all))

@@ -899,6 +899,55 @@ def test_bloom_bits_stream_union(spark, tmp_path):
     assert got == batch
 
 
+def test_cusum_stream_matches_batch(spark, tmp_path):
+    """cusum_drift's streaming decomposition (the error-trend pattern):
+    daily error counts as a complete-mode streaming aggregation, the
+    CUSUM window identity re-derived from the maintained state —
+    equal to the one-shot batch operator because the accumulator is a
+    pure function of the (service, day) count table."""
+    from datetime import timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.functions.detmath import int_div
+    from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+        cusum_drift, cusum_from_daily)
+
+    rows, eid = [], 0
+    for svc, counts in [("svc-shift", [5] * 6 + [15] * 6),
+                        ("svc-flat", [7] * 12)]:
+        for d, n in enumerate(counts):
+            for i in range(n):
+                rows.append({
+                    "event_id": eid,
+                    "ts": T0 + timedelta(days=d, seconds=i),
+                    "service": svc,
+                    "is_error": 1,
+                    "latency_ms": 100.0,
+                })
+                eid += 1
+    path = str(tmp_path / "errlogs")
+    _write_logs(spark, rows, path)
+
+    daily_stream = (
+        _read_stream(spark, path)
+        .groupBy("service", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    q = start_memory_sink(daily_stream, "cusum_daily", output_mode="complete")
+    _drain(q)
+    daily = spark.table("cusum_daily").select(
+        "service",
+        int_div(F.col("w.start").cast("long"), F.lit(86400)).alias("x"),
+        "y",
+    )
+    got = {tuple(r) for r in cusum_from_daily(daily).collect()}
+    want = {tuple(r) for r in
+            cusum_drift(spark.read.parquet(path)).collect()}
+    assert got == want and len(want) == 2
+    by_svc = {r[0]: r for r in want}
+    assert by_svc["svc-shift"][4] > 0      # n_alarm_days
+    assert by_svc["svc-flat"][4] == 0
+
+
 def test_hdr_cells_stream_converges_to_batch(spark, tmp_path):
     """HDR histogram cells merge by addition, so hdr_cells — a single
     projection+aggregation — runs UNCHANGED on a readStream in update
