@@ -59,9 +59,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # source_mixture, plus every det_round user in the r3 cohort);
     # (c) the ENTIRE 37-query r3-stale cohort, retiring the oldest
     # freshness tier — after r7 no registry query's last driver check
-    # is older than r4 (VERDICT r6 done-bar); (d) the seven
-    # alphabetically-first r4-stale queries with the remaining slots.
-    # Everything out-of-window is re-proven by the sf0.01 161-query
+    # is older than r4 (VERDICT r6 done-bar; the r4-checked tier is
+    # exactly r4, inside the bar); (d) the SIX queries r7 itself added
+    # (dup_graph_triangles, bloom_prefilter_audit, error_cusum_drift,
+    # gate_agreement_kappa, dup_pagerank, hdr_latency_quantiles) — new
+    # cross-engine construct classes (wedge joins, Bloom bit fans,
+    # window-identity CUSUM, double-DAG kappa, iterated float folds,
+    # HDR ladders) carry the highest driver-red risk, so they go in the
+    # window immediately instead of waiting a round as never-checked;
+    # (e) customer_spend_deciles, whose Spark side was rewritten in r7
+    # against its unchanged literal-ntile oracle, takes the last slot.
+    # Everything out-of-window is re-proven by the sf0.01 full-registry
     # value-exact sweep each session (tests/test_oracle_parity*.py).
     #
     # -- (a) never driver-checked ------------------------------------------
@@ -84,10 +92,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "shipping_priority", "slo_breach_streaks", "source_mixture",
     "suppliers_with_shipments", "synthetic_log_profile",
     "top_parts_per_brand", "user_sessions",
-    # -- (d) oldest r4-stale fill (7) ----------------------------------------
-    "alert_metrics_unpivot", "blocklist_filter", "cluster_balanced_sample",
-    "cohort_retention", "correlated_incidents", "customer_spend_deciles",
-    "dau_wau",
+    # -- (d) the six r7-new query families ------------------------------------
+    "dup_graph_triangles", "bloom_prefilter_audit", "error_cusum_drift",
+    "gate_agreement_kappa", "dup_pagerank", "hdr_latency_quantiles",
+    # -- (e) changed-spark-side fill (1) ----------------------------------------
+    # customer_spend_deciles' NTILE was rewritten to the bucketed
+    # two-phase rank in r7; its oracle stayed the literal-ntile form, so
+    # this driver row re-proves the rewrite end-to-end.  It outranks any
+    # unchanged r4-stale query for the last slot (the r4 tier is inside
+    # the freshness bar either way).
+    "customer_spend_deciles",
 )
 
 
