@@ -195,6 +195,9 @@ HEADLINE = [
     # round-7: HDR log-bucketed quantile sketch vs exact (fourth
     # mergeable sketch family: fixed-size cell-addition histogram)
     "hdr_latency_quantiles",
+    # round-7: NDCG@k fusion audit (rank-ordered literal-weight folds
+    # over the bounded retrieval lists)
+    "retrieval_ndcg",
 ]
 
 

@@ -4424,6 +4424,94 @@ FROM rat
 """
 
 
+#: NDCG@k discount weights 1/log2(i+1) and the ideal DCG for graded
+#: labels {k, k-1, .., 1} — computed ONCE in Python and embedded as the
+#: SAME repr literals in both dialects (the _BENFORD treatment), so no
+#: engine evaluates a log.
+_NDCG_W = [1.0 / __import__("math").log2(i + 1.0)
+           for i in range(1, HYBRID_K + 1)]
+_NDCG_IDCG = sum((HYBRID_K + 1 - i) * _NDCG_W[i - 1]
+                 for i in range(1, HYBRID_K + 1))
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the lexical branch vs the RRF-fused hybrid ranking,
+    using the dense-cosine top-k as graded relevance (rel = k+1 −
+    dense_rank) — the standard self-consistent fusion audit: how much
+    of the dense signal does BM25 alone recover, and how much does the
+    fusion add?  (With dense as ground truth the dense branch itself
+    is NDCG 1 by construction; the interesting rows are the other
+    two.)
+
+    Scale shape: everything downstream of the two bounded top-k
+    branches touches <= 2k rows.  Determinism: discount weights and
+    the ideal DCG are shared Python literals; each DCG folds its <= k
+    rel·w terms in rank order (sorted struct fold), so the float sum
+    is bit-identical cross-engine.
+    """
+    fused = q_hybrid_retrieval(spark, sf_dir)
+    rel = F.coalesce(F.lit(HYBRID_K + 1) - F.col("rank_dense"),
+                     F.lit(0)).cast("double")
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+
+    def branch(method: str, rank_col: str) -> DataFrame:
+        return (fused
+                .filter(F.col(rank_col).isNotNull()
+                        & (F.col(rank_col) <= HYBRID_K))
+                .select(
+                    F.lit(method).alias("method"),
+                    F.col(rank_col).cast("long").alias("i"),
+                    (rel * F.element_at(
+                        warr, F.col(rank_col).cast("int"))).alias("v"),
+                ))
+
+    rows = branch("lexical", "rank_lex").unionAll(
+        branch("hybrid", "final_rank"))
+    folded = rows.groupBy("method").agg(
+        F.count("*").cast("long").alias("n_ranked"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("i").cast("double").alias("i"),
+                    F.col("v").alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda a, x: a + x).alias("_dcg"))
+    return folded.select(
+        "method", "n_ranked",
+        det_round(F.col("_dcg"), 6).alias("dcg"),
+        det_round(F.col("_dcg") / F.lit(_NDCG_IDCG), 6).alias("ndcg"))
+
+
+def _retrieval_ndcg_sql() -> str:
+    k = HYBRID_K
+    warr = "[" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _NDCG_W) + "]"
+    relw = (f"CAST(COALESCE({k + 1} - rank_dense, 0) AS DOUBLE)"
+            f" * ({warr})[CAST({{r}} AS INT)]")
+    return f"""
+WITH fused AS ({_hybrid_retrieval_sql()}),
+picked AS (
+    SELECT 'lexical' AS method, CAST(rank_lex AS BIGINT) AS i,
+           {relw.format(r='rank_lex')} AS v
+    FROM fused WHERE rank_lex IS NOT NULL AND rank_lex <= {k}
+    UNION ALL
+    SELECT 'hybrid' AS method, CAST(final_rank AS BIGINT) AS i,
+           {relw.format(r='final_rank')} AS v
+    FROM fused WHERE final_rank <= {k}
+),
+folded AS (
+    SELECT method, CAST(count(*) AS BIGINT) AS n_ranked,
+           list_reduce(list_prepend(0.0, list_transform(
+               list_sort(list(struct_pack(i := CAST(i AS DOUBLE), v := v))),
+               s -> s.v)), (a, b) -> a + b) AS dcg0
+    FROM picked GROUP BY method
+)
+SELECT method, n_ranked,
+       {det_round_sql('dcg0', 6)} AS dcg,
+       {det_round_sql(f"dcg0 / CAST('{_NDCG_IDCG!r}' AS DOUBLE)", 6)} AS ndcg
+FROM folded
+"""
+
+
 # --- containment near-dup (subset documents) ---------------------------------
 
 #: Broder containment |A∩B|/|A| threshold: a doc whose shingle set is
@@ -4889,6 +4977,7 @@ QUERIES: dict[str, QuerySpec] = {
     "gate_agreement_kappa": QuerySpec(q_gate_agreement_kappa,
                                       _gate_agreement_kappa_sql()),
     "dup_pagerank": QuerySpec(q_dup_pagerank, _dup_pagerank_sql()),
+    "retrieval_ndcg": QuerySpec(q_retrieval_ndcg, _retrieval_ndcg_sql()),
     "dup_graph_degrees": QuerySpec(q_dup_graph_degrees,
                                    _dup_graph_degrees_sql()),
     "temperature_mixture": QuerySpec(q_temperature_mixture,

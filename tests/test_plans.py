@@ -117,6 +117,9 @@ NESTED_LOOP_SANCTIONED = {
     # single-row node-count broadcast at init + once per power
     # iteration (operators/dedup.pagerank, 3 iterations)
     "dup_pagerank": 4,
+    # composes hybrid_retrieval's two sanctioned single-row broadcasts;
+    # the fused subtree appears once per method branch (lexical+hybrid)
+    "retrieval_ndcg": 4,
 }
 
 

@@ -282,6 +282,30 @@ class TestHdrHistogram:
         assert {(r.k, r.bucket): r.cnt for r in merged.collect()} == full
 
 
+class TestRetrievalNdcg:
+    def test_invariants_and_fusion_dominance(self, spark):
+        """NDCG in [0, 1]; both lists fully ranked (k rows); the
+        RRF-fused ranking must recover at least as much of the dense
+        relevance signal as the lexical branch alone (it contains the
+        dense branch's ranks by construction)."""
+        from realtime_log_analytics_flink_kafka_spark.queries import (
+            all_queries)
+        from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+            HYBRID_K, _NDCG_IDCG, _NDCG_W)
+
+        rows = {r.method: r for r in all_queries()["retrieval_ndcg"]
+                .fn(spark, SF_SMOKE).collect()}
+        assert set(rows) == {"lexical", "hybrid"}
+        for r in rows.values():
+            assert r.n_ranked == HYBRID_K
+            assert 0.0 <= r.ndcg <= 1.0
+            assert abs(r.dcg - r.ndcg * _NDCG_IDCG) < 1e-4
+        assert rows["hybrid"].ndcg >= rows["lexical"].ndcg
+        # weights are the canonical discount sequence
+        import math
+        assert _NDCG_W[0] == 1.0 and _NDCG_W[1] == 1.0 / math.log2(3.0)
+
+
 class TestCusumDrift:
     def _run(self, spark, series: dict[str, list[int]]):
         """Build error logs with the given per-service daily counts and
