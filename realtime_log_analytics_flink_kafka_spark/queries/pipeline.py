@@ -1589,10 +1589,14 @@ def q_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = dedup.shingle_strings(docs, carry_cols=("source",)).select(
         "source", F.col("shingle").alias("term"))
-    vocab = toks.distinct()
+    # ONE pass over the shingle explode: the (source, term) counts give
+    # both the per-source vocabulary (their keys) and the global corpus
+    # counts (re-aggregated by term) — two corpus scans otherwise
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("n"))
+    vocab = st.select("source", "term")
     bits = sketches.bloom_set_bits(vocab, "term", ("source",))
 
-    ctf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
+    ctf = st.groupBy("term").agg(F.sum("n").alias("ctf"))
     top = (ctf.orderBy(F.desc("ctf"), F.asc("term"))
            .limit(_BLOOM_TOP_PROBES).select("term"))
     absent = spark.range(1).select(F.explode(F.array(

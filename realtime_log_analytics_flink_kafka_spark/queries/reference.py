@@ -238,7 +238,7 @@ def q_hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.detmath import int_div
-    from ..operators.sketches import hdr_cells, hdr_lower
+    from ..operators.sketches import hdr_lower
 
     logs = _logs(spark, sf_dir)
     vals = (logs.filter(F.col("latency_ms").isNotNull())
@@ -263,9 +263,22 @@ def q_hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick(50).alias("q50"), pick(95).alias("q95"),
             pick(99).alias("q99"))
 
-    sk = ranked(hdr_cells(vals, "service", "c"), "bucket")
-    ex = ranked(vals.groupBy("service", "c")
-                .agg(F.count("*").cast("long").alias("cnt")), "c")
+    # ONE pass over the logs: this AUDIT computes the exact value
+    # histogram anyway, and HDR cells are a pure function of it
+    # (re-bucket histogram rows, weight by cnt) — so the sketch side
+    # re-aggregates the compact histogram instead of re-scanning
+    # events.  A standalone sketch build uses hdr_cells (one pass, no
+    # exact histogram).
+    ex_hist = (vals.groupBy("service", "c")
+               .agg(F.count("*").cast("long").alias("cnt")))
+    from ..operators.sketches import hdr_bucket
+    sk_hist = (ex_hist
+               .select("service", hdr_bucket(F.col("c")).alias("bucket"),
+                       "cnt")
+               .groupBy("service", "bucket")
+               .agg(F.sum("cnt").cast("long").alias("cnt")))
+    sk = ranked(sk_hist, "bucket")
+    ex = ranked(ex_hist, "c")
     return (
         sk.alias("s").join(ex.alias("e"), "service")
         .select(
