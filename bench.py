@@ -198,6 +198,9 @@ HEADLINE = [
     # round-7: NDCG@k fusion audit (rank-ordered literal-weight folds
     # over the bounded retrieval lists)
     "retrieval_ndcg",
+    # round-7: eigh-free effective rank via trace identities (the
+    # oracle-checkable twin of the rows-only anisotropy op)
+    "embedding_effective_rank",
 ]
 
 

@@ -888,3 +888,104 @@ def embedding_anisotropy(vecs: DataFrame, *, vec_col: str = "embedding",
 
     return moments.groupBy(label_col) \
         .applyInPandas(_spectrum, schema=ANISOTROPY_SCHEMA)
+
+
+def embedding_effective_rank(vecs: DataFrame, *, vec_col: str = "embedding",
+                             label_col: str = "label",
+                             id_col: str = "vec_id",
+                             n_chunks: int = 64) -> DataFrame:
+    """Per-label participation-ratio effective rank ``(Σλ)² / Σλ²`` of
+    the covariance spectrum — WITHOUT an eigendecomposition: both
+    spectral moments are traces (``Σλ = tr(cov)``, ``Σλ² = tr(cov²) =
+    ‖cov‖_F²``) and ``cov_ij = G_ij/n − μ_iμ_j`` needs only the
+    (label, i, j) second moments plus the (label, i) sums.  That makes
+    the representation-collapse diagnostic ORACLE-CHECKABLE end to end;
+    only :func:`embedding_anisotropy`'s ``top_ev_share`` (an actual
+    eigenvalue) still needs LAPACK and stays rows-only.
+
+    Scale shape: one pair-explode of d(d+1)/2 products per vector
+    (map-side combined down to labels × d² moment rows — the same
+    shuffle volume the mapInPandas path carries), with the
+    label_centroids two-level chunked sorted folds for
+    order-deterministic float sums; the per-label reduction folds the
+    ≤ d(d+1)/2 moment rows in sorted order.
+
+    Determinism: float32→float64 casts are exact, every sum is a
+    sorted-order fold, and the cov/trace arithmetic is an identical
+    parenthesized DAG in both dialects.  NULL effective_rank on a
+    zero-variance label (‖cov‖_F = 0).
+    """
+    from ..functions.detmath import det_round
+
+    vec = F.col(vec_col)
+    d = F.size(vec)
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), d - 1),
+        lambda i: F.transform(
+            F.sequence(i, d - 1),
+            lambda j: F.struct(
+                i.alias("pi"), j.alias("pj"),
+                (F.element_at(vec, i + 1).cast("double")
+                 * F.element_at(vec, j + 1).cast("double")).alias("p"),
+            ))))
+    exploded = (vecs.select(label_col,
+                            (F.col(id_col) % n_chunks).alias("chunk"),
+                            F.explode(pairs).alias("e"))
+                .select(label_col, "chunk", "e.pi", "e.pj", "e.p"))
+    per_chunk = (
+        exploded.groupBy(label_col, "pi", "pj", "chunk")
+        .agg(F.collect_list("p").alias("vals"))
+        .select(label_col, "pi", "pj",
+                F.aggregate(F.array_sort("vals"), F.lit(0.0),
+                            lambda a, x: a + x).alias("cs"),
+                F.size("vals").cast("long").alias("cn")))
+    g = (per_chunk.groupBy(label_col, "pi", "pj")
+         .agg(F.collect_list("cs").alias("sums"),
+              F.sum("cn").cast("long").alias("n"))
+         .select(label_col, "pi", "pj", "n",
+                 F.aggregate(F.array_sort("sums"), F.lit(0.0),
+                             lambda a, x: a + x).alias("gsum")))
+
+    sexp = (vecs.select(label_col, (F.col(id_col) % n_chunks).alias("chunk"),
+                        F.posexplode(vec).alias("pos", "v"))
+            .groupBy(label_col, "pos", "chunk")
+            .agg(F.collect_list(F.col("v").cast("double")).alias("vals"))
+            .select(label_col, "pos",
+                    F.aggregate(F.array_sort("vals"), F.lit(0.0),
+                                lambda a, x: a + x).alias("cs")))
+    s = (sexp.groupBy(label_col, "pos")
+         .agg(F.collect_list("cs").alias("sums"))
+         .select(label_col, "pos",
+                 F.aggregate(F.array_sort("sums"), F.lit(0.0),
+                             lambda a, x: a + x).alias("ssum")))
+
+    si = s.select(F.col(label_col), F.col("pos").alias("pi"),
+                  F.col("ssum").alias("si"))
+    sj = s.select(F.col(label_col), F.col("pos").alias("pj"),
+                  F.col("ssum").alias("sj"))
+    nd = F.col("n").cast("double")
+    cov = (F.col("gsum") / nd
+           - (F.col("si") / nd) * (F.col("sj") / nd))
+    cells = (g.join(si, [label_col, "pi"]).join(sj, [label_col, "pj"])
+             .withColumn("c", cov)
+             .select(
+                 label_col, "n",
+                 F.when(F.col("pi") == F.col("pj"), F.col("c"))
+                 .otherwise(F.lit(0.0)).alias("diag_c"),
+                 F.when(F.col("pi") == F.col("pj"),
+                        F.col("c") * F.col("c"))
+                 .otherwise(F.lit(2.0) * (F.col("c") * F.col("c")))
+                 .alias("f2_c")))
+    folded = cells.groupBy(label_col).agg(
+        F.max("n").alias("n_vecs"),
+        F.aggregate(F.array_sort(F.collect_list("diag_c")), F.lit(0.0),
+                    lambda a, x: a + x).alias("_tr"),
+        F.aggregate(F.array_sort(F.collect_list("f2_c")), F.lit(0.0),
+                    lambda a, x: a + x).alias("_f2"))
+    return folded.select(
+        F.col(label_col),
+        F.col("n_vecs"),
+        det_round(F.col("_tr"), 6).alias("total_var"),
+        F.when(F.col("_f2") != 0.0,
+               det_round((F.col("_tr") * F.col("_tr")) / F.col("_f2"), 6))
+        .alias("effective_rank"))

@@ -4428,6 +4428,84 @@ FROM rat
 """
 
 
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective rank of each label's embedding
+    cloud via the trace identities (Σλ)²/Σλ² = tr(cov)²/‖cov‖_F²
+    (operators/similarity.embedding_effective_rank) — the
+    representation-collapse diagnostic with NO eigendecomposition, so
+    unlike embedding_anisotropy it is fully oracle-checkable."""
+    return similarity.embedding_effective_rank(_embs(spark, sf_dir))
+
+
+def _embedding_effective_rank_sql() -> str:
+    _C = LABEL_CENTROID_CHUNKS  # same chunking key as the Spark side
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))),"
+            " (a, b) -> a + b)")
+    return f"""
+WITH pexp AS (
+    SELECT label, vec_id % {_C} AS chunk, ii.i AS pi, jj.j AS pj,
+           CAST(embedding[ii.i + 1] AS DOUBLE)
+           * CAST(embedding[jj.j + 1] AS DOUBLE) AS p
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+    WHERE jj.j >= ii.i
+),
+per_chunk AS (
+    SELECT label, pi, pj,
+           {fold.format(v='p')} AS cs,
+           CAST(count(*) AS BIGINT) AS cn
+    FROM pexp GROUP BY label, pi, pj, chunk
+),
+g AS (
+    SELECT label, pi, pj,
+           {fold.format(v='cs')} AS gsum,
+           CAST(sum(cn) AS BIGINT) AS n
+    FROM per_chunk GROUP BY label, pi, pj
+),
+sexp AS (
+    SELECT label, pos, {fold.format(v='v')} AS cs
+    FROM (SELECT label, vec_id % {_C} AS chunk, ii.i AS pos,
+                 CAST(embedding[ii.i + 1] AS DOUBLE) AS v
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii)
+    GROUP BY label, pos, chunk
+),
+s AS (
+    SELECT label, pos, {fold.format(v='cs')} AS ssum
+    FROM sexp GROUP BY label, pos
+),
+covc AS (
+    SELECT g.label AS label, g.pi AS pi, g.pj AS pj, g.n AS n,
+           g.gsum / CAST(g.n AS DOUBLE)
+           - (si.ssum / CAST(g.n AS DOUBLE))
+             * (sj.ssum / CAST(g.n AS DOUBLE)) AS c
+    FROM g
+    JOIN s si ON si.label = g.label AND si.pos = g.pi
+    JOIN s sj ON sj.label = g.label AND sj.pos = g.pj
+),
+cells AS (
+    SELECT label, n,
+           CASE WHEN pi = pj THEN c ELSE 0.0 END AS diag_c,
+           CASE WHEN pi = pj THEN c * c
+                ELSE CAST('2.0' AS DOUBLE) * (c * c) END AS f2_c
+    FROM covc
+),
+folded AS (
+    SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           {fold.format(v='diag_c')} AS tr0,
+           {fold.format(v='f2_c')} AS f20
+    FROM cells GROUP BY label
+)
+SELECT label, n_vecs,
+       {det_round_sql('tr0', 6)} AS total_var,
+       CASE WHEN f20 <> 0.0
+            THEN {det_round_sql('(tr0 * tr0) / f20', 6)} END
+           AS effective_rank
+FROM folded
+"""
+
+
 #: NDCG@k discount weights 1/log2(i+1) and the ideal DCG for graded
 #: labels {k, k-1, .., 1} — computed ONCE in Python and embedded as the
 #: SAME repr literals in both dialects (the _BENFORD treatment), so no
@@ -4982,6 +5060,8 @@ QUERIES: dict[str, QuerySpec] = {
                                       _gate_agreement_kappa_sql()),
     "dup_pagerank": QuerySpec(q_dup_pagerank, _dup_pagerank_sql()),
     "retrieval_ndcg": QuerySpec(q_retrieval_ndcg, _retrieval_ndcg_sql()),
+    "embedding_effective_rank": QuerySpec(q_embedding_effective_rank,
+                                          _embedding_effective_rank_sql()),
     "dup_graph_degrees": QuerySpec(q_dup_graph_degrees,
                                    _dup_graph_degrees_sql()),
     "temperature_mixture": QuerySpec(q_temperature_mixture,

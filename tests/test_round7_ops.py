@@ -282,6 +282,45 @@ class TestHdrHistogram:
         assert {(r.k, r.bucket): r.cnt for r in merged.collect()} == full
 
 
+class TestEffectiveRank:
+    def test_trace_identity_matches_eigh(self, spark):
+        """(Σλ)²/Σλ² from the oracle-checkable trace path must equal
+        embedding_anisotropy's eigendecomposition-based effective rank
+        (different float paths — tolerance, not bit-equality), making
+        the rows-only op cross-validated by a hash-checked twin."""
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            embedding_anisotropy, embedding_effective_rank)
+
+        embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        tr = {r.label: r for r in embedding_effective_rank(embs).collect()}
+        ei = {r.label: r for r in embedding_anisotropy(embs).collect()}
+        assert set(tr) == set(ei) and tr
+        for lab in tr:
+            assert tr[lab].n_vecs == ei[lab].n_vecs
+            assert abs(tr[lab].effective_rank
+                       - ei[lab].effective_rank) < 1e-3, lab
+            # a healthy isotropic synthetic cloud: rank well above 1
+            assert tr[lab].effective_rank > 5.0
+
+    def test_collapsed_cloud_has_rank_one(self, spark):
+        """All vectors on one line => one nonzero eigenvalue => the
+        participation ratio is exactly 1 (and total_var > 0)."""
+        import random
+
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            embedding_effective_rank)
+
+        rng = random.Random(3)
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows = [(i, [t * b for b in base], 0)
+                for i, t in enumerate(rng.uniform(-2, 2)
+                                      for _ in range(40))]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        [r] = embedding_effective_rank(df).collect()
+        assert abs(r.effective_rank - 1.0) < 1e-6 and r.total_var > 0
+
+
 class TestRetrievalNdcg:
     def test_invariants_and_fusion_dominance(self, spark):
         """NDCG in [0, 1]; both lists fully ranked (k rows); the
