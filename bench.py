@@ -201,6 +201,9 @@ HEADLINE = [
     # round-7: eigh-free effective rank via trace identities (the
     # oracle-checkable twin of the rows-only anisotropy op)
     "embedding_effective_rank",
+    # round-7: closed-form capped water-filling budget allocator
+    # (prefix-sum k* over the sources relation, exact-sum integer math)
+    "token_budget_allocation",
 ]
 
 

@@ -9,7 +9,7 @@ MinHash signatures and cosine scores bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.detmath import det_ln_sql_items, det_round, det_round_sql, \
@@ -4428,6 +4428,136 @@ FROM rat
 """
 
 
+#: Water-filling allocator constants: per-source cap = min(1 epoch of
+#: the source's own tokens, the absolute ceiling); the global budget is
+#: 95% of the corpus.  Tuned against the fixture's per-source token
+#: spread (~1300-1550) so the cap/level interplay is REAL: the small
+#: sources bind at their own-token cap, the rest share the fair level
+#: (n_capped > 0 and n_uncapped > 0 are asserted in tests).
+ALLOC_MAX_EPOCHS = 1
+ALLOC_ABS_CAP = 1_400
+ALLOC_BUDGET_NUM, ALLOC_BUDGET_DEN = 19, 20
+
+
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped water-filling token-budget allocation across sources —
+    the mixture-construction step every LLM data pipeline runs: given
+    a global training-token budget B and per-source repeat caps
+    (min(2 epochs, an absolute ceiling)), find the fair water level L
+    with ``Σ min(cap_s, L) = B`` and emit each source's allocation.
+    Small sources cap out and the freed budget raises everyone else's
+    level — the closed-form version of "sample up weights until the
+    epoch caps bind" (temperature_mixture picks the weights; this
+    allocates under caps).
+
+    Closed form, no iteration: sort sources by cap, prefix-sum; the
+    number of capped sources is the largest k with
+    ``B − P_k ≥ cap_k·(n−k)`` (the level the remaining n−k sources
+    would share still covers the k-th cap); the uncapped share
+    ``(B − P_k) div (n−k)`` with the remainder distributed to the
+    first r uncapped sources in (cap, source) order — exact-sum,
+    deterministic, all BIGINT.  Windows run over the #sources-row
+    relation only; the single corpus pass is the token count.
+
+    Invariants (gated in tests against an independent greedy
+    reference): Σ allocated = min(B, Σ cap); allocated ≤ cap; uncapped
+    allocations differ by at most 1.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.size(text.ws_tokens(F.col("text"))).cast("long")
+        .alias("nt")).groupBy("source").agg(F.sum("nt").alias("tokens"))
+    src = tok.select(
+        "source", "tokens",
+        F.least(ALLOC_MAX_EPOCHS * F.col("tokens"),
+                F.lit(ALLOC_ABS_CAP).cast("long")).alias("cap"))
+
+    w_ord = Window.orderBy("cap", "source")
+    w_all = Window.partitionBy()
+    r1 = src.select(
+        "source", "tokens", "cap",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum("cap").over(
+            w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)).alias("pk"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+        int_div(F.lit(ALLOC_BUDGET_NUM) * F.sum("tokens").over(w_all),
+                F.lit(ALLOC_BUDGET_DEN)).alias("b"),
+    )
+    # k* = max k whose prefix is consistent as the capped set
+    feasible = F.when(
+        (F.col("b") - F.col("pk")) >= F.col("cap") * (F.col("n") - F.col("k")),
+        F.col("k")).otherwise(F.lit(0))
+    r2 = r1.withColumn("kstar", F.max(feasible).over(w_all)) \
+        .withColumn("pkstar", F.max(
+            F.when(F.col("k") == F.col("kstar"), F.col("pk"))
+            .otherwise(F.lit(0))).over(w_all))
+    uncapped_n = F.col("n") - F.col("kstar")
+    pool = F.col("b") - F.col("pkstar")
+    base = F.when(uncapped_n > 0, int_div(pool, uncapped_n))
+    rem = F.when(uncapped_n > 0, pool % uncapped_n)
+    alloc = F.when(
+        F.col("k") <= F.col("kstar"), F.col("cap")
+    ).otherwise(
+        F.least(F.col("cap"),
+                base + F.when(
+                    F.col("k") - F.col("kstar") <= rem, 1
+                ).otherwise(0)))
+    return r2.select(
+        "source", "tokens", "cap",
+        alloc.cast("long").alias("allocated"),
+        (F.col("k") <= F.col("kstar")).alias("is_capped"),
+    )
+
+
+def _token_budget_allocation_sql() -> str:
+    return f"""
+WITH {TOKENS_CTE},
+tsum AS (
+    SELECT source, CAST(sum(len(toks)) AS BIGINT) AS tokens
+    FROM tok GROUP BY source
+),
+src AS (
+    SELECT source, tokens,
+           least({ALLOC_MAX_EPOCHS} * tokens,
+                 CAST({ALLOC_ABS_CAP} AS BIGINT)) AS cap
+    FROM tsum
+),
+r1 AS (
+    SELECT source, tokens, cap,
+           CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS k,
+           CAST(sum(cap) OVER (ORDER BY cap, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS pk,
+           CAST(count(*) OVER () AS BIGINT) AS n,
+           ({ALLOC_BUDGET_NUM} * CAST(sum(tokens) OVER () AS BIGINT))
+               // {ALLOC_BUDGET_DEN} AS b
+    FROM src
+),
+r2 AS (
+    SELECT *,
+           CAST(max(CASE WHEN (b - pk) >= cap * (n - k) THEN k
+                         ELSE 0 END) OVER () AS BIGINT) AS kstar
+    FROM r1
+),
+r3 AS (
+    SELECT *,
+           CAST(max(CASE WHEN k = kstar THEN pk ELSE 0 END) OVER ()
+                AS BIGINT) AS pkstar
+    FROM r2
+)
+SELECT source, tokens, cap,
+       CAST(CASE WHEN k <= kstar THEN cap
+            ELSE least(cap,
+                 (b - pkstar) // (n - kstar)
+                 + CASE WHEN k - kstar <= (b - pkstar) % (n - kstar)
+                        THEN 1 ELSE 0 END)
+            END AS BIGINT) AS allocated,
+       k <= kstar AS is_capped
+FROM r3
+"""
+
+
 def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Participation-ratio effective rank of each label's embedding
     cloud via the trace identities (Σλ)²/Σλ² = tr(cov)²/‖cov‖_F²
@@ -5062,6 +5192,8 @@ QUERIES: dict[str, QuerySpec] = {
     "retrieval_ndcg": QuerySpec(q_retrieval_ndcg, _retrieval_ndcg_sql()),
     "embedding_effective_rank": QuerySpec(q_embedding_effective_rank,
                                           _embedding_effective_rank_sql()),
+    "token_budget_allocation": QuerySpec(q_token_budget_allocation,
+                                         _token_budget_allocation_sql()),
     "dup_graph_degrees": QuerySpec(q_dup_graph_degrees,
                                    _dup_graph_degrees_sql()),
     "temperature_mixture": QuerySpec(q_temperature_mixture,

@@ -321,6 +321,52 @@ class TestEffectiveRank:
         assert abs(r.effective_rank - 1.0) < 1e-6 and r.total_var > 0
 
 
+class TestTokenBudgetAllocation:
+    def test_matches_independent_water_fill(self, spark):
+        """The closed-form (prefix-sum k*) allocation must equal an
+        independent binary-search water fill with largest-remainder
+        distribution, sum EXACTLY to the budget, respect caps, keep
+        uncapped allocations within 1 of each other — and the fixture
+        constants must exercise BOTH classes."""
+        from realtime_log_analytics_flink_kafka_spark.queries import (
+            all_queries)
+        from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+            ALLOC_BUDGET_DEN, ALLOC_BUDGET_NUM)
+
+        rows = all_queries()["token_budget_allocation"] \
+            .fn(spark, SF_SMOKE).collect()
+        caps = {r.source: r.cap for r in rows}
+        got = {r.source: r.allocated for r in rows}
+        b = ALLOC_BUDGET_NUM * sum(r.tokens for r in rows) \
+            // ALLOC_BUDGET_DEN
+
+        def filled(level):
+            return sum(min(c, level) for c in caps.values())
+
+        lo, hi = 0, max(caps.values())
+        while lo < hi:  # largest L with filled(L) <= b
+            mid = (lo + hi + 1) // 2
+            if filled(mid) <= b:
+                lo = mid
+            else:
+                hi = mid - 1
+        level, rem = lo, b - filled(lo)
+        want = {}
+        bump = rem
+        for s in sorted(caps, key=lambda s: (caps[s], s)):
+            if caps[s] <= level:
+                want[s] = caps[s]
+            else:
+                want[s] = level + (1 if bump > 0 else 0)
+                bump -= 1 if bump > 0 else 0
+        assert got == want
+        assert sum(got.values()) == b
+        assert all(got[s] <= caps[s] for s in got)
+        unc = [r.allocated for r in rows if not r.is_capped]
+        assert unc and max(unc) - min(unc) <= 1
+        assert any(r.is_capped for r in rows)  # both classes exercised
+
+
 class TestRetrievalNdcg:
     def test_invariants_and_fusion_dominance(self, spark):
         """NDCG in [0, 1]; both lists fully ranked (k rows); the
