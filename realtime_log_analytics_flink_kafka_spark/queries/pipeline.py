@@ -27,6 +27,13 @@ from . import QuerySpec
 
 MD5_LONG = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
+#: Embedding dimension of the fixture table.  The Spark operators derive
+#: d dynamically (F.size(vec)); every SQL twin that enumerates coordinates
+#: interpolates THIS constant so a fixture-dimension change raises a loud
+#: row/hash mismatch instead of silently indexing out of range and
+#: NULL-ing covariance cells (ADVICE r7).
+EMB_DIM = 64
+
 # textnorm primitives, not lower()/'\s+': Java and RE2 disagree on
 # U+000B membership in \s, and JVM vs utf8proc lower() on U+0130 — the
 # round-4 driver hash failures (see functions/textnorm).
@@ -266,7 +273,7 @@ def _fold_sql(prods: str) -> str:
 
 
 DOT_SQL = _fold_sql(
-    "list_transform(range(1, 65), "
+    f"list_transform(range(1, {EMB_DIM + 1}), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
 NORM_SQL = ("sqrt(" + _fold_sql(
     "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") + ")")
@@ -354,7 +361,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIST2_SQL = _fold_sql(
-    "list_transform(range(1, 65), "
+    f"list_transform(range(1, {EMB_DIM + 1}), "
     "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
     " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))")
 
@@ -572,7 +579,7 @@ def _lsh_pairs_sql() -> str:
     for j, plane in enumerate(planes):
         arr = "[" + ", ".join(f"{p}.0" for p in plane) + "]"
         dot = _fold_sql(
-            f"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)"
+            f"list_transform(range(1, {EMB_DIM + 1}), i -> CAST(embedding[i] AS DOUBLE)"
             f" * ({arr})[i])")
         bucket_terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
     bucket = " + ".join(bucket_terms)
@@ -606,7 +613,7 @@ SQL_LABEL_CENTROIDS = f"""
 WITH exploded AS (
     SELECT label, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
            CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
-    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
 ),
 per_chunk AS (
     SELECT label, pos, chunk,
@@ -1061,13 +1068,13 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ERR_FOLD = _fold_sql(
-    "list_transform(range(1, 65), "
+    f"list_transform(range(1, {EMB_DIM + 1}), "
     "i -> (CAST(embedding[i] AS DOUBLE) - qi[i] * scales[i])"
     " * (CAST(embedding[i] AS DOUBLE) - qi[i] * scales[i]))")
 
 SQL_EMBEDDING_QUANTIZATION = f"""
 WITH ex AS (
-    SELECT unnest(range(1, 65)) AS pos, embedding AS e FROM embeddings
+    SELECT unnest(range(1, {EMB_DIM + 1})) AS pos, embedding AS e FROM embeddings
 ),
 sp AS (
     SELECT pos, greatest(max(abs(CAST(e[pos] AS DOUBLE))) / 127.0, 1e-12) AS s
@@ -1076,7 +1083,7 @@ sp AS (
 sc AS (SELECT list(s ORDER BY pos) AS scales FROM sp),
 q AS (
     SELECT vec_id, embedding, scales,
-           list_transform(range(1, 65),
+           list_transform(range(1, {EMB_DIM + 1}),
                i -> greatest(-127.0, least(127.0,
                     floor(CAST(embedding[i] AS DOUBLE) / scales[i] + 0.5))))
                AS qi
@@ -4569,6 +4576,7 @@ def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_effective_rank_sql() -> str:
     _C = LABEL_CENTROID_CHUNKS  # same chunking key as the Spark side
+    _D = EMB_DIM                # coordinate enumeration bound
     fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))),"
             " (a, b) -> a + b)")
     return f"""
@@ -4577,8 +4585,8 @@ WITH pexp AS (
            CAST(embedding[ii.i + 1] AS DOUBLE)
            * CAST(embedding[jj.j + 1] AS DOUBLE) AS p
     FROM embeddings
-    CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
-    CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+    CROSS JOIN (SELECT unnest(range(0, {_D})) AS i) ii
+    CROSS JOIN (SELECT unnest(range(0, {_D})) AS j) jj
     WHERE jj.j >= ii.i
 ),
 per_chunk AS (
@@ -4598,7 +4606,7 @@ sexp AS (
     FROM (SELECT label, vec_id % {_C} AS chunk, ii.i AS pos,
                  CAST(embedding[ii.i + 1] AS DOUBLE) AS v
           FROM embeddings
-          CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii)
+          CROSS JOIN (SELECT unnest(range(0, {_D})) AS i) ii)
     GROUP BY label, pos, chunk
 ),
 s AS (

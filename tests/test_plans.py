@@ -26,6 +26,11 @@ ARROW_SANCTIONED = {"frame_samples", "media_resize", "media_decode",
                     # grouped applyInPandas: per-label eigendecomposition
                     # has no Catalyst expression
                     "embedding_anisotropy",
+                    # grouped applyInPandas chunk-moment fold (VERDICT r7
+                    # #1): folds d(d+1)/2 products per (label, chunk)
+                    # locally so the shuffle carries raw vectors, not the
+                    # exploded product relation a collect_list would ship
+                    "embedding_effective_rank",
                     # Misra-Gries candidate pass: per-partition bounded
                     # summary is imperative by nature (operators/sketches)
                     "frequent_terms"}
@@ -369,3 +374,25 @@ def test_no_vector_fold_in_nonselective_join_conditions(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"vector fold inside join condition: {offenders}"
+
+
+def test_effective_rank_never_explodes_per_vector_products(spark):
+    """embedding_effective_rank (VERDICT r7 #1 rewrite): the d(d+1)/2
+    per-vector products must be folded INSIDE the (label, chunk)
+    applyInPandas stage — never materialized as exploded rows feeding a
+    collect_list aggregation, whose partial buffers carry every product
+    through the exchange (~65x the vector bytes; OOMs a 1g heap at 50k
+    vectors).  Gate: no Generate (explode) node anywhere in the plan,
+    and the chunk-moment FlatMapGroupsInPandas stage present; the only
+    collect_list aggregations run above the bounded moment relation
+    (<= n_chunks values per cell)."""
+    df = QUERIES["embedding_effective_rank"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, f"product explode resurfaced:\n{plan}"
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # the moment relation is persisted and reused by the g/si/sj
+    # branches — one source scan + one applyInPandas pass, not the old
+    # three independent re-reads (InMemoryTableScan proves the reuse;
+    # raw Scan-parquet counts are inflated by the cached child plan
+    # printed inside each InMemoryRelation reference)
+    assert "InMemoryTableScan" in plan, plan
