@@ -150,6 +150,39 @@ def main() -> None:
         "the UNCHANGED literal-ntile oracle.  spend_gini itself got "
         "FASTER under its histogram rewrite (0.42 → ~0.3 s).",
         "",
+        "## Bench-drift audit, round 8 (VERDICT r7, next-round #3)",
+        "",
+        "The four r6→r7 cluster-family drifts on untouched code "
+        "(cluster_best_representative 1.42×, dedup_threshold_sweep "
+        "1.34×, quality_vs_perplexity 1.32×, cluster_balanced_sample "
+        "1.30×) were profiled in r8 with three independent 9-run "
+        "isolated sessions (bench protocol, sf0.1, 2026-08-15) plus a "
+        "six-point history read straight from the committed "
+        "BENCH_DETAIL.json at each r6/r7 commit:",
+        "",
+        "| query | r6 | committed r7-era runs | r8 quiet 9-run median "
+        "[min,max] |",
+        "|---|---|---|---|",
+        "| cluster_best_representative | 2.485 | 2.86 / 2.225 / 3.007 / "
+        "2.508 / 3.624 | 3.116 [2.873, 3.846] |",
+        "| dedup_threshold_sweep | 1.623 | 1.705 / 0.75 / 2.209 / 1.558 "
+        "/ 1.874 | 1.657 [1.635, 1.731] |",
+        "| quality_vs_perplexity | 2.444 | 2.549 / 1.31 / 2.948 / 2.224 "
+        "/ 2.943 | 2.564 [2.434, 2.688] |",
+        "| cluster_balanced_sample | 0.963 | 1.018 / 0.505 / 1.136 / "
+        "0.943 / 1.014 | 1.044 [0.995, 1.155] |",
+        "",
+        "Three of the four sit back on their r6 medians in quiet "
+        "isolated runs; cluster_best_representative's committed history "
+        "bounces 2.225 → 3.007 → 2.508 → 3.624 across ADJACENT runs "
+        "with no code change in its dependency chain (its query fn is "
+        "byte-identical r6→r7; dedup.py's only touch was a no-op "
+        "carry_cols default) — it is simply the widest-variance query "
+        "in the suite (iterative pointer-jumping joins + a cluster "
+        "window; ±30% on this box).  Verdict: measured variance for "
+        "all four, same adjudication the r6 trio received and r7 "
+        "confirmed by recovery.",
+        "",
         "Every construct class has at least one driver-green carrier, so "
         "driver-side engine-version skew is ruled out for all of them — "
         "including `string_agg ORDER BY` (pq_codes, green) and the hex "
