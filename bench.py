@@ -204,6 +204,12 @@ HEADLINE = [
     # round-7: closed-form capped water-filling budget allocator
     # (prefix-sum k* over the sources relation, exact-sum integer math)
     "token_budget_allocation",
+    # round-8: bounded-round k-core peel over the dup graph (fixed
+    # ks x rounds iterative semi-joins, the pagerank iteration class)
+    "dup_kcore",
+    # round-8: TextRank keywords (PageRank over the word co-occurrence
+    # graph — iterated sorted-order float folds on a type-level graph)
+    "textrank_keywords",
 ]
 
 # HEADLINE membership policy (VERDICT r7 #6): the curated list above

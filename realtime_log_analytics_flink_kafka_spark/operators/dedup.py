@@ -918,3 +918,80 @@ def pagerank(pairs: DataFrame, *, iters: int = PAGERANK_ITERS,
                       + F.lit(0.85) * F.col("s")).alias("pr")))
     return r.join(deg, r.node == deg.u).select(
         F.col("node").alias("doc_id"), "deg", "pr")
+
+
+#: k-core parameters: membership for k in KCORE_KS after KCORE_ROUNDS
+#: peel rounds.  On LSH dup graphs (clique/star components) peeling
+#: stabilizes in 1-2 rounds; 4 gives margin, and the per-node *_settled
+#: flags surface any node whose membership was still changing in the
+#: last round (all-true == the exact k-core).
+KCORE_KS = (2, 3)
+KCORE_ROUNDS = 4
+
+
+def kcore_membership(pairs: DataFrame, *, ks: tuple[int, ...] = KCORE_KS,
+                     rounds: int = KCORE_ROUNDS, left_col: str = "doc_a",
+                     right_col: str = "doc_b") -> DataFrame:
+    """Bounded-round k-core decomposition of the near-dup graph: which
+    documents survive iterated "remove nodes with degree < k" peeling —
+    the density audit that separates CORE mirror cliques (2-core and
+    3-core members: every copy connects to several others) from
+    tree-like template periphery (spokes and chains peel away at k=2).
+    Complements triangle_stats (closure rate, one global row) with
+    per-node structural depth.
+
+    Scale shape: each peel round is one map-side-combinable degree
+    count plus two semi-joins against the surviving-node set — all
+    equi-joins on node id, ``len(ks) x rounds`` rounds total, a fixed
+    constant like pagerank's iteration bound (never a data-dependent
+    driver loop).  Because node sets only SHRINK, the round-r edge set
+    equals the ORIGINAL edge list restricted to round-r nodes, so each
+    round re-filters the one persisted edge relation instead of
+    chaining edge caches; only the per-round NODE sets (node-id
+    columns, graph-node-sized) are persisted — that keeps the logical
+    plan linear in the round count (each round references its
+    predecessor's node set, which cache substitution replaces) at a
+    per-round cache cost of ids rather than edges.
+
+    Exactness contract: after R rounds the membership equals the true
+    k-core whenever peeling has stabilized; the per-node
+    ``core{k}_settled`` flag (round R membership == round R-1
+    membership) makes that checkable INSIDE the result — all-true
+    means exact.  All-integer/boolean output, no float determinism
+    surface.
+    """
+    from pyspark import StorageLevel
+
+    ed = pairs.select(F.col(left_col).alias("u"),
+                      F.col(right_col).alias("v")).unionAll(
+        pairs.select(F.col(right_col).alias("u"),
+                     F.col(left_col).alias("v"))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    deg = ed.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+
+    out = deg.select(F.col("u").alias("doc_id"), "deg")
+    for k in ks:
+        cur = ed
+        nodes_prev = None   # node set after round rounds-1
+        nodes = None
+        for _ in range(rounds):
+            nodes_prev = nodes
+            nodes = (cur.groupBy("u").agg(F.count("*").alias("_d"))
+                     .filter(F.col("_d") >= k).select("u")
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+            cur = (ed.join(nodes, "u")
+                   .join(nodes.select(F.col("u").alias("v")), "v"))
+        in_core = nodes.select(F.col("u").alias("doc_id"),
+                               F.lit(True).alias(f"in_{k}core"))
+        in_prev = nodes_prev.select(F.col("u").alias("doc_id"),
+                                    F.lit(True).alias("_prev"))
+        out = (out.join(in_core, "doc_id", "left")
+               .join(in_prev, "doc_id", "left")
+               .withColumn(f"in_{k}core",
+                           F.coalesce(F.col(f"in_{k}core"), F.lit(False)))
+               .withColumn(
+                   f"core{k}_settled",
+                   F.coalesce(F.col(f"in_{k}core"), F.lit(False))
+                   == F.coalesce(F.col("_prev"), F.lit(False)))
+               .drop("_prev"))
+    return out

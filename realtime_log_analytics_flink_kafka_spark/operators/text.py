@@ -1374,3 +1374,74 @@ def term_typo_variants(docs: DataFrame, text_col: str = "text",
             F.col("distance").cast("long").alias("distance"),
         )
     )
+
+
+#: TextRank parameters: damping 0.85, fixed 3 power iterations (the
+#: dup_pagerank treatment — enough to separate hub terms on shallow
+#: co-occurrence graphs while keeping the SQL oracle a fixed unroll),
+#: top-20 keyword cut.
+TEXTRANK_ITERS = 3
+TEXTRANK_TOPN = 20
+
+
+def textrank_keywords(docs: DataFrame, text_col: str = "text", *,
+                      iters: int = TEXTRANK_ITERS,
+                      topn: int = TEXTRANK_TOPN) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — undirected edges between
+    ADJACENT tokens weighted by corpus bigram count, scores
+    ``WR(v) = 0.15 + 0.85·Σ_u (w(u,v)/wdeg(u))·WR(u)``, top-``topn``
+    terms by score.  The graph-centrality keyword signal that pure
+    frequency ranking (frequent_terms) misses: a term scores high when
+    its NEIGHBORS are central, not merely when it is common.
+
+    Scale shape: the co-occurrence graph is TYPE-LEVEL (vocabulary x
+    adjacency, independent of corpus row count once bigram counts are
+    combined map-side); each of the ``iters`` power steps is one
+    equi-join plus one map-side-combinable aggregation, exactly
+    dedup.pagerank's bounded-iteration pattern (weighted adjacency
+    persisted once, eager-materialized, intermediate edge copy
+    dropped).  The final cut is orderBy+limit — Spark plans
+    TakeOrderedAndProject, a map-side partial top-k, never a global
+    sort of the vocabulary.
+
+    Determinism: edge weights are BIGINT bigram counts; every
+    contribution is the identical ``(w/wdeg)·s`` double DAG folded in
+    sorted-value order (array_sort(collect_list) / list_sort(list)),
+    so scores are bit-equal cross-engine and the (score DESC, term ASC)
+    cut selects identical rows.  Self-loops (repeated tokens) are
+    dropped — a self-edge only feeds a node its own score back and the
+    standard formulation excludes it.
+    """
+    from pyspark import StorageLevel
+
+    bg = bigram_frequencies(docs, text_col)
+    und = (bg.filter(F.col("w1") != F.col("w2"))
+           .groupBy(F.least("w1", "w2").alias("a"),
+                    F.greatest("w1", "w2").alias("b"))
+           .agg(F.sum("bf").cast("long").alias("w")))
+    ed = und.select(F.col("a").alias("u"), F.col("b").alias("v"), "w") \
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v"),
+                             "w")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    wdeg = (ed.groupBy("u").agg(F.sum("w").cast("long").alias("wdeg"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    g = (ed.join(wdeg, "u").persist(StorageLevel.MEMORY_AND_DISK))
+    g.count()  # materializes g and (via the join) wdeg
+    ed.unpersist()
+
+    s = wdeg.select(F.col("u").alias("node"), F.lit(1.0).alias("s"))
+    for _ in range(iters):
+        contrib = g.join(s, g.u == s.node).select(
+            F.col("v"),
+            ((F.col("w").cast("double") / F.col("wdeg").cast("double"))
+             * F.col("s")).alias("c"))
+        s = (contrib.groupBy("v")
+             .agg(F.aggregate(F.array_sort(F.collect_list("c")),
+                              F.lit(0.0), lambda a, x: a + x).alias("cs"))
+             .select(F.col("v").alias("node"),
+                     (F.lit(0.15) + F.lit(0.85) * F.col("cs")).alias("s")))
+    return (s.join(wdeg, s.node == wdeg.u)
+            .select(F.col("node").alias("term"), "wdeg",
+                    F.col("s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("term")).limit(topn))

@@ -1772,6 +1772,60 @@ FROM shape CROSS JOIN tri
 """
 
 
+def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core decomposition of the near-dup graph
+    (operators/dedup.kcore_membership): per-document 2-core/3-core
+    membership with per-node settled flags — the density audit that
+    separates mirror-clique cores from peelable template periphery.
+    All-integer/boolean, fixed ks x rounds peel (the pagerank-style
+    constant iteration bound)."""
+    return dedup.kcore_membership(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                threshold=MINHASH_THRESHOLD))
+
+
+def _dup_kcore_sql() -> str:
+    from ..operators.dedup import KCORE_KS, KCORE_ROUNDS
+    ctes, flags, joins = [], [], []
+    for k in KCORE_KS:
+        prev_e = "ed"
+        for r in range(1, KCORE_ROUNDS + 1):
+            ctes.append(f"""n{k}_{r} AS (
+    SELECT u FROM {prev_e} GROUP BY u HAVING count(*) >= {k}
+)""")
+            ctes.append(f"""e{k}_{r} AS (
+    SELECT e.u AS u, e.v AS v
+    FROM {prev_e} e
+    JOIN n{k}_{r} a ON e.u = a.u
+    JOIN n{k}_{r} b ON e.v = b.u
+)""")
+            prev_e = f"e{k}_{r}"
+        last, prev = KCORE_ROUNDS, KCORE_ROUNDS - 1
+        flags.append(
+            f"coalesce(a{k}.f, FALSE) AS in_{k}core,\n"
+            f"       coalesce(a{k}.f, FALSE) = coalesce(p{k}.f, FALSE)"
+            f" AS core{k}_settled")
+        joins.append(
+            f"LEFT JOIN (SELECT u, TRUE AS f FROM n{k}_{last}) a{k}"
+            f" ON d.u = a{k}.u\n"
+            f"LEFT JOIN (SELECT u, TRUE AS f FROM n{k}_{prev}) p{k}"
+            f" ON d.u = p{k}.u")
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+ed AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY u),
+{",".join(ctes)}
+SELECT d.u AS doc_id, d.deg AS deg,
+       {",".join(flags)}
+FROM deg d
+{chr(10).join(joins)}
+"""
+
+
 def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the near-dup graph
     (operators/dedup.pagerank): hub-document centrality for the
@@ -1816,6 +1870,58 @@ r0 AS (
 {",".join(its)}
 SELECT node AS doc_id, deg.deg AS deg, pr
 FROM r{PAGERANK_ITERS} JOIN deg ON node = deg.u
+"""
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators/text.textrank_keywords):
+    PageRank over the adjacency-weighted word co-occurrence graph, top
+    terms by graph centrality — the keyword signal frequency ranking
+    misses."""
+    return text.textrank_keywords(_docs(spark, sf_dir))
+
+
+def _textrank_keywords_sql() -> str:
+    from ..operators.text import TEXTRANK_ITERS, TEXTRANK_TOPN
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list(c))),"
+            " (acc, x) -> acc + x)")
+    its = []
+    for i in range(1, TEXTRANK_ITERS + 1):
+        prev = f"s{i - 1}"
+        its.append(f"""s{i} AS (
+    SELECT v AS node,
+           CAST('0.15' AS DOUBLE) + CAST('0.85' AS DOUBLE) * {fold} AS s
+    FROM (SELECT g.v AS v,
+                 (CAST(g.w AS DOUBLE) / CAST(g.wdeg AS DOUBLE))
+                 * {prev}.s AS c
+          FROM g JOIN {prev} ON g.u = {prev}.node)
+    GROUP BY v
+)""")
+    return f"""
+WITH {TOKENS_CTE},
+bg AS (
+    SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM tok WHERE len(toks) >= 2
+),
+und AS (
+    SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+           CAST(count(*) AS BIGINT) AS w
+    FROM bg WHERE w1 <> w2 GROUP BY 1, 2
+),
+ed AS (
+    SELECT a AS u, b AS v, w FROM und
+    UNION ALL
+    SELECT b AS u, a AS v, w FROM und
+),
+wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM ed GROUP BY u),
+g AS (SELECT ed.u, ed.v, ed.w, wdeg.wdeg FROM ed JOIN wdeg ON ed.u = wdeg.u),
+s0 AS (SELECT u AS node, CAST('1.0' AS DOUBLE) AS s FROM wdeg),
+{",".join(its)}
+SELECT node AS term, wdeg.wdeg AS wdeg, s AS score
+FROM s{TEXTRANK_ITERS} JOIN wdeg ON node = wdeg.u
+ORDER BY score DESC, term ASC
+LIMIT {TEXTRANK_TOPN}
 """
 
 
@@ -5197,6 +5303,9 @@ QUERIES: dict[str, QuerySpec] = {
     "gate_agreement_kappa": QuerySpec(q_gate_agreement_kappa,
                                       _gate_agreement_kappa_sql()),
     "dup_pagerank": QuerySpec(q_dup_pagerank, _dup_pagerank_sql()),
+    "dup_kcore": QuerySpec(q_dup_kcore, _dup_kcore_sql()),
+    "textrank_keywords": QuerySpec(q_textrank_keywords,
+                                   _textrank_keywords_sql()),
     "retrieval_ndcg": QuerySpec(q_retrieval_ndcg, _retrieval_ndcg_sql()),
     "embedding_effective_rank": QuerySpec(q_embedding_effective_rank,
                                           _embedding_effective_rank_sql()),

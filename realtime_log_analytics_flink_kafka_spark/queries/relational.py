@@ -1299,6 +1299,123 @@ FROM tiled GROUP BY decile
 """
 
 
+
+# --- TPC-H Q11 shape: share-of-global filter ---------------------------------
+
+def q_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock identification, adapted to the
+    fixture's supplier/lineitem pair — there is no partsupp table):
+    suppliers whose shipped revenue exceeds 1.05x the AVERAGE supplier
+    share — a group aggregate filtered against a GLOBAL scalar derived
+    from the same aggregate (the scalar-subquery shape).  (The synthetic
+    fixture spreads revenue nearly uniformly — max/avg is ~1.12 — so the
+    classic 2x-average cut would be empty at every SF; 5% above average
+    keeps the top decile and stays scale-free.)
+
+    Scale shape: ONE map-side-combined lineitem pass to per-supplier
+    decimal sums; the global total and supplier count re-aggregate
+    those supplier-sized rows (never a second fact-table pass) and
+    broadcast back as a single row.  The share threshold is
+    self-normalizing (1.05x average), so the query returns a stable
+    fraction of suppliers at every SF instead of degenerating to
+    all-or-nothing as a fixed percentage would.
+
+    Determinism: sums are exact DECIMAL(20,6) accumulations; the
+    double-cast sums are then identical in both engines, so the
+    ``rev * n * 100 > 105 * total`` filter and the unrounded share division
+    are IEEE ops on identical inputs — no overflow at any SF (the
+    all-integer cross-multiply would overflow int64 micros near
+    total ~ 1e13 dollars).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(_dec_sum(disc).alias("revenue")))
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(38,6)")).cast("double")
+        .alias("total_rev"),
+        F.count("*").cast("long").alias("n_supp"))
+    return (rev.crossJoin(F.broadcast(tot))  # single-row broadcast
+            .filter(F.col("revenue") * F.col("n_supp").cast("double")
+                    * F.lit(100.0) > F.lit(105.0) * F.col("total_rev"))
+            .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.col("revenue"),
+                    (F.col("revenue") / F.col("total_rev")).alias("share")))
+
+
+SQL_SUPPLIER_REVENUE_SHARE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+    SELECT CAST(sum(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_rev,
+           CAST(count(*) AS BIGINT) AS n_supp
+    FROM rev
+)
+SELECT s_suppkey, s_name, revenue, revenue / total_rev AS share
+FROM rev CROSS JOIN tot
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue * CAST(n_supp AS DOUBLE) * CAST('100.0' AS DOUBLE)
+      > CAST('105.0' AS DOUBLE) * total_rev
+"""
+
+
+# --- TPC-H Q15 shape: per-period argmax with exact ties ----------------------
+
+def q_quarter_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier view): the supplier(s) with the
+    highest shipped revenue in each calendar quarter, ties kept — the
+    per-period argmax.
+
+    Scale shape: the argmax is two aggregations plus a broadcast join
+    back (groupBy(quarter) max, #quarters rows broadcast against the
+    per-supplier relation) — NEVER a window max over the supplier
+    relation, which would shuffle every supplier row into #quarter
+    sort partitions.  One fact-table pass total.
+
+    Determinism: revenues stay DECIMAL end to end through the max and
+    the tie equality (exact 4-decimal-place products, exact sums), so
+    both engines keep exactly the same tie set; the double cast happens
+    only at output."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (li.groupBy(
+        (F.year("l_shipdate") * 10 + F.quarter("l_shipdate"))
+        .cast("int").alias("yq"), F.col("l_suppkey"))
+        .agg(F.sum(disc.cast("decimal(20,6)")).alias("rev_dec")))
+    mx = rev.groupBy("yq").agg(F.max("rev_dec").alias("mx_dec"))
+    return (rev.join(F.broadcast(mx), "yq")
+            .filter(F.col("rev_dec") == F.col("mx_dec"))
+            .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("yq", "s_suppkey", "s_name",
+                    F.col("rev_dec").cast("double").alias("revenue")))
+
+
+SQL_QUARTER_TOP_SUPPLIER = """
+WITH rev AS (
+    SELECT CAST(year(l_shipdate) * 10 + quarter(l_shipdate) AS INT) AS yq,
+           l_suppkey,
+           sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(20,6))) AS rev_dec
+    FROM lineitem GROUP BY 1, 2
+),
+mx AS (SELECT yq, max(rev_dec) AS mx_dec FROM rev GROUP BY yq)
+SELECT rev.yq AS yq, l_suppkey AS s_suppkey, s_name,
+       CAST(rev_dec AS DOUBLE) AS revenue
+FROM rev
+JOIN mx ON rev.yq = mx.yq AND rev.rev_dec = mx.mx_dec
+JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(q_order_priority_check,
                                       SQL_ORDER_PRIORITY_CHECK),
@@ -1345,4 +1462,8 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_by_priority_pivot": QuerySpec(q_orders_by_priority_pivot,
                                           SQL_ORDERS_BY_PRIORITY_PIVOT),
     "user_sessions": QuerySpec(q_user_sessions, SQL_USER_SESSIONS),
+    "supplier_revenue_share": QuerySpec(q_supplier_revenue_share,
+                                        SQL_SUPPLIER_REVENUE_SHARE),
+    "quarter_top_supplier": QuerySpec(q_quarter_top_supplier,
+                                      SQL_QUARTER_TOP_SUPPLIER),
 }

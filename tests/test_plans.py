@@ -72,6 +72,8 @@ NESTED_LOOP_SANCTIONED = {
     "embedding_near_dups": 1,
     "tfidf_top_terms": 1,
     "embedding_quantization": 1,   # single-row scale array broadcast
+    # single-row global-total broadcast (the Q11 scalar-subquery shape)
+    "supplier_revenue_share": 1,
     "unigram_surprisal": 1,        # single-row corpus-total broadcast
     "perplexity_buckets": 1,       # composes unigram_surprisal's total
     "bm25_search": 1,              # single-row (D, L) totals broadcast
