@@ -210,6 +210,9 @@ HEADLINE = [
     # round-8: TextRank keywords (PageRank over the word co-occurrence
     # graph — iterated sorted-order float folds on a type-level graph)
     "textrank_keywords",
+    # round-8: 10-step power-iteration top-eigenvalue (localCheckpoint
+    # lineage truncation, sorted matvec folds over the cov-cell relation)
+    "embedding_top_eigen",
 ]
 
 # HEADLINE membership policy (VERDICT r7 #6): the curated list above

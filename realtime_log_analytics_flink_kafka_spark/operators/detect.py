@@ -327,3 +327,56 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
         F.min(F.when(alarm, F.col("x"))).cast("long")
         .alias("first_alarm_day"),
     )
+
+
+def robust_trend(err_logs: DataFrame) -> DataFrame:
+    """Per-service ROBUST trend of the daily error-count series:
+    Theil-Sen slope (median of all pairwise day-slopes) plus the
+    Mann-Kendall S statistic (sum of pairwise sign changes) — the
+    outlier-resistant complement to :func:`error_trend_slope`: one
+    2000-error incident day drags the OLS slope arbitrarily but moves
+    the pairwise-slope median by at most one rank position, and S
+    depends only on ORDER, not magnitude.
+
+    Scale shape: the only raw-event pass is the map-side-combined
+    (service, day) count; the pairwise self-join runs on that tiny
+    daily table, equi-keyed on service with days² per service pairs —
+    bounded by the observation window (66 pairs for 12 days), never by
+    event volume.  Single-day services keep a row (n_pairs = 0, NULL
+    slope) via the left join from the day-count relation.
+
+    Determinism: dy, dx, and the Mann-Kendall sign sum are all-BIGINT;
+    the pairwise slopes are identical double divisions and the median
+    is the repo's nearest-rank-low selection (sorted element at
+    ``int(0.5·(n-1))`` — functions/percentile), a single selected
+    element rather than an interpolated average, so the result is one
+    of the actual slope doubles, bit-equal cross-engine.
+    """
+    from ..functions.detmath import int_div
+    from ..functions.percentile import exact_percentile_disc
+
+    x = (int_div(F.unix_timestamp("ts"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x")
+    daily = err_logs.groupBy("service", x) \
+        .agg(F.count("*").cast("long").alias("y"))
+    dcnt = daily.groupBy("service") \
+        .agg(F.count("*").cast("long").alias("n_days"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, (F.col("a.service") == F.col("b.service"))
+                    & (F.col("a.x") < F.col("b.x")))
+             .select(F.col("a.service").alias("service"),
+                     (F.col("b.y") - F.col("a.y")).alias("dy"),
+                     (F.col("b.x") - F.col("a.x")).alias("dx")))
+    slope = F.col("dy").cast("double") / F.col("dx").cast("double")
+    agg = pairs.groupBy("service").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dy") > 0, 1)
+              .when(F.col("dy") < 0, -1).otherwise(0))
+        .cast("long").alias("mk_s"),
+        exact_percentile_disc(slope, 0.5).alias("theil_sen_slope"))
+    return (dcnt.join(agg, "service", "left")
+            .select("service", "n_days",
+                    F.coalesce("n_pairs", F.lit(0).cast("long"))
+                    .alias("n_pairs"),
+                    F.coalesce("mk_s", F.lit(0).cast("long")).alias("mk_s"),
+                    "theil_sen_slope"))

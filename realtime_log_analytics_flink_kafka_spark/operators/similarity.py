@@ -940,12 +940,44 @@ def embedding_effective_rank(vecs: DataFrame, *, vec_col: str = "embedding",
     parenthesized DAG in both dialects.  NULL effective_rank on a
     zero-variance label (‖cov‖_F = 0).
     """
+    from ..functions.detmath import det_round
+
+    cells = _cov_cells(vecs, vec_col=vec_col, label_col=label_col,
+                       id_col=id_col, n_chunks=n_chunks) \
+        .select(
+            label_col, "n",
+            F.when(F.col("pi") == F.col("pj"), F.col("c"))
+            .otherwise(F.lit(0.0)).alias("diag_c"),
+            F.when(F.col("pi") == F.col("pj"),
+                   F.col("c") * F.col("c"))
+            .otherwise(F.lit(2.0) * (F.col("c") * F.col("c")))
+            .alias("f2_c"))
+    folded = cells.groupBy(label_col).agg(
+        F.max("n").alias("n_vecs"),
+        F.aggregate(F.array_sort(F.collect_list("diag_c")), F.lit(0.0),
+                    lambda a, x: a + x).alias("_tr"),
+        F.aggregate(F.array_sort(F.collect_list("f2_c")), F.lit(0.0),
+                    lambda a, x: a + x).alias("_f2"))
+    return folded.select(
+        F.col(label_col),
+        F.col("n_vecs"),
+        det_round(F.col("_tr"), 6).alias("total_var"),
+        F.when(F.col("_f2") != 0.0,
+               det_round((F.col("_tr") * F.col("_tr")) / F.col("_f2"), 6))
+        .alias("effective_rank"))
+
+
+def _cov_cells(vecs: DataFrame, *, vec_col: str, label_col: str,
+               id_col: str, n_chunks: int) -> DataFrame:
+    """Shared covariance-cell relation: one row per (label, pi <= pj)
+    upper-triangular cell with the exact two-level-folded covariance
+    ``c`` and the label's vector count ``n``.  The chunk-moment
+    applyInPandas stage documented in :func:`embedding_effective_rank`;
+    also feeds :func:`label_top_eigen`'s power iteration."""
     import numpy as np
     import pandas as pd
 
     from pyspark import StorageLevel
-
-    from ..functions.detmath import det_round
 
     moment_schema = f"{label_col} int, pi int, pj int, cs double, cn long"
 
@@ -1007,26 +1039,108 @@ def embedding_effective_rank(vecs: DataFrame, *, vec_col: str = "embedding",
     nd = F.col("n").cast("double")
     cov = (F.col("gsum") / nd
            - (F.col("si") / nd) * (F.col("sj") / nd))
-    cells = (g.join(si, [label_col, "pi"]).join(sj, [label_col, "pj"])
-             .withColumn("c", cov)
-             .select(
-                 label_col, "n",
-                 F.when(F.col("pi") == F.col("pj"), F.col("c"))
-                 .otherwise(F.lit(0.0)).alias("diag_c"),
-                 F.when(F.col("pi") == F.col("pj"),
-                        F.col("c") * F.col("c"))
-                 .otherwise(F.lit(2.0) * (F.col("c") * F.col("c")))
-                 .alias("f2_c")))
-    folded = cells.groupBy(label_col).agg(
-        F.max("n").alias("n_vecs"),
-        F.aggregate(F.array_sort(F.collect_list("diag_c")), F.lit(0.0),
-                    lambda a, x: a + x).alias("_tr"),
-        F.aggregate(F.array_sort(F.collect_list("f2_c")), F.lit(0.0),
-                    lambda a, x: a + x).alias("_f2"))
-    return folded.select(
-        F.col(label_col),
-        F.col("n_vecs"),
-        det_round(F.col("_tr"), 6).alias("total_var"),
-        F.when(F.col("_f2") != 0.0,
-               det_round((F.col("_tr") * F.col("_tr")) / F.col("_f2"), 6))
-        .alias("effective_rank"))
+    return (g.join(si, [label_col, "pi"]).join(sj, [label_col, "pj"])
+            .withColumn("c", cov)
+            .select(label_col, "n", "pi", "pj", "c"))
+
+
+#: Power-iteration parameters for label_top_eigen: 10 normalized steps
+#: from the all-ones start, Rayleigh quotient at the end — the
+#: dup_pagerank fixed-iteration treatment applied to the spectral
+#: estimate, so the SQL oracle is a fixed CTE unroll.  10 steps reach
+#: 97-99% of the true top eigenvalue even on the near-isotropic fixture
+#: (the hardest case — convergence is geometric in the spectral gap, so
+#: collapsed clouds, the audit's target, are essentially exact).
+TOP_EIGEN_ITERS = 10
+
+
+def label_top_eigen(vecs: DataFrame, *, vec_col: str = "embedding",
+                    label_col: str = "label", id_col: str = "vec_id",
+                    n_chunks: int = 64,
+                    iters: int = TOP_EIGEN_ITERS) -> DataFrame:
+    """Per-label top-eigenvalue ESTIMATE of the embedding covariance via
+    ``iters`` power-iteration steps plus a Rayleigh quotient — which
+    makes the representation-collapse share ORACLE-CHECKABLE:
+    ``top_share_est = λ̂ / tr(cov)`` is the deterministic, fixed-step
+    approximation of :func:`embedding_anisotropy`'s ``top_ev_share``
+    (the LAPACK eigh stays rows-only; this estimator is cross-validated
+    against it in tests).  The estimate is DEFINED as the fixed
+    ``iters``-step value, and the Rayleigh quotient of a unit iterate
+    is a certified LOWER bound on the true top eigenvalue; convergence
+    is geometric in the spectral-gap ratio, so anisotropic clouds
+    (gap >> 1 — exactly the collapse case the audit exists to catch)
+    are essentially exact while the healthy-isotropic worst case still
+    reaches ~97-99% at the default 10 steps (measured on the fixture).
+
+    Scale shape: the covariance cells come from the shared
+    :func:`_cov_cells` relation (raw vectors cross the shuffle once;
+    cells are labels x d(d+1)/2 rows regardless of corpus size); each
+    power step is one equi-join of the symmetric cell relation against
+    the d-row-per-label vector state plus two sorted folds — bounded by
+    d², never by n_vecs.  The per-iteration state (labels x d rows) is
+    persisted so the lineage stays linear.
+
+    Determinism: matvec contributions fold in sorted-value order, the
+    norm and Rayleigh quotient are identical parenthesized DAGs, and
+    the all-ones start vector is parameter-free — bit-equal
+    cross-engine.  NULL estimates when the matvec annihilates the
+    iterate (zero covariance: single-vector or constant labels).
+    """
+    from pyspark import StorageLevel
+
+    cells = _cov_cells(vecs, vec_col=vec_col, label_col=label_col,
+                       id_col=id_col, n_chunks=n_chunks)
+    sym = (cells.select(label_col, F.col("pi").alias("i"),
+                        F.col("pj").alias("j"), "c")
+           .unionAll(cells.filter(F.col("pi") < F.col("pj"))
+                     .select(label_col, F.col("pj").alias("i"),
+                             F.col("pi").alias("j"), "c"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    nrel = cells.groupBy(label_col).agg(
+        F.max("n").cast("long").alias("n_vecs"))
+    tr = (cells.filter(F.col("pi") == F.col("pj"))
+          .groupBy(label_col)
+          .agg(F.aggregate(F.array_sort(F.collect_list("c")), F.lit(0.0),
+                           lambda a, x: a + x).alias("tr")))
+
+    def _matvec(v: DataFrame) -> DataFrame:
+        return (sym.join(v, [label_col, "j"])
+                .select(label_col, "i", (F.col("c") * F.col("val"))
+                        .alias("p"))
+                .groupBy(label_col, "i")
+                .agg(F.aggregate(F.array_sort(F.collect_list("p")),
+                                 F.lit(0.0),
+                                 lambda a, x: a + x).alias("w")))
+
+    v = (sym.select(label_col, F.col("i").alias("j")).distinct()
+         .withColumn("val", F.lit(1.0)))
+    for _ in range(iters):
+        w = _matvec(v.select(label_col, "j", "val"))
+        norm = w.groupBy(label_col).agg(
+            F.sqrt(F.aggregate(
+                F.array_sort(F.collect_list(F.col("w") * F.col("w"))),
+                F.lit(0.0), lambda a, x: a + x)).alias("nrm"))
+        # localCheckpoint, not persist: v references w twice (values +
+        # norm) and w references the previous v, so the LOGICAL tree
+        # doubles per step — persist() only dedups execution, while the
+        # checkpoint truncates the lineage itself (the state is
+        # labels x d rows, trivially re-derivable on executor loss)
+        v = (w.join(norm, label_col)
+             .filter(F.col("nrm") > 0)
+             .select(label_col, F.col("i").alias("j"),
+                     (F.col("w") / F.col("nrm")).alias("val"))
+             .localCheckpoint(eager=True))
+    w_last = _matvec(v)
+    lam = (v.select(label_col, F.col("j").alias("i"), "val")
+           .join(w_last, [label_col, "i"])
+           .groupBy(label_col)
+           .agg(F.aggregate(
+               F.array_sort(F.collect_list(F.col("val") * F.col("w"))),
+               F.lit(0.0), lambda a, x: a + x).alias("lam")))
+    return (nrel.join(tr, label_col, "left")
+            .join(lam, label_col, "left")
+            .select(label_col, "n_vecs",
+                    F.col("lam").alias("top_eig_est"),
+                    F.when(F.col("tr") > 0,
+                           F.col("lam") / F.col("tr"))
+                    .alias("top_share_est")))

@@ -4671,6 +4671,15 @@ FROM r3
 """
 
 
+def q_embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration top-eigenvalue estimate of each label's embedding
+    covariance (operators/similarity.label_top_eigen): the ORACLE-
+    CHECKABLE twin of embedding_anisotropy's top_ev_share — a certified
+    Rayleigh lower bound after a fixed 10 normalized steps, bit-equal
+    cross-engine via sorted matvec folds."""
+    return similarity.label_top_eigen(_embs(spark, sf_dir))
+
+
 def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Participation-ratio effective rank of each label's embedding
     cloud via the trace identities (Σλ)²/Σλ² = tr(cov)²/‖cov‖_F²
@@ -4680,13 +4689,15 @@ def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_effective_rank(_embs(spark, sf_dir))
 
 
-def _embedding_effective_rank_sql() -> str:
+def _cov_cells_ctes() -> str:
+    """Shared WITH-body prefix: the chunk-folded covariance-cell chain
+    (pexp .. covc) mirrored from operators/similarity._cov_cells — used
+    by both _embedding_effective_rank_sql and _label_top_eigen_sql."""
     _C = LABEL_CENTROID_CHUNKS  # same chunking key as the Spark side
     _D = EMB_DIM                # coordinate enumeration bound
     fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))),"
             " (a, b) -> a + b)")
-    return f"""
-WITH pexp AS (
+    return f"""pexp AS (
     SELECT label, vec_id % {_C} AS chunk, ii.i AS pi, jj.j AS pj,
            CAST(embedding[ii.i + 1] AS DOUBLE)
            * CAST(embedding[jj.j + 1] AS DOUBLE) AS p
@@ -4727,7 +4738,14 @@ covc AS (
     FROM g
     JOIN s si ON si.label = g.label AND si.pos = g.pi
     JOIN s sj ON sj.label = g.label AND sj.pos = g.pj
-),
+)"""
+
+
+def _embedding_effective_rank_sql() -> str:
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))),"
+            " (a, b) -> a + b)")
+    return f"""
+WITH {_cov_cells_ctes()},
 cells AS (
     SELECT label, n,
            CASE WHEN pi = pj THEN c ELSE 0.0 END AS diag_c,
@@ -4747,6 +4765,75 @@ SELECT label, n_vecs,
             THEN {det_round_sql('(tr0 * tr0) / f20', 6)} END
            AS effective_rank
 FROM folded
+"""
+
+
+def _label_top_eigen_sql() -> str:
+    from ..operators.similarity import TOP_EIGEN_ITERS
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))),"
+            " (a, b) -> a + b)")
+    its = []
+    for t in range(1, TOP_EIGEN_ITERS + 1):
+        prev = f"v{t - 1}"
+        its.append(f"""w{t} AS MATERIALIZED (
+    SELECT label, i, {fold.format(v='p')} AS w
+    FROM (SELECT sym.label AS label, sym.i AS i,
+                 sym.c * {prev}.val AS p
+          FROM sym JOIN {prev}
+          ON sym.label = {prev}.label AND sym.j = {prev}.j)
+    GROUP BY label, i
+)""")
+        its.append(f"""n{t} AS MATERIALIZED (
+    SELECT label, sqrt({fold.format(v='w * w')}) AS nrm
+    FROM w{t} GROUP BY label
+)""")
+        its.append(f"""v{t} AS MATERIALIZED (
+    SELECT w{t}.label AS label, w{t}.i AS j, w{t}.w / n{t}.nrm AS val
+    FROM w{t} JOIN n{t} ON w{t}.label = n{t}.label
+    WHERE n{t}.nrm > 0
+)""")
+    last = f"v{TOP_EIGEN_ITERS}"
+    # DuckDB inlines single-definition CTEs per REFERENCE: sym feeds
+    # every one of the iters+1 matvec CTEs (fd exhaustion, O(iters)
+    # re-scans) and each w{t} is referenced twice (norm + normalize),
+    # doubling the inlined tree per iteration (2^iters).  MATERIALIZED
+    # on every iteration CTE keeps the oracle plan linear — the exact
+    # analogue of the Spark side's localCheckpoint-per-step.
+    prefix = _cov_cells_ctes().replace("covc AS (", "covc AS MATERIALIZED (")
+    return f"""
+WITH {prefix},
+sym AS MATERIALIZED (
+    SELECT label, pi AS i, pj AS j, c FROM covc
+    UNION ALL
+    SELECT label, pj AS i, pi AS j, c FROM covc WHERE pi < pj
+),
+v0 AS (
+    SELECT DISTINCT label, i AS j, CAST('1.0' AS DOUBLE) AS val FROM sym
+),
+{",".join(its)},
+wf AS (
+    SELECT label, i, {fold.format(v='p')} AS w
+    FROM (SELECT sym.label AS label, sym.i AS i,
+                 sym.c * {last}.val AS p
+          FROM sym JOIN {last}
+          ON sym.label = {last}.label AND sym.j = {last}.j)
+    GROUP BY label, i
+),
+lam AS (
+    SELECT label, {fold.format(v='p')} AS lam
+    FROM (SELECT v.label AS label, v.val * wf.w AS p
+          FROM {last} v JOIN wf ON v.label = wf.label AND v.j = wf.i)
+    GROUP BY label
+),
+nrel AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs
+         FROM covc GROUP BY label),
+tr AS (SELECT label, {fold.format(v='c')} AS tr
+       FROM covc WHERE pi = pj GROUP BY label)
+SELECT nrel.label AS label, n_vecs, lam AS top_eig_est,
+       CASE WHEN tr > 0 THEN lam / tr END AS top_share_est
+FROM nrel
+LEFT JOIN tr USING (label)
+LEFT JOIN lam USING (label)
 """
 
 
@@ -5309,6 +5396,8 @@ QUERIES: dict[str, QuerySpec] = {
     "retrieval_ndcg": QuerySpec(q_retrieval_ndcg, _retrieval_ndcg_sql()),
     "embedding_effective_rank": QuerySpec(q_embedding_effective_rank,
                                           _embedding_effective_rank_sql()),
+    "embedding_top_eigen": QuerySpec(q_embedding_top_eigen,
+                                     _label_top_eigen_sql()),
     "token_budget_allocation": QuerySpec(q_token_budget_allocation,
                                          _token_budget_allocation_sql()),
     "dup_graph_degrees": QuerySpec(q_dup_graph_degrees,

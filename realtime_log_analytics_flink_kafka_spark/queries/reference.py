@@ -163,6 +163,52 @@ FROM s
                                      "n_days * sxx - sx * sx", 6))
 
 
+def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service Theil-Sen slope + Mann-Kendall S over daily error
+    counts (operators/detect.robust_trend): the outlier-resistant trend
+    pair — the median pairwise slope shrugs off single incident spikes
+    that drag the OLS detector, and S is a pure order statistic."""
+    from ..operators.detect import robust_trend
+
+    return robust_trend(error_logs(load_table(spark, sf_dir, "events")))
+
+
+def _robust_trend_sql() -> str:
+    from ..functions.percentile import percentile_disc_sql
+    from ..operators.detect import DAY_REBASE
+    med = percentile_disc_sql("CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE)", 0.5)
+    return f"""
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT)
+           - {DAY_REBASE} AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+dcnt AS (
+    SELECT service, CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY service
+),
+p AS (
+    SELECT a.service AS service, b.y - a.y AS dy, b.x - a.x AS dx
+    FROM daily a JOIN daily b ON a.service = b.service AND a.x < b.x
+),
+agg AS (
+    SELECT service, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+                         ELSE 0 END) AS BIGINT) AS mk_s,
+           {med} AS theil_sen_slope
+    FROM p GROUP BY service
+)
+SELECT d.service AS service, n_days,
+       coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       coalesce(mk_s, CAST(0 AS BIGINT)) AS mk_s,
+       theil_sen_slope
+FROM dcnt d LEFT JOIN agg USING (service)
+"""
+
+
 def q_error_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service one-sided CUSUM change-point detector over daily
     error counts (operators/detect.cusum_drift): catches sustained
@@ -909,6 +955,7 @@ QUERIES: dict[str, QuerySpec] = {
                                     SQL_LATENCY_EWMA_DAILY),
     "error_trend_slope": QuerySpec(q_error_trend_slope,
                                    SQL_ERROR_TREND_SLOPE),
+    "robust_trend": QuerySpec(q_robust_trend, _robust_trend_sql()),
     "error_cusum_drift": QuerySpec(q_error_cusum_drift,
                                    SQL_ERROR_CUSUM_DRIFT),
     "hdr_latency_quantiles": QuerySpec(q_hdr_latency_quantiles,

@@ -31,6 +31,8 @@ ARROW_SANCTIONED = {"frame_samples", "media_resize", "media_decode",
                     # locally so the shuffle carries raw vectors, not the
                     # exploded product relation a collect_list would ship
                     "embedding_effective_rank",
+                    # shares the _cov_cells chunk-moment fold
+                    "embedding_top_eigen",
                     # Misra-Gries candidate pass: per-partition bounded
                     # summary is imperative by nature (operators/sketches)
                     "frequent_terms"}

@@ -118,3 +118,85 @@ class TestRelationalShapes:
         assert sorted(got) == sorted(want)
         # every quarter present exactly once unless tied
         assert {q for q, _, _ in got} == set(by_q)
+
+
+class TestLabelTopEigen:
+    def test_planted_rank1_is_exact(self, spark):
+        """A cloud dominated by one direction: the 10-step Rayleigh
+        estimate must recover the top eigenvalue essentially exactly
+        (geometric convergence in the large spectral gap)."""
+        import numpy as np
+        rng = np.random.RandomState(7)
+        d, n = 16, 200
+        u = np.zeros(d); u[3] = 1.0
+        x = (rng.randn(n, 1) * 5.0) @ u[None, :] + 0.01 * rng.randn(n, d)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in x[i]], 0) for i in range(n)],
+            "vec_id long, embedding array<float>, label int")
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            label_top_eigen)
+        [r] = label_top_eigen(df).collect()
+        xf = np.stack([np.array(row, dtype=np.float32).astype(np.float64)
+                       for row in x])
+        ev = np.linalg.eigvalsh(np.cov(xf.T, bias=True))
+        assert abs(r.top_eig_est - ev[-1]) / ev[-1] < 1e-6
+        assert r.top_share_est > 0.99
+
+    def test_rayleigh_is_lower_bound_and_close(self, spark):
+        """On the near-isotropic fixture (the hardest convergence case)
+        the estimate is a certified lower bound on the eigh value and
+        still within ~5% at the default 10 steps."""
+        import numpy as np
+        vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            label_top_eigen)
+        est = {r.label: r.top_eig_est for r in label_top_eigen(vecs).collect()}
+        pdf = vecs.toPandas()
+        for lab in list(est)[:3]:
+            x = np.stack(pdf[pdf.label == lab].embedding.to_numpy()) \
+                .astype(np.float64)
+            ev = np.linalg.eigvalsh(np.cov(x.T, bias=True))
+            assert est[lab] <= ev[-1] * (1 + 1e-9)
+            assert est[lab] >= ev[-1] * 0.90
+
+    def test_zero_variance_label_is_null(self, spark):
+        df = spark.createDataFrame(
+            [(i, [1.0] * 8, 0) for i in range(5)],
+            "vec_id long, embedding array<float>, label int")
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            label_top_eigen)
+        [r] = label_top_eigen(df).collect()
+        assert r.top_eig_est is None and r.top_share_est is None
+
+
+class TestRobustTrend:
+    def test_outlier_resistance_vs_ols(self, spark):
+        """One 100x incident day: OLS slope blows up, Theil-Sen stays
+        on the underlying flat trend and MK S stays near zero."""
+        from datetime import datetime, timedelta
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            error_trend_slope, robust_trend)
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        counts = [10, 10, 10, 10, 10, 10, 10, 1000, 10]
+        for d, n in enumerate(counts):
+            for i in range(n):
+                rows.append((t0 + timedelta(days=d, seconds=i), "svc", 1))
+        df = spark.createDataFrame(rows, "ts timestamp, service string, is_error int")
+        [rt] = robust_trend(df).collect()
+        [ols] = error_trend_slope(df).collect()
+        assert rt.theil_sen_slope == 0.0
+        assert abs(rt.mk_s) <= 8        # near-zero order statistic
+        assert abs(ols.slope_per_day) > 1.0  # OLS dragged by the spike
+        assert rt.n_days == 9 and rt.n_pairs == 36
+
+    def test_single_day_service_keeps_row(self, spark):
+        from datetime import datetime
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            robust_trend)
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1), "only", 1)],
+            "ts timestamp, service string, is_error int")
+        [r] = robust_trend(df).collect()
+        assert (r.n_days, r.n_pairs, r.mk_s, r.theil_sen_slope) \
+            == (1, 0, 0, None)
