@@ -353,20 +353,36 @@ def robust_trend(err_logs: DataFrame) -> DataFrame:
     of the actual slope doubles, bit-equal cross-engine.
     """
     from ..functions.detmath import int_div
-    from ..functions.percentile import exact_percentile_disc
 
     x = (int_div(F.unix_timestamp("ts"), F.lit(86400))
          - F.lit(DAY_REBASE)).alias("x")
     daily = err_logs.groupBy("service", x) \
         .agg(F.count("*").cast("long").alias("y"))
+    return robust_trend_from_daily(daily)
+
+
+def robust_trend_from_daily(daily: DataFrame) -> DataFrame:
+    """Statistic stage of :func:`robust_trend` over a ``(service, x,
+    y)`` daily table — separated (the cusum_from_daily pattern) so the
+    streaming path can feed it the maintained daily-count state each
+    micro-batch."""
+    from ..functions.percentile import exact_percentile_disc
+
     dcnt = daily.groupBy("service") \
         .agg(F.count("*").cast("long").alias("n_days"))
-    a, b = daily.alias("a"), daily.alias("b")
-    pairs = (a.join(b, (F.col("a.service") == F.col("b.service"))
-                    & (F.col("a.x") < F.col("b.x")))
-             .select(F.col("a.service").alias("service"),
-                     (F.col("b.y") - F.col("a.y")).alias("dy"),
-                     (F.col("b.x") - F.col("a.x")).alias("dx")))
+    # renamed projections, not alias("a")/alias("b"): on view-derived
+    # lineage (the streaming twin feeds a memory-sink table) the
+    # alias-qualified self-join hits Spark's ambiguous-self-join
+    # resolution failure (the r7 trend-centering gotcha, same class)
+    lhs = daily.select(F.col("service").alias("_svc"),
+                       F.col("x").alias("_xa"), F.col("y").alias("_ya"))
+    rhs = daily.select(F.col("service").alias("_svcb"),
+                       F.col("x").alias("_xb"), F.col("y").alias("_yb"))
+    pairs = (lhs.join(rhs, (F.col("_svc") == F.col("_svcb"))
+                     & (F.col("_xa") < F.col("_xb")))
+             .select(F.col("_svc").alias("service"),
+                     (F.col("_yb") - F.col("_ya")).alias("dy"),
+                     (F.col("_xb") - F.col("_xa")).alias("dx")))
     slope = F.col("dy").cast("double") / F.col("dx").cast("double")
     agg = pairs.groupBy("service").agg(
         F.count("*").cast("long").alias("n_pairs"),

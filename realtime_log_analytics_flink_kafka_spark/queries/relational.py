@@ -1366,6 +1366,111 @@ WHERE revenue * CAST(n_supp AS DOUBLE) * CAST('100.0' AS DOUBLE)
 """
 
 
+# --- TPC-H Q10 shape: returned-item revenue ----------------------------------
+
+def q_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    (l_returnflag = 'R') — the lost-revenue triage report.
+
+    Scale shape: the returnflag filter reaches the lineitem scan
+    (PushedFilters), the only fact-fact shuffle is lineitem x orders on
+    the order key, the customer and nation maps broadcast, and the
+    final cut is orderBy+limit (TakeOrderedAndProject — map-side
+    partial top-k, never a global sort).
+
+    Determinism: revenue is the exact DECIMAL(20,6) accumulation cast
+    to double at output; the (revenue DESC, custkey ASC) total order
+    makes the LIMIT cut identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue")))
+    return (rev.join(F.broadcast(cust.select("c_custkey", "c_name",
+                                             "c_nationkey")),
+                     F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", F.col("n_name"), "revenue")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
+SQL_RETURNED_REVENUE_CUSTOMERS = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, revenue
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- TPC-H Q18 shape: large-volume orders ------------------------------------
+
+#: Minimum total order quantity for the large-volume report — the p99
+#: of the fixture's per-order quantity sum (~262), so the filter keeps
+#: ~1% of orders at every SF (the quantity distribution is
+#: SF-invariant).
+LARGE_ORDER_MIN_QTY = 250
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity reaches
+    ``LARGE_ORDER_MIN_QTY``, with their customer — the bulk-buyer
+    audit (a HAVING over a fact aggregation, semi-joined back to the
+    order/customer dimensions).
+
+    Scale shape: one map-side-combined lineitem pass to per-order
+    quantity sums, the ~1% survivors equi-join orders on the order key
+    (AQE broadcasts the filtered side when it fits), customer map
+    broadcasts.  No window, no sort.
+
+    Determinism: quantities accumulate in DECIMAL (exact for the 2dp
+    inputs), the threshold compares decimals, and the timestamp is
+    projected as epoch seconds."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    oq = (li.groupBy("l_orderkey")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+               .alias("qty_dec"))
+          .filter(F.col("qty_dec") >= LARGE_ORDER_MIN_QTY))
+    return (oq.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_name")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_custkey", "c_name",
+                    F.unix_timestamp("o_orderdate").cast("long")
+                    .alias("order_epoch"),
+                    F.col("qty_dec").cast("double").alias("total_qty")))
+
+
+SQL_LARGE_VOLUME_ORDERS = f"""
+WITH oq AS (
+    SELECT l_orderkey,
+           sum(CAST(l_quantity AS DECIMAL(20,6))) AS qty_dec
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(20,6))) >= {LARGE_ORDER_MIN_QTY}
+)
+SELECT o_orderkey, c_custkey, c_name,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM oq
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # --- TPC-H Q15 shape: per-period argmax with exact ties ----------------------
 
 def q_quarter_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,4 +1571,8 @@ QUERIES: dict[str, QuerySpec] = {
                                         SQL_SUPPLIER_REVENUE_SHARE),
     "quarter_top_supplier": QuerySpec(q_quarter_top_supplier,
                                       SQL_QUARTER_TOP_SUPPLIER),
+    "returned_revenue_customers": QuerySpec(
+        q_returned_revenue_customers, SQL_RETURNED_REVENUE_CUSTOMERS),
+    "large_volume_orders": QuerySpec(q_large_volume_orders,
+                                     SQL_LARGE_VOLUME_ORDERS),
 }

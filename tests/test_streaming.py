@@ -1094,3 +1094,54 @@ def test_misra_gries_candidates_superset_across_microbatches(spark, tmp_path):
                .filter(F.col("n") * den >= F.col("total_terms") * num))
     assert {(r.term, r.n, r.total_terms)
             for r in recount.collect()} == batch_exact
+
+
+def test_robust_trend_stream_matches_batch(spark, tmp_path):
+    """robust_trend's streaming decomposition (the cusum/trend
+    pattern): daily error counts as a complete-mode streaming
+    aggregation, Theil-Sen + Mann-Kendall re-derived from the
+    maintained state — equal to the one-shot batch operator because
+    the statistics are pure functions of the (service, day) table."""
+    from datetime import timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.functions.detmath import int_div
+    from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+        DAY_REBASE, robust_trend, robust_trend_from_daily)
+
+    rows, eid = [], 0
+    for svc, counts in [("svc-ramp", [4, 6, 8, 10, 12, 14]),
+                        ("svc-spike", [5, 5, 5, 400, 5, 5])]:
+        for d, n in enumerate(counts):
+            for i in range(n):
+                rows.append({
+                    "event_id": eid,
+                    "ts": T0 + timedelta(days=d, seconds=i),
+                    "service": svc,
+                    "is_error": 1,
+                    "latency_ms": 100.0,
+                })
+                eid += 1
+    path = str(tmp_path / "errlogs")
+    _write_logs(spark, rows, path)
+
+    daily_stream = (
+        _read_stream(spark, path)
+        .groupBy("service", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    q = start_memory_sink(daily_stream, "robust_daily",
+                          output_mode="complete")
+    _drain(q)
+    daily = spark.table("robust_daily").select(
+        "service",
+        (int_div(F.col("w.start").cast("long"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x"),
+        "y",
+    )
+    got = {tuple(r) for r in robust_trend_from_daily(daily).collect()}
+    want = {tuple(r) for r in
+            robust_trend(spark.read.parquet(path)).collect()}
+    assert got == want and len(want) == 2
+    by_svc = {r[0]: r for r in want}
+    assert by_svc["svc-ramp"][4] == 2.0      # clean +2/day ramp
+    assert by_svc["svc-spike"][4] == 0.0     # spike shrugged off
