@@ -960,13 +960,16 @@ def kcore_membership(pairs: DataFrame, *, ks: tuple[int, ...] = KCORE_KS,
     means exact.  All-integer/boolean output, no float determinism
     surface.
     """
-    from pyspark import StorageLevel
-
+    # localCheckpoint (the duplicate_components treatment; cluster
+    # storage at 100 TB): every one of the ks x rounds round-jobs
+    # references the edge list, and a persist would leave the whole
+    # upstream LSH+verify subtree inside each round's analyzed plan —
+    # re-optimized once per eager round job.
     ed = pairs.select(F.col(left_col).alias("u"),
                       F.col(right_col).alias("v")).unionAll(
         pairs.select(F.col(right_col).alias("u"),
                      F.col(left_col).alias("v"))) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     deg = ed.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
 
     out = deg.select(F.col("u").alias("doc_id"), "deg")
@@ -976,9 +979,16 @@ def kcore_membership(pairs: DataFrame, *, ks: tuple[int, ...] = KCORE_KS,
         nodes = None
         for _ in range(rounds):
             nodes_prev = nodes
+            # localCheckpoint, not persist: cur references nodes twice
+            # and the next round's nodes references cur, so the LOGICAL
+            # tree doubles per round (2^rounds copies of the upstream
+            # LSH subtree at analysis time — measured 16.6 s -> 2.9 s at
+            # sf0.1 for the 4-round default, almost all of it driver-side
+            # planning).  The node set is id-sized and trivially
+            # re-derivable, so truncating its lineage is free.
             nodes = (cur.groupBy("u").agg(F.count("*").alias("_d"))
                      .filter(F.col("_d") >= k).select("u")
-                     .persist(StorageLevel.MEMORY_AND_DISK))
+                     .localCheckpoint(eager=True))
             cur = (ed.join(nodes, "u")
                    .join(nodes.select(F.col("u").alias("v")), "v"))
         in_core = nodes.select(F.col("u").alias("doc_id"),

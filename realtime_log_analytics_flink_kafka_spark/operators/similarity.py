@@ -1074,73 +1074,76 @@ def label_top_eigen(vecs: DataFrame, *, vec_col: str = "embedding",
 
     Scale shape: the covariance cells come from the shared
     :func:`_cov_cells` relation (raw vectors cross the shuffle once;
-    cells are labels x d(d+1)/2 rows regardless of corpus size); each
-    power step is one equi-join of the symmetric cell relation against
-    the d-row-per-label vector state plus two sorted folds — bounded by
-    d², never by n_vecs.  The per-iteration state (labels x d rows) is
-    persisted so the lineage stays linear.
+    cells are labels x d(d+1)/2 rows regardless of corpus size).  The
+    iteration itself runs DENSELY, one ``applyInPandas`` per label over
+    that tiny cell relation: at d² cells per label the matrix is
+    kilobytes, so ten distributed join rounds over a labels x d state
+    would be pure scheduling overhead (the first cut did exactly that —
+    ~10 s of eager per-step jobs at bench scale vs ~1 s dense; the
+    distributed-iteration pattern belongs to GRAPH-sized state like
+    pagerank/kcore, not fixed-d spectral state).
 
-    Determinism: matvec contributions fold in sorted-value order, the
-    norm and Rayleigh quotient are identical parenthesized DAGs, and
-    the all-ones start vector is parameter-free — bit-equal
-    cross-engine.  NULL estimates when the matvec annihilates the
-    iterate (zero covariance: single-vector or constant labels).
+    Determinism: the numpy loop replicates the relational sorted folds
+    EXACTLY — matvec row products ascending-sorted then accumulated
+    left-to-right in float64, norm over ascending-sorted squares,
+    ``w/nrm`` elementwise, Rayleigh products ascending-sorted — so the
+    result is bit-equal to the unrolled-CTE SQL twin (hash-match
+    gated).  The all-ones start vector is parameter-free.  NULL
+    estimates when the matvec annihilates the iterate (zero
+    covariance: single-vector or constant labels).
     """
-    from pyspark import StorageLevel
+    import numpy as np
+    import pandas as pd
 
     cells = _cov_cells(vecs, vec_col=vec_col, label_col=label_col,
                        id_col=id_col, n_chunks=n_chunks)
-    sym = (cells.select(label_col, F.col("pi").alias("i"),
-                        F.col("pj").alias("j"), "c")
-           .unionAll(cells.filter(F.col("pi") < F.col("pj"))
-                     .select(label_col, F.col("pj").alias("i"),
-                             F.col("pi").alias("j"), "c"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    nrel = cells.groupBy(label_col).agg(
-        F.max("n").cast("long").alias("n_vecs"))
-    tr = (cells.filter(F.col("pi") == F.col("pj"))
-          .groupBy(label_col)
-          .agg(F.aggregate(F.array_sort(F.collect_list("c")), F.lit(0.0),
-                           lambda a, x: a + x).alias("tr")))
 
-    def _matvec(v: DataFrame) -> DataFrame:
-        return (sym.join(v, [label_col, "j"])
-                .select(label_col, "i", (F.col("c") * F.col("val"))
-                        .alias("p"))
-                .groupBy(label_col, "i")
-                .agg(F.aggregate(F.array_sort(F.collect_list("p")),
-                                 F.lit(0.0),
-                                 lambda a, x: a + x).alias("w")))
+    def _power(pdf: pd.DataFrame) -> pd.DataFrame:
+        lab = int(pdf[label_col].iloc[0])
+        n_vecs = int(pdf["n"].iloc[0])
+        d = int(max(pdf["pj"].max(), pdf["pi"].max())) + 1
+        m = np.zeros((d, d))
+        m[pdf["pi"].to_numpy(), pdf["pj"].to_numpy()] = pdf["c"].to_numpy()
+        m = np.triu(m) + np.triu(m, 1).T
+        # trace: ascending-sorted sequential fold of the diagonal
+        # (mirrors the relational aggregate(array_sort(collect_list)))
+        tr = 0.0
+        for val in np.sort(np.diag(m)):
+            tr += val
 
-    v = (sym.select(label_col, F.col("i").alias("j")).distinct()
-         .withColumn("val", F.lit(1.0)))
-    for _ in range(iters):
-        w = _matvec(v.select(label_col, "j", "val"))
-        norm = w.groupBy(label_col).agg(
-            F.sqrt(F.aggregate(
-                F.array_sort(F.collect_list(F.col("w") * F.col("w"))),
-                F.lit(0.0), lambda a, x: a + x)).alias("nrm"))
-        # localCheckpoint, not persist: v references w twice (values +
-        # norm) and w references the previous v, so the LOGICAL tree
-        # doubles per step — persist() only dedups execution, while the
-        # checkpoint truncates the lineage itself (the state is
-        # labels x d rows, trivially re-derivable on executor loss)
-        v = (w.join(norm, label_col)
-             .filter(F.col("nrm") > 0)
-             .select(label_col, F.col("i").alias("j"),
-                     (F.col("w") / F.col("nrm")).alias("val"))
-             .localCheckpoint(eager=True))
-    w_last = _matvec(v)
-    lam = (v.select(label_col, F.col("j").alias("i"), "val")
-           .join(w_last, [label_col, "i"])
-           .groupBy(label_col)
-           .agg(F.aggregate(
-               F.array_sort(F.collect_list(F.col("val") * F.col("w"))),
-               F.lit(0.0), lambda a, x: a + x).alias("lam")))
-    return (nrel.join(tr, label_col, "left")
-            .join(lam, label_col, "left")
-            .select(label_col, "n_vecs",
-                    F.col("lam").alias("top_eig_est"),
-                    F.when(F.col("tr") > 0,
-                           F.col("lam") / F.col("tr"))
-                    .alias("top_share_est")))
+        def fold_rows(prod: np.ndarray) -> np.ndarray:
+            # per-row ascending sort + left-to-right accumulate: the
+            # exact IEEE add order of the sorted relational matvec fold
+            prod = np.sort(prod, axis=1)
+            acc = np.zeros(prod.shape[0])
+            for col in range(prod.shape[1]):
+                acc = acc + prod[:, col]
+            return acc
+
+        v = np.ones(d)
+        lam = None
+        for _ in range(iters):
+            w = fold_rows(m * v[None, :])
+            nrm_sq = 0.0
+            for val in np.sort(w * w):
+                nrm_sq += val
+            nrm = np.sqrt(nrm_sq)
+            if not nrm > 0:
+                v = None
+                break
+            v = w / nrm
+        if v is not None:
+            w = fold_rows(m * v[None, :])
+            lam = 0.0
+            for val in np.sort(v * w):
+                lam += val
+        share = (lam / tr) if (lam is not None and tr > 0) else None
+        return pd.DataFrame({
+            label_col: [lab], "n_vecs": [n_vecs],
+            "top_eig_est": [lam], "top_share_est": [share],
+        })
+
+    return (cells.groupBy(label_col)
+            .applyInPandas(_power, schema=(f"{label_col} int, n_vecs long,"
+                                           " top_eig_est double,"
+                                           " top_share_est double")))
