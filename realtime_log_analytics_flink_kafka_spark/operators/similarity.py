@@ -1081,7 +1081,10 @@ def label_top_eigen(vecs: DataFrame, *, vec_col: str = "embedding",
     would be pure scheduling overhead (the first cut did exactly that —
     ~10 s of eager per-step jobs at bench scale vs ~1 s dense; the
     distributed-iteration pattern belongs to GRAPH-sized state like
-    pagerank/kcore, not fixed-d spectral state).
+    pagerank/kcore, not fixed-d spectral state).  The dense bound is
+    d(d+1)/2 float64 cells per group — ~64 MB at d = 4096; past that,
+    fall back to the relational per-step form (git history, r8) or
+    block the matvec.
 
     Determinism: the numpy loop replicates the relational sorted folds
     EXACTLY — matvec row products ascending-sorted then accumulated

@@ -64,6 +64,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dup_kcore", "textrank_keywords", "supplier_revenue_share",
     "quarter_top_supplier", "robust_trend", "embedding_top_eigen",
     "returned_revenue_customers", "large_volume_orders",
+    "lang_confusion", "dedup_rate_by_source",
     # -- (b) the full r4-stale cohort (29) ---------------------------------
     "alert_metrics_unpivot", "blocklist_filter", "cluster_balanced_sample",
     "cohort_retention", "correlated_incidents", "dau_wau",
@@ -75,11 +76,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mixture_temperature_sweep", "order_priority_check", "pq_codes",
     "semantic_dup_clusters", "service_daily_gapfill", "waiting_suppliers",
     "wav_frames",
-    # -- (c) r5-stale fill: alphabetical prefix (10) ------------------------
+    # -- (c) r5-stale fill: alphabetical prefix (8) -------------------------
     "bigram_surprisal", "bm25_search", "boilerplate_fraction",
     "bpe_pair_counts", "cluster_best_representative",
     "cross_source_overlap", "decontamination", "dedup_exact",
-    "dedup_incremental", "dedup_ngram_jaccard",
 )
 
 

@@ -724,6 +724,121 @@ SELECT *, {pred} AS pred_lang FROM scored
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation against the labeled ``lang`` column: the
+    (true, predicted) confusion matrix with each cell's share of its
+    TRUE class — the in-engine accuracy audit for the stopword-vote
+    classifier (language_id emits predictions; this scores them).
+
+    Scale shape: one tokenize+score pass (the language_id projection),
+    then two map-side-combined aggregations over label-cardinality
+    relations; the per-class totals join is #langs² rows at most.
+
+    Determinism: all-integer counts; the class share is the exact
+    BIGINT-arithmetic exact_round_div."""
+    li = text.language_id(_docs(spark, sf_dir)).select("lang", "pred_lang")
+    m = (li.groupBy("lang", "pred_lang")
+         .agg(F.count("*").cast("long").alias("n")))
+    tot = li.groupBy("lang").agg(F.count("*").cast("long").alias("n_true"))
+    return (m.join(tot, "lang")
+            .select("lang", "pred_lang", "n", "n_true",
+                    exact_round_div(F.col("n"), F.col("n_true"), 4)
+                    .alias("class_share")))
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH li AS ({_langid_sql()}),
+m AS (
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM li GROUP BY lang, pred_lang
+),
+tot AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_true FROM li GROUP BY lang
+)
+SELECT m.lang AS lang, pred_lang, n, n_true,
+       {exact_round_div_sql('n', 'n_true')} AS class_share
+FROM m JOIN tot ON m.lang = tot.lang
+"""
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: how much of each source survives
+    exact dedup and near-dedup — the mixture-health dashboard row
+    (a source whose near-dup rate spikes is a scraper gone circular).
+    ``exact_drop`` = the doc is not its normalized-text group's
+    canonical (min doc_id); ``near_drop`` = the doc appears as the
+    higher id of any verified LSH pair (the near_dup_survivors
+    keep-lowest-id convention).
+
+    Scale shape: the exact leg is one hash-groupBy (16-byte digests) +
+    an equi-join back; the near leg reuses the banded LSH equi-join
+    pipeline; both reduce to source-cardinality rows before the final
+    aggregation.  No new shuffle shapes.
+
+    Determinism: counts are BIGINT, rates are exact_round_div."""
+    docs = _docs(spark, sf_dir)
+    hashes = docs.select(
+        "doc_id", "source",
+        F.md5(dedup.normalized_text(F.col("text"))).alias("h"))
+    canon = hashes.groupBy("h").agg(F.min("doc_id").alias("canon"))
+    ex = (hashes.join(canon, "h")
+          .select("doc_id", "source",
+                  (F.col("doc_id") != F.col("canon")).alias("exact_drop")))
+    nd = (dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+          .select(F.col("doc_b").alias("doc_id")).distinct()
+          .withColumn("near_drop", F.lit(True)))
+    j = (ex.join(nd, "doc_id", "left")
+         .select("source", "exact_drop",
+                 F.coalesce("near_drop", F.lit(False)).alias("near_drop")))
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("exact_drop").cast("int")).cast("long")
+        .alias("n_exact_dropped"),
+        F.sum(F.col("near_drop").cast("int")).cast("long")
+        .alias("n_near_dropped"))
+    return agg.select(
+        "source", "n_docs", "n_exact_dropped", "n_near_dropped",
+        exact_round_div(F.col("n_exact_dropped"), F.col("n_docs"), 4)
+        .alias("exact_rate"),
+        exact_round_div(F.col("n_near_dropped"), F.col("n_docs"), 4)
+        .alias("near_rate"))
+
+
+def _dedup_rate_by_source_sql() -> str:
+    return f"""
+WITH n AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace({ascii_lower_sql('text')},
+                                   '{WS_REGEX}', ' ', 'g'))) AS h
+    FROM documents
+),
+canon AS (SELECT h, min(doc_id) AS canon FROM n GROUP BY h),
+ex AS (
+    SELECT n.doc_id AS doc_id, source, n.doc_id <> canon AS exact_drop
+    FROM n JOIN canon USING (h)
+),
+mh AS ({_minhash_sql()}),
+nd AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
+j AS (
+    SELECT source, exact_drop, nd.doc_id IS NOT NULL AS near_drop
+    FROM ex LEFT JOIN nd ON ex.doc_id = nd.doc_id
+),
+agg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN exact_drop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dropped,
+           CAST(sum(CASE WHEN near_drop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_dropped
+    FROM j GROUP BY source
+)
+SELECT source, n_docs, n_exact_dropped, n_near_dropped,
+       {exact_round_div_sql('n_exact_dropped', 'n_docs')} AS exact_rate,
+       {exact_round_div_sql('n_near_dropped', 'n_docs')} AS near_rate
+FROM agg
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_docs(spark, sf_dir))
 
@@ -5393,6 +5508,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dup_kcore": QuerySpec(q_dup_kcore, _dup_kcore_sql()),
     "textrank_keywords": QuerySpec(q_textrank_keywords,
                                    _textrank_keywords_sql()),
+    "lang_confusion": QuerySpec(q_lang_confusion, _lang_confusion_sql()),
+    "dedup_rate_by_source": QuerySpec(q_dedup_rate_by_source,
+                                      _dedup_rate_by_source_sql()),
     "retrieval_ndcg": QuerySpec(q_retrieval_ndcg, _retrieval_ndcg_sql()),
     "embedding_effective_rank": QuerySpec(q_embedding_effective_rank,
                                           _embedding_effective_rank_sql()),
