@@ -213,6 +213,12 @@ HEADLINE = [
     # round-8: 10-step power-iteration top-eigenvalue (localCheckpoint
     # lineage truncation, sorted matvec folds over the cov-cell relation)
     "embedding_top_eigen",
+    # round-9: exact rank-free Mann-Whitney AUC (cumulative window over
+    # the bounded score-bucket relation — the no-global-sort ranking shape)
+    "error_latency_auc",
+    # round-9: held-out day-parity calibration audit (two map-side
+    # reductions to band cardinality + one tiny join)
+    "error_rate_calibration",
 ]
 
 # HEADLINE membership policy (VERDICT r7 #6): the curated list above

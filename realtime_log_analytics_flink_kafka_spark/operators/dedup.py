@@ -441,8 +441,11 @@ def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
     because labels start as own-ids and only decrease: ``label[v]`` is
     always a node id whose own label is <= it, so jumping never skips
     past the component minimum.  Each round ``localCheckpoint``s to
-    truncate lineage (at 100 TB: checkpoint to cluster storage
-    instead).  Convergence is detected via the label sum — labels only
+    truncate lineage — executor-local, non-replicated blocks: an
+    executor loss mid-query fails (and retries) the job rather than
+    recomputing; see README "Scale design" for the trade and the
+    ``setCheckpointDir`` + ``checkpoint()`` escape hatch for cluster
+    deployments.  Convergence is detected via the label sum — labels only
     ever decrease, so an unchanged sum means a fixed point.  Raises if
     ``max_iters`` rounds don't converge rather than returning
     silently-partial clusters.
@@ -958,8 +961,20 @@ def kcore_membership(pairs: DataFrame, *, ks: tuple[int, ...] = KCORE_KS,
     ``core{k}_settled`` flag (round R membership == round R-1
     membership) makes that checkable INSIDE the result — all-true
     means exact.  All-integer/boolean output, no float determinism
-    surface.
+    surface.  ``rounds`` must be >= 2: the settled flag is defined as a
+    round-over-round comparison, so there is no previous-round node set
+    to compare against below that.
+
+    Lineage note: rounds truncate via executor-local, non-replicated
+    ``localCheckpoint`` blocks — executor loss mid-query fails the job
+    instead of recomputing; README "Scale design" documents the trade
+    and the reliable ``checkpoint()`` escape hatch for cluster mode.
     """
+    if rounds < 2:
+        raise ValueError(
+            f"kcore_membership needs rounds >= 2 (got {rounds}): the "
+            "core{k}_settled exactness witness compares the final two "
+            "rounds' node sets")
     # localCheckpoint (the duplicate_components treatment; cluster
     # storage at 100 TB): every one of the ks x rounds round-jobs
     # references the edge list, and a persist would leave the whole

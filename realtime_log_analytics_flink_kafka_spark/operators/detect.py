@@ -329,7 +329,19 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
     )
 
 
-def robust_trend(err_logs: DataFrame) -> DataFrame:
+#: Trailing-window cap on robust_trend's daily relation: the pairwise
+#: stage is days²/2 per service, so an UNBOUNDED retention would put a
+#: quadratically growing slope list into one percentile buffer (a
+#: 10-year daily series is ~6.7M pairs ≈ 53 MB per service).  Capping at
+#: the most recent 365 observed days bounds it at 365·364/2 = 66,430
+#: pairs ≈ 0.5 MB per service — trend detection over more than a year of
+#: dailies is a different question (seasonality) anyway.  Callers with
+#: longer horizons pass ``max_days`` explicitly and own the buffer math.
+ROBUST_TREND_MAX_DAYS = 365
+
+
+def robust_trend(err_logs: DataFrame, *,
+                 max_days: int = ROBUST_TREND_MAX_DAYS) -> DataFrame:
     """Per-service ROBUST trend of the daily error-count series:
     Theil-Sen slope (median of all pairwise day-slopes) plus the
     Mann-Kendall S statistic (sum of pairwise sign changes) — the
@@ -341,9 +353,13 @@ def robust_trend(err_logs: DataFrame) -> DataFrame:
     Scale shape: the only raw-event pass is the map-side-combined
     (service, day) count; the pairwise self-join runs on that tiny
     daily table, equi-keyed on service with days² per service pairs —
-    bounded by the observation window (66 pairs for 12 days), never by
-    event volume.  Single-day services keep a row (n_pairs = 0, NULL
-    slope) via the left join from the day-count relation.
+    bounded by ``max_days`` (default 365: ≤66,430 pairs ≈ 0.5 MB of
+    slope buffer per service; the fixture's ~12 days yield 66), never
+    by event volume or retention: the statistic is computed over each
+    service's most recent ``max_days`` OBSERVED days, older dailies are
+    dropped before pairing (see :data:`ROBUST_TREND_MAX_DAYS`).
+    Single-day services keep a row (n_pairs = 0, NULL slope) via the
+    left join from the day-count relation.
 
     Determinism: dy, dx, and the Mann-Kendall sign sum are all-BIGINT;
     the pairwise slopes are identical double divisions and the median
@@ -358,16 +374,30 @@ def robust_trend(err_logs: DataFrame) -> DataFrame:
          - F.lit(DAY_REBASE)).alias("x")
     daily = err_logs.groupBy("service", x) \
         .agg(F.count("*").cast("long").alias("y"))
-    return robust_trend_from_daily(daily)
+    return robust_trend_from_daily(daily, max_days=max_days)
 
 
-def robust_trend_from_daily(daily: DataFrame) -> DataFrame:
+def robust_trend_from_daily(daily: DataFrame, *,
+                            max_days: int = ROBUST_TREND_MAX_DAYS
+                            ) -> DataFrame:
     """Statistic stage of :func:`robust_trend` over a ``(service, x,
     y)`` daily table — separated (the cusum_from_daily pattern) so the
     streaming path can feed it the maintained daily-count state each
-    micro-batch."""
+    micro-batch.
+
+    The trailing cap runs HERE, on the daily relation (row_number over
+    the days-sized table, not the raw events), so both the batch path
+    and the streaming twin's maintained state see the identical
+    most-recent-``max_days`` window.
+    """
+    from pyspark.sql import Window
+
     from ..functions.percentile import exact_percentile_disc
 
+    rn = F.row_number().over(
+        Window.partitionBy("service").orderBy(F.desc("x")))
+    daily = (daily.withColumn("_rn", rn)
+             .filter(F.col("_rn") <= max_days).drop("_rn"))
     dcnt = daily.groupBy("service") \
         .agg(F.count("*").cast("long").alias("n_days"))
     # renamed projections, not alias("a")/alias("b"): on view-derived

@@ -973,7 +973,18 @@ def _cov_cells(vecs: DataFrame, *, vec_col: str, label_col: str,
     upper-triangular cell with the exact two-level-folded covariance
     ``c`` and the label's vector count ``n``.  The chunk-moment
     applyInPandas stage documented in :func:`embedding_effective_rank`;
-    also feeds :func:`label_top_eigen`'s power iteration."""
+    also feeds :func:`label_top_eigen`'s power iteration.
+
+    Cache lifecycle — INTENTIONAL session-scoped cache: ``moments`` is
+    persisted because the g/si/sj branches of the returned LAZY frame
+    all read it; unpersisting before return would silently recompute
+    the applyInPandas pass three times, and eagerly checkpointing the
+    result would hide the FlatMapGroupsInPandas stage from the
+    shuffle-shape plan gate (tests/test_plans.py).  The block is
+    labels x chunks x (d(d+1)/2 + d) moment rows (~10 MB at the
+    defaults); long-lived sessions running many embedding audits should
+    ``spark.catalog.clearCache()`` between queries — bench.py already
+    does, per-query."""
     import numpy as np
     import pandas as pd
 

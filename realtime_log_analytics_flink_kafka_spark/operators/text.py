@@ -1412,6 +1412,17 @@ def textrank_keywords(docs: DataFrame, text_col: str = "text", *,
     cut selects identical rows.  Self-loops (repeated tokens) are
     dropped — a self-edge only feeds a node its own score back and the
     standard formulation excludes it.
+
+    Cache lifecycle: the operator is SELF-CLEANING — the top-``topn``
+    result (<= topn rows) is eagerly localCheckpointed, after which the
+    ``g``/``wdeg`` caches the iteration needed are unpersisted before
+    returning, so repeated invocations in a long session leave no
+    MEMORY_AND_DISK blocks behind (the executor-storage-accumulation
+    fix pagerank got for its ``ed`` copy, extended to the full cache
+    set; README "Scale design" documents the localCheckpoint
+    fault-tolerance trade — executor-local blocks, job fails instead of
+    recomputing on executor loss — and the reliable ``checkpoint()``
+    escape hatch).
     """
     from pyspark import StorageLevel
 
@@ -1441,7 +1452,13 @@ def textrank_keywords(docs: DataFrame, text_col: str = "text", *,
                               F.lit(0.0), lambda a, x: a + x).alias("cs"))
              .select(F.col("v").alias("node"),
                      (F.lit(0.15) + F.lit(0.85) * F.col("cs")).alias("s")))
-    return (s.join(wdeg, s.node == wdeg.u)
-            .select(F.col("node").alias("term"), "wdeg",
-                    F.col("s").alias("score"))
-            .orderBy(F.desc("score"), F.asc("term")).limit(topn))
+    res = (s.join(wdeg, s.node == wdeg.u)
+           .select(F.col("node").alias("term"), "wdeg",
+                   F.col("s").alias("score"))
+           .orderBy(F.desc("score"), F.asc("term")).limit(topn)
+           # materialize the <= topn-row result so the caches below can
+           # be released before the (now self-contained) frame returns
+           .localCheckpoint(eager=True))
+    g.unpersist()
+    wdeg.unpersist()
+    return res

@@ -35,51 +35,45 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ==== round-8 evidence policy =========================================
-    # The r7 board was 49/49 green on oracle-paired entries (+ the
-    # declared rows-only embedding_anisotropy), so r8 does what VERDICT
-    # r7 next-round #1 asks: (a) the SEVEN queries that have never been
-    # driver-checked — the three late-r7 additions (retrieval_ndcg,
-    # token_budget_allocation, and embedding_effective_rank, which
-    # additionally carries its r8 shuffle-shape rewrite: the chunk-
-    # moment applyInPandas fold, proven byte-identical against the
-    # UNCHANGED oracle at sf0.001/0.01 and bit-equal to the old form on
-    # two 50k-vector layouts) plus the four r8-new query families
-    # (dup_kcore bounded-round peel, textrank_keywords iterated float
-    # folds, supplier_revenue_share scalar-subquery shape,
-    # quarter_top_supplier decimal-exact argmax) — new construct
-    # classes go in the window immediately; (b) the ENTIRE 29-query
-    # r4-stale cohort, retiring the oldest freshness tier — after r8 no
-    # registry query's last driver check is older than r5 (the r7
-    # done-bar, advanced one round); (c) 14 fills from the 40-query
-    # r5-stale tier, taken as the alphabetical prefix (so the next
-    # rotation continues deterministically at doc_length_histogram) —
-    # cluster_best_representative lands in-window anyway, re-proving
-    # the bench-variance adjudication's hash-unchanged claim.
-    # Everything out-of-window is re-proven by the sf0.01 full-registry
-    # value-exact sweep each session (tests/test_oracle_parity*.py).
+    # ==== round-9 evidence policy =========================================
+    # The r8 board was 50/50 green, so r9 does what VERDICT r8
+    # next-round #1 asks — retire the r5-stale freshness tier: (a) the
+    # THREE r9-new query families (error_latency_auc's rank-free
+    # cumulative pair counting, error_rate_calibration's day-parity
+    # train/test split, k_anonymity_audit's QI group-size reduction) —
+    # new construct classes go in the window immediately; (b) the
+    # ENTIRE remaining 32-query r5-stale cohort (everything whose last
+    # driver check is CORRECTNESS_r05) — note robust_trend is NOT here:
+    # its r9 trailing-window cap (ROBUST_TREND_MAX_DAYS) is proven
+    # hash-neutral on the fixture by the unchanged-oracle sf0.001/0.01
+    # sweeps and its r8 driver row is fresh; (c) 15 fills from the
+    # 43-query r6-stale tier, taken as the alphabetical prefix (so the
+    # next rotation continues deterministically at jaccard_prefix_join).
+    # After r9 no registry query's last driver check is older than r6
+    # (the r8 done-bar, advanced one round).  Everything out-of-window
+    # is re-proven by the sf0.01 full-registry value-exact sweep each
+    # session (tests/test_oracle_parity*.py).
     #
-    # -- (a) never driver-checked: late-r7 + r8-new ------------------------
-    "embedding_effective_rank", "retrieval_ndcg", "token_budget_allocation",
-    "dup_kcore", "textrank_keywords", "supplier_revenue_share",
-    "quarter_top_supplier", "robust_trend", "embedding_top_eigen",
-    "returned_revenue_customers", "large_volume_orders",
-    "lang_confusion", "dedup_rate_by_source",
-    # -- (b) the full r4-stale cohort (29) ---------------------------------
-    "alert_metrics_unpivot", "blocklist_filter", "cluster_balanced_sample",
-    "cohort_retention", "correlated_incidents", "dau_wau",
-    "dedup_containment", "dedup_threshold_sweep", "disjunctive_revenue",
-    "dsir_weights", "dup_clusters", "embedding_audit",
-    "embedding_truncation", "event_transitions", "hard_negatives",
-    "knn_ivf_pq", "knn_recall", "latency_anomalies", "latency_bands_daily",
-    "log_templates", "media_decode", "metrics_reconciliation",
-    "mixture_temperature_sweep", "order_priority_check", "pq_codes",
-    "semantic_dup_clusters", "service_daily_gapfill", "waiting_suppliers",
-    "wav_frames",
-    # -- (c) r5-stale fill: alphabetical prefix (8) -------------------------
-    "bigram_surprisal", "bm25_search", "boilerplate_fraction",
-    "bpe_pair_counts", "cluster_best_representative",
-    "cross_source_overlap", "decontamination", "dedup_exact",
+    # -- (a) never driver-checked: r9-new -----------------------------------
+    "error_latency_auc", "error_rate_calibration", "k_anonymity_audit",
+    # -- (b) the full r5-stale cohort (32) ----------------------------------
+    "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_token_loss", "doc_chunks", "doc_fingerprints",
+    "doc_length_histogram", "dup_graph_degrees", "duplicate_ngram_spans",
+    "error_burst_busy_overlap", "heaps_law_fit", "knn_bruteforce",
+    "language_id", "leakage_safe_split", "near_dup_survivors",
+    "perplexity_buckets", "quality_filter_funnel", "quality_vs_perplexity",
+    "repetition_filters", "signal_correlations", "simhash_pairs",
+    "temperature_mixture", "tfidf_top_terms", "token_budget_cut",
+    "token_counts", "token_entropy", "token_shards",
+    "token_weighted_sample", "tokenizer_fertility", "top_terms_per_source",
+    "winnowing_pairs", "zipf_fit",
+    # -- (c) r6-stale fill: alphabetical prefix (15) -------------------------
+    "cms_term_counts", "curation_report", "customer_running_spend",
+    "dedup_minhash_lsh", "doc_split_counts", "embedding_near_dups",
+    "error_budget_burn", "error_rate_sliding", "escalation_metrics_daily",
+    "frame_samples", "grouping_sets_orders", "hll_shingles",
+    "hourly_profile", "hybrid_retrieval", "intra_doc_dedup",
 )
 
 

@@ -1559,7 +1559,210 @@ WHERE burst_start < busy_end AND busy_start < burst_end
 """
 
 
+# --- in-engine model eval: exact ROC-AUC without a global sort ---------------
+
+#: AUC score quantization: latency scores are bucketed at 0.01 ms
+#: (x100, floor) before ranking, so the cumulative pair-count relation
+#: is bounded by the score RANGE (~56k buckets for 0-560 ms), never by
+#: event volume — the knob that turns "sort a service-day onto one
+#: task" into a bounded per-group window.  The result is the exact AUC
+#: of the quantized classifier (ties at bucket granularity score 1/2,
+#: the standard Mann-Whitney convention).
+AUC_SCORE_SCALE = 100
+
+
+def q_error_latency_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (service, day) ROC-AUC of latency as a ranking score for
+    ``is_error`` — "do errors come from the slow tail?", the in-engine
+    model-eval companion to lang_confusion's confusion matrix: AUC ==
+    P(latency_err > latency_ok) + ½·P(tie), the Mann-Whitney U
+    statistic, computed EXACTLY and rank-free.
+
+    Scale shape: no global sort and no pairwise join.  One map-side-
+    combined aggregation to (service, day, score-bucket) counts, then a
+    cumulative window over the BUCKET relation (bounded by the score
+    range — AUC_SCORE_SCALE — not by event count): concordant pairs =
+    Σ_b pos_b · cumneg_{<b}, ties = Σ_b pos_b·neg_b.  The usual
+    sort-by-score AUC puts an entire group on one task; this form keeps
+    per-group state at ≤56k bucket rows no matter how many billions of
+    events a service-day holds.
+
+    Determinism: bucket ids, pair counts and the n_pos·n_neg
+    denominator are all BIGINT; the final division is one IEEE divide
+    of identical int64s (correctly rounded from identical operands —
+    emitted UNROUNDED per the detmath policy).  Overflow bound:
+    2·n_pos·n_neg must fit int64, i.e. ~1.5e9 positives × negatives per
+    service-day — beyond that, shrink the group (hourly) or widen to
+    the repo's decimal sums.  NULL auc when a day has no errors or no
+    successes (single-class AUC is undefined)."""
+    from ..functions.detmath import int_div
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events")) \
+        .filter(F.col("latency_ms").isNotNull())
+    day = int_div(F.unix_timestamp("ts"), F.lit(86400)).alias("day")
+    bucket = F.floor(F.col("latency_ms") * AUC_SCORE_SCALE) \
+        .cast("long").alias("b")
+    bk = logs.groupBy("service", day, bucket).agg(
+        F.sum("is_error").cast("long").alias("pos"),
+        (F.count("*") - F.sum("is_error")).cast("long").alias("neg"))
+    return auc_from_buckets(bk)
+
+
+def auc_from_buckets(bk: DataFrame) -> DataFrame:
+    """Statistic stage of :func:`q_error_latency_auc` over a ``(service,
+    day, b, pos, neg)`` bucket-count relation — separated (the
+    cusum/robust_trend _from_daily pattern) so the streaming path can
+    feed it MAINTAINED bucket counts each micro-batch: per-bucket
+    pos/neg sums are mergeable, so the exact AUC is recomputable from
+    streamed state at any point (proven against the batch operator in
+    tests/test_streaming.py)."""
+    w = (Window.partitionBy("service", "day").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = bk.select(
+        "service", "day", "pos", "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("long")
+        .alias("cumneg"))
+    n_pos = F.sum("pos").cast("long")
+    n_neg = F.sum("neg").cast("long")
+    n_conc = F.sum(F.col("pos") * F.col("cumneg")).cast("long")
+    n_tied = F.sum(F.col("pos") * F.col("neg")).cast("long")
+    return c.groupBy("service", "day").agg(
+        n_pos.alias("n_pos"), n_neg.alias("n_neg"),
+        n_conc.alias("n_concordant"), n_tied.alias("n_tied"),
+        F.when((n_pos > 0) & (n_neg > 0),
+               (2 * n_conc + n_tied).cast("double")
+               / (2 * n_pos * n_neg).cast("double")).alias("auc"))
+
+
+def _error_latency_auc_sql() -> str:
+    return f"""
+WITH {LOGS_CTE},
+l AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           CAST(floor(latency_ms * {AUC_SCORE_SCALE}) AS BIGINT) AS b,
+           is_error
+    FROM logs WHERE latency_ms IS NOT NULL
+),
+bk AS (
+    SELECT service, day, b,
+           CAST(sum(is_error) AS BIGINT) AS pos,
+           CAST(count(*) - sum(is_error) AS BIGINT) AS neg
+    FROM l GROUP BY 1, 2, 3
+),
+c AS (
+    SELECT service, day, pos, neg,
+           CAST(coalesce(sum(neg) OVER (
+               PARTITION BY service, day ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cumneg
+    FROM bk
+)
+SELECT service, day,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(sum(pos * cumneg) AS BIGINT) AS n_concordant,
+       CAST(sum(pos * neg) AS BIGINT) AS n_tied,
+       CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+           CAST(2 * CAST(sum(pos * cumneg) AS BIGINT)
+                + CAST(sum(pos * neg) AS BIGINT) AS DOUBLE)
+           / CAST(2 * CAST(sum(pos) AS BIGINT)
+                  * CAST(sum(neg) AS BIGINT) AS DOUBLE)
+       END AS auc
+FROM c GROUP BY 1, 2
+"""
+
+
+# --- in-engine model eval: held-out calibration (reliability diagram) --------
+
+#: Calibration predictor bands: latency in 50 ms bands, capped at band
+#: 9 (the 0-500+ ms fixture range) — band count bounds per-run state.
+CALIB_BAND_MS = 50.0
+CALIB_MAX_BAND = 9
+
+
+def q_error_rate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out calibration audit of the simplest latency->error-risk
+    model: TRAIN the predictor on even epoch days (per (service,
+    latency-band) error rate = predicted probability p_hat), TEST on
+    odd days (observed error rate = acc), and report the per-band
+    reliability-diagram row |p_hat − acc| — the in-engine train/test
+    model-eval loop (split, fit, score, calibrate) run entirely as two
+    map-side-combined aggregations and one band-cardinality join.
+    ECE = Σ_b n_test_b/N · abs_gap_b for any consumer.
+
+    Scale shape: both legs reduce raw events to (service, band) counts
+    map-side (bands are bounded by CALIB_MAX_BAND, services by the key
+    space), so the join input is kilobytes at any corpus size; the
+    day-parity split is hash-free, deterministic, and stable under
+    repartitioning.  Bands seen in only one split carry no calibration
+    claim and are dropped by the inner join (documented).
+
+    Determinism: counts are BIGINT; p_hat/acc are exact_round_div
+    BIGINT-rounded ratios; abs_gap is |a−b| of two bit-identical
+    doubles — identical cross-engine."""
+    from ..functions.detmath import int_div
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events")) \
+        .filter(F.col("latency_ms").isNotNull())
+    day = int_div(F.unix_timestamp("ts"), F.lit(86400))
+    band = F.least(F.floor(F.col("latency_ms") / F.lit(CALIB_BAND_MS)),
+                   F.lit(CALIB_MAX_BAND)).cast("long").alias("band")
+    base = logs.select("service", band, (day % 2).alias("parity"),
+                       "is_error")
+
+    def leg(parity: int, n_name: str, e_name: str) -> DataFrame:
+        return (base.filter(F.col("parity") == parity)
+                .groupBy("service", "band")
+                .agg(F.count("*").cast("long").alias(n_name),
+                     F.sum("is_error").cast("long").alias(e_name)))
+
+    train = leg(0, "n_train", "_tr_err")
+    test = leg(1, "n_test", "_te_err")
+    p_hat = exact_round_div(F.col("_tr_err"), F.col("n_train"), 4)
+    acc = exact_round_div(F.col("_te_err"), F.col("n_test"), 4)
+    return (train.join(test, ["service", "band"])
+            .select("service", "band", "n_train",
+                    p_hat.alias("p_hat"), "n_test", acc.alias("acc"),
+                    F.abs(p_hat - acc).alias("abs_gap")))
+
+
+def _error_rate_calibration_sql() -> str:
+    p_hat = exact_round_div_sql("tr_err", "n_train", 4)
+    acc = exact_round_div_sql("te_err", "n_test", 4)
+    return f"""
+WITH {LOGS_CTE},
+base AS (
+    SELECT service,
+           least(CAST(floor(latency_ms / {CALIB_BAND_MS}) AS BIGINT),
+                 {CALIB_MAX_BAND}) AS band,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) % 2 AS parity,
+           is_error
+    FROM logs WHERE latency_ms IS NOT NULL
+),
+train AS (
+    SELECT service, band, CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(is_error) AS BIGINT) AS tr_err
+    FROM base WHERE parity = 0 GROUP BY 1, 2
+),
+test AS (
+    SELECT service, band, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(is_error) AS BIGINT) AS te_err
+    FROM base WHERE parity = 1 GROUP BY 1, 2
+)
+SELECT service, band, n_train, {p_hat} AS p_hat, n_test, {acc} AS acc,
+       abs(({p_hat}) - ({acc})) AS abs_gap
+FROM train JOIN test USING (service, band)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "error_latency_auc": QuerySpec(q_error_latency_auc,
+                                   _error_latency_auc_sql()),
+    "error_rate_calibration": QuerySpec(q_error_rate_calibration,
+                                        _error_rate_calibration_sql()),
     "cohort_retention": QuerySpec(q_cohort_retention,
                                   _cohort_retention_sql()),
     "dau_wau": QuerySpec(q_dau_wau, _dau_wau_sql()),

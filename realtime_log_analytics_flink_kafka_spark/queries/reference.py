@@ -175,16 +175,22 @@ def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _robust_trend_sql() -> str:
     from ..functions.percentile import percentile_disc_sql
-    from ..operators.detect import DAY_REBASE
+    from ..operators.detect import DAY_REBASE, ROBUST_TREND_MAX_DAYS
     med = percentile_disc_sql("CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE)", 0.5)
     return f"""
 WITH {LOGS_CTE},
-daily AS (
+daily0 AS (
     SELECT service,
            CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT)
            - {DAY_REBASE} AS x,
            CAST(count(*) AS BIGINT) AS y
     FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+daily AS (
+    -- trailing-window cap mirroring operators/detect.robust_trend_from_daily
+    SELECT service, x, y FROM daily0
+    QUALIFY row_number() OVER (PARTITION BY service ORDER BY x DESC)
+            <= {ROBUST_TREND_MAX_DAYS}
 ),
 dcnt AS (
     SELECT service, CAST(count(*) AS BIGINT) AS n_days

@@ -1521,7 +1521,86 @@ JOIN supplier ON l_suppkey = s_suppkey
 """
 
 
+# --- k-anonymity privacy audit ------------------------------------------------
+
+#: Quasi-identifier definition for the customer table: nation + account
+#: balance rounded to a 1000-unit band.  The k thresholds reported are
+#: the standard disclosure-risk cutoffs.
+KANON_BAND = 1000.0
+KANON_KS = (5, 10)
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, account-balance band): per market segment, how many rows
+    sit in QI-groups smaller than k — the re-identification-risk report
+    a training-data pipeline runs before releasing user-derived records
+    (the group-size complement to pii_redaction's content scrubbing).
+    A row in a singleton group is unique on its quasi-identifiers: any
+    attacker who knows those public attributes re-identifies it.
+
+    Scale shape: one map-side-combined count to the QI-cardinality
+    relation (nations × balance bands × segments — thousands of rows at
+    ANY corpus size), then a second trivial reduction per segment; no
+    joins, no windows, nothing event-sized ever shuffles.
+
+    Determinism: group sizes and row counts are BIGINT; the at-risk
+    ratio is an exact_round_div BIGINT-rounded ratio; the balance band
+    is floor() of an identical double division (both engines floor the
+    same IEEE quotient)."""
+    cust = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(KANON_BAND)) \
+        .cast("long").alias("band")
+    qi = cust.groupBy(F.col("c_mktsegment").alias("segment"),
+                      F.col("c_nationkey").alias("nation"), band) \
+        .agg(F.count("*").cast("long").alias("gsz"))
+    k5, k10 = KANON_KS
+    n_rows = F.sum("gsz").cast("long")
+    rows_lt_5 = F.sum(F.when(F.col("gsz") < k5, F.col("gsz"))
+                      .otherwise(F.lit(0))).cast("long")
+    return qi.groupBy("segment").agg(
+        n_rows.alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("gsz") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("n_singletons"),
+        rows_lt_5.alias("rows_lt_5"),
+        F.sum(F.when(F.col("gsz") < k10, F.col("gsz")).otherwise(F.lit(0)))
+        .cast("long").alias("rows_lt_10"),
+        F.min("gsz").cast("long").alias("min_group_size"),
+        F.max("gsz").cast("long").alias("max_group_size"),
+        exact_round_div(rows_lt_5, n_rows, 4).alias("risk_ratio_5"))
+
+
+def _k_anonymity_audit_sql() -> str:
+    k5, k10 = KANON_KS
+    ratio = exact_round_div_sql(
+        f"sum(CASE WHEN gsz < {k5} THEN gsz ELSE 0 END)", "sum(gsz)", 4)
+    return f"""
+WITH qi AS (
+    SELECT c_mktsegment AS segment, c_nationkey AS nation,
+           CAST(floor(c_acctbal / {KANON_BAND}) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS gsz
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT segment,
+       CAST(sum(gsz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN gsz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singletons,
+       CAST(sum(CASE WHEN gsz < {k5} THEN gsz ELSE 0 END) AS BIGINT)
+           AS rows_lt_5,
+       CAST(sum(CASE WHEN gsz < {k10} THEN gsz ELSE 0 END) AS BIGINT)
+           AS rows_lt_10,
+       CAST(min(gsz) AS BIGINT) AS min_group_size,
+       CAST(max(gsz) AS BIGINT) AS max_group_size,
+       {ratio} AS risk_ratio_5
+FROM qi GROUP BY segment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "k_anonymity_audit": QuerySpec(q_k_anonymity_audit,
+                                   _k_anonymity_audit_sql()),
     "order_priority_check": QuerySpec(q_order_priority_check,
                                       SQL_ORDER_PRIORITY_CHECK),
     "customer_spend_deciles": QuerySpec(q_customer_spend_deciles,

@@ -1145,3 +1145,64 @@ def test_robust_trend_stream_matches_batch(spark, tmp_path):
     by_svc = {r[0]: r for r in want}
     assert by_svc["svc-ramp"][4] == 2.0      # clean +2/day ramp
     assert by_svc["svc-spike"][4] == 0.0     # spike shrugged off
+
+
+def test_auc_stream_matches_batch(spark, tmp_path):
+    """error_latency_auc's streaming decomposition: per-(service, day,
+    score-bucket) pos/neg counts are MERGEABLE sums, maintained as a
+    streaming aggregation; the exact Mann-Whitney AUC re-derived from
+    that state (queries/advanced.auc_from_buckets) equals the one-shot
+    batch statistic — the same maintained-state-then-recompute twin
+    contract as cusum/robust_trend."""
+    from datetime import timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.functions.detmath import int_div
+    from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+        AUC_SCORE_SCALE, auc_from_buckets)
+
+    rows, eid = [], 0
+    # svc-sep: errors strictly slower than successes -> AUC 1.0
+    # svc-mix: interleaved latencies -> a mid AUC, exercises ties too
+    for svc, lat_err, lat_ok in [
+            ("svc-sep", [200.0, 210.5, 305.25], [10.0, 20.0, 30.0, 40.0]),
+            ("svc-mix", [50.0, 100.0, 100.0], [50.0, 75.0, 150.0, 100.0])]:
+        for is_err, lats in ((1, lat_err), (0, lat_ok)):
+            for j, lat in enumerate(lats):
+                rows.append({
+                    "event_id": eid,
+                    "ts": T0 + timedelta(seconds=10 * j),
+                    "service": svc,
+                    "is_error": is_err,
+                    "latency_ms": lat,
+                })
+                eid += 1
+    path = str(tmp_path / "auclogs")
+    _write_logs(spark, rows, path)
+
+    day = int_div(F.unix_timestamp("ts"), F.lit(86400)).alias("day")
+    bucket = F.floor(F.col("latency_ms") * AUC_SCORE_SCALE) \
+        .cast("long").alias("b")
+    bk_stream = (
+        _read_stream(spark, path)
+        .groupBy("service", day, bucket)
+        .agg(F.sum("is_error").cast("long").alias("pos"),
+             (F.count("*") - F.sum("is_error")).cast("long").alias("neg"))
+    )
+    q = start_memory_sink(bk_stream, "auc_buckets", output_mode="complete")
+    _drain(q)
+
+    got = {tuple(r) for r in
+           auc_from_buckets(spark.table("auc_buckets")).collect()}
+    batch_bk = (spark.read.parquet(path)
+                .groupBy("service", day, bucket)
+                .agg(F.sum("is_error").cast("long").alias("pos"),
+                     (F.count("*") - F.sum("is_error")).cast("long")
+                     .alias("neg")))
+    want = {tuple(r) for r in auc_from_buckets(batch_bk).collect()}
+    assert got == want and len(want) == 2
+    by_svc = {r[0]: r for r in want}
+    assert by_svc["svc-sep"][6] == 1.0          # perfect separation
+    # svc-mix by hand: pos lat (50,100,100) vs neg (50,75,100,150):
+    # concordant (err slower) = 0 + 2 + 2 = 4; ties = 1 + 1 + 1 = 3
+    assert by_svc["svc-mix"][4] == 4 and by_svc["svc-mix"][5] == 3
+    assert by_svc["svc-mix"][6] == (2 * 4 + 3) / (2 * 3 * 4)
