@@ -219,6 +219,9 @@ HEADLINE = [
     # round-9: held-out day-parity calibration audit (two map-side
     # reductions to band cardinality + one tiny join)
     "error_rate_calibration",
+    # round-9: Holt linear smoothing (two-state ordered float recursion
+    # folded in one pass over the days-sized array per service)
+    "holt_forecast",
 ]
 
 # HEADLINE membership policy (VERDICT r7 #6): the curated list above

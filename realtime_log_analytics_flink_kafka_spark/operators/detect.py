@@ -426,3 +426,151 @@ def robust_trend_from_daily(daily: DataFrame, *,
                     .alias("n_pairs"),
                     F.coalesce("mk_s", F.lit(0).cast("long")).alias("mk_s"),
                     "theil_sen_slope"))
+
+
+#: Holt double-exponential-smoothing constants.  Literal doubles so BOTH
+#: dialects parse the identical binary64 (the detmath discipline); the
+#:   complement constants are literals too, never computed as 1 - x.
+HOLT_ALPHA = 0.3
+HOLT_ONE_MINUS_ALPHA = 0.7
+HOLT_BETA = 0.1
+HOLT_ONE_MINUS_BETA = 0.9
+
+
+def holt_forecast(err_logs: DataFrame) -> DataFrame:
+    """Per-service Holt linear (double-exponential) smoothing of the
+    daily error-count series: smoothed level, smoothed trend, the
+    one-step-ahead forecast ``level + trend``, and the in-sample
+    one-step squared-error sum — the short-horizon forecaster that
+    complements the detectors (cusum/robust_trend say "something
+    changed"; this says "what tomorrow looks like if it doesn't").
+    Recurrence (l0 = y0, b0 = 0):
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Scale shape: the only raw-event pass is the map-side-combined
+    (service, day) count; the recurrence is inherently serial per key,
+    so it runs as ONE ordered in-memory fold over each service's daily
+    array (observation-window-sized — the latency_ewma_daily treatment
+    generalized to two-state float recursion), never as a
+    self-join or a row-at-a-time UDF.
+
+    Determinism: the fold order is pinned by array_sort on (x-first)
+    structs / list_sort, every coefficient is the same literal double
+    in both dialects, and each step is an identical arithmetic DAG —
+    bit-equal folds, so level/trend/forecast/sse are emitted UNROUNDED.
+    """
+    from ..functions.detmath import int_div
+
+    x = (int_div(F.unix_timestamp("ts"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x")
+    daily = err_logs.groupBy("service", x) \
+        .agg(F.count("*").cast("long").alias("y"))
+    return holt_from_daily(daily)
+
+
+def holt_from_daily(daily: DataFrame) -> DataFrame:
+    """Recurrence stage of :func:`holt_forecast` over a ``(service, x,
+    y)`` daily table — separated (the cusum/robust_trend _from_daily
+    pattern) so the streaming path can feed it the maintained
+    daily-count state each micro-batch (twin in tests/test_streaming)."""
+    a, ca = F.lit(HOLT_ALPHA), F.lit(HOLT_ONE_MINUS_ALPHA)
+    b, cb = F.lit(HOLT_BETA), F.lit(HOLT_ONE_MINUS_BETA)
+
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"))))
+    zero = F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+                    F.lit(0.0).alias("sse"), F.lit(0.0).alias("n"))
+
+    def step(acc, e):
+        # l_new appears twice (in l and inside b) — recomputed as the
+        # SAME subexpression in both dialects, so the DAGs stay identical
+        l_new = a * e["y"] + ca * (acc["l"] + acc["b"])
+        resid = e["y"] - (acc["l"] + acc["b"])
+        return F.when(
+            acc["n"] == F.lit(0.0),
+            F.struct(e["y"].alias("l"), F.lit(0.0).alias("b"),
+                     F.lit(0.0).alias("sse"), F.lit(1.0).alias("n")),
+        ).otherwise(
+            F.struct(
+                l_new.alias("l"),
+                (b * (l_new - acc["l"]) + cb * acc["b"]).alias("b"),
+                (acc["sse"] + resid * resid).alias("sse"),
+                (acc["n"] + F.lit(1.0)).alias("n")))
+
+    folded = daily.groupBy("service").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.aggregate(arr, zero, step).alias("acc"))
+    return folded.select(
+        "service", "n_days",
+        F.col("acc.l").alias("level"),
+        F.col("acc.b").alias("trend"),
+        (F.col("acc.l") + F.col("acc.b")).alias("forecast_next"),
+        F.col("acc.sse").alias("sse"))
+
+
+def changepoint_split(err_logs: DataFrame) -> DataFrame:
+    """Per-service OFFLINE change-point localization over the daily
+    error-count series — binary segmentation's first split: the day
+    boundary that maximizes the between-segment sum-of-squares gain
+
+        gain(i) = S1²/i + S2²/(n−i) − S²/n
+
+    (S1/S2 = left/right segment sums; the split minimizing total
+    within-segment SSE for a piecewise-constant fit).  Where CUSUM
+    (cusum_drift) detects ONLINE that a drift is in progress, this
+    answers the postmortem question "WHEN did the level shift?".
+
+    Scale shape: one map-side-combined pass to the (service, day)
+    table; the candidate scan is a prefix-sum window plus an argmax
+    rank over that days-sized relation — no pairwise join, no
+    per-event state.  Single-day services keep a row (NULL split) via
+    the left join from the per-service totals.
+
+    Determinism: prefix sums and segment sums are BIGINT; each gain is
+    the identical double DAG over int64-exact casts, so the argmax
+    (gain DESC, then earliest day) selects the same row on every
+    engine; gain is emitted unrounded.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.detmath import int_div
+
+    x = (int_div(F.unix_timestamp("ts"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x")
+    daily = err_logs.groupBy("service", x) \
+        .agg(F.count("*").cast("long").alias("y"))
+
+    tot = daily.groupBy("service").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("total_errors"))
+
+    w = Window.partitionBy("service").orderBy("x")
+    pre = daily.select(
+        "service", "x",
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("s1"),
+        F.row_number().over(w).alias("i"))
+    cand = (pre.join(tot, "service")
+            .filter(F.col("i") < F.col("n_days")))
+    s1d = F.col("s1").cast("double")
+    s2d = (F.col("total_errors") - F.col("s1")).cast("double")
+    sd = F.col("total_errors").cast("double")
+    nd = F.col("n_days").cast("double")
+    gain = (s1d * s1d / F.col("i").cast("double")
+            + s2d * s2d / (nd - F.col("i").cast("double"))
+            - sd * sd / nd)
+    ranked = cand.select(
+        "service", "x", "i", "s1", gain.alias("gain"),
+        F.row_number().over(
+            Window.partitionBy("service")
+            .orderBy(F.desc(gain), F.asc("x"))).alias("_rk"))
+    best = ranked.filter(F.col("_rk") == 1).select(
+        "service", F.col("x").alias("split_last_left_day"),
+        F.col("i").cast("long").alias("left_days"),
+        F.col("s1").alias("left_sum"), "gain")
+    return (tot.join(best, "service", "left")
+            .select("service", "n_days", "total_errors",
+                    "split_last_left_day", "left_days", "left_sum", "gain"))

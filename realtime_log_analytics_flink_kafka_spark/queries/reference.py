@@ -215,6 +215,136 @@ FROM dcnt d LEFT JOIN agg USING (service)
 """
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service Holt linear smoothing of daily error counts
+    (operators/detect.holt_forecast): smoothed level + trend, the
+    one-step-ahead forecast, and the in-sample one-step SSE — the
+    forecasting complement to the change detectors."""
+    from ..operators.detect import holt_forecast
+
+    return holt_forecast(error_logs(load_table(spark, sf_dir, "events")))
+
+
+def _holt_forecast_sql() -> str:
+    from ..operators.detect import (DAY_REBASE, HOLT_ALPHA, HOLT_BETA,
+                                    HOLT_ONE_MINUS_ALPHA,
+                                    HOLT_ONE_MINUS_BETA)
+    # literal-double constants, CAST('…' AS DOUBLE) so DuckDB parses the
+    # identical binary64 instead of a DECIMAL (the detmath discipline)
+    al = f"CAST('{HOLT_ALPHA!r}' AS DOUBLE)"
+    cal = f"CAST('{HOLT_ONE_MINUS_ALPHA!r}' AS DOUBLE)"
+    be = f"CAST('{HOLT_BETA!r}' AS DOUBLE)"
+    cbe = f"CAST('{HOLT_ONE_MINUS_BETA!r}' AS DOUBLE)"
+    z = "CAST('0.0' AS DOUBLE)"
+    # NOT list_reduce: DuckDB evaluates a struct_pack lambda\'s fields
+    # SEQUENTIALLY — acc.field references inside later fields see the
+    # ALREADY-UPDATED earlier fields — so a coupled two-state recurrence
+    # (b needs the OLD l while l is also updating) silently diverges
+    # from the simultaneous-update fold Spark\'s F.aggregate computes
+    # (measured: sse off by 2x on the fixture).  A recursive CTE has
+    # unambiguous one-step-at-a-time semantics; each step\'s arithmetic
+    # is written as the identical DAG the Spark lambda evaluates.
+    # l_new is textually repeated inside the b update — the identical
+    # subexpression the Spark fold recomputes, keeping the DAGs equal
+    l_new = f"({al} * CAST(k.y AS DOUBLE) + {cal} * (r.l + r.b))"
+    return f"""
+WITH RECURSIVE logs AS (
+    SELECT ts, \'svc-\' || CAST(user_id % 4 AS VARCHAR) AS service,
+           CASE WHEN event_type = \'error\' THEN 1 ELSE 0 END AS is_error
+    FROM events
+),
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT)
+           - {DAY_REBASE} AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+ranked AS (
+    SELECT service, y,
+           row_number() OVER (PARTITION BY service ORDER BY x) AS i
+    FROM daily
+),
+nd AS (
+    SELECT service, CAST(max(i) AS BIGINT) AS n_days FROM ranked
+    GROUP BY service
+),
+rec AS (
+    SELECT service, i, CAST(y AS DOUBLE) AS l, {z} AS b, {z} AS sse
+    FROM ranked WHERE i = 1
+    UNION ALL
+    SELECT r.service, k.i,
+           {l_new} AS l,
+           {be} * ({l_new} - r.l) + {cbe} * r.b AS b,
+           r.sse + (CAST(k.y AS DOUBLE) - (r.l + r.b))
+                 * (CAST(k.y AS DOUBLE) - (r.l + r.b)) AS sse
+    FROM rec r JOIN ranked k
+      ON k.service = r.service AND k.i = r.i + 1
+)
+SELECT n.service AS service, n.n_days AS n_days, rec.l AS level,
+       rec.b AS trend, rec.l + rec.b AS forecast_next, rec.sse AS sse
+FROM nd n JOIN rec ON rec.service = n.service AND rec.i = n.n_days
+"""
+
+
+def q_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service offline change-point localization (operators/detect.
+    changepoint_split): the binary-segmentation first split of the
+    daily error-count series — the postmortem "when did the level
+    shift" to cusum_drift's online "a drift is in progress"."""
+    from ..operators.detect import changepoint_split
+
+    return changepoint_split(error_logs(load_table(spark, sf_dir, "events")))
+
+
+def _changepoint_split_sql() -> str:
+    from ..operators.detect import DAY_REBASE
+    gain = ("CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE)"
+            " + CAST(total_errors - s1 AS DOUBLE)"
+            " * CAST(total_errors - s1 AS DOUBLE)"
+            " / (CAST(n_days AS DOUBLE) - CAST(i AS DOUBLE))"
+            " - CAST(total_errors AS DOUBLE) * CAST(total_errors AS DOUBLE)"
+            " / CAST(n_days AS DOUBLE)")
+    return f"""
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT)
+           - {DAY_REBASE} AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+tot AS (
+    SELECT service, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS total_errors
+    FROM daily GROUP BY service
+),
+pre AS (
+    SELECT service, x,
+           CAST(sum(y) OVER (PARTITION BY service ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s1,
+           row_number() OVER (PARTITION BY service ORDER BY x) AS i
+    FROM daily
+),
+ranked AS (
+    SELECT p.service AS service, p.x AS x, p.i AS i, p.s1 AS s1,
+           {gain} AS gain,
+           row_number() OVER (PARTITION BY p.service
+                              ORDER BY {gain} DESC, p.x ASC) AS rk
+    FROM pre p JOIN tot t ON p.service = t.service
+    WHERE p.i < t.n_days
+)
+SELECT t.service AS service, t.n_days AS n_days,
+       t.total_errors AS total_errors,
+       r.x AS split_last_left_day,
+       CAST(r.i AS BIGINT) AS left_days,
+       r.s1 AS left_sum, r.gain AS gain
+FROM tot t LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
+  ON t.service = r.service
+"""
+
+
 def q_error_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service one-sided CUSUM change-point detector over daily
     error counts (operators/detect.cusum_drift): catches sustained
@@ -962,6 +1092,9 @@ QUERIES: dict[str, QuerySpec] = {
     "error_trend_slope": QuerySpec(q_error_trend_slope,
                                    SQL_ERROR_TREND_SLOPE),
     "robust_trend": QuerySpec(q_robust_trend, _robust_trend_sql()),
+    "holt_forecast": QuerySpec(q_holt_forecast, _holt_forecast_sql()),
+    "changepoint_split": QuerySpec(q_changepoint_split,
+                                   _changepoint_split_sql()),
     "error_cusum_drift": QuerySpec(q_error_cusum_drift,
                                    SQL_ERROR_CUSUM_DRIFT),
     "hdr_latency_quantiles": QuerySpec(q_hdr_latency_quantiles,

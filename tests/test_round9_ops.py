@@ -173,3 +173,81 @@ class TestModelEvalQueries:
         assert (r.rows_lt_5, r.rows_lt_10) == (4, 9)
         assert (r.min_group_size, r.max_group_size) == (1, 5)
         assert r.risk_ratio_5 == 0.4444
+
+
+class TestHoltForecast:
+    def test_recurrence_matches_python(self, spark):
+        """Fold output equals the straight-line Python recurrence on a
+        known series (l0 = y0, b0 = 0)."""
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            HOLT_ALPHA, HOLT_BETA, HOLT_ONE_MINUS_ALPHA,
+            HOLT_ONE_MINUS_BETA, holt_from_daily)
+        ys = [10.0, 12.0, 11.0, 15.0, 14.0, 20.0]
+        daily = spark.createDataFrame(
+            [("svc", i, int(y)) for i, y in enumerate(ys)],
+            "service string, x long, y long")
+        [r] = holt_from_daily(daily).collect()
+        l, b, sse = ys[0], 0.0, 0.0
+        for y in ys[1:]:
+            resid = y - (l + b)
+            l_new = HOLT_ALPHA * y + HOLT_ONE_MINUS_ALPHA * (l + b)
+            b = HOLT_BETA * (l_new - l) + HOLT_ONE_MINUS_BETA * b
+            l = l_new
+            sse += resid * resid
+        assert (r.level, r.trend, r.sse) == (l, b, sse)
+        assert r.forecast_next == l + b and r.n_days == 6
+
+    def test_single_day_service(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            holt_from_daily)
+        daily = spark.createDataFrame([("only", 3, 7)],
+                                      "service string, x long, y long")
+        [r] = holt_from_daily(daily).collect()
+        assert (r.level, r.trend, r.forecast_next, r.sse) \
+            == (7.0, 0.0, 7.0, 0.0)
+
+    def test_out_of_order_input_is_sorted(self, spark):
+        """The fold must order by day regardless of input row order."""
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            holt_from_daily)
+        fwd = spark.createDataFrame(
+            [("s", i, 10 + i) for i in range(5)],
+            "service string, x long, y long")
+        rev = spark.createDataFrame(
+            [("s", i, 10 + i) for i in reversed(range(5))],
+            "service string, x long, y long")
+        assert holt_from_daily(fwd).collect() == \
+            holt_from_daily(rev).collect()
+
+
+class TestChangepointSplit:
+    def test_obvious_level_shift_found(self, spark):
+        """10,10,10,10,50,50,50: the split belongs after day 3."""
+        from datetime import datetime, timedelta
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            DAY_REBASE, changepoint_split)
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for d, n in enumerate([10, 10, 10, 10, 50, 50, 50]):
+            for i in range(n):
+                rows.append((t0 + timedelta(days=d, seconds=i), "svc", 1))
+        df = spark.createDataFrame(
+            rows, "ts timestamp, service string, is_error int")
+        [r] = changepoint_split(df).collect()
+        day0 = int(t0.timestamp()) // 86400 - DAY_REBASE
+        assert r.split_last_left_day == day0 + 3
+        assert r.left_days == 4 and r.left_sum == 40
+        assert r.n_days == 7 and r.total_errors == 190
+        # gain by hand: 40²/4 + 150²/3 − 190²/7
+        assert r.gain == 40.0**2 / 4 + 150.0**2 / 3 - 190.0**2 / 7
+
+    def test_single_day_keeps_null_row(self, spark):
+        from datetime import datetime
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            changepoint_split)
+        df = spark.createDataFrame(
+            [(datetime(2024, 1, 1), "only", 1)],
+            "ts timestamp, service string, is_error int")
+        [r] = changepoint_split(df).collect()
+        assert r.n_days == 1 and r.total_errors == 1
+        assert r.split_last_left_day is None and r.gain is None

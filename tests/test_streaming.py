@@ -1206,3 +1206,54 @@ def test_auc_stream_matches_batch(spark, tmp_path):
     # concordant (err slower) = 0 + 2 + 2 = 4; ties = 1 + 1 + 1 = 3
     assert by_svc["svc-mix"][4] == 4 and by_svc["svc-mix"][5] == 3
     assert by_svc["svc-mix"][6] == (2 * 4 + 3) / (2 * 3 * 4)
+
+
+def test_holt_stream_matches_batch(spark, tmp_path):
+    """holt_forecast's streaming decomposition: the daily error counts
+    are maintained as a complete-mode streaming aggregation and the
+    Holt recurrence re-folded from that state (the cusum/robust_trend
+    twin contract — the statistic is a pure function of the (service,
+    day) table, so maintained state + refold == one-shot batch)."""
+    from datetime import timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.functions.detmath import int_div
+    from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+        DAY_REBASE, holt_forecast, holt_from_daily)
+
+    rows, eid = [], 0
+    for svc, counts in [("svc-ramp", [4, 6, 8, 10, 12, 14]),
+                        ("svc-level", [9, 9, 9, 9, 9])]:
+        for d, n in enumerate(counts):
+            for i in range(n):
+                rows.append({
+                    "event_id": eid,
+                    "ts": T0 + timedelta(days=d, seconds=i),
+                    "service": svc,
+                    "is_error": 1,
+                    "latency_ms": 100.0,
+                })
+                eid += 1
+    path = str(tmp_path / "holtlogs")
+    _write_logs(spark, rows, path)
+
+    daily_stream = (
+        _read_stream(spark, path)
+        .groupBy("service", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    q = start_memory_sink(daily_stream, "holt_daily", output_mode="complete")
+    _drain(q)
+    daily = spark.table("holt_daily").select(
+        "service",
+        (int_div(F.col("w.start").cast("long"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x"),
+        "y",
+    )
+    got = {tuple(r) for r in holt_from_daily(daily).collect()}
+    want = {tuple(r) for r in
+            holt_forecast(spark.read.parquet(path)).collect()}
+    assert got == want and len(want) == 2
+    by_svc = {r[0]: r for r in want}
+    # a constant series smooths to itself: level == y, trend == 0
+    assert by_svc["svc-level"][2] == 9.0 and by_svc["svc-level"][3] == 0.0
+    assert by_svc["svc-level"][5] == 0.0   # zero one-step SSE

@@ -183,6 +183,45 @@ def main() -> None:
         "all four, same adjudication the r6 trio received and r7 "
         "confirmed by recovery.",
         "",
+        "## Bench-drift audit, round 9 (VERDICT r8, next-round #3)",
+        "",
+        "The five r7→r8 driver upticks on untouched code (zipf_fit "
+        "1.28×, dup_pagerank 1.25×, bm25_search 1.23×, "
+        "hdr_latency_quantiles 1.22×, dup_graph_triangles 1.18×) were "
+        "adjudicated in r9 with the prescribed session-composition A/B: "
+        "one SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 run (115 queries) vs one "
+        "full-registry run (180 queries) on the SAME build, same box, "
+        "back-to-back, uncontended (2026-08-15, sf0.1, bench protocol):",
+        "",
+        "| query | r7 driver | r8 driver | r9 headline-115 | "
+        "r9 full-180 | full/headline | full vs r7 |",
+        "|---|---|---|---|---|---|---|",
+        "| zipf_fit | 1.526 | 1.948 | 1.581 | 1.666 | 1.05× | 1.09× |",
+        "| dup_pagerank | 4.164 | 5.221 | 4.256 | 4.354 | 1.02× | "
+        "1.05× |",
+        "| bm25_search | 1.376 | 1.691 | 1.347 | 1.329 | 0.99× | "
+        "0.97× |",
+        "| hdr_latency_quantiles | 1.593 | 1.940 | 1.424 | 1.547 | "
+        "1.09× | 0.97× |",
+        "| dup_graph_triangles | 3.906 | 4.608 | 3.664 | 4.338 | "
+        "1.18× | 1.11× |",
+        "",
+        "Two findings.  (1) A real but MILD session-composition effect "
+        "exists: four of five are slower in the 180-query session than "
+        "in the 115-query one on the same build (1.02-1.18×, heaviest "
+        "on the iterative-join tail) — consistent with JIT/code-cache "
+        "and allocator pressure accumulating over a long session even "
+        "with per-query clearCache+GC.  (2) It does NOT account for the "
+        "r8 driver magnitudes: on this box the full-registry run sits "
+        "at 0.97-1.11× of the R7 DRIVER numbers — every query already "
+        "inside the ≤1.15× done-bar — while the r8 driver run exceeded "
+        "BOTH of today's runs on all five.  The residual is driver-"
+        "session ambient load, the same ±30% variance band documented "
+        "in the r6-r8 audits above (and bounded by them: "
+        "cluster_best_representative's committed history spans 2.2-3.6 s "
+        "with zero code change).  No plan changed; no action beyond "
+        "this record.",
+        "",
         "Every construct class has at least one driver-green carrier, so "
         "driver-side engine-version skew is ruled out for all of them — "
         "including `string_agg ORDER BY` (pq_codes, green) and the hex "
