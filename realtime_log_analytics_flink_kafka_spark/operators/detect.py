@@ -574,3 +574,152 @@ def changepoint_split(err_logs: DataFrame) -> DataFrame:
     return (tot.join(best, "service", "left")
             .select("service", "n_days", "total_errors",
                     "split_last_left_day", "left_days", "left_sum", "gain"))
+
+
+#: Calendar lags (in days) the autocorrelation audit reports.  Literal
+#: ints so the oracle's VALUES spine enumerates the identical set.
+ACF_LAGS = (1, 2, 3)
+
+
+def acf_daily(err_logs: DataFrame,
+              *, lags: tuple[int, ...] = ACF_LAGS) -> DataFrame:
+    """Per-service autocorrelation of the daily error-count series at
+    calendar lags ``lags`` — the periodicity audit behind the other
+    daily detectors: a large positive ACF at lag 1 says incidents
+    cluster across consecutive days (cusum/holt's smoothing pays off);
+    ACF near zero says days are independent and yesterday predicts
+    nothing.  Estimator (global-mean form, μ = Σy/n over ALL observed
+    days, pairs matched on CALENDAR distance so a gap day simply
+    contributes no pair — never a rank-spaced fake lag):
+
+        acf(k) = Σ_pairs (y_t − μ)(y_{t+k} − μ) / Σ_days (y_t − μ)²
+
+    Scale shape: the only raw-event pass is the map-side-combined
+    (service, day) count; the lag matching is ONE equi-join of the tiny
+    daily relation against itself shifted through a #lags-row VALUES
+    spine (join keys (service, x + k) — days·lags rows, never a theta
+    join), and every sufficient statistic (Σy, Σy², Σy_t·y_{t+k}, pair
+    head/tail sums) folds associatively in BIGINT.  Services with no
+    matchable pair at a lag keep their row (n_pairs = 0, NULL acf) via
+    the left join from the service × lags spine.
+
+    Determinism: all sums are BIGINT; μ and the final ratio are one
+    identical double DAG in both dialects (the expansion
+    ``Σ y_t·y_{t+k} − μ·(Σheads + Σtails) + m·μ²`` evaluates from
+    exact int64s, so the doubles are bit-equal), NULL when the
+    denominator is zero (a constant series has no defined ACF).
+    """
+    from ..functions.detmath import int_div
+
+    x = (int_div(F.unix_timestamp("ts"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x")
+    daily = err_logs.groupBy("service", x) \
+        .agg(F.count("*").cast("long").alias("y"))
+    return acf_from_daily(daily, lags=lags)
+
+
+def acf_from_daily(daily: DataFrame,
+                   *, lags: tuple[int, ...] = ACF_LAGS) -> DataFrame:
+    """Statistic stage of :func:`acf_daily` over a ``(service, x, y)``
+    daily table — separated (the cusum/holt _from_daily pattern) so the
+    streaming path can feed it the maintained daily-count state each
+    micro-batch (twin in tests/test_streaming.py)."""
+    spark = daily.sparkSession
+    lag_df = F.broadcast(spark.createDataFrame(
+        [(int(k),) for k in lags], "lag long"))
+
+    base = daily.groupBy("service").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+
+    # renamed projections, not alias(): the robust_trend self-join note
+    # (view-derived lineage breaks alias-qualified self-joins) applies.
+    heads = (daily.crossJoin(lag_df)  # days x #lags spine rows
+             .select(F.col("service").alias("_svc"), "lag",
+                     (F.col("x") + F.col("lag")).alias("_xm"),
+                     F.col("y").alias("_yh")))
+    tails = daily.select(F.col("service").alias("_svcb"),
+                         F.col("x").alias("_xb"), F.col("y").alias("_yt"))
+    pairs = (heads.join(tails, (F.col("_svc") == F.col("_svcb"))
+                        & (F.col("_xm") == F.col("_xb")))
+             .groupBy(F.col("_svc").alias("service"), "lag")
+             .agg(F.count("*").cast("long").alias("n_pairs"),
+                  F.sum(F.col("_yh") * F.col("_yt")).cast("long")
+                  .alias("sxy"),
+                  F.sum("_yh").cast("long").alias("sh"),
+                  F.sum("_yt").cast("long").alias("st")))
+
+    spine = base.crossJoin(lag_df)
+    j = spine.join(pairs, ["service", "lag"], "left")
+    mu = F.col("sy").cast("double") / F.col("n_days").cast("double")
+    ssq = F.col("syy").cast("double") - F.col("sy").cast("double") * mu
+    num = (F.col("sxy").cast("double")
+           - mu * (F.col("sh") + F.col("st")).cast("double")
+           + F.col("n_pairs").cast("double") * mu * mu)
+    return j.select(
+        "service", "lag", "n_days",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        F.when((F.col("n_pairs") > 0) & (ssq != 0.0), num / ssq)
+        .alias("acf"))
+
+
+#: Day-of-week anomaly contract: flag a day when its error count
+#: exceeds DOW_ANOM_NUM/DOW_ANOM_DEN (= 1.5×) of its service's SAME-
+#: WEEKDAY mean, with at least DOW_ANOM_MIN_OBS observations of that
+#: weekday (three Mondays before a Monday can be anomalous).  Integer
+#: numerator/denominator so the comparison is exact, never a float cut.
+DOW_ANOM_NUM = 3
+DOW_ANOM_DEN = 2
+DOW_ANOM_MIN_OBS = 3
+
+
+def dow_anomalies(err_logs: DataFrame) -> DataFrame:
+    """Per-service day-of-week seasonality profile with anomaly flags:
+    every observed day's error count next to its service's same-weekday
+    mean and the count/mean ratio, flagged when the day exceeds 1.5×
+    its weekday baseline — the seasonality-aware complement to the
+    level detectors (a busy Monday is only anomalous relative to OTHER
+    Mondays; a flat threshold fires every Monday or misses every
+    Sunday).
+
+    Scale shape: one map-side-combined (service, day) pass over raw
+    events; the weekday profile is a ≤ services×7-row aggregation of
+    that daily relation, broadcast back onto it — no window, no sort,
+    output is observed-days-sized.  dow = (epoch_day + 3) mod 7
+    (0 = Monday; day 0, 1970-01-01, was a Thursday), identical integer
+    arithmetic in both dialects.
+
+    Determinism: the flag is the EXACT integer comparison
+    ``DOW_ANOM_DEN·y·n > DOW_ANOM_NUM·Σy`` (no float threshold);
+    dow_mean and ratio are exact_round_div at scale 4.  The weekday
+    mean includes the flagged day itself (self-masking bounds the
+    flag's sensitivity but keeps the statistic a pure function of the
+    daily table; at ≥3 observations a 1.5× cut still fires on a
+    genuine doubling).  Overflow: y·n must fit exact_round_div's
+    |num| < 4.6e14 bound — 10⁹ errors/day × 10⁵ same-weekday
+    observations stays inside it.
+    """
+    from ..functions.detmath import exact_round_div, int_div
+
+    x = int_div(F.unix_timestamp("ts"), F.lit(86400)).alias("x")
+    daily = err_logs.groupBy("service", x) \
+        .agg(F.count("*").cast("long").alias("y"))
+    daily = daily.withColumn("dow", (F.col("x") + 3) % 7)
+    prof = (daily.groupBy(F.col("service").alias("_svc"),
+                          F.col("dow").alias("_dow"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("sy")))
+    j = daily.join(F.broadcast(prof),
+                   (F.col("service") == F.col("_svc"))
+                   & (F.col("dow") == F.col("_dow")))
+    flag = ((F.lit(DOW_ANOM_DEN) * F.col("y") * F.col("n")
+             > F.lit(DOW_ANOM_NUM) * F.col("sy"))
+            & (F.col("n") >= DOW_ANOM_MIN_OBS))
+    return j.select(
+        "service", F.col("x").alias("day_epoch"), "dow", "y",
+        F.col("n").alias("dow_days"),
+        exact_round_div(F.col("sy"), F.col("n"), 4).alias("dow_mean"),
+        exact_round_div(F.col("y") * F.col("n"), F.col("sy"), 4)
+        .alias("ratio"),
+        flag.alias("is_anomalous"))

@@ -1161,3 +1161,114 @@ def label_top_eigen(vecs: DataFrame, *, vec_col: str = "embedding",
             .applyInPandas(_power, schema=(f"{label_col} int, n_vecs long,"
                                            " top_eig_est double,"
                                            " top_share_est double")))
+
+
+# --- diagonal-Mahalanobis outlier audit ---------------------------------------
+
+def diag_mahalanobis_outliers(vecs: DataFrame, *, score_threshold: float,
+                              vec_col: str = "embedding",
+                              label_col: str = "label",
+                              id_col: str = "vec_id",
+                              n_chunks: int = 64) -> DataFrame:
+    """Per-label embedding outlier audit under a DIAGONAL-covariance
+    Mahalanobis score: ``score(v) = Σ_d ((v_d − μ_d) / σ_d)²`` against
+    the vector's own label statistics — the cheap (O(d) per vector, no
+    Gram matrix) "is this embedding where its label lives?" screen that
+    catches mislabeled rows and encoder glitches before they poison
+    centroids or contrastive batches.  Reports per label: vector count,
+    how many exceed ``score_threshold`` (≈ χ²_d tail; 1.5·d is a
+    practical cut), and the worst vector (argmax score, ties to the
+    smallest id).
+
+    Scale shape: raw vectors cross the shuffle exactly once (the
+    posexplode to (label, pos, chunk) cells — the label_centroids
+    geometry); the μ/σ relation is labels×d rows, reassembled into
+    #labels array rows and BROADCAST back, so the scoring pass is
+    map-side (an ordered array fold per row, never a per-dim join);
+    the final report is two label-cardinality aggregations plus an
+    equality join-back for the argmax (the quarter_top_supplier
+    pattern, never a window over the corpus).
+
+    Determinism: chunked sorted folds (the label_centroids discipline)
+    make Σv and Σv² order-deterministic; μ, σ, and every per-vector
+    score are identical double DAGs in both dialects (the fold runs in
+    array-position order), so even the float equality join of the
+    argmax is bit-safe.  σ = 0 dims (a constant coordinate) contribute
+    0 by the guarded division.  NULL labels and empty vectors are
+    excluded on BOTH sides by construction (the _cov_cells contract).
+    """
+    vecs = vecs.filter(F.col(label_col).isNotNull()
+                       & (F.size(F.col(vec_col)) > 0))
+    exploded = vecs.select(
+        label_col,
+        (F.col(id_col) % n_chunks).alias("chunk"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    per_chunk = (
+        exploded.groupBy(label_col, "pos", "chunk")
+        .agg(F.collect_list(F.col("v").cast("double")).alias("vals"))
+        .select(
+            label_col, "pos",
+            F.aggregate(F.array_sort("vals"), F.lit(0.0),
+                        lambda acc, x: acc + x).alias("chunk_sum"),
+            F.aggregate(F.array_sort("vals"), F.lit(0.0),
+                        lambda acc, x: acc + x * x).alias("chunk_sum2"),
+            F.size("vals").cast("long").alias("chunk_n"),
+        )
+    )
+    mu = F.col("s1") / F.col("n").cast("double")
+    var = F.col("s2") / F.col("n").cast("double") - mu * mu
+    stats = (
+        per_chunk.groupBy(label_col, "pos")
+        .agg(F.aggregate(F.array_sort(F.collect_list("chunk_sum")),
+                         F.lit(0.0), lambda acc, x: acc + x).alias("s1"),
+             F.aggregate(F.array_sort(F.collect_list("chunk_sum2")),
+                         F.lit(0.0), lambda acc, x: acc + x).alias("s2"),
+             F.sum("chunk_n").alias("n"))
+        .select(label_col, "pos", mu.alias("mu"),
+                F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+                .alias("sd"))
+    )
+    arrs = (stats.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu", "sd")))
+                 .alias("pms"))
+            .select(label_col,
+                    F.transform("pms", lambda s: s["mu"]).alias("mu_arr"),
+                    F.transform("pms", lambda s: s["sd"]).alias("sd_arr")))
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    diff = F.zip_with(vd, F.col("mu_arr"), lambda v, m: v - m)
+    z = F.zip_with(diff, F.col("sd_arr"),
+                   lambda d, s: F.when(s > 0, d / s).otherwise(F.lit(0.0)))
+    from pyspark import StorageLevel
+
+    # persisted: the report aggregation AND the argmax join-back both
+    # read scores, and without materialization each re-runs the whole
+    # explode→stats→broadcast-score pipeline (measured 6.4 s → 3.5 s at
+    # sf0.1).  The block is (id, label, score) — vector-COUNT-sized,
+    # never vector-sized — and is needed by the lazily returned
+    # DataFrame (the triangle_stats persist contract).
+    scored = (vecs.join(F.broadcast(arrs), label_col)
+              .select(label_col, F.col(id_col).alias("vid"),
+                      F.aggregate(z, F.lit(0.0),
+                                  lambda acc, e: acc + e * e)
+                      .alias("score"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    rep = scored.groupBy(label_col).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("score") > score_threshold, 1).otherwise(0))
+        .cast("long").alias("n_outliers"),
+        F.max("score").alias("top_score"))
+    # renamed projection, not alias(): rep derives from scored, and the
+    # alias-qualified self-join hits Spark's ambiguous-self-join
+    # resolution failure (the robust_trend gotcha, same class)
+    mx = rep.select(F.col(label_col).alias("_lbl"),
+                    F.col("top_score").alias("_ts"))
+    top = (scored.join(F.broadcast(mx),
+                       (F.col(label_col) == F.col("_lbl"))
+                       & (F.col("score") == F.col("_ts")))
+           .groupBy(label_col)
+           .agg(F.min("vid").alias("top_vec_id")))
+    return (rep.join(top, label_col)
+            .select(label_col, "n_vecs", "n_outliers",
+                    "top_vec_id", "top_score"))

@@ -38,27 +38,34 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ==== round-9 evidence policy =========================================
     # The r8 board was 50/50 green, so r9 does what VERDICT r8
     # next-round #1 asks — retire the r5-stale freshness tier: (a) the
-    # FIVE r9-new query families (error_latency_auc's rank-free
+    # ELEVEN r9-new query families (error_latency_auc's rank-free
     # cumulative pair counting, error_rate_calibration's day-parity
     # train/test split, k_anonymity_audit's QI group-size reduction,
     # holt_forecast's two-state ordered float recursion,
-    # changepoint_split's prefix-sum argmax) — new construct classes go
-    # in the window immediately; (b) the ENTIRE remaining 32-query
-    # r5-stale cohort (everything whose last driver check is
+    # changepoint_split's prefix-sum argmax, acf_daily's calendar-lag
+    # spine join, nation_market_share's indicator-vs-semi-join Q8
+    # shape, promo_revenue_share's Q14 indicator-carrying join,
+    # dup_local_clustering's apex-kept triangle attribution,
+    # embedding_outliers' broadcast-array Mahalanobis fold,
+    # dow_anomalies' integer-exact seasonality flags) — new construct
+    # classes go in the window immediately; (b) the ENTIRE remaining
+    # 32-query r5-stale cohort (everything whose last driver check is
     # CORRECTNESS_r05) — note robust_trend is NOT here: its r9
     # trailing-window cap (ROBUST_TREND_MAX_DAYS) is proven
     # hash-neutral on the fixture by the unchanged-oracle sf0.001/0.01
-    # sweeps and its r8 driver row is fresh; (c) 13 fills from the
+    # sweeps and its r8 driver row is fresh; (c) 7 fills from the
     # 43-query r6-stale tier, taken as the alphabetical prefix (so the
-    # next rotation continues deterministically at hourly_profile).
+    # next rotation continues deterministically at error_rate_sliding).
     # After r9 no registry query's last driver check is older than r6
     # (the r8 done-bar, advanced one round).  Everything out-of-window
     # is re-proven by the sf0.01 full-registry value-exact sweep each
     # session (tests/test_oracle_parity*.py).
     #
-    # -- (a) never driver-checked: r9-new -----------------------------------
+    # -- (a) never driver-checked: r9-new (10) -------------------------------
     "error_latency_auc", "error_rate_calibration", "k_anonymity_audit",
     "holt_forecast", "changepoint_split",
+    "acf_daily", "nation_market_share", "promo_revenue_share",
+    "dup_local_clustering", "embedding_outliers", "dow_anomalies",
     # -- (b) the full r5-stale cohort (32) ----------------------------------
     "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_token_loss", "doc_chunks", "doc_fingerprints",
@@ -71,12 +78,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_counts", "token_entropy", "token_shards",
     "token_weighted_sample", "tokenizer_fertility", "top_terms_per_source",
     "winnowing_pairs", "zipf_fit",
-    # -- (c) r6-stale fill: alphabetical prefix (13) -------------------------
+    # -- (c) r6-stale fill: alphabetical prefix (7; the next rotation
+    # continues deterministically at error_rate_sliding) ---------------------
     "cms_term_counts", "curation_report", "customer_running_spend",
     "dedup_minhash_lsh", "doc_split_counts", "embedding_near_dups",
-    "error_budget_burn", "error_rate_sliding", "escalation_metrics_daily",
-    "frame_samples", "grouping_sets_orders", "hll_shingles",
-    "hourly_profile",
+    "error_budget_burn",
 )
 
 

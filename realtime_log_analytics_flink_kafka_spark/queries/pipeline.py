@@ -629,6 +629,90 @@ FROM per_chunk GROUP BY label, pos
 """
 
 
+#: Diagonal-Mahalanobis outlier cut: ≈ 1.5 × EMB_DIM ≈ the χ²_64 upper
+#: tail — vectors scoring above this sit far outside their label's
+#: axis-aligned spread.  Literal so both dialects compare the same
+#: double.
+MAHA_OUTLIER_SCORE = 96.0
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label diagonal-Mahalanobis outlier audit (operators/
+    similarity.diag_mahalanobis_outliers): vector count, count above
+    the χ²-tail cut, and the worst vector per label — the mislabeled-
+    row / encoder-glitch screen.  Chunked sorted folds for μ/σ, one
+    broadcast-array scoring pass, argmax via max + equality join-back."""
+    return similarity.diag_mahalanobis_outliers(
+        _embs(spark, sf_dir), score_threshold=MAHA_OUTLIER_SCORE)
+
+
+def _embedding_outliers_sql() -> str:
+    fold = "list_reduce(list_prepend(0.0, {arr}), (acc, x) -> acc + x)"
+    zterm = ("CASE WHEN a.sd_arr[i] > 0 THEN "
+             "((CAST(v.embedding[i] AS DOUBLE) - a.mu_arr[i]) / a.sd_arr[i])"
+             " * ((CAST(v.embedding[i] AS DOUBLE) - a.mu_arr[i])"
+             " / a.sd_arr[i]) ELSE 0.0 END")
+    return f"""
+WITH vx AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    WHERE label IS NOT NULL AND len(embedding) > 0
+),
+exploded AS (
+    SELECT label, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
+           CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+    FROM vx CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
+),
+per_chunk AS (
+    SELECT label, pos, chunk,
+           {fold.format(arr='list_sort(list(v))')} AS chunk_sum,
+           list_reduce(list_prepend(0.0, list_sort(list(v))),
+                       (acc, x) -> acc + x * x) AS chunk_sum2,
+           count(*) AS chunk_n
+    FROM exploded GROUP BY label, pos, chunk
+),
+stats AS (
+    SELECT label, pos,
+           {fold.format(arr='list_sort(list(chunk_sum))')} AS s1,
+           {fold.format(arr='list_sort(list(chunk_sum2))')} AS s2,
+           CAST(sum(chunk_n) AS DOUBLE) AS n
+    FROM per_chunk GROUP BY label, pos
+),
+musd AS (
+    SELECT label, pos, s1 / n AS mu,
+           CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0
+                THEN sqrt(s2 / n - (s1 / n) * (s1 / n))
+                ELSE 0.0 END AS sd
+    FROM stats
+),
+arrs AS (
+    SELECT label, list(mu ORDER BY pos) AS mu_arr,
+           list(sd ORDER BY pos) AS sd_arr
+    FROM musd GROUP BY label
+),
+scored AS (
+    SELECT v.label AS label, v.vec_id AS vid,
+           {fold.format(arr=f'''list_transform(range(1, {EMB_DIM + 1}),
+                         i -> {zterm})''')} AS score
+    FROM vx v JOIN arrs a ON v.label = a.label
+),
+rep AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN score > {MAHA_OUTLIER_SCORE!r} THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(score) AS top_score
+    FROM scored GROUP BY label
+)
+SELECT r.label AS label, r.n_vecs AS n_vecs, r.n_outliers AS n_outliers,
+       t.top_vec_id AS top_vec_id, r.top_score AS top_score
+FROM rep r JOIN (
+    SELECT s.label AS label, min(s.vid) AS top_vec_id
+    FROM scored s JOIN rep ON s.label = rep.label
+                          AND s.score = rep.top_score
+    GROUP BY s.label
+) t ON r.label = t.label
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1884,6 +1968,64 @@ shape AS (
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
        {exact_round_div_sql('3 * n_triangles', 'n_wedges', 6)} AS global_cc
 FROM shape CROSS JOIN tri
+"""
+
+
+def q_dup_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the near-dup graph
+    (operators/dedup.local_clustering): the node-level keep/drop signal
+    — hub templates score ~0, mirror-clique members ~1 — via the same
+    degree-ordered wedge join as the global census, with the apex kept
+    so each triangle attributes to all three corners."""
+    return dedup.local_clustering(
+        dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                threshold=MINHASH_THRESHOLD))
+
+
+def _dup_local_clustering_sql() -> str:
+    cc = exact_round_div_sql("COALESCE(t.tri_n, CAST(0 AS BIGINT))",
+                             "(d.deg * (d.deg - 1)) // 2", 6)
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN t_du.deg < t_dv.deg
+                  OR (t_du.deg = t_dv.deg AND u < v) THEN u ELSE v END AS s,
+           CASE WHEN t_du.deg < t_dv.deg
+                  OR (t_du.deg = t_dv.deg AND u < v) THEN v ELSE u END AS t,
+           CASE WHEN t_du.deg < t_dv.deg
+                  OR (t_du.deg = t_dv.deg AND u < v)
+                THEN t_dv.deg ELSE t_du.deg END AS dt
+    FROM edges
+    JOIN deg t_du ON t_du.node = u
+    JOIN deg t_dv ON t_dv.node = v
+),
+wedge AS (
+    SELECT o1.s AS apex, o1.t AS a, o2.t AS b
+    FROM oriented o1 JOIN oriented o2
+      ON o1.s = o2.s
+     AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))
+),
+tri AS (
+    SELECT w.apex AS apex, w.a AS a, w.b AS b
+    FROM wedge w JOIN oriented o ON o.s = w.a AND o.t = w.b
+),
+tri_n AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS tri_n
+    FROM (SELECT apex AS node FROM tri
+          UNION ALL SELECT a AS node FROM tri
+          UNION ALL SELECT b AS node FROM tri)
+    GROUP BY node
+)
+SELECT d.node AS doc_id, d.deg AS deg,
+       COALESCE(t.tri_n, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN d.deg > 1 THEN {cc} END AS local_cc
+FROM deg d LEFT JOIN tri_n t ON d.node = t.node
 """
 
 
@@ -5415,6 +5557,8 @@ QUERIES: dict[str, QuerySpec] = {
         lambda spark, sf_dir: similarity.embedding_anisotropy(
             _embs(spark, sf_dir)),
         None),
+    "embedding_outliers": QuerySpec(q_embedding_outliers,
+                                    _embedding_outliers_sql()),
     "dedup_containment": QuerySpec(q_dedup_containment,
                                    _dedup_containment_sql()),
     "embedding_truncation": QuerySpec(q_embedding_truncation,
@@ -5517,6 +5661,8 @@ QUERIES: dict[str, QuerySpec] = {
                                       _boilerplate_fraction_sql()),
     "dup_graph_triangles": QuerySpec(q_dup_graph_triangles,
                                      _dup_graph_triangles_sql()),
+    "dup_local_clustering": QuerySpec(q_dup_local_clustering,
+                                      _dup_local_clustering_sql()),
     "bloom_prefilter_audit": QuerySpec(q_bloom_prefilter_audit,
                                        _bloom_prefilter_audit_sql()),
     "gate_agreement_kappa": QuerySpec(q_gate_agreement_kappa,

@@ -345,6 +345,99 @@ FROM tot t LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
 """
 
 
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service autocorrelation of daily error counts at calendar
+    lags 1-3 (operators/detect.acf_daily): the periodicity audit behind
+    the daily detectors — high lag-1 ACF means incidents cluster across
+    consecutive days (smoothing forecasters apply), near-zero means
+    days are independent."""
+    from ..operators.detect import acf_daily
+
+    return acf_daily(error_logs(load_table(spark, sf_dir, "events")))
+
+
+def _acf_daily_sql() -> str:
+    from ..operators.detect import ACF_LAGS, DAY_REBASE
+    vals = ", ".join(f"({k})" for k in ACF_LAGS)
+    # one identical double DAG per dialect: mu = sy/n, ssq = syy − sy·mu,
+    # num = sxy − mu·(sh+st) + m·mu² — every input an exact BIGINT sum
+    mu = "(CAST(b.sy AS DOUBLE) / CAST(b.n_days AS DOUBLE))"
+    ssq = f"(CAST(b.syy AS DOUBLE) - CAST(b.sy AS DOUBLE) * {mu})"
+    num = (f"(CAST(p.sxy AS DOUBLE) - {mu} * CAST(p.sh + p.st AS DOUBLE)"
+           f" + CAST(p.n_pairs AS DOUBLE) * {mu} * {mu})")
+    return f"""
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT)
+           - {DAY_REBASE} AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+base AS (
+    SELECT service, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM daily GROUP BY service
+),
+lagsp AS (SELECT CAST(k AS BIGINT) AS lag FROM (VALUES {vals}) t(k)),
+pairs AS (
+    SELECT h.service AS service, l.lag AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(h.y * t.y) AS BIGINT) AS sxy,
+           CAST(sum(h.y) AS BIGINT) AS sh,
+           CAST(sum(t.y) AS BIGINT) AS st
+    FROM daily h CROSS JOIN lagsp l
+    JOIN daily t ON t.service = h.service AND t.x = h.x + l.lag
+    GROUP BY 1, 2
+)
+SELECT b.service AS service, l.lag AS lag, b.n_days AS n_days,
+       COALESCE(p.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       CASE WHEN p.n_pairs > 0 AND {ssq} <> 0.0
+            THEN {num} / {ssq} END AS acf
+FROM base b CROSS JOIN lagsp l
+LEFT JOIN pairs p ON p.service = b.service AND p.lag = l.lag
+"""
+
+
+def q_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service day-of-week anomaly report (operators/detect.
+    dow_anomalies): every observed day vs its same-weekday mean with an
+    exact-integer 1.5× flag — the seasonality-aware complement to the
+    flat-threshold detectors."""
+    from ..operators.detect import dow_anomalies
+
+    return dow_anomalies(error_logs(load_table(spark, sf_dir, "events")))
+
+
+def _dow_anomalies_sql() -> str:
+    from ..operators.detect import (DOW_ANOM_DEN, DOW_ANOM_MIN_OBS,
+                                    DOW_ANOM_NUM)
+    from ..functions.detmath import exact_round_div_sql
+    return f"""
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+dailyd AS (SELECT service, x, y, (x + 3) % 7 AS dow FROM daily),
+prof AS (
+    SELECT service, dow, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sy
+    FROM dailyd GROUP BY 1, 2
+)
+SELECT d.service AS service, d.x AS day_epoch, d.dow AS dow, d.y AS y,
+       p.n AS dow_days,
+       {exact_round_div_sql('p.sy', 'p.n', 4)} AS dow_mean,
+       {exact_round_div_sql('d.y * p.n', 'p.sy', 4)} AS ratio,
+       ({DOW_ANOM_DEN} * d.y * p.n > {DOW_ANOM_NUM} * p.sy
+        AND p.n >= {DOW_ANOM_MIN_OBS}) AS is_anomalous
+FROM dailyd d JOIN prof p ON d.service = p.service AND d.dow = p.dow
+"""
+
+
 def q_error_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service one-sided CUSUM change-point detector over daily
     error counts (operators/detect.cusum_drift): catches sustained
@@ -1095,6 +1188,8 @@ QUERIES: dict[str, QuerySpec] = {
     "holt_forecast": QuerySpec(q_holt_forecast, _holt_forecast_sql()),
     "changepoint_split": QuerySpec(q_changepoint_split,
                                    _changepoint_split_sql()),
+    "acf_daily": QuerySpec(q_acf_daily, _acf_daily_sql()),
+    "dow_anomalies": QuerySpec(q_dow_anomalies, _dow_anomalies_sql()),
     "error_cusum_drift": QuerySpec(q_error_cusum_drift,
                                    SQL_ERROR_CUSUM_DRIFT),
     "hdr_latency_quantiles": QuerySpec(q_hdr_latency_quantiles,

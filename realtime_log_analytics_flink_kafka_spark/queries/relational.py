@@ -1598,6 +1598,179 @@ FROM qi GROUP BY segment
 """
 
 
+# --- TPC-H Q8 shape: nation market share --------------------------------------
+
+#: Market-share report scope: the customer region audited and the
+#: supplier nation whose share is measured (NATION_7 sits inside ASIA,
+#: but any nation's suppliers sell into the region).  The part-type
+#: restriction narrows the market to one product segment, as Q8 does.
+MKT_SHARE_REGION = "ASIA"
+MKT_SHARE_NATION = "NATION_7"
+MKT_SHARE_PART_TYPE = "ECONOMY"
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order-year, the share of ``MKT_SHARE_REGION``
+    customers' ECONOMY-part revenue that ``MKT_SHARE_NATION``'s
+    suppliers captured — the market-share trend report.
+
+    Scale shape: the part-type restriction is a broadcast LEFT SEMI
+    join (a filter, so rows drop before the fact-fact shuffle); the
+    region restriction rides the broadcast customer→nation→region
+    chain (dimension-sized); the supplier leg broadcasts an INDICATOR
+    column instead of filtering — the denominator needs every
+    supplier's revenue, so the predicate must travel through the join,
+    not prune it.  The only shuffle is lineitem × orders on the order
+    key; output is years-sized.
+
+    Determinism: both sums accumulate DECIMAL(20,6) (the conditional
+    one sums an all-or-zero decimal), doubles appear only at the final
+    share division (det_round 6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    econ_parts = (_t(spark, sf_dir, "part")
+                  .filter(F.col("p_type") == MKT_SHARE_PART_TYPE)
+                  .select("p_partkey"))
+    region_cust = (_t(spark, sf_dir, "customer")
+                   .join(F.broadcast(nation),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(_t(spark, sf_dir, "region")),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .filter(F.col("r_name") == MKT_SHARE_REGION)
+                   .select("c_custkey"))
+    supp_ind = (_t(spark, sf_dir, "supplier")
+                .join(F.broadcast(nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("sn_name"))),
+                    F.col("s_nationkey") == F.col("sn_key"))
+                .select("s_suppkey",
+                        (F.col("sn_name") == MKT_SHARE_NATION)
+                        .alias("is_target")))
+    money = (F.col("l_extendedprice")
+             * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+    return (li.join(F.broadcast(econ_parts),
+                    F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(region_cust),
+                  F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .join(F.broadcast(supp_ind),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(money).alias("tot_dec"),
+                 F.sum(F.when(F.col("is_target"), money)).alias("tgt_dec"))
+            .select("o_year",
+                    F.col("tot_dec").cast("double").alias("total_revenue"),
+                    F.coalesce(F.col("tgt_dec"),
+                               F.lit(0).cast("decimal(20,6)"))
+                    .cast("double").alias("nation_revenue"),
+                    det_round(F.coalesce(F.col("tgt_dec"),
+                                         F.lit(0).cast("decimal(20,6)"))
+                              .cast("double")
+                              / F.col("tot_dec").cast("double"), 6)
+                    .alias("mkt_share")))
+
+
+SQL_NATION_MARKET_SHARE = f"""
+WITH region_cust AS (
+    SELECT c_custkey
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{MKT_SHARE_REGION}'
+),
+supp_ind AS (
+    SELECT s_suppkey, (n_name = '{MKT_SHARE_NATION}') AS is_target
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+agg AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(20,6))) AS tot_dec,
+           sum(CASE WHEN is_target
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(20,6)) END) AS tgt_dec
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supp_ind ON l_suppkey = s_suppkey
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_type = '{MKT_SHARE_PART_TYPE}')
+      AND o_custkey IN (SELECT c_custkey FROM region_cust)
+    GROUP BY 1
+)
+SELECT o_year,
+       CAST(tot_dec AS DOUBLE) AS total_revenue,
+       CAST(COALESCE(tgt_dec, CAST(0 AS DECIMAL(20,6))) AS DOUBLE)
+           AS nation_revenue,
+       {det_round_sql("CAST(COALESCE(tgt_dec, CAST(0 AS DECIMAL(20,6)))"
+                      " AS DOUBLE) / CAST(tot_dec AS DOUBLE)", 6)}
+           AS mkt_share
+FROM agg
+"""
+
+
+# --- TPC-H Q14 shape: promo revenue effect ------------------------------------
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per ship-month, the percentage of revenue from
+    PROMO-type parts — the promotion-effect tracker.
+
+    Scale shape: the part predicate CANNOT prune (the denominator is
+    all-type revenue), so the broadcast part map carries an is_promo
+    indicator through the join — the indicator-vs-filter distinction
+    that separates Q14 from Q8's semi-join leg.  One lineitem pass, no
+    fact-fact shuffle at all (part is the only join), months-sized
+    output.
+
+    Determinism: DECIMAL accumulation for both sums, det_round(…, 6)
+    at the single double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_ind = (_t(spark, sf_dir, "part")
+                .select("p_partkey",
+                        (F.col("p_type") == "PROMO").alias("is_promo")))
+    money = (F.col("l_extendedprice")
+             * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+    return (li.join(F.broadcast(part_ind),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                     .alias("ship_month"))
+            .agg(F.sum(money).alias("tot_dec"),
+                 F.sum(F.when(F.col("is_promo"), money)).alias("promo_dec"))
+            .select("ship_month",
+                    F.col("tot_dec").cast("double").alias("total_revenue"),
+                    F.coalesce(F.col("promo_dec"),
+                               F.lit(0).cast("decimal(20,6)"))
+                    .cast("double").alias("promo_revenue"),
+                    det_round(F.lit(100.0)
+                              * F.coalesce(F.col("promo_dec"),
+                                           F.lit(0).cast("decimal(20,6)"))
+                              .cast("double")
+                              / F.col("tot_dec").cast("double"), 6)
+                    .alias("promo_pct")))
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+WITH agg AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(20,6))) AS tot_dec,
+           sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(20,6)) END) AS promo_dec
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+)
+SELECT ship_month,
+       CAST(tot_dec AS DOUBLE) AS total_revenue,
+       CAST(COALESCE(promo_dec, CAST(0 AS DECIMAL(20,6))) AS DOUBLE)
+           AS promo_revenue,
+       {det_round_sql("100.0 * CAST(COALESCE(promo_dec,"
+                      " CAST(0 AS DECIMAL(20,6))) AS DOUBLE)"
+                      " / CAST(tot_dec AS DOUBLE)", 6)} AS promo_pct
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "k_anonymity_audit": QuerySpec(q_k_anonymity_audit,
                                    _k_anonymity_audit_sql()),
@@ -1654,4 +1827,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_returned_revenue_customers, SQL_RETURNED_REVENUE_CUSTOMERS),
     "large_volume_orders": QuerySpec(q_large_volume_orders,
                                      SQL_LARGE_VOLUME_ORDERS),
+    "nation_market_share": QuerySpec(q_nation_market_share,
+                                     SQL_NATION_MARKET_SHARE),
+    "promo_revenue_share": QuerySpec(q_promo_revenue_share,
+                                     SQL_PROMO_REVENUE_SHARE),
 }

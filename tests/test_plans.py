@@ -129,6 +129,9 @@ NESTED_LOOP_SANCTIONED = {
     # composes hybrid_retrieval's two sanctioned single-row broadcasts;
     # the fused subtree appears once per method branch (lexical+hybrid)
     "retrieval_ndcg": 4,
+    # two #lags-row (3) literal-spine broadcasts: days × lags pair
+    # heads, and the per-service base × lags report spine
+    "acf_daily": 2,
 }
 
 

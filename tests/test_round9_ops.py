@@ -251,3 +251,184 @@ class TestChangepointSplit:
         [r] = changepoint_split(df).collect()
         assert r.n_days == 1 and r.total_errors == 1
         assert r.split_last_left_day is None and r.gain is None
+
+
+class TestAcfDaily:
+    def test_alternating_series_hand_values(self, spark):
+        """y = 1,2,1,2,1,2 has mu=1.5, ssq=1.5 — lag-1 pairs all
+        anti-correlate (acf = -1.25/1.5), lag-2 all correlate
+        (1.0/1.5), lag-3 anti (-0.75/1.5); every value is the exact
+        double the integer-sum DAG produces."""
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            acf_from_daily)
+        daily = spark.createDataFrame(
+            [("svc", d, 1 + d % 2) for d in range(6)],
+            "service string, x long, y long")
+        rows = {r.lag: r for r in acf_from_daily(daily).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert all(r.n_days == 6 for r in rows.values())
+        assert (rows[1].n_pairs, rows[2].n_pairs, rows[3].n_pairs) == (5, 4, 3)
+        assert rows[1].acf == -1.25 / 1.5
+        assert rows[2].acf == 1.0 / 1.5
+        assert rows[3].acf == -0.75 / 1.5
+
+    def test_gap_days_match_on_calendar_not_rank(self, spark):
+        """Observed days {0,1,3}: lag-1 must pair only (0,1) — day 3's
+        rank-neighbor 1 is calendar distance 2 and must land in the
+        lag-2 bucket instead (the rank-spaced estimator would report 2
+        lag-1 pairs)."""
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            acf_from_daily)
+        daily = spark.createDataFrame(
+            [("svc", 0, 4), ("svc", 1, 7), ("svc", 3, 5)],
+            "service string, x long, y long")
+        rows = {r.lag: r.n_pairs for r in acf_from_daily(daily).collect()}
+        assert rows == {1: 1, 2: 1, 3: 1}
+
+    def test_constant_series_null_acf(self, spark):
+        """A constant series has zero variance: pairs exist but acf is
+        NULL (0/0 guarded), never NaN or a division error."""
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            acf_from_daily)
+        daily = spark.createDataFrame(
+            [("svc", d, 9) for d in range(5)],
+            "service string, x long, y long")
+        for r in acf_from_daily(daily).collect():
+            assert r.n_pairs > 0 and r.acf is None
+
+    def test_single_day_service_keeps_rows(self, spark):
+        """A one-day service still reports one row per lag (n_pairs=0,
+        NULL acf) via the service x lags spine left join."""
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            acf_from_daily)
+        daily = spark.createDataFrame(
+            [("one", 0, 3), ("two", 0, 1), ("two", 1, 2), ("two", 2, 4)],
+            "service string, x long, y long")
+        out = acf_from_daily(daily).collect()
+        one = [r for r in out if r.service == "one"]
+        assert len(one) == 3
+        assert all(r.n_pairs == 0 and r.acf is None for r in one)
+
+
+class TestLocalClustering:
+    def test_triangle_plus_pendant_hand_values(self, spark):
+        """Graph {1-2, 2-3, 1-3, 3-4}: nodes 1/2 close their only wedge
+        (cc=1), node 3 closes one of three (cc=1/3 at scale 6), the
+        pendant 4 has no wedge (NULL cc)."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            local_clustering)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long")
+        rows = {r.doc_id: r for r in local_clustering(pairs).collect()}
+        assert {n: r.n_triangles for n, r in rows.items()} == \
+            {1: 1, 2: 1, 3: 1, 4: 0}
+        assert rows[1].local_cc == 1.0 and rows[2].local_cc == 1.0
+        assert rows[3].local_cc == 0.333333
+        assert rows[4].local_cc is None
+
+    def test_corner_attribution_sums_to_three_per_triangle(self, spark):
+        """Every triangle contributes exactly 3 corner credits:
+        Σ n_triangles over nodes == 3 · the global census count, on a
+        graph with hubs, cliques, and isolated edges mixed."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            local_clustering, triangle_stats)
+        edges = ([(0, i) for i in range(1, 7)]          # star hub
+                 + [(10, 11), (10, 12), (11, 12),       # clique K3
+                    (10, 13), (11, 13), (12, 13)]       # ... grown to K4
+                 + [(20, 21)])                          # isolated edge
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        per_node = local_clustering(pairs).collect()
+        [census] = triangle_stats(pairs).collect()
+        assert sum(r.n_triangles for r in per_node) == 3 * census.n_triangles
+        assert census.n_triangles == 4  # K4 has 4 triangles, star has 0
+        k4 = {r.doc_id: r.local_cc for r in per_node
+              if r.doc_id in (10, 11, 12, 13)}
+        assert set(k4.values()) == {1.0}
+        hub = next(r for r in per_node if r.doc_id == 0)
+        assert hub.local_cc == 0.0
+
+
+class TestDiagMahalanobisOutliers:
+    def test_planted_outlier_is_flagged_and_argmaxed(self, spark):
+        """20 tight vectors around the origin plus one planted far
+        point: the far point must be the label's argmax AND the only
+        score above the cut; a constant dimension (sigma=0) contributes
+        0 instead of dividing by zero."""
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            diag_mahalanobis_outliers)
+        rows = []
+        for i in range(20):
+            # dim0 alternates +-1 (sd=1), dim1 is CONSTANT (sd=0),
+            # dim2 alternates +-2
+            rows.append((i, 0, [1.0 if i % 2 else -1.0, 5.0,
+                                2.0 if i % 2 else -2.0]))
+        rows.append((99, 0, [50.0, 5.0, 0.0]))
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>")
+        [r] = diag_mahalanobis_outliers(vecs, score_threshold=10.0).collect()
+        assert r.n_vecs == 21
+        assert r.top_vec_id == 99
+        assert r.n_outliers == 1
+        assert r.top_score > 10.0
+
+    def test_null_label_and_empty_vector_excluded(self, spark):
+        """The _cov_cells contract: NULL-label rows and empty vectors
+        never reach the statistics on either engine."""
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            diag_mahalanobis_outliers)
+        rows = [(0, 1, [1.0, 2.0]), (1, 1, [3.0, 4.0]),
+                (2, None, [9.0, 9.0]), (3, 1, [])]
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>")
+        [r] = diag_mahalanobis_outliers(vecs, score_threshold=1e9).collect()
+        assert r.label == 1 and r.n_vecs == 2 and r.n_outliers == 0
+
+
+class TestDowAnomalies:
+    def test_doubled_monday_flags_only_with_min_obs(self, spark):
+        """Three normal Mondays (10 errors) and one doubled Monday (20):
+        the doubled one exceeds 1.5x the Monday mean (20 vs 12.5) and
+        has 4 observations, so it flags; the normal Mondays (ratio 0.8)
+        and a lone Sunday (min-obs guard) do not."""
+        from datetime import datetime, timedelta
+
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            dow_anomalies)
+        t0 = datetime(2024, 1, 1)           # a Monday
+        rows = []
+        for wk, n in enumerate([10, 10, 10, 20]):
+            for i in range(n):
+                rows.append((t0 + timedelta(weeks=wk, seconds=i), "svc", 1))
+        for i in range(50):                  # one lone Sunday, huge count
+            rows.append((t0 + timedelta(days=6, seconds=i), "svc", 1))
+        df = spark.createDataFrame(
+            rows, "ts timestamp, service string, is_error int")
+        out = dow_anomalies(df).collect()
+        flagged = [r for r in out if r.is_anomalous]
+        assert len(flagged) == 1
+        assert flagged[0].y == 20 and flagged[0].dow == 0
+        assert flagged[0].dow_days == 4 and flagged[0].dow_mean == 12.5
+        assert flagged[0].ratio == 1.6
+        sunday = next(r for r in out if r.dow == 6)
+        assert not sunday.is_anomalous  # n=1 < min obs, despite ratio 1.0
+
+    def test_exact_boundary_not_flagged(self, spark):
+        """The 1.5x cut is a strict integer inequality: a day at exactly
+        1.5x its weekday mean must NOT flag (2*y*n == 3*sy)."""
+        from datetime import datetime, timedelta
+
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            dow_anomalies)
+        t0 = datetime(2024, 1, 2)            # a Tuesday
+        rows = []
+        # Tuesdays with 6, 6, 6, 12: mean = 7.5, 12/7.5 = 1.6 -> flags;
+        # change last to 9: mean 6.75, 9/6.75 = 4/3 -> no flag;
+        # exact boundary: counts 5, 5, 5, 9 -> mean 6, 9/6 = 1.5 exactly
+        for wk, n in enumerate([5, 5, 5, 9]):
+            for i in range(n):
+                rows.append((t0 + timedelta(weeks=wk, seconds=i), "svc", 1))
+        df = spark.createDataFrame(
+            rows, "ts timestamp, service string, is_error int")
+        out = dow_anomalies(df).collect()
+        assert all(not r.is_anomalous for r in out)
+        assert max(r.ratio for r in out) == 1.5

@@ -1257,3 +1257,52 @@ def test_holt_stream_matches_batch(spark, tmp_path):
     # a constant series smooths to itself: level == y, trend == 0
     assert by_svc["svc-level"][2] == 9.0 and by_svc["svc-level"][3] == 0.0
     assert by_svc["svc-level"][5] == 0.0   # zero one-step SSE
+
+
+def test_acf_stream_matches_batch(spark, tmp_path):
+    """acf_daily's streaming decomposition: the daily error counts are
+    maintained as a complete-mode streaming aggregation and the ACF
+    sufficient statistics re-folded from that state (the cusum/holt
+    twin contract — the statistic is a pure function of the (service,
+    day) table, so maintained state + refold == one-shot batch)."""
+    from datetime import timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.functions.detmath import int_div
+    from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+        DAY_REBASE, acf_daily, acf_from_daily)
+
+    rows, eid = [], 0
+    for svc, counts in [("svc-alt", [4, 9, 4, 9, 4, 9]),
+                        ("svc-ramp", [2, 4, 6, 8])]:
+        for d, n in enumerate(counts):
+            for i in range(n):
+                rows.append({
+                    "event_id": eid,
+                    "ts": T0 + timedelta(days=d, seconds=i),
+                    "service": svc,
+                    "is_error": 1,
+                    "latency_ms": 100.0,
+                })
+                eid += 1
+    path = str(tmp_path / "acflogs")
+    _write_logs(spark, rows, path)
+
+    daily_stream = (
+        _read_stream(spark, path)
+        .groupBy("service", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    q = start_memory_sink(daily_stream, "acf_daily_state",
+                          output_mode="complete")
+    _drain(q)
+    daily = spark.table("acf_daily_state").select(
+        "service",
+        (int_div(F.col("w.start").cast("long"), F.lit(86400))
+         - F.lit(DAY_REBASE)).alias("x"),
+        "y",
+    )
+    got = {tuple(r) for r in acf_from_daily(daily).collect()}
+    want = {tuple(r) for r in acf_daily(spark.read.parquet(path)).collect()}
+    assert got == want and len(want) == 6  # 2 services x 3 lags
+    alt1 = next(r for r in want if r[0] == "svc-alt" and r[1] == 1)
+    assert alt1[4] < 0  # alternating series anti-correlates at lag 1
