@@ -1758,7 +1758,60 @@ FROM train JOIN test USING (service, band)
 """
 
 
+# --- CEP-style sequence pattern matching ---------------------------------------
+
+#: The matched pattern and its time bound: two errors then a purchase
+#: by the same user within a day — the "user pushed through failures
+#: and still converted" friction audit.  Literals so the oracle emits
+#: the identical alphabet filter and bound.
+SEQ_PATTERN = ("error", "error", "purchase")
+SEQ_WINDOW_S = 86_400
+
+
+def q_sequence_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-step event-sequence pattern matches per user (operators/
+    sequences.match_sequence): the CEP construct class — Flink's
+    flagship feature family — as one lead() predicate over the
+    alphabet-filtered per-user stream under relaxed contiguity, with a
+    microsecond-exact time bound.  All-BIGINT output."""
+    from ..operators.sequences import match_sequence
+
+    return match_sequence(_t(spark, sf_dir, "events"),
+                          pattern=SEQ_PATTERN, window_s=SEQ_WINDOW_S)
+
+
+def _sequence_matches_sql() -> str:
+    k = len(SEQ_PATTERN) - 1
+    alphabet = "','".join(sorted(set(SEQ_PATTERN)))
+    steps = " AND ".join(f"_t{i} = '{t}'"
+                         for i, t in enumerate(SEQ_PATTERN[1:], 1))
+    leads = ",\n           ".join(
+        f"lead(event_type, {i}) OVER w AS _t{i}" for i in range(1, k + 1))
+    return f"""
+WITH relevant AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tus, event_id AS eid
+    FROM events WHERE event_type IN ('{alphabet}')
+),
+led AS (
+    SELECT user_id, event_type, tus, eid,
+           {leads},
+           lead(tus, {k}) OVER w AS _tend,
+           lead(eid, {k}) OVER w AS _eend
+    FROM relevant
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus, eid)
+)
+SELECT user_id, tus AS start_us, _tend AS end_us,
+       _tend - tus AS duration_us,
+       eid AS start_event_id, _eend AS end_event_id
+FROM led
+WHERE event_type = '{SEQ_PATTERN[0]}' AND {steps}
+  AND _tend - tus <= {SEQ_WINDOW_S * 1_000_000}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sequence_matches": QuerySpec(q_sequence_matches,
+                                  _sequence_matches_sql()),
     "error_latency_auc": QuerySpec(q_error_latency_auc,
                                    _error_latency_auc_sql()),
     "error_rate_calibration": QuerySpec(q_error_rate_calibration,

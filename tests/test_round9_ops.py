@@ -432,3 +432,68 @@ class TestDowAnomalies:
         out = dow_anomalies(df).collect()
         assert all(not r.is_anomalous for r in out)
         assert max(r.ratio for r in out) == 1.5
+
+
+class TestSequenceMatches:
+    def _ev(self, spark, rows):
+        from datetime import datetime, timedelta
+        t0 = datetime(2024, 1, 1)
+        data = [(eid, t0 + timedelta(seconds=s), uid, typ)
+                for eid, (uid, s, typ) in enumerate(rows)]
+        return spark.createDataFrame(
+            data, "event_id long, ts timestamp, user_id long,"
+                  " event_type string")
+
+    def test_relaxed_contiguity_skips_non_alphabet_types(self, spark):
+        """A 'view' between the two errors is OUTSIDE the pattern
+        alphabet and must be invisible; a 'purchase' there IS in the
+        alphabet and must break the match."""
+        from realtime_log_analytics_flink_kafka_spark.operators.sequences import (
+            match_sequence)
+        pat = ("error", "error", "purchase")
+        ok = self._ev(spark, [(1, 0, "error"), (1, 5, "view"),
+                              (1, 10, "error"), (1, 20, "purchase")])
+        broken = self._ev(spark, [(2, 0, "error"), (2, 5, "purchase"),
+                                  (2, 10, "error"), (2, 20, "purchase")])
+        got = match_sequence(ok, pattern=pat, window_s=60).collect()
+        assert len(got) == 1
+        assert (got[0].start_event_id, got[0].end_event_id) == (0, 3)
+        assert got[0].duration_us == 20_000_000
+        assert match_sequence(broken, pattern=pat,
+                              window_s=60).count() == 0
+
+    def test_time_bound_is_exact_microseconds(self, spark):
+        """A match whose span exceeds the window by any margin is out;
+        one exactly AT the bound is in (<=, microsecond-exact)."""
+        from realtime_log_analytics_flink_kafka_spark.operators.sequences import (
+            match_sequence)
+        pat = ("error", "purchase")
+        at = self._ev(spark, [(1, 0, "error"), (1, 60, "purchase")])
+        over = self._ev(spark, [(2, 0, "error"), (2, 61, "purchase")])
+        assert match_sequence(at, pattern=pat, window_s=60).count() == 1
+        assert match_sequence(over, pattern=pat, window_s=60).count() == 0
+
+    def test_repeating_stream_yields_every_occurrence(self, spark):
+        """e,e,p,e,e,p per user: two matches, and matches never cross
+        users."""
+        from realtime_log_analytics_flink_kafka_spark.operators.sequences import (
+            match_sequence)
+        pat = ("error", "error", "purchase")
+        rows = []
+        for uid in (1, 2):
+            for rep in range(2):
+                base = rep * 100
+                rows += [(uid, base, "error"), (uid, base + 10, "error"),
+                         (uid, base + 20, "purchase")]
+        df = self._ev(spark, rows)
+        got = match_sequence(df, pattern=pat, window_s=3600).collect()
+        assert len(got) == 4
+        assert {r.user_id for r in got} == {1, 2}
+
+    def test_short_pattern_rejected(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.sequences import (
+            match_sequence)
+        df = self._ev(spark, [(1, 0, "error")])
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match=">= 2 steps"):
+            match_sequence(df, pattern=("error",), window_s=60)

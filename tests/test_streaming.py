@@ -1306,3 +1306,51 @@ def test_acf_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 6  # 2 services x 3 lags
     alt1 = next(r for r in want if r[0] == "svc-alt" and r[1] == 1)
     assert alt1[4] < 0  # alternating series anti-correlates at lag 1
+
+
+def test_sequence_match_stream_matches_batch(spark, tmp_path):
+    """CEP streaming twin: the keyed last-k ring in
+    match_sequence_stateful must emit exactly the batch matcher's rows,
+    including matches that SPAN micro-batches (the second error and the
+    purchase arriving in later files than the first error)."""
+    from datetime import datetime, timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.operators.sequences import (
+        match_sequence, match_sequence_stateful)
+
+    pat = ("error", "error", "purchase")
+    t0 = datetime(2024, 1, 1)
+    # user 1: full match split across files; user 2: broken by an
+    # in-alphabet purchase; user 3: match over the time bound
+    rows = [
+        (0, t0, 1, "error"), (1, t0 + timedelta(seconds=5), 1, "view"),
+        (2, t0 + timedelta(seconds=10), 1, "error"),
+        (3, t0 + timedelta(seconds=20), 1, "purchase"),
+        (10, t0, 2, "error"), (11, t0 + timedelta(seconds=5), 2, "purchase"),
+        (12, t0 + timedelta(seconds=10), 2, "error"),
+        (13, t0 + timedelta(seconds=20), 2, "purchase"),
+        (20, t0, 3, "error"), (21, t0 + timedelta(seconds=10), 3, "error"),
+        (22, t0 + timedelta(seconds=5000), 3, "purchase"),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string")
+    path = str(tmp_path / "seqev")
+    # one file per event-time third, so the user-1 match spans batches
+    df = spark.createDataFrame(rows, schema)
+    for i, cut in enumerate([(0, 6), (6, 15), (15, 10**6)]):
+        (df.filter((F.col("ts") >= t0 + timedelta(seconds=cut[0]))
+                   & (F.col("ts") < t0 + timedelta(seconds=cut[1])))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{path}/part{i}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{path}/part*"))
+    out = match_sequence_stateful(stream, pattern=pat, window_s=60)
+    q = start_memory_sink(out, "seq_matches", output_mode="append")
+    _drain(q)
+    got = {tuple(r) for r in spark.table("seq_matches").collect()}
+    want = {tuple(r) for r in
+            match_sequence(spark.read.parquet(f"{path}/part*"),
+                           pattern=pat, window_s=60).collect()}
+    assert got == want
+    assert len(want) == 1 and next(iter(want))[0] == 1  # only user 1
