@@ -601,6 +601,107 @@ WHERE {det_round_sql(DOT_SQL.format(a='a.embedding', b='b.embedding')
 """
 
 
+#: Lloyd-refinement knobs: the IVF seed convention (every 97th vector)
+#: and a fixed 2-sweep refinement so the oracle stays a finite CTE
+#: unroll (the pagerank/kcore contract).
+KMEANS_EVERY = 97
+KMEANS_ITERS = 2
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means codebook refinement
+    (operators/similarity.kmeans_refine): the training step the IVF
+    family samples away — per-centroid member counts and exact
+    within-cluster inertia after two sweeps from the deterministic
+    every-97th seeds.  Broadcast assignment, chunked-sorted-fold
+    re-estimation, empty clusters keep their previous centroid."""
+    return similarity.kmeans_refine(_embs(spark, sf_dir),
+                                    centroid_every=KMEANS_EVERY,
+                                    iters=KMEANS_ITERS)
+
+
+def _kmeans_refine_sql() -> str:
+    d2 = ("list_reduce(list_prepend(0.0, list_transform(range(1, {d1}), "
+          "i -> (CAST(v.embedding[i] AS DOUBLE) - c.cvec[i])"
+          " * (CAST(v.embedding[i] AS DOUBLE) - c.cvec[i]))), "
+          "(acc, x) -> acc + x)").format(d1=EMB_DIM + 1)
+    fold = "list_reduce(list_prepend(0.0, {arr}), (acc, x) -> acc + x)"
+    its = []
+    prev = "cent0"
+    for r in range(1, KMEANS_ITERS + 1):
+        its.append(f"""a{r} AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id AS vec_id, v.embedding AS embedding,
+               c.centroid_id AS centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {d2} ASC, c.centroid_id ASC) AS rn
+        FROM vx v CROSS JOIN {prev} c
+    ) WHERE rn = 1
+),
+e{r} AS (
+    SELECT centroid_id, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
+           CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS v
+    FROM a{r} CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
+),
+pc{r} AS (
+    SELECT centroid_id, pos, chunk,
+           {fold.format(arr='list_sort(list(v))')} AS chunk_sum,
+           count(*) AS chunk_n
+    FROM e{r} GROUP BY 1, 2, 3
+),
+m{r} AS (
+    SELECT centroid_id, pos,
+           {fold.format(arr='list_sort(list(chunk_sum))')}
+               / CAST(sum(chunk_n) AS DOUBLE) AS m
+    FROM pc{r} GROUP BY 1, 2
+),
+nc{r} AS (
+    SELECT centroid_id, list(m ORDER BY pos) AS nvec
+    FROM m{r} GROUP BY centroid_id
+),
+cent{r} AS (
+    SELECT c.centroid_id AS centroid_id,
+           COALESCE(n.nvec, c.cvec) AS cvec
+    FROM {prev} c LEFT JOIN nc{r} n USING (centroid_id)
+)""")
+        prev = f"cent{r}"
+    return f"""
+WITH vx AS (
+    SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0
+),
+cent0 AS (
+    SELECT vec_id AS centroid_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM vx WHERE vec_id % {KMEANS_EVERY} = 0
+),
+{",".join(its)},
+f AS (
+    SELECT vec_id, centroid_id, dist2 FROM (
+        SELECT v.vec_id AS vec_id, c.centroid_id AS centroid_id,
+               {d2} AS dist2,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {d2} ASC, c.centroid_id ASC) AS rn
+        FROM vx v CROSS JOIN {prev} c
+    ) WHERE rn = 1
+),
+fc AS (
+    SELECT centroid_id, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
+           {fold.format(arr='list_sort(list(dist2))')} AS chunk_sum,
+           CAST(count(*) AS BIGINT) AS cn
+    FROM f GROUP BY 1, 2
+),
+rep AS (
+    SELECT centroid_id, CAST(sum(cn) AS BIGINT) AS n_vecs,
+           {fold.format(arr='list_sort(list(chunk_sum))')} AS inertia
+    FROM fc GROUP BY centroid_id
+)
+SELECT c.centroid_id AS centroid_id,
+       COALESCE(r.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+       r.inertia AS inertia
+FROM {prev} c LEFT JOIN rep r USING (centroid_id)
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_embs(spark, sf_dir))
 
@@ -5598,6 +5699,7 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "hard_negatives": QuerySpec(q_hard_negatives, SQL_HARD_NEGATIVES),
     "knn_ivf": QuerySpec(q_knn_ivf, SQL_KNN_IVF),
+    "kmeans_refine": QuerySpec(q_kmeans_refine, _kmeans_refine_sql()),
     "knn_ivf_pq": QuerySpec(q_knn_ivf_pq, _knn_ivf_pq_sql()),
     "knn_ivf_multiprobe": QuerySpec(q_knn_ivf_multiprobe,
                                     SQL_KNN_IVF_MULTIPROBE),

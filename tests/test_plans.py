@@ -132,6 +132,9 @@ NESTED_LOOP_SANCTIONED = {
     # two #lags-row (3) literal-spine broadcasts: days × lags pair
     # heads, and the per-service base × lags report spine
     "acf_daily": 2,
+    # one bounded centroid-set broadcast per Lloyd sweep + the final
+    # assignment (the knn_ivf subtree, KMEANS_ITERS + 1 times)
+    "kmeans_refine": 3,
 }
 
 

@@ -497,3 +497,57 @@ class TestSequenceMatches:
         import pytest as _pytest
         with _pytest.raises(ValueError, match=">= 2 steps"):
             match_sequence(df, pattern=("error",), window_s=60)
+
+
+class TestKmeansRefine:
+    def _blobs(self, spark):
+        # two tight blobs around (0,0) and (10,10); ids chosen so the
+        # every-3rd seeds are vec 0 (blob A) and vec 3 (blob B)
+        rows = [(0, [0.1, 0.0]), (1, [0.0, 0.1]), (2, [-0.1, 0.0]),
+                (3, [10.1, 10.0]), (4, [10.0, 10.1]), (5, [9.9, 10.0])]
+        return spark.createDataFrame(
+            [(i, 0, v) for i, v in rows],
+            "vec_id long, label int, embedding array<float>")
+
+    def test_planted_blobs_converge_to_blob_means(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            kmeans_refine)
+        out = {r.centroid_id: r for r in
+               kmeans_refine(self._blobs(spark), centroid_every=3,
+                             iters=2).collect()}
+        assert set(out) == {0, 3}
+        assert out[0].n_vecs == 3 and out[3].n_vecs == 3
+        # after refinement each centroid is its blob's mean; the blob
+        # inertia is tiny compared to the blob separation (~200)
+        assert out[0].inertia < 0.1 and out[3].inertia < 0.1
+
+    def test_lloyd_never_increases_inertia(self, spark):
+        """Total inertia after 2 sweeps <= after 0 sweeps (assignment
+        against the raw seeds) — the Lloyd monotonicity invariant."""
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            kmeans_refine)
+        df = self._blobs(spark)
+        i0 = sum(r.inertia or 0.0 for r in
+                 kmeans_refine(df, centroid_every=3, iters=0).collect())
+        i2 = sum(r.inertia or 0.0 for r in
+                 kmeans_refine(df, centroid_every=3, iters=2).collect())
+        assert i2 <= i0
+
+    def test_empty_cluster_keeps_seed_and_reports_zero(self, spark):
+        """A seed that captures no vectors must survive every round
+        (coalesce to the previous centroid) and report n_vecs=0 with
+        NULL inertia.  Seeds 0 and 2 share EXACT coordinates, so every
+        vector ties and the min-centroid-id break sends all of them to
+        cluster 0 — cluster 2 is genuinely empty from round one."""
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            kmeans_refine)
+        rows = [(0, [5.0, 5.0]), (1, [4.0, 5.0]),
+                (2, [5.0, 5.0]), (3, [6.0, 5.0])]
+        df = spark.createDataFrame(
+            [(i, 0, v) for i, v in rows],
+            "vec_id long, label int, embedding array<float>")
+        out = {r.centroid_id: r for r in
+               kmeans_refine(df, centroid_every=2, iters=2).collect()}
+        assert set(out) == {0, 2}
+        assert out[0].n_vecs == 4
+        assert out[2].n_vecs == 0 and out[2].inertia is None
