@@ -483,6 +483,60 @@ def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
                          F.col("label").alias("cluster_id"))
 
 
+def adjusted_rand_index(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """Adjusted Rand index between two clusterings of (partially
+    overlapping) document sets — the partition-level agreement score
+    between two dedup detectors (pair-level calibration says each is
+    close to exact Jaccard; this says whether they draw the same
+    PARTITION, which is what survivor selection consumes).
+
+    Inputs are two ``(doc_id, cluster_id)`` relations; the statistic is
+    computed over their UNION universe, a doc missing from one side
+    counting as its own singleton there.
+
+    Scale shape: a coalesce join on doc id, one contingency aggregation
+    keyed by (cluster_a, cluster_b), two marginal aggregations, and
+    three SANCTIONED single-row broadcasts assembling the scalar — no
+    window, no sort, one output row.
+
+    Determinism: all pair counts are exact BIGINT combinatorics
+    (n·(n−1)/2 via int_div); sa·sb would overflow int64 on a 10⁵-doc
+    graph, so the expected-index term is computed in doubles as the
+    identical DAG in both dialects.  den = 0 implies num = 0 (sa = sb
+    = 0 forces sij = 0; sa = sb = C(n,2) forces sij = C(n,2)), and
+    that degenerate perfect agreement reports ARI = 1.
+    """
+    ca = ca.select("doc_id", F.col("cluster_id").alias("_ca"))
+    cb = cb.select("doc_id", F.col("cluster_id").alias("_cb"))
+    univ = ca.select("doc_id").unionAll(cb.select("doc_id")).distinct()
+    j = (univ.join(ca, "doc_id", "left").join(cb, "doc_id", "left")
+         .select(F.coalesce("_ca", "doc_id").alias("ca"),
+                 F.coalesce("_cb", "doc_id").alias("cb")))
+
+    def pairs2(c: Column) -> Column:
+        return F.sum(int_div(c * (c - 1), F.lit(2))).cast("long")
+
+    cont = j.groupBy("ca", "cb").agg(F.count("*").cast("long").alias("nij"))
+    sij = cont.agg(pairs2(F.col("nij")).alias("sij"))
+    sa = (j.groupBy("ca").agg(F.count("*").cast("long").alias("c"))
+          .agg(pairs2(F.col("c")).alias("sa")))
+    sb = (j.groupBy("cb").agg(F.count("*").cast("long").alias("c"))
+          .agg(pairs2(F.col("c")).alias("sb")))
+    nn = j.agg(F.count("*").cast("long").alias("n_docs"))
+
+    base = (nn.crossJoin(F.broadcast(sij)).crossJoin(F.broadcast(sa))
+            .crossJoin(F.broadcast(sb)))  # three single-row broadcasts
+    nc2 = int_div(F.col("n_docs") * (F.col("n_docs") - 1), F.lit(2))
+    exp = (F.col("sa").cast("double") * F.col("sb").cast("double")
+           / nc2.cast("double"))
+    num = F.col("sij").cast("double") - exp
+    den = ((F.col("sa").cast("double") + F.col("sb").cast("double"))
+           / F.lit(2.0) - exp)
+    return base.select(
+        "n_docs", "sij", "sa", "sb",
+        F.when(den == 0.0, F.lit(1.0)).otherwise(num / den).alias("ari"))
+
+
 #: C4-style segment dedup: non-overlapping token chunks of this size …
 SEGMENT_TOKENS = 8
 #: … dropped when they occur at least this often corpus-wide.

@@ -38,7 +38,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ==== round-9 evidence policy =========================================
     # The r8 board was 50/50 green, so r9 does what VERDICT r8
     # next-round #1 asks — retire the r5-stale freshness tier: (a) the
-    # THIRTEEN r9-new query families (error_latency_auc's rank-free
+    # FOURTEEN r9-new query families (error_latency_auc's rank-free
     # cumulative pair counting, error_rate_calibration's day-parity
     # train/test split, k_anonymity_audit's QI group-size reduction,
     # holt_forecast's two-state ordered float recursion,
@@ -49,15 +49,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # embedding_outliers' broadcast-array Mahalanobis fold,
     # dow_anomalies' integer-exact seasonality flags,
     # sequence_matches' CEP-style relaxed-contiguity pattern,
-    # kmeans_refine's fixed-sweep Lloyd codebook training) — new
+    # kmeans_refine's fixed-sweep Lloyd codebook training,
+    # dedup_detector_ari's pair-counting partition agreement) — new
     # construct classes go in the window immediately; (b) the ENTIRE remaining
     # 32-query r5-stale cohort (everything whose last driver check is
     # CORRECTNESS_r05) — note robust_trend is NOT here: its r9
     # trailing-window cap (ROBUST_TREND_MAX_DAYS) is proven
     # hash-neutral on the fixture by the unchanged-oracle sf0.001/0.01
-    # sweeps and its r8 driver row is fresh; (c) 5 fills from the
+    # sweeps and its r8 driver row is fresh; (c) 4 fills from the
     # 43-query r6-stale tier, taken as the alphabetical prefix (so the
-    # next rotation continues deterministically at embedding_near_dups).
+    # next rotation continues deterministically at doc_split_counts).
     # After r9 no registry query's last driver check is older than r6
     # (the r8 done-bar, advanced one round).  Everything out-of-window
     # is re-proven by the sf0.01 full-registry value-exact sweep each
@@ -68,7 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "holt_forecast", "changepoint_split",
     "acf_daily", "nation_market_share", "promo_revenue_share",
     "dup_local_clustering", "embedding_outliers", "dow_anomalies",
-    "sequence_matches", "kmeans_refine",
+    "sequence_matches", "kmeans_refine", "dedup_detector_ari",
     # -- (b) the full r5-stale cohort (32) ----------------------------------
     "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_token_loss", "doc_chunks", "doc_fingerprints",
@@ -81,10 +82,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_counts", "token_entropy", "token_shards",
     "token_weighted_sample", "tokenizer_fertility", "top_terms_per_source",
     "winnowing_pairs", "zipf_fit",
-    # -- (c) r6-stale fill: alphabetical prefix (5; the next rotation
-    # continues deterministically at embedding_near_dups) --------------------
+    # -- (c) r6-stale fill: alphabetical prefix (4; the next rotation
+    # continues deterministically at doc_split_counts) -----------------------
     "cms_term_counts", "curation_report", "customer_running_spend",
-    "dedup_minhash_lsh", "doc_split_counts",
+    "dedup_minhash_lsh",
 )
 
 

@@ -3032,6 +3032,114 @@ FROM cc
 """
 
 
+def q_dedup_detector_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand index between the MinHash-LSH and SimHash dup
+    clusterings — the detector-AGREEMENT audit: pair-level calibration
+    (minhash_accuracy) says each detector is close to exact Jaccard;
+    this says whether the two detectors draw the same PARTITION, which
+    is what survivor selection actually consumes.  ARI ~ 1 means either
+    detector alone suffices; ARI near 0 on real data flags a corpus
+    where the two notions of "duplicate" diverge (e.g. templated pages:
+    SimHash merges them, shingle MinHash does not).
+
+    Universe: documents clustered by AT LEAST ONE detector (the union);
+    a doc the other detector left alone is its own singleton there.
+    Including never-duplicated docs would flood the statistic with
+    trivially-agreeing singleton pairs.
+
+    Scale shape: two bounded-round component propagations (the
+    dup_clusters machinery), a full-outer coalesce join on doc id, a
+    contingency aggregation keyed by (cluster_a, cluster_b), and three
+    SANCTIONED single-row broadcasts to assemble the final scalar —
+    no window, no sort, one output row.
+
+    Determinism: every pair count is exact BIGINT combinatorics
+    (n·(n−1)/2 via int_div); sa·sb would overflow int64 on a 10⁵-doc
+    dup graph, so the expected-index term is computed in doubles as the
+    identical DAG in both dialects.  den = 0 implies num = 0 (provable:
+    sa = sb = 0 forces sij = 0; sa = sb = C(n,2) forces sij = C(n,2)),
+    and that degenerate perfect agreement reports ARI = 1."""
+    docs = _docs(spark, sf_dir)
+    ca = dedup.duplicate_components(
+        dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD))
+    cb = dedup.duplicate_components(dedup.simhash_pairs(docs))
+    return dedup.adjusted_rand_index(ca, cb)
+
+
+def _dedup_detector_ari_sql() -> str:
+    from ..operators.dedup import SIMHASH_MAX_HAMMING
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS chunk,"
+        f" (simhash >> {8 * c}) & 255 AS ckey FROM fp"
+        for c in range(4))
+    comp = """
+e{s} AS (
+    SELECT doc_a AS src, doc_b AS dst FROM {pairs}
+    UNION
+    SELECT doc_b, doc_a FROM {pairs}
+),
+n{s} AS (SELECT DISTINCT src AS node FROM e{s}),
+reach{s}(node, label) AS (
+    SELECT node, node FROM n{s}
+    UNION
+    SELECT e.dst, r.label FROM reach{s} r JOIN e{s} e ON e.src = r.node
+),
+cc{s} AS (SELECT node AS doc_id, MIN(label) AS cid FROM reach{s}
+          GROUP BY node)"""
+    return f"""
+WITH RECURSIVE mh AS ({_minhash_sql()}),
+fp AS ({_simhash_sql()}),
+chunked AS (
+{chunk_selects}
+),
+sh AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM chunked x JOIN chunked y
+      ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+{comp.format(s='a', pairs='mh')},
+{comp.format(s='b', pairs='sh')},
+-- DISTINCT over UNION ALL, NOT a bare `a UNION b`: DuckDB 1.0 treats a
+-- UNION-shaped named CTE placed after recursive members of a WITH
+-- RECURSIVE list as if it were recursive and emits base+step rows
+-- WITHOUT deduplication (measured 389 vs the correct 348 here); the
+-- earlier edges CTEs are safe only because they precede the recursive
+-- members.
+univ AS (SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM cca UNION ALL SELECT doc_id FROM ccb)),
+j AS (
+    SELECT COALESCE(a.cid, u.doc_id) AS ca, COALESCE(b.cid, u.doc_id) AS cb
+    FROM univ u
+    LEFT JOIN cca a ON u.doc_id = a.doc_id
+    LEFT JOIN ccb b ON u.doc_id = b.doc_id
+),
+cont AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS nij FROM j GROUP BY 1, 2),
+s AS (
+    SELECT (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) FROM cont)
+               AS sij,
+           (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM j GROUP BY ca)) AS sa,
+           (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM j GROUP BY cb)) AS sb,
+           (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_docs
+)
+SELECT n_docs, sij, sa, sb,
+       CASE WHEN (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                 - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(((n_docs * (n_docs - 1)) // 2) AS DOUBLE) = 0.0
+            THEN 1.0
+            ELSE (CAST(sij AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / CAST(((n_docs * (n_docs - 1)) // 2) AS DOUBLE))
+                 / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                      / CAST(((n_docs * (n_docs - 1)) // 2) AS DOUBLE))
+       END AS ari
+FROM s
+"""
+
+
 def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection: within each near-dup cluster,
     KEEP the highest-quality document (exact integer quality score,
@@ -5726,6 +5834,8 @@ QUERIES: dict[str, QuerySpec] = {
     "near_dup_survivors": QuerySpec(q_near_dup_survivors,
                                     _near_dup_survivors_sql()),
     "dup_clusters": QuerySpec(q_dup_clusters, _dup_clusters_sql()),
+    "dedup_detector_ari": QuerySpec(q_dedup_detector_ari,
+                                    _dedup_detector_ari_sql()),
     "leakage_safe_split": QuerySpec(q_leakage_safe_split,
                                     _leakage_safe_split_sql()),
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),

@@ -135,6 +135,9 @@ NESTED_LOOP_SANCTIONED = {
     # one bounded centroid-set broadcast per Lloyd sweep + the final
     # assignment (the knn_ivf subtree, KMEANS_ITERS + 1 times)
     "kmeans_refine": 3,
+    # three single-row scalar broadcasts assembling the ARI numerator/
+    # denominator (sij, sa, sb onto the n_docs row)
+    "dedup_detector_ari": 3,
 }
 
 

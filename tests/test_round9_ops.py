@@ -551,3 +551,51 @@ class TestKmeansRefine:
         assert set(out) == {0, 2}
         assert out[0].n_vecs == 4
         assert out[2].n_vecs == 0 and out[2].inertia is None
+
+
+class TestAdjustedRandIndex:
+    def _cl(self, spark, assign):
+        return spark.createDataFrame(
+            list(assign.items()), "doc_id long, cluster_id long")
+
+    def test_identical_clusterings_score_one(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            adjusted_rand_index)
+        a = self._cl(spark, {1: 1, 2: 1, 3: 3, 4: 3, 5: 5})
+        [r] = adjusted_rand_index(a, a).collect()
+        assert r.n_docs == 5 and r.ari == 1.0
+
+    def test_textbook_contingency_value(self, spark):
+        """sklearn's doc example: labels [0,0,1,1] vs [0,0,1,2] has
+        ARI = 0.5714285714... — exact sufficient statistics sij=1,
+        sa=2, sb=1, n=4."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            adjusted_rand_index)
+        a = self._cl(spark, {0: 10, 1: 10, 2: 20, 3: 20})
+        b = self._cl(spark, {0: 7, 1: 7, 2: 8, 3: 9})
+        [r] = adjusted_rand_index(a, b).collect()
+        assert (r.sij, r.sa, r.sb, r.n_docs) == (1, 2, 1, 4)
+        exp = 2.0 * 1.0 / 6.0
+        assert r.ari == (1.0 - exp) / ((2.0 + 1.0) / 2.0 - exp)
+
+    def test_union_universe_singleton_fill(self, spark):
+        """A doc clustered by only one side joins the universe as the
+        other side's singleton: agreement drops below 1 even though the
+        shared docs agree perfectly."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            adjusted_rand_index)
+        a = self._cl(spark, {1: 1, 2: 1, 3: 3, 4: 3})
+        b = self._cl(spark, {1: 1, 2: 1, 3: 3, 4: 3, 9: 3})  # 9 joins 3's
+        [r] = adjusted_rand_index(a, b).collect()
+        assert r.n_docs == 5
+        assert r.ari < 1.0
+
+    def test_degenerate_all_singletons_is_one(self, spark):
+        """den = 0 (both sides all-singletons) must report ARI = 1, not
+        NaN or a division error."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            adjusted_rand_index)
+        a = self._cl(spark, {1: 1, 2: 2, 3: 3})
+        b = self._cl(spark, {1: 9, 2: 8, 3: 7})
+        [r] = adjusted_rand_index(a, b).collect()
+        assert r.ari == 1.0 and r.sij == 0
