@@ -64,7 +64,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # is re-proven by the sf0.01 full-registry value-exact sweep each
     # session (tests/test_oracle_parity*.py).
     #
-    # -- (a) never driver-checked: r9-new (10) -------------------------------
+    # -- (a) never driver-checked: r9-new (14) -------------------------------
     "error_latency_auc", "error_rate_calibration", "k_anonymity_audit",
     "holt_forecast", "changepoint_split",
     "acf_daily", "nation_market_share", "promo_revenue_share",
