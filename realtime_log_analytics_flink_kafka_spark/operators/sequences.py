@@ -89,10 +89,17 @@ def match_sequence_stateful(events: DataFrame, *, pattern: tuple[str, ...],
     the batch matcher's lead() predicate, because relaxed contiguity
     only ever inspects the last k relevant events.  Within a micro-batch
     rows are concat-then-sorted by (event-time micros, id) — the same
-    total order the batch window uses; an event arriving in a LATER
-    micro-batch than a successor (out-of-order across batches) is
-    appended late, the same drop-late posture as the watermarked
-    aggregations.
+    total order the batch window uses.  Across micro-batches the ring's
+    newest element IS the per-key watermark: an arriving event at or
+    behind it in (tus, eid) order is DROPPED, never appended, so the
+    ring stays time-ordered and can never spell the pattern across a
+    non-monotonic timestamp sequence (no spurious or negative-duration
+    matches) — the same drop-late posture as the watermarked
+    aggregations, and it also suppresses at-least-once replays of the
+    ring's newest event.  The cost is the watermark cost: a key whose
+    events arrive out of order across batches may miss a match the
+    batch matcher finds (late twin test: tests/test_streaming.py,
+    test_sequence_match_stream_drops_late).
 
     Scale shape: state is O(len(pattern)) per key — three tuples for
     the default pattern — and only alphabet-filtered events reach the
@@ -127,9 +134,15 @@ def match_sequence_stateful(events: DataFrame, *, pattern: tuple[str, ...],
             pdf = pd.concat(chunks, ignore_index=True) \
                 .sort_values(["tus", "eid"], kind="mergesort")
             for row in pdf.itertuples(index=False):
+                tus, eid = int(row.tus), int(row.eid)
+                # Per-key watermark = the ring's newest (tus, eid): a
+                # late arrival (behind it) or a replay (equal) is
+                # dropped so the ring stays strictly time-ordered.
+                if tuss and (tus, eid) <= (tuss[-1], eids[-1]):
+                    continue
                 types.append(row.etype)
-                tuss.append(int(row.tus))
-                eids.append(int(row.eid))
+                tuss.append(tus)
+                eids.append(eid)
                 if len(types) > p:
                     del types[0], tuss[0], eids[0]
                 if (len(types) == p and types == list(pattern)

@@ -1354,3 +1354,56 @@ def test_sequence_match_stream_matches_batch(spark, tmp_path):
                            pattern=pat, window_s=60).collect()}
     assert got == want
     assert len(want) == 1 and next(iter(want))[0] == 1  # only user 1
+
+
+def test_sequence_match_stream_drops_late(spark, tmp_path):
+    """Late cross-batch arrival: an event OLDER than the ring's newest
+    must be dropped, not appended — appending would let the ring spell
+    the pattern over a non-monotonic timestamp sequence and emit a
+    spurious match with NEGATIVE duration (user 4 below: two errors in
+    batch 0, then a purchase from BEFORE them in batch 1).  The batch
+    matcher, which sorts by event time, finds no match for that user.
+    An in-order cross-batch match (user 5) must still emit."""
+    import os
+    from datetime import datetime, timedelta
+
+    from realtime_log_analytics_flink_kafka_spark.operators.sequences import (
+        match_sequence, match_sequence_stateful)
+
+    pat = ("error", "error", "purchase")
+    t0 = datetime(2024, 1, 1)
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string")
+    path = str(tmp_path / "seqlate")
+    # batch 0: user 4's two errors (t+10, t+20) and user 5's two errors;
+    # batch 1: user 4's LATE purchase (t+5 — older than both buffered
+    # errors) and user 5's in-order purchase (t+30).
+    batches = [
+        [(40, t0 + timedelta(seconds=10), 4, "error"),
+         (41, t0 + timedelta(seconds=20), 4, "error"),
+         (50, t0 + timedelta(seconds=1), 5, "error"),
+         (51, t0 + timedelta(seconds=2), 5, "error")],
+        [(42, t0 + timedelta(seconds=5), 4, "purchase"),
+         (52, t0 + timedelta(seconds=30), 5, "purchase")],
+    ]
+    for i, rows in enumerate(batches):
+        f = f"{path}/part{i}"
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("overwrite").parquet(f))
+        # file-source batch order follows mtime; pin it explicitly
+        for name in os.listdir(f):
+            os.utime(os.path.join(f, name), (1_700_000_000 + i * 10,) * 2)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{path}/part*"))
+    out = match_sequence_stateful(stream, pattern=pat, window_s=60)
+    q = start_memory_sink(out, "seq_late", output_mode="append")
+    _drain(q)
+    got = {tuple(r) for r in spark.table("seq_late").collect()}
+    want = {tuple(r) for r in
+            match_sequence(spark.read.parquet(f"{path}/part*"),
+                           pattern=pat, window_s=60).collect()}
+    assert all(r[3] >= 0 for r in got)  # no negative durations, ever
+    assert {r[0] for r in got} == {5}   # user 4's late match dropped
+    # streaming may only MISS late matches, never invent rows
+    assert got <= want and next(iter(got))[3] == 29_000_000
