@@ -533,6 +533,16 @@ def changepoint_split(err_logs: DataFrame) -> DataFrame:
     the identical double DAG over int64-exact casts, so the argmax
     (gain DESC, then earliest day) selects the same row on every
     engine; gain is emitted unrounded.
+
+    No streaming twin — BY CLASSIFICATION, not omission (the
+    anisotropy precedent; README "Scale design"): binary segmentation
+    is an offline, whole-series statistic.  gain(i) for EVERY candidate
+    i changes whenever any day's total changes, so an incremental
+    emission would retract and re-emit the argmax on nearly every
+    micro-batch — there is no append-mode contract to keep, and the
+    online member of this family already exists as ``cusum_drift``
+    (which has a streaming twin).  Run this as a batch postmortem over
+    the closed daily relation.
     """
     from pyspark.sql import Window
 
@@ -699,6 +709,17 @@ def dow_anomalies(err_logs: DataFrame) -> DataFrame:
     genuine doubling).  Overflow: y·n must fit exact_round_div's
     |num| < 4.6e14 bound — 10⁹ errors/day × 10⁵ same-weekday
     observations stays inside it.
+
+    No streaming twin — BY CLASSIFICATION, not omission (the
+    anisotropy precedent; README "Scale design"): the weekday baseline
+    requires CALENDAR COMPLETENESS — every observed day's flag depends
+    on the mean over all same-weekday days, including days that arrive
+    AFTER it, so each new day retroactively re-flags up to the whole
+    history of its weekday.  That is a complete-mode recomputation, not
+    an append-mode stream; the watermarked online detectors
+    (error_rate_stream, cusum_drift's twin) cover the real-time side of
+    this family, and this profile is their weekly-seasonality batch
+    complement.
     """
     from ..functions.detmath import exact_round_div, int_div
 
@@ -723,3 +744,78 @@ def dow_anomalies(err_logs: DataFrame) -> DataFrame:
         exact_round_div(F.col("y") * F.col("n"), F.col("sy"), 4)
         .alias("ratio"),
         flag.alias("is_anomalous"))
+
+
+#: Half-width of the centered trend window (±3 days = a 7-day span,
+#: one full weekly cycle — the classical choice for weekly seasonality).
+DECOMP_HALF_SPAN = 3
+
+
+def seasonal_decompose(err_logs: DataFrame) -> DataFrame:
+    """Classical additive decomposition of the per-service daily
+    error-count series: ``y = trend + seasonal + residual`` — the
+    postmortem companion to the point detectors (dow_anomalies flags
+    days; this SEPARATES the weekly cycle from the level so the
+    residual is what an on-call should actually stare at).
+
+    - ``trend``: centered ±3-day moving average over days PRESENT (a
+      RANGE window on the epoch-day value, so calendar gaps neither
+      drag the mean nor leak across them), as an exact 4-dp ratio of
+      BIGINT window sums;
+    - ``seasonal``: per (service, weekday), the mean detrended value,
+      folded in day order (the ordered-fold discipline) so the double
+      is cross-engine bit-identical;
+    - ``residual``: ``y − trend − seasonal``.
+
+    Scale shape: one map-side-combined pass to the (service, day)
+    relation; the trend window is per-service days-sized; the weekday
+    profile is a ≤ services×7-row aggregate broadcast back.  Nothing
+    row-level crosses a second shuffle.
+
+    No streaming twin — BY CLASSIFICATION (the dow_anomalies /
+    changepoint_split precedent; README "Scale design"): the centered
+    window reads ±3 days around EVERY day and the weekday means read
+    the whole series, so each arriving day retroactively rewrites up to
+    a week of trend and the entire seasonal profile — a complete-mode
+    recomputation with no append contract.  Online members of the
+    family: holt_forecast's twin (level+trend) and the watermarked rate
+    detectors.
+
+    Determinism: trend is exact_round_div over BIGINT window sums;
+    detrended = y − trend is one IEEE subtraction on identical inputs;
+    the seasonal mean folds list(detrended ORDER BY day) and divides
+    once; seasonal/residual are emitted det_round(…, 4).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.detmath import det_round, exact_round_div, int_div
+
+    x = int_div(F.unix_timestamp("ts"), F.lit(86400)).alias("x")
+    daily = (err_logs.groupBy("service", x)
+             .agg(F.count("*").cast("long").alias("y")))
+    w = (Window.partitionBy("service").orderBy("x")
+         .rangeBetween(-DECOMP_HALF_SPAN, DECOMP_HALF_SPAN))
+    trended = daily.select(
+        "service", "x", "y", ((F.col("x") + 3) % 7).alias("dow"),
+        exact_round_div(F.sum("y").over(w), F.count("y").over(w), 4)
+        .alias("trend"))
+    trended = trended.withColumn(
+        "det", F.col("y").cast("double") - F.col("trend"))
+    seas = (trended.groupBy(F.col("service").alias("_svc"),
+                            F.col("dow").alias("_dow"))
+            .agg(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("x", "det"))),
+                     F.lit(0.0), lambda acc, s: acc + s["det"])
+                 .alias("dsum"),
+                 F.count("*").cast("long").alias("dn"))
+            .select("_svc", "_dow",
+                    (F.col("dsum") / F.col("dn").cast("double"))
+                    .alias("seasonal_raw")))
+    j = trended.join(F.broadcast(seas),
+                     (F.col("service") == F.col("_svc"))
+                     & (F.col("dow") == F.col("_dow")))
+    return j.select(
+        "service", F.col("x").alias("day_epoch"), "dow", "y", "trend",
+        det_round(F.col("seasonal_raw"), 4).alias("seasonal"),
+        det_round(F.col("det") - F.col("seasonal_raw"), 4)
+        .alias("residual"))

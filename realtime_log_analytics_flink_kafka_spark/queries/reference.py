@@ -1170,6 +1170,59 @@ FROM r WHERE alert_seq <= {THROTTLE_LIMIT}
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of per-service daily error
+    counts (operators/detect.seasonal_decompose): centered ±3-day trend,
+    ordered-fold weekday seasonal, residual — the series-separation
+    companion to dow_anomalies' flags."""
+    from ..operators.detect import seasonal_decompose
+
+    return seasonal_decompose(error_logs(load_table(spark, sf_dir, "events")))
+
+
+def _seasonal_decompose_sql() -> str:
+    from ..functions.detmath import det_round_sql
+    from ..operators.detect import DECOMP_HALF_SPAN
+    return f"""
+WITH {LOGS_CTE},
+daily AS (
+    SELECT service,
+           CAST(floor(epoch_us(ts) / {DAY * 1_000_000}) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM logs WHERE is_error = 1 GROUP BY 1, 2
+),
+spans AS (
+    SELECT service, x, y, (x + 3) % 7 AS dow,
+           CAST(sum(y) OVER w AS BIGINT) AS wsy,
+           CAST(count(*) OVER w AS BIGINT) AS wn
+    FROM daily
+    WINDOW w AS (PARTITION BY service ORDER BY x
+                 RANGE BETWEEN {DECOMP_HALF_SPAN} PRECEDING
+                           AND {DECOMP_HALF_SPAN} FOLLOWING)
+),
+trended AS (
+    SELECT service, x, y, dow,
+           {exact_round_div_sql('wsy', 'wn', 4)} AS trend
+    FROM spans
+),
+det AS (
+    SELECT *, CAST(y AS DOUBLE) - trend AS detr FROM trended
+),
+seas AS (
+    SELECT service, dow,
+           list_reduce(list_prepend(0.0, list(detr ORDER BY x)),
+                       (acc, v) -> acc + v)
+               / CAST(count(*) AS DOUBLE) AS seasonal_raw
+    FROM det GROUP BY 1, 2
+)
+SELECT d.service AS service, d.x AS day_epoch, d.dow AS dow, d.y AS y,
+       d.trend AS trend,
+       {det_round_sql('s.seasonal_raw', 4)} AS seasonal,
+       {det_round_sql('d.detr - s.seasonal_raw', 4)} AS residual
+FROM det d JOIN seas s ON d.service = s.service AND d.dow = s.dow
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "log_templates": QuerySpec(q_log_templates, _log_templates_sql()),
     "correlated_incidents": QuerySpec(q_correlated_incidents,
@@ -1190,6 +1243,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    _changepoint_split_sql()),
     "acf_daily": QuerySpec(q_acf_daily, _acf_daily_sql()),
     "dow_anomalies": QuerySpec(q_dow_anomalies, _dow_anomalies_sql()),
+    "seasonal_decompose": QuerySpec(q_seasonal_decompose,
+                                    _seasonal_decompose_sql()),
     "error_cusum_drift": QuerySpec(q_error_cusum_drift,
                                    SQL_ERROR_CUSUM_DRIFT),
     "hdr_latency_quantiles": QuerySpec(q_hdr_latency_quantiles,
