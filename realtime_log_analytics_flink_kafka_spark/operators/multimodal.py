@@ -503,3 +503,200 @@ def wav_frame_features(media: DataFrame, *,
 
     return media.select("doc_id", "payload").mapInPandas(
         _frames, schema=WAV_FRAMES_SCHEMA)
+
+
+# --- perceptual near-duplicate hashing (dHash) --------------------------------
+
+#: dHash geometry: a GRID_ROWS x GRID_COLS luminance thumbnail, one bit
+#: per horizontal gradient -> GRID_ROWS * (GRID_COLS - 1) = 64 bits.
+DHASH_GRID_ROWS = 8
+DHASH_GRID_COLS = 9
+DHASH_BITS = DHASH_GRID_ROWS * (DHASH_GRID_COLS - 1)
+#: 4 bands of 16 bits: hamming <= 3 < 4 bands pigeonholes at least one
+#: band identical, so candidate pairs come from 4 equi-joins (the
+#: simhash_pairs geometry, operators/dedup.py), never an all-pairs join.
+DHASH_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_BANDS
+DHASH_MAX_HAMMING = 3
+#: Stub "thumbnail": a 1 x (DHASH_BITS + 1) histogram of token-bigram
+#: mass — 65 bins give 64 adjacent-bin gradients.
+DHASH_STUB_BINS = DHASH_BITS + 1
+
+_MIN_LONG = -(1 << 63)  # bit 63's addend; 1<<63 overflows signed 64-bit
+
+
+def _dhash_bit_addend(bit: int) -> int:
+    """Signed-64 addend that sets ``bit`` in a two's-complement sum —
+    each bit contributes at most once, so SUM == bitwise OR, with the
+    sign bit carried as the min-long literal (both engines reject
+    ``1 << 63`` on signed types)."""
+    return _MIN_LONG if bit == 63 else 1 << bit
+
+
+def _gray_grid(buf: bytes):
+    """Decode a BMP/PPM payload and reduce it to the dHash luminance
+    grid: integer block means (sum // count) over a GRID_ROWS x
+    GRID_COLS partition of the image — deterministic, no float.  Returns
+    None for codec-needing or malformed payloads."""
+    if buf[:2] == b"BM":
+        if len(buf) < 54:
+            return None
+        data_off = struct.unpack_from("<I", buf, 10)[0]
+        w = struct.unpack_from("<i", buf, 18)[0]
+        h_raw = struct.unpack_from("<i", buf, 22)[0]
+        bpp = struct.unpack_from("<H", buf, 28)[0]
+        comp = struct.unpack_from("<I", buf, 30)[0]
+        h = abs(h_raw)
+        if comp != 0 or bpp != 24 or w <= 0 or h == 0:
+            return None
+        row_bytes = (w * 3 + 3) & ~3
+        if len(buf) < data_off + row_bytes * h:
+            return None
+        px = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                           offset=data_off).reshape(h, row_bytes)[:, :w * 3]
+        px = px.reshape(h, w, 3)
+        if h_raw > 0:  # bottom-up storage: hash in visual (top-down) order
+            px = px[::-1]
+    elif buf[:2] == b"P6":
+        hdr = _parse_ppm_header(buf)
+        if hdr is None:
+            return None
+        w, h, _maxval, off = hdr
+        if len(buf) < off + w * h * 3:
+            return None
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3,
+                           offset=off).reshape(h, w, 3)
+    else:
+        return None
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    rb = (np.arange(h) * DHASH_GRID_ROWS) // h
+    cb = (np.arange(w) * DHASH_GRID_COLS) // w
+    sums = np.zeros((DHASH_GRID_ROWS, DHASH_GRID_COLS), dtype=np.int64)
+    np.add.at(sums, (rb[:, None], cb[None, :]), gray)
+    counts = (np.bincount(rb, minlength=DHASH_GRID_ROWS)[:, None]
+              * np.bincount(cb, minlength=DHASH_GRID_COLS)[None, :])
+    return sums // np.maximum(counts, 1)
+
+
+def _grid_to_dhash(grid) -> int:
+    h = 0
+    for r in range(DHASH_GRID_ROWS):
+        for c in range(DHASH_GRID_COLS - 1):
+            if grid[r][c + 1] > grid[r][c]:
+                h += _dhash_bit_addend(r * (DHASH_GRID_COLS - 1) + c)
+    return h
+
+
+def image_dhash(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
+    """(doc_id, fmt, dhash) — 64-bit difference hash per payload.
+
+    Real path (``decode_stub=False``): decode BMP/PPM pixels, integer
+    block-mean to the 8x9 luminance grid, one bit per horizontal
+    gradient (mapInPandas, Arrow-batched; codec-needing formats NULL).
+
+    Stub path (default, fixture-oracle-checkable): the "thumbnail" is a
+    1 x 65 histogram of token-BIGRAM mass (bin = md5 of the bigram mod
+    65), one bit per adjacent-bin gradient — a content-aligned stand-in
+    for pixel decode.  Positional character sampling was measured
+    useless on the fixture's near-dups (token-level edits shift every
+    downstream character: near-dup hamming ~31 vs random ~32 of 64);
+    the bigram histogram separates cleanly (near-dup median 0, max 2;
+    random median 26, min 12 over 2000 sampled pairs at sf0.01).
+    Shape: explode bigrams -> one map-combinable groupBy — the
+    simhash_fingerprints geometry (operators/dedup.py); at 100 TB only
+    (doc_id, bin) rows reach the single shuffle and the output is two
+    longs per image.  Docs with < 2 tokens have no bigram mass and
+    hash to NULL (no row), matching the real path's NULL posture for
+    undecodable payloads.
+    """
+    if not decode_stub:
+        def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for b in pdf["payload"]:
+                    try:
+                        g = _gray_grid(bytes(b))
+                    except (struct.error, ValueError, IndexError):
+                        g = None
+                    out.append(None if g is None else _grid_to_dhash(g))
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"], "fmt": pdf["fmt"],
+                    "dhash": pd.array(out, dtype="Int64"),
+                })
+        return media.select("doc_id", "fmt", "payload").mapInPandas(
+            _hash, schema="doc_id long, fmt string, dhash long")
+
+    from ..functions.hashing import md5_long
+    from .text import ws_tokens
+
+    toks = ws_tokens(F.col("payload").cast("string"))
+    n_big = F.greatest(F.size(toks) - 1, F.lit(0))  # slice rejects len<0
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_big),
+        F.slice(toks, 2, n_big),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    binned = (media
+              .select("doc_id", "fmt", F.explode(bigrams).alias("bg"))
+              .select("doc_id", "fmt",
+                      (md5_long(F.col("bg")) % DHASH_STUB_BINS).alias("bin")))
+    hist = binned.groupBy("doc_id", "fmt").agg(*[
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).alias(f"_h{i}")
+        for i in range(DHASH_STUB_BINS)])
+    acc = None
+    for bit in range(DHASH_BITS):
+        term = F.when(F.col(f"_h{bit + 1}") > F.col(f"_h{bit}"),
+                      F.lit(_dhash_bit_addend(bit)).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc + term
+    return hist.select("doc_id", "fmt", acc.alias("dhash"))
+
+
+def dhash_near_dups(media: DataFrame, *, max_hamming: int = DHASH_MAX_HAMMING,
+                    decode_stub: bool = True) -> DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance,
+    band-bucketed: hamming <= 3 over 4 x 16-bit bands implies at least
+    one identical band (pigeonhole), so candidates come from 4
+    equi-joins — the simhash_pairs geometry (operators/dedup.py), never
+    an all-pairs join.  The band key masks after the shift
+    (``(dhash >> 16c) & 0xFFFF``), so arithmetic-vs-logical shift of the
+    sign bit can never skew bucketing.
+
+    The hamming bound rides in the join condition (post-probe filter):
+    far-apart band collisions die before the distinct's shuffle.
+
+    The fingerprint relation is localCheckpointed before banding: the
+    stub hash is a ~130-subtree scan projection, and without the
+    materialization barrier Catalyst's projection collapse would inline
+    one full copy per band key per join side (~12 copies) into the
+    self-join — a plan-size explosion at ANY data scale.  Materializing
+    (doc_id, dhash) — two longs per image — is also the 100 TB shape:
+    hash once in the scan, band/join over the sketch (the
+    checkpoint-the-sketch trade documented on simhash_pairs)."""
+    fps = image_dhash(media, decode_stub=decode_stub).filter(
+        F.col("dhash").isNotNull()).localCheckpoint()
+    banded = fps.select(
+        "doc_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("dhash"), DHASH_BAND_BITS * b)
+                    .bitwiseAND(F.lit((1 << DHASH_BAND_BITS) - 1))
+                    .alias("bkey"),
+            )
+            for b in range(DHASH_BANDS)
+        ])).alias("s"),
+    ).select("doc_id", "dhash", "s.band", "s.bkey")
+    x, y = banded.alias("x"), banded.alias("y")
+    hamming = F.bit_count(F.expr("x.dhash ^ y.dhash"))
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bkey") == F.col("y.bkey"))
+               & (F.col("x.doc_id") < F.col("y.doc_id"))
+               & (hamming <= max_hamming))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -132,3 +132,85 @@ class TestWavFrames:
         buf = mm.synth_wav([1, 2, 3, 4], channels=2)  # 4 values, 2ch
         frames = mm.wav_frame_py(buf)
         assert len(frames) == 1 and frames[0][1] == 4
+
+
+class TestImageDhash:
+    """Real-path dHash: gradient bits from actual BMP/PPM pixels, and
+    the banded near-dup join over them."""
+
+    @staticmethod
+    def _gradient_bmp(w, h, shift=0, spot=None):
+        """BMP whose gray level rises left->right (columns c*255//w,
+        offset by `shift`), optionally with one perturbed pixel."""
+        import struct as st
+        row_bytes = (w * 3 + 3) & ~3
+        rows = []
+        for r in range(h):
+            row = bytearray()
+            for c in range(w):
+                g = min(255, (c * 255) // w + shift)
+                if spot == (r, c):
+                    g = 255 - g
+                row += bytes((g, g, g))
+            row += b"\x00" * (row_bytes - w * 3)
+            rows.append(bytes(row))
+        # top-down storage (negative height) keeps rows in visual order
+        pixels = b"".join(rows)
+        size = 54 + len(pixels)
+        return (b"BM" + st.pack("<IHHI", size, 0, 0, 54)
+                + st.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                          len(pixels), 2835, 2835, 0, 0) + pixels)
+
+    def test_monotone_gradient_sets_all_bits(self, spark):
+        # strictly rising luminance: every adjacent-block comparison is
+        # ">", so all 64 bits set -> dhash == -1 (two's complement)
+        img = self._gradient_bmp(36, 16)
+        out = multimodal.image_dhash(
+            _media_df(spark, [(0, img)]), decode_stub=False).collect()
+        assert out[0].dhash == -1
+
+    def test_near_dup_images_land_within_hamming(self, spark):
+        base = self._gradient_bmp(36, 16)
+        brighter = self._gradient_bmp(36, 16, shift=3)   # tiny global shift
+        spotted = self._gradient_bmp(36, 16, spot=(7, 0))  # one pixel flipped
+        flat = multimodal.synth_bmp(36, 16, (90, 90, 90))  # all bits 0
+        pairs = multimodal.dhash_near_dups(
+            _media_df(spark, [(0, base), (1, brighter), (2, spotted),
+                              (3, flat), (4, b"\xff\xd8\xffjpeg-ish")]),
+            decode_stub=False)
+        got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+        # the three gradient variants pair up; the flat image (dhash 0,
+        # hamming 64 from -1) and the undecodable payload (NULL) don't
+        assert set(got) == {(0, 1), (0, 2), (1, 2)}
+        assert got[(0, 1)] == 0 and got[(0, 2)] <= 1
+
+    def test_ppm_and_bottom_up_bmp_grid_orientation(self, spark):
+        # a PPM with a bright TOP half and a bottom-up BMP with a bright
+        # top half must hash identically (row flip handled)
+        import struct as st
+        w, h = 18, 8
+        top_rows = [bytes((200, 200, 200)) * w] * (h // 2)
+        bot_rows = [bytes((20, 20, 20)) * w] * (h // 2)
+        ppm = (f"P6\n{w} {h}\n255\n".encode()
+               + b"".join(top_rows + bot_rows))
+        row_bytes = (w * 3 + 3) & ~3
+        pad = b"\x00" * (row_bytes - w * 3)
+        # bottom-up BMP stores the LAST visual row first
+        bmp_rows = [r + pad for r in (bot_rows + top_rows)]
+        pixels = b"".join(bmp_rows)
+        size = 54 + len(pixels)
+        bmp = (b"BM" + st.pack("<IHHI", size, 0, 0, 54)
+               + st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(pixels), 2835, 2835, 0, 0) + pixels)
+        out = {r.doc_id: r.dhash for r in multimodal.image_dhash(
+            _media_df(spark, [(0, ppm), (1, bmp)]),
+            decode_stub=False).collect()}
+        assert out[0] == out[1]
+
+    def test_stub_hash_drops_sub_bigram_docs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "one token only".encode()), (1, "single".encode()),
+             (2, b"")],
+            "doc_id long, payload binary").withColumn("fmt", F.lit("jpeg"))
+        out = multimodal.image_dhash(df, decode_stub=True).collect()
+        assert {r.doc_id for r in out} == {0}
