@@ -474,3 +474,111 @@ def hdr_cells(values: DataFrame, key_col: str, value_col: str) -> DataFrame:
                     .alias("bucket"))
             .groupBy(key_col, "bucket")
             .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def hll_source_overlap(items: DataFrame, key_col: str,
+                       hash_col: str) -> DataFrame:
+    """Pairwise set-operation estimates from MERGED HLL register files —
+    the sketch algebra that makes HLL more than a distinct counter:
+    ``|A∪B|`` comes from the bucket-wise MAX of the two register files
+    (exactly the sketch a union of the raw streams would have built),
+    ``|A∩B|`` by inclusion-exclusion, and a Jaccard estimate — next to
+    the exact values, so the query audits the estimator it ships
+    (the hll_cardinality_audit contract, per pair).
+
+    Scale shape: registers are computed ONCE per key (m rows each, the
+    one map-side-combined shuffle over items), and the pair algebra
+    joins register files — m-row relations — never the item streams;
+    k keys cost k·(k−1)/2 · m join rows.  The exact audit columns
+    (distinct-hash sizes + pair intersections) are fixture-affordable
+    by design; at 100 TB you drop them and keep the register algebra,
+    which is the point of the sketch.
+
+    Determinism: harmonic sums are exact BIGINT (Σ 2^(53−M)); each
+    estimate is one double division of a shared literal (plus the
+    det_ln linear-counting branch below 2.5m with empty registers —
+    identical branch, identical constants, both dialects); Jaccard
+    ratios are det_round(…, 4).
+
+    Streaming: the REGISTER layer is the streaming unit
+    (hll_bucket_rho → update-mode max, twin-tested in
+    tests/test_streaming.py); this operator is a read-side finisher
+    over any register file — batch-built, stream-built, or max-merged
+    partials — so its live form is finish-over-streamed-registers,
+    the hll_cardinality_audit classification.
+    """
+    from ..functions.detmath import det_round, exact_round_div, with_det_ln
+
+    regs = hll_registers(items, key_col, hash_col)
+    a = regs.select(F.col(key_col).alias("source_a"), "bucket",
+                    F.col("M").alias("ma"))
+    b = regs.select(F.col(key_col).alias("source_b"),
+                    F.col("bucket").alias("bucket_b"),
+                    F.col("M").alias("mb"))
+    paired = a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                    & (F.col("source_a") < F.col("source_b")))
+
+    def s_scaled(m):
+        # call_function: F.shiftleft only takes a Python-int bit count
+        return F.sum(F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            (F.lit(53) - m).cast("int"))).cast("long")
+
+    def zeros(m):
+        return F.sum(F.when(m == 0, 1).otherwise(0)).cast("long")
+
+    mu = F.greatest(F.col("ma"), F.col("mb"))
+    per_pair = paired.groupBy("source_a", "source_b").agg(
+        s_scaled(F.col("ma")).alias("s_a"),
+        s_scaled(F.col("mb")).alias("s_b"),
+        s_scaled(mu).alias("s_u"),
+        zeros(F.col("ma")).alias("z_a"),
+        zeros(F.col("mb")).alias("z_b"),
+        zeros(mu).alias("z_u"),
+    )
+    df = per_pair
+    for side in ("a", "b", "u"):
+        df = with_det_ln(df, F.lit(HLL_M),
+                         F.greatest(F.col(f"z_{side}"), F.lit(1)),
+                         f"_ln_{side}", pfx=f"_h{side}")
+
+    def est(side):
+        raw = F.lit(HLL_NUM) / F.col(f"s_{side}").cast("double")
+        lin = F.lit(float(HLL_M)) * F.col(f"_ln_{side}")
+        return F.when((raw <= F.lit(2.5 * HLL_M))
+                      & (F.col(f"z_{side}") > 0), lin).otherwise(raw)
+
+    df = df.withColumns({"est_a": est("a"), "est_b": est("b"),
+                         "est_u": est("u")})
+    inter = F.greatest(F.col("est_a") + F.col("est_b") - F.col("est_u"),
+                       F.lit(0.0))
+    jac = F.when(F.col("est_u") > 0,
+                 inter / F.col("est_u")).otherwise(F.lit(0.0))
+
+    ex = items.select(F.col(key_col), F.col(hash_col).alias("h")).distinct()
+    sizes = ex.groupBy(key_col).agg(F.count("*").cast("long").alias("n"))
+    ia = ex.select(F.col(key_col).alias("_ka"), "h")
+    ib = ex.select(F.col(key_col).alias("_kb"), F.col("h").alias("hb"))
+    inter_exact = (ia.join(ib, (F.col("h") == F.col("hb"))
+                           & (F.col("_ka") < F.col("_kb")))
+                   .groupBy("_ka", "_kb")
+                   .agg(F.count("*").cast("long").alias("inter_exact")))
+    out = (df.join(sizes.select(F.col(key_col).alias("source_a"),
+                                F.col("n").alias("n_a")), "source_a")
+           .join(sizes.select(F.col(key_col).alias("source_b"),
+                              F.col("n").alias("n_b")), "source_b")
+           .join(inter_exact,
+                 (F.col("source_a") == F.col("_ka"))
+                 & (F.col("source_b") == F.col("_kb")), "left")
+           .withColumn("inter_exact",
+                       F.coalesce("inter_exact", F.lit(0)).cast("long")))
+    union_exact = F.col("n_a") + F.col("n_b") - F.col("inter_exact")
+    return out.select(
+        "source_a", "source_b",
+        det_round(F.col("est_u"), 4).alias("union_est"),
+        det_round(inter, 4).alias("inter_est"),
+        det_round(jac, 4).alias("jaccard_est"),
+        union_exact.alias("union_exact"),
+        "inter_exact",
+        exact_round_div(F.col("inter_exact"), union_exact, 4)
+        .alias("jaccard_exact"))
