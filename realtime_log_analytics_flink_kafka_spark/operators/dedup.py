@@ -1149,3 +1149,75 @@ def kcore_membership(pairs: DataFrame, *, ks: tuple[int, ...] = KCORE_KS,
                    == F.coalesce(F.col("_prev"), F.lit(False)))
                .drop("_prev"))
     return out
+
+
+def partition_modularity(pairs: DataFrame, labels: DataFrame, *,
+                         left_col: str = "doc_a", right_col: str = "doc_b",
+                         node_col: str = "doc_id",
+                         label_col: str = "cluster_id") -> DataFrame:
+    """Newman modularity of a node partition, evaluated on an undirected
+    pair graph — per cluster:
+
+        contribution_c = e_c/m − (d_c / 2m)²
+
+    (e_c = within-cluster edges, d_c = degree sum, m = total edges);
+    Σ contribution = Q.  The EDGE-STRUCTURE agreement audit that
+    completes the detector-comparison family: ARI
+    (:func:`adjusted_rand_index`) compares two partitions label-wise;
+    this measures how well ONE detector's partition explains the OTHER
+    detector's pair graph (components evaluated on their own graph give
+    e_c/m summing to 1 — the degenerate upper bound — so the audit is
+    interesting exactly when graph and partition come from different
+    detectors).  Nodes of the graph missing from the partition are
+    their own singletons (the ARI universe convention).
+
+    Scale shape: the label relation is node-sized and localCheckpointed
+    once (it feeds three joins); internal edges are one equi-join per
+    endpoint + a map-combinable count; degrees are an endpoint-union
+    aggregation; m arrives as a SANCTIONED single-row broadcast (the
+    ARI-scalar pattern).  Nothing is ever joined against the edge list
+    twice, and no window or sort appears at any size.
+
+    Determinism: e_c, d_c, m are BIGINT; each contribution is the
+    identical double DAG (d_c² computed in doubles — it would overflow
+    int64 on a 10⁵-degree graph), det_round(…, 6).
+    """
+    from ..functions.detmath import det_round
+
+    edges = pairs.select(left_col, right_col)
+    nodes = (edges.select(F.col(left_col).alias("node"))
+             .union(edges.select(F.col(right_col).alias("node")))
+             .distinct())
+    lbl = (nodes.join(labels.select(F.col(node_col).alias("node"),
+                                    F.col(label_col).alias("lbl")),
+                      "node", "left")
+           .select("node", F.coalesce("lbl", F.col("node")).alias("lbl"))
+           .localCheckpoint())
+
+    la = lbl.select(F.col("node").alias("_na"), F.col("lbl").alias("la"))
+    lb = lbl.select(F.col("node").alias("_nb"), F.col("lbl").alias("lb"))
+    internal = (edges
+                .join(la, F.col(left_col) == F.col("_na"))
+                .join(lb, F.col(right_col) == F.col("_nb"))
+                .filter(F.col("la") == F.col("lb"))
+                .groupBy(F.col("la").alias("cluster_id"))
+                .agg(F.count("*").cast("long").alias("internal_edges")))
+    ends = (edges.select(F.col(left_col).alias("node"))
+            .unionAll(edges.select(F.col(right_col).alias("node"))))
+    deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("d"))
+    dsum = (lbl.join(deg, "node")
+            .groupBy(F.col("lbl").alias("cluster_id"))
+            .agg(F.sum("d").cast("long").alias("degree_sum"),
+                 F.count("*").cast("long").alias("n_nodes")))
+    m_row = edges.groupBy().agg(F.count("*").cast("long").alias("m"))
+    rep = (dsum.join(internal, "cluster_id", "left")
+           .withColumn("internal_edges",
+                       F.coalesce("internal_edges", F.lit(0)).cast("long"))
+           .crossJoin(F.broadcast(m_row)))
+    frac = (F.col("internal_edges").cast("double")
+            / F.col("m").cast("double"))
+    half = (F.col("degree_sum").cast("double")
+            / (F.lit(2.0) * F.col("m").cast("double")))
+    return rep.select(
+        "cluster_id", "n_nodes", "internal_edges", "degree_sum", "m",
+        det_round(frac - half * half, 6).alias("contribution"))
