@@ -1246,8 +1246,10 @@ def diag_mahalanobis_outliers(vecs: DataFrame, *, score_threshold: float,
     # read scores, and without materialization each re-runs the whole
     # explode→stats→broadcast-score pipeline (measured 6.4 s → 3.5 s at
     # sf0.1).  The block is (id, label, score) — vector-COUNT-sized,
-    # never vector-sized — and is needed by the lazily returned
-    # DataFrame (the triangle_stats persist contract).
+    # never vector-sized — and is RELEASED before return: the
+    # labels-sized report is eagerly localCheckpointed below, then this
+    # cache is unpersisted (the textrank self-cleaning pattern,
+    # ADVICE r8 / VERDICT r9 next-round #6).
     scored = (vecs.join(F.broadcast(arrs), label_col)
               .select(label_col, F.col(id_col).alias("vid"),
                       F.aggregate(z, F.lit(0.0),
@@ -1269,9 +1271,12 @@ def diag_mahalanobis_outliers(vecs: DataFrame, *, score_threshold: float,
                        & (F.col("score") == F.col("_ts")))
            .groupBy(label_col)
            .agg(F.min("vid").alias("top_vec_id")))
-    return (rep.join(top, label_col)
-            .select(label_col, "n_vecs", "n_outliers",
-                    "top_vec_id", "top_score"))
+    out = (rep.join(top, label_col)
+           .select(label_col, "n_vecs", "n_outliers",
+                   "top_vec_id", "top_score")
+           .localCheckpoint(eager=True))
+    scored.unpersist()
+    return out
 
 
 # --- Lloyd-refined k-means codebook -------------------------------------------
@@ -1377,3 +1382,93 @@ def kmeans_refine(vecs: DataFrame, *, centroid_every: int = 97,
             .select("centroid_id",
                     F.coalesce("n_vecs", F.lit(0).cast("long"))
                     .alias("n_vecs"), "inertia"))
+
+
+# --- centroid silhouette (cluster-quality audit) -------------------------------
+
+def kmeans_silhouette(vecs: DataFrame, *, vec_col: str = "embedding",
+                      label_col: str = "label", id_col: str = "vec_id",
+                      n_chunks: int = 64) -> DataFrame:
+    """Per-label simplified (centroid) silhouette — the cluster-quality
+    scorecard for a labeled / k-means-assigned embedding corpus:
+
+        a(v) = ‖v − μ_own‖,  b(v) = min_{l ≠ own} ‖v − μ_l‖,
+        s(v) = (b − a) / max(a, b)
+
+    Reports per label: member count, mean silhouette, and how many
+    members sit NEGATIVE (closer to another centroid than their own —
+    the misassignment count that tells you whether a re-cluster or a
+    label audit is due).  The full-pairwise silhouette is O(n²); the
+    centroid form is the standard corpus-scale proxy (one distance per
+    vector per centroid, k centroids).
+
+    Scale shape: centroids come from :func:`label_centroids` (chunked
+    sorted folds, det_round(…, 6) means); the k centroid arrays are
+    assembled into ONE row and broadcast (a sanctioned single-row
+    broadcast, the ARI-scalar pattern), so scoring is MAP-SIDE — an
+    array fold per (vector, centroid), k·d multiplies per row, no join
+    against the corpus and no window.  The report is one chunked
+    two-level fold per label (the label_centroids geometry), so
+    per-group state stays ~|label|/n_chunks.
+
+    Determinism: every distance folds zip(v, μ) in array-position order
+    and sqrt is correctly rounded IEEE; b is a min over k doubles; the
+    mean folds SORTED chunk values then SORTED chunk sums (value order,
+    the label_centroids discipline) and divides once, det_round(…, 4).
+    s is 0 when max(a, b) == 0 (a vector exactly ON its own centroid in
+    a singleton cluster family).
+    """
+    from ..functions.detmath import det_round
+
+    cents = label_centroids(vecs, vec_col=vec_col, label_col=label_col,
+                            id_col=id_col, n_chunks=n_chunks)
+    carr = (cents.groupBy(F.col(label_col).alias("clabel"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v")))
+                 .alias("pms"))
+            .select("clabel",
+                    F.transform("pms", lambda s: s["mean_v"]).alias("cvec")))
+    allc = carr.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("clabel", "cvec")))
+        .alias("cents"))
+
+    vecs = vecs.filter(F.col(label_col).isNotNull()
+                       & (F.size(F.col(vec_col)) > 0))
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def dist_to(cvec):
+        sq = F.aggregate(
+            F.zip_with(vd, cvec, lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0), lambda acc, e: acc + e)
+        return F.sqrt(sq)
+
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(c["clabel"].alias("clabel"),
+                           dist_to(c["cvec"]).alias("d")))
+    own = F.filter(dists, lambda s: s["clabel"] == F.col(label_col))
+    other = F.filter(dists, lambda s: s["clabel"] != F.col(label_col))
+    a = F.element_at(own, 1)["d"]
+    b = F.array_min(F.transform(other, lambda s: s["d"]))
+    sil = F.when(F.greatest(a, b) > 0,
+                 (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    scored = (vecs.crossJoin(F.broadcast(allc))
+              .select(label_col,
+                      (F.col(id_col) % n_chunks).alias("chunk"),
+                      sil.alias("s")))
+    per_chunk = (scored.groupBy(label_col, "chunk")
+                 .agg(F.aggregate(F.array_sort(F.collect_list("s")),
+                                  F.lit(0.0), lambda acc, e: acc + e)
+                      .alias("chunk_sum"),
+                      F.count("*").cast("long").alias("chunk_n"),
+                      F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+                      .cast("long").alias("chunk_neg")))
+    return (per_chunk.groupBy(label_col)
+            .agg(F.aggregate(F.array_sort(F.collect_list("chunk_sum")),
+                             F.lit(0.0), lambda acc, e: acc + e)
+                 .alias("ssum"),
+                 F.sum("chunk_n").cast("long").alias("n_vecs"),
+                 F.sum("chunk_neg").cast("long").alias("n_negative"))
+            .select(label_col, "n_vecs",
+                    det_round(F.col("ssum") / F.col("n_vecs").cast("double"),
+                              4).alias("mean_silhouette"),
+                    "n_negative"))
