@@ -1598,6 +1598,88 @@ FROM qi GROUP BY segment
 """
 
 
+#: l-diversity thresholds audited (groups whose sensitive-attribute
+#: diversity falls below these leak the attribute to any attacker who
+#: can place a row in the group).
+LDIV_LS = (2, 3)
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement to
+    q_k_anonymity_audit: k-anonymity bounds RE-IDENTIFICATION (group
+    size), but a large group whose rows all share one SENSITIVE value
+    still discloses that value to anyone who can place a row in the
+    group.  Same quasi-identifier (nation, balance band); sensitive
+    attribute: market segment.  Per nation: group counts below
+    l ∈ {2, 3} distinct segments, rows exposed by 1-diverse groups,
+    the minimum diversity, and the worst single-segment share
+    (recursive-(c,l)-lite disclosure probability).
+
+    Scale shape: two map-side-combined reductions — (QI, segment)
+    counts, then QI-group stats — both bounded by attribute
+    cardinalities (nations × bands × segments), never row-sized; the
+    nation rollup is trivial.  No joins, no windows.
+
+    Determinism: every count is BIGINT; the per-group top-segment share
+    is exact_round_div at scale 4 and the report takes max over those
+    exact doubles."""
+    cust = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(KANON_BAND)) \
+        .cast("long").alias("band")
+    per_seg = cust.groupBy(F.col("c_nationkey").alias("nation"), band,
+                           F.col("c_mktsegment").alias("segment")) \
+        .agg(F.count("*").cast("long").alias("scnt"))
+    grp = per_seg.groupBy("nation", "band").agg(
+        F.sum("scnt").cast("long").alias("gsz"),
+        F.count("*").cast("long").alias("ndv"),
+        F.max("scnt").cast("long").alias("top_cnt"))
+    l2, l3 = LDIV_LS
+    return grp.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("gsz").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ndv") < l2, 1).otherwise(0))
+        .cast("long").alias("groups_lt_2"),
+        F.sum(F.when(F.col("ndv") < l3, 1).otherwise(0))
+        .cast("long").alias("groups_lt_3"),
+        F.sum(F.when(F.col("ndv") < l2, F.col("gsz")).otherwise(F.lit(0)))
+        .cast("long").alias("rows_1_diverse"),
+        F.min("ndv").cast("long").alias("min_diversity"),
+        F.max(exact_round_div(F.col("top_cnt"), F.col("gsz"), 4))
+        .alias("max_disclosure"))
+
+
+def _l_diversity_audit_sql() -> str:
+    l2, l3 = LDIV_LS
+    share = exact_round_div_sql("top_cnt", "gsz", 4)
+    return f"""
+WITH per_seg AS (
+    SELECT c_nationkey AS nation,
+           CAST(floor(c_acctbal / {KANON_BAND}) AS BIGINT) AS band,
+           c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS scnt
+    FROM customer GROUP BY 1, 2, 3
+),
+grp AS (
+    SELECT nation, band, CAST(sum(scnt) AS BIGINT) AS gsz,
+           CAST(count(*) AS BIGINT) AS ndv,
+           CAST(max(scnt) AS BIGINT) AS top_cnt
+    FROM per_seg GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(gsz) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ndv < {l2} THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_lt_2,
+       CAST(sum(CASE WHEN ndv < {l3} THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_lt_3,
+       CAST(sum(CASE WHEN ndv < {l2} THEN gsz ELSE 0 END) AS BIGINT)
+           AS rows_1_diverse,
+       CAST(min(ndv) AS BIGINT) AS min_diversity,
+       max({share}) AS max_disclosure
+FROM grp GROUP BY nation
+"""
+
+
 # --- TPC-H Q8 shape: nation market share --------------------------------------
 
 #: Market-share report scope: the customer region audited and the
@@ -1774,6 +1856,8 @@ FROM agg
 QUERIES: dict[str, QuerySpec] = {
     "k_anonymity_audit": QuerySpec(q_k_anonymity_audit,
                                    _k_anonymity_audit_sql()),
+    "l_diversity_audit": QuerySpec(q_l_diversity_audit,
+                                   _l_diversity_audit_sql()),
     "order_priority_check": QuerySpec(q_order_priority_check,
                                       SQL_ORDER_PRIORITY_CHECK),
     "customer_spend_deciles": QuerySpec(q_customer_spend_deciles,
