@@ -730,6 +730,65 @@ FROM per_chunk GROUP BY label, pos
 """
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid silhouette (operators/similarity.
+    kmeans_silhouette): mean (b−a)/max(a,b) against the own vs nearest-
+    other label centroid, plus the negative-silhouette (misassigned)
+    count — the cluster-quality scorecard for the labeled corpus."""
+    return similarity.kmeans_silhouette(_embs(spark, sf_dir))
+
+
+def _kmeans_silhouette_sql() -> str:
+    from ..functions.detmath import det_round_sql
+    dist = ("sqrt(list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, {EMB_DIM + 1}), "
+            "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+            " * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), "
+            "(acc, x) -> acc + x))")
+    fold_sorted = ("list_reduce(list_prepend(0.0, list_sort(list({v}))), "
+                   "(acc, x) -> acc + x)")
+    return f"""
+WITH cents AS (
+    SELECT * FROM ({SQL_LABEL_CENTROIDS}) lc
+),
+carr AS (
+    SELECT label AS clabel, list(mean_v ORDER BY pos) AS cvec
+    FROM cents GROUP BY label
+),
+dists AS (
+    SELECT e.vec_id, e.label, c.clabel, {dist} AS d
+    FROM embeddings e CROSS JOIN carr c
+    WHERE e.label IS NOT NULL AND len(e.embedding) > 0
+),
+ab AS (
+    SELECT vec_id, label,
+           min(CASE WHEN clabel = label THEN d END) AS a,
+           min(CASE WHEN clabel <> label THEN d END) AS b
+    FROM dists GROUP BY 1, 2
+),
+sil AS (
+    SELECT label, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
+           CASE WHEN greatest(a, b) > 0
+                THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+    FROM ab
+),
+per_chunk AS (
+    SELECT label, chunk,
+           {fold_sorted.format(v='s')} AS chunk_sum,
+           CAST(count(*) AS BIGINT) AS chunk_n,
+           CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS chunk_neg
+    FROM sil GROUP BY 1, 2
+)
+SELECT label, CAST(sum(chunk_n) AS BIGINT) AS n_vecs,
+       {det_round_sql(fold_sorted.format(v='chunk_sum')
+                      + ' / CAST(sum(chunk_n) AS DOUBLE)', 4)}
+           AS mean_silhouette,
+       CAST(sum(chunk_neg) AS BIGINT) AS n_negative
+FROM per_chunk GROUP BY label
+"""
+
+
 #: Diagonal-Mahalanobis outlier cut: ≈ 1.5 × EMB_DIM ≈ the χ²_64 upper
 #: tail — vectors scoring above this sit far outside their label's
 #: axis-aligned spread.  Literal so both dialects compare the same
@@ -1160,6 +1219,61 @@ SELECT doc_id, fmt, src_width, src_height,
        greatest(CAST(trunc(src_width * ratio) AS BIGINT), 1) AS out_width,
        greatest(CAST(trunc(src_height * ratio) AS BIGINT), 1) AS out_height
 FROM scaled
+"""
+
+
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the media layer (VERDICT r9
+    next-round #4): a 64-bit dHash per payload, Hamming-banded into
+    4 x 16-bit bands exactly like simhash_pairs — candidates come from
+    4 equi-joins, never an all-pairs join.  The stub hash is a pure
+    Catalyst scan projection (operators/multimodal.image_dhash), so at
+    100 TB only (doc_id, dhash) crosses the shuffle."""
+    return multimodal.dhash_near_dups(
+        multimodal.as_media(_docs(spark, sf_dir)))
+
+
+def _media_near_dups_sql() -> str:
+    bins = multimodal.DHASH_STUB_BINS
+    hist_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+        for i in range(bins))
+    terms = []
+    for bit in range(multimodal.DHASH_BITS):
+        addend = ("(-9223372036854775807 - 1)" if bit == 63
+                  else str(1 << bit))
+        terms.append(f"CASE WHEN h{bit + 1} > h{bit} "
+                     f"THEN CAST({addend} AS BIGINT) ELSE 0 END")
+    hash_expr = "\n         + ".join(terms)
+    band_bits = multimodal.DHASH_BAND_BITS
+    mask = (1 << band_bits) - 1
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, dhash, {b} AS band, "
+        f"(dhash >> {band_bits * b}) & {mask} AS bkey FROM fp"
+        for b in range(multimodal.DHASH_BANDS))
+    return f"""
+WITH {TOKENS_CTE},
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM tok WHERE len(toks) >= 2
+), binned AS (
+    SELECT doc_id, {MD5_LONG.format(x='bg')} % {bins} AS bin FROM big
+), hist AS (
+    SELECT doc_id,
+           {hist_cols}
+    FROM binned GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, CAST({hash_expr} AS BIGINT) AS dhash FROM hist
+), banded AS (
+{bands}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.dhash, y.dhash)) AS hamming
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.dhash, y.dhash)) <= {multimodal.DHASH_MAX_HAMMING}
 """
 
 
@@ -3137,6 +3251,91 @@ SELECT n_docs, sij, sa, sb,
                       / CAST(((n_docs * (n_docs - 1)) // 2) AS DOUBLE))
        END AS ari
 FROM s
+"""
+
+
+def q_dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector modularity (operators/dedup.partition_modularity):
+    the SimHash component partition evaluated on the MinHash-LSH pair
+    graph — the EDGE-STRUCTURE agreement audit next to the label-level
+    ARI.  Per SimHash cluster (MinHash-graph nodes only; unclustered
+    nodes are singletons): size, internal MinHash edges, degree sum,
+    and the modularity contribution e_c/m − (d_c/2m)²."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    part = dedup.duplicate_components(dedup.simhash_pairs(docs))
+    return dedup.partition_modularity(pairs, part)
+
+
+def _dup_modularity_sql() -> str:
+    from ..functions.detmath import det_round_sql
+    from ..operators.dedup import SIMHASH_MAX_HAMMING
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS chunk,"
+        f" (simhash >> {8 * c}) & 255 AS ckey FROM fp"
+        for c in range(4))
+    half = "(CAST(ds.degree_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))"
+    frac = ("CAST(COALESCE(i.internal_edges, 0) AS DOUBLE)"
+            " / CAST(mm.m AS DOUBLE)")
+    return f"""
+WITH RECURSIVE mh AS ({_minhash_sql()}),
+fp AS ({_simhash_sql()}),
+chunked AS (
+{chunk_selects}
+),
+shp AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM chunked x JOIN chunked y
+      ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+eb AS (
+    SELECT doc_a AS src, doc_b AS dst FROM shp
+    UNION
+    SELECT doc_b, doc_a FROM shp
+),
+nb AS (SELECT DISTINCT src AS node FROM eb),
+reachb(node, label) AS (
+    SELECT node, node FROM nb
+    UNION
+    SELECT e.dst, r.label FROM reachb r JOIN eb e ON e.src = r.node
+),
+ccb AS (SELECT node AS doc_id, MIN(label) AS cid FROM reachb GROUP BY node),
+edges AS (SELECT doc_a, doc_b FROM mh),
+-- DISTINCT over UNION ALL (the ARI gotcha: a bare UNION CTE after a
+-- recursive member skips deduplication on DuckDB 1.0)
+nodes AS (SELECT DISTINCT node FROM (
+    SELECT doc_a AS node FROM edges UNION ALL SELECT doc_b FROM edges)),
+lbl AS (
+    SELECT n.node, COALESCE(c.cid, n.node) AS lbl
+    FROM nodes n LEFT JOIN ccb c ON n.node = c.doc_id
+),
+internal AS (
+    SELECT la.lbl AS cluster_id, CAST(count(*) AS BIGINT) AS internal_edges
+    FROM edges e
+    JOIN lbl la ON e.doc_a = la.node
+    JOIN lbl lc ON e.doc_b = lc.node
+    WHERE la.lbl = lc.lbl GROUP BY 1
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT doc_a AS node FROM edges
+          UNION ALL SELECT doc_b FROM edges)
+    GROUP BY 1
+),
+dsum AS (
+    SELECT l.lbl AS cluster_id, CAST(sum(d.d) AS BIGINT) AS degree_sum,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM lbl l JOIN deg d ON l.node = d.node GROUP BY 1
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges)
+SELECT ds.cluster_id, ds.n_nodes,
+       CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       ds.degree_sum, mm.m,
+       {det_round_sql(f'{frac} - {half} * {half}', 6)} AS contribution
+FROM dsum ds
+LEFT JOIN internal i ON ds.cluster_id = i.cluster_id
+CROSS JOIN mm
 """
 
 
@@ -5395,6 +5594,159 @@ FROM folded
 """
 
 
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / hits@k of the lexical and RRF-fused rankings against the
+    dense-cosine top-k ground truth — the FIRST-HIT complement to
+    q_retrieval_ndcg's graded gain: NDCG rewards the whole ranked list,
+    MRR asks the production question "how deep does a user scroll
+    before the first relevant result?".  Per method: ranked count, the
+    rank of the first relevant document, its reciprocal (exact 1/rank
+    at 6 dp), and relevant-hit counts at cutoffs 1/5/10.
+
+    Scale shape: consumes the two bounded top-k branches (≤ 2k rows
+    end-to-end); pure integer aggregation plus one exact ratio."""
+    fused = q_hybrid_retrieval(spark, sf_dir)
+    rel = F.col("rank_dense").isNotNull()
+
+    def branch(method: str, rank_col: str) -> DataFrame:
+        r = F.col(rank_col).cast("long")
+        return (fused.filter(F.col(rank_col).isNotNull())
+                .groupBy()
+                .agg(F.count("*").cast("long").alias("n_ranked"),
+                     F.min(F.when(rel, r)).cast("long")
+                     .alias("first_rel_rank"),
+                     F.sum(F.when(rel & (r <= 1), 1).otherwise(0))
+                     .cast("long").alias("hits_1"),
+                     F.sum(F.when(rel & (r <= 5), 1).otherwise(0))
+                     .cast("long").alias("hits_5"),
+                     F.sum(F.when(rel & (r <= 10), 1).otherwise(0))
+                     .cast("long").alias("hits_10"))
+                .select(F.lit(method).alias("method"), "n_ranked",
+                        "first_rel_rank",
+                        F.coalesce(
+                            exact_round_div(F.lit(1),
+                                            F.col("first_rel_rank"), 6),
+                            F.lit(0.0)).alias("mrr"),
+                        "hits_1", "hits_5", "hits_10"))
+
+    return branch("lexical", "rank_lex").unionAll(
+        branch("hybrid", "final_rank"))
+
+
+def _retrieval_mrr_sql() -> str:
+    mrr = exact_round_div_sql("1", "first_rel_rank", 6)
+
+    def branch(method: str, rank_col: str) -> str:
+        return f"""
+    SELECT '{method}' AS method, CAST(count(*) AS BIGINT) AS n_ranked,
+           CAST(min(CASE WHEN rank_dense IS NOT NULL THEN {rank_col} END)
+                AS BIGINT) AS first_rel_rank,
+           CAST(sum(CASE WHEN rank_dense IS NOT NULL AND {rank_col} <= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+           CAST(sum(CASE WHEN rank_dense IS NOT NULL AND {rank_col} <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_5,
+           CAST(sum(CASE WHEN rank_dense IS NOT NULL AND {rank_col} <= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits_10
+    FROM fused WHERE {rank_col} IS NOT NULL"""
+
+    return f"""
+WITH fused AS ({_hybrid_retrieval_sql()}),
+branches AS (
+{branch('lexical', 'rank_lex')}
+    UNION ALL
+{branch('hybrid', 'final_rank')}
+)
+SELECT method, n_ranked, first_rel_rank,
+       COALESCE({mrr}, 0.0) AS mrr,
+       hits_1, hits_5, hits_10
+FROM branches
+"""
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the two deterministic halves of
+    the corpus (vec_id parity split — the doc_split hash convention):
+    ‖μ_even − μ_odd‖ and the worst single-dimension shift.  The
+    embedding DATA-QUALITY drift audit: on an i.i.d. corpus the halves
+    agree to sampling noise, so a label whose halves disagree flags a
+    heterogeneous or time-drifting embedding population (encoder
+    version mix, ingestion-order effects) before it poisons centroids
+    or ANN training.
+
+    Scale shape: two label_centroids passes (chunked sorted folds,
+    labels×d rows each) equi-joined on (label, pos) — nothing
+    vector-count-sized crosses a second shuffle.
+
+    Determinism: the per-dimension means are det_round(…, 6) on both
+    engines by construction; the drift folds (μa−μb)² in dimension
+    order and sqrt is correctly-rounded IEEE; max_dim_shift is a max
+    over identical doubles.  det_round(…, 6) on both outputs."""
+    embs = _embs(spark, sf_dir)
+    a = similarity.label_centroids(embs.filter(F.col("vec_id") % 2 == 0))
+    b = (similarity.label_centroids(embs.filter(F.col("vec_id") % 2 == 1))
+         .select(F.col("label").alias("_lbl"), F.col("pos").alias("_pos"),
+                 F.col("mean_v").alias("mean_b")))
+    j = a.join(b, (F.col("label") == F.col("_lbl"))
+               & (F.col("pos") == F.col("_pos")))
+    d = F.col("mean_v") - F.col("mean_b")
+    per_dim = j.select("label", "pos", (d * d).alias("sq"),
+                       F.abs(d).alias("shift"))
+    from ..functions.detmath import det_round
+    return (per_dim.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_dims"),
+                 F.aggregate(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("pos"), F.col("sq")))),
+                         lambda s: s["sq"]),
+                     F.lit(0.0), lambda acc, x: acc + x).alias("_ss"),
+                 F.max("shift").alias("_mx"))
+            .select("label", "n_dims",
+                    det_round(F.sqrt(F.col("_ss")), 6).alias("drift"),
+                    det_round(F.col("_mx"), 6).alias("max_dim_shift")))
+
+
+def _embedding_centroid_drift_sql() -> str:
+    from ..functions.detmath import det_round_sql
+
+    def cents(parity: int) -> str:
+        return f"""
+    SELECT label, pos,
+           {det_round_sql('''list_reduce(list_prepend(0.0, list_sort(list(chunk_sum))),
+                             (acc, x) -> acc + x) / sum(chunk_n)''', 6)} AS mean_v
+    FROM (
+        SELECT label, pos, chunk,
+               list_reduce(list_prepend(0.0, list_sort(list(v))),
+                           (acc, x) -> acc + x) AS chunk_sum,
+               count(*) AS chunk_n
+        FROM (
+            SELECT label, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
+                   CAST(i - 1 AS BIGINT) AS pos,
+                   CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
+            WHERE vec_id % 2 = {parity}
+        ) ex GROUP BY label, pos, chunk
+    ) pc GROUP BY label, pos"""
+
+    return f"""
+WITH ca AS ({cents(0)}),
+cb AS ({cents(1)}),
+j AS (
+    SELECT ca.label, ca.pos,
+           (ca.mean_v - cb.mean_v) * (ca.mean_v - cb.mean_v) AS sq,
+           abs(ca.mean_v - cb.mean_v) AS shift
+    FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+       {det_round_sql('''sqrt(list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(struct_pack(pos := pos, sq := sq))), s -> s.sq)),
+           (acc, x) -> acc + x))''', 6)} AS drift,
+       {det_round_sql('max(shift)', 6)} AS max_dim_shift
+FROM j GROUP BY label
+"""
+
+
 # --- containment near-dup (subset documents) ---------------------------------
 
 #: Broder containment |A∩B|/|A| threshold: a doc whose shingle set is
@@ -5737,9 +6089,136 @@ FROM est
 """
 
 
+def q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source shingle-set overlap from MERGED HLL register
+    files (operators/sketches.hll_source_overlap): union by bucket-wise
+    register max, intersection by inclusion-exclusion, Jaccard estimate
+    — each next to its exact audit value.  Registers are computed once
+    per source; the pair algebra joins m-row register files, never the
+    item streams."""
+    from ..operators.sketches import hll_source_overlap
+
+    docs = _docs(spark, sf_dir)
+    items = (
+        dedup.shingle_strings(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", md5_long(F.col("shingle")).alias("h"))
+    )
+    return hll_source_overlap(items, "source", "h")
+
+
+def _hll_source_overlap_sql() -> str:
+    from ..functions.detmath import det_ln_sql_items, exact_round_div_sql
+    from ..operators.sketches import HLL_M, HLL_NUM, HLL_W_BITS
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << (HLL_W_BITS - rho)} THEN {rho}"
+        for rho in range(1, HLL_W_BITS + 1))
+    num = f"CAST('{HLL_NUM!r}' AS DOUBLE)"
+    lns = ",\n           ".join(
+        det_ln_sql_items(str(HLL_M), f"greatest(z_{s}, 1)",
+                         f"_ln_{s}", f"_h{s}")
+        for s in ("a", "b", "u"))
+    ests = ",\n           ".join(
+        f"CASE WHEN ({num} / CAST(s_{s} AS DOUBLE))"
+        f" <= CAST('{2.5 * HLL_M!r}' AS DOUBLE) AND z_{s} > 0"
+        f" THEN CAST('{float(HLL_M)!r}' AS DOUBLE) * _ln_{s}"
+        f" ELSE ({num} / CAST(s_{s} AS DOUBLE)) END AS est_{s}"
+        for s in ("a", "b", "u"))
+
+    def sums(m_expr, s):
+        return (f"CAST(sum(CAST(1 AS BIGINT) << CAST(53 - {m_expr}"
+                f" AS INTEGER)) AS BIGINT) AS s_{s},\n           "
+                f"CAST(sum(CASE WHEN {m_expr} = 0 THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS z_{s}")
+
+    inter = "greatest(est_a + est_b - est_u, 0.0)"
+    return f"""
+WITH {TOKENS_CTE},
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - {_N} + 1),
+                                 i -> array_to_string(array_slice(toks, i + 1, i + {_N}),
+                                                      ' '))) AS shingle
+    FROM tok WHERE len(toks) >= {_N}
+),
+items AS (
+    SELECT d.source, {MD5_LONG.format(x='shingle')} AS h
+    FROM sh JOIN documents d USING (doc_id)
+),
+rho AS (
+    SELECT source, h % {HLL_M} AS bucket,
+           CAST(CASE WHEN (h // {HLL_M}) = 0 THEN 53 {ladder} END AS BIGINT)
+               AS rho
+    FROM (SELECT source, h, h // {HLL_M} AS w FROM items)
+),
+regs0 AS (SELECT source, bucket, max(rho) AS M FROM rho GROUP BY 1, 2),
+spine AS (
+    SELECT source, bucket
+    FROM (SELECT DISTINCT source FROM items)
+    CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket)
+),
+regs AS (
+    SELECT s.source, s.bucket, COALESCE(r.M, 0) AS M
+    FROM spine s LEFT JOIN regs0 r ON s.source = r.source AND s.bucket = r.bucket
+),
+paired AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.M AS ma, b.M AS mb, greatest(a.M, b.M) AS mu
+    FROM regs a JOIN regs b
+      ON a.bucket = b.bucket AND a.source < b.source
+),
+per_pair AS (
+    SELECT source_a, source_b,
+           {sums('ma', 'a')},
+           {sums('mb', 'b')},
+           {sums('mu', 'u')}
+    FROM paired GROUP BY 1, 2
+),
+lnv AS (
+    SELECT *,
+           {lns}
+    FROM per_pair
+),
+est AS (
+    SELECT source_a, source_b,
+           {ests}
+    FROM lnv
+),
+ex AS (SELECT DISTINCT source, h FROM items),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+iex AS (
+    SELECT a.source AS ka, b.source AS kb,
+           CAST(count(*) AS BIGINT) AS inter_exact
+    FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+),
+joined AS (
+    SELECT e.*, sa.n AS n_a, sb.n AS n_b,
+           CAST(COALESCE(i.inter_exact, 0) AS BIGINT) AS inter_exact
+    FROM est e
+    JOIN sizes sa ON e.source_a = sa.source
+    JOIN sizes sb ON e.source_b = sb.source
+    LEFT JOIN iex i ON e.source_a = i.ka AND e.source_b = i.kb
+)
+SELECT source_a, source_b,
+       {det_round_sql('est_u', 4)} AS union_est,
+       {det_round_sql(inter, 4)} AS inter_est,
+       {det_round_sql(f'CASE WHEN est_u > 0 THEN {inter} / est_u ELSE 0.0 END', 4)}
+           AS jaccard_est,
+       CAST(n_a + n_b - inter_exact AS BIGINT) AS union_exact,
+       inter_exact,
+       {exact_round_div_sql('inter_exact', 'n_a + n_b - inter_exact', 4)}
+           AS jaccard_exact
+FROM joined
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cms_term_counts": QuerySpec(q_cms_term_counts, _cms_term_counts_sql()),
     "hll_shingles": QuerySpec(q_hll_shingles, _hll_shingles_sql()),
+    "hll_source_overlap": QuerySpec(q_hll_source_overlap,
+                                    _hll_source_overlap_sql()),
     "tokenizer_fertility": QuerySpec(q_tokenizer_fertility,
                                      _tokenizer_fertility_sql()),
     "bm25_search": QuerySpec(q_bm25_search, _bm25_search_sql()),
@@ -5813,6 +6292,8 @@ QUERIES: dict[str, QuerySpec] = {
                                     SQL_KNN_IVF_MULTIPROBE),
     "knn_lsh_pairs": QuerySpec(q_knn_lsh_pairs, _lsh_pairs_sql()),
     "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS),
+    "kmeans_silhouette": QuerySpec(q_kmeans_silhouette,
+                                   _kmeans_silhouette_sql()),
     "token_counts": QuerySpec(q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": QuerySpec(q_quality_scores, SQL_QUALITY_SCORES),
     "language_id": QuerySpec(q_language_id, _langid_sql()),
@@ -5823,6 +6304,7 @@ QUERIES: dict[str, QuerySpec] = {
     "media_summary": QuerySpec(q_media_summary, SQL_MEDIA_SUMMARY),
     "frame_samples": QuerySpec(q_frame_samples, SQL_FRAME_SAMPLES),
     "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
+    "media_near_dups": QuerySpec(q_media_near_dups, _media_near_dups_sql()),
     "doc_split_counts": QuerySpec(q_doc_split_counts, SQL_DOC_SPLIT_COUNTS),
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_shards": QuerySpec(q_token_shards, SQL_TOKEN_SHARDS),
@@ -5836,6 +6318,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dup_clusters": QuerySpec(q_dup_clusters, _dup_clusters_sql()),
     "dedup_detector_ari": QuerySpec(q_dedup_detector_ari,
                                     _dedup_detector_ari_sql()),
+    "dup_modularity": QuerySpec(q_dup_modularity, _dup_modularity_sql()),
     "leakage_safe_split": QuerySpec(q_leakage_safe_split,
                                     _leakage_safe_split_sql()),
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
@@ -5887,6 +6370,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_rate_by_source": QuerySpec(q_dedup_rate_by_source,
                                       _dedup_rate_by_source_sql()),
     "retrieval_ndcg": QuerySpec(q_retrieval_ndcg, _retrieval_ndcg_sql()),
+    "retrieval_mrr": QuerySpec(q_retrieval_mrr, _retrieval_mrr_sql()),
+    "embedding_centroid_drift": QuerySpec(q_embedding_centroid_drift,
+                                          _embedding_centroid_drift_sql()),
     "embedding_effective_rank": QuerySpec(q_embedding_effective_rank,
                                           _embedding_effective_rank_sql()),
     "embedding_top_eigen": QuerySpec(q_embedding_top_eigen,

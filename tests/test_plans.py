@@ -138,6 +138,19 @@ NESTED_LOOP_SANCTIONED = {
     # three single-row scalar broadcasts assembling the ARI numerator/
     # denominator (sij, sa, sb onto the n_docs row)
     "dedup_detector_ari": 3,
+    # single-row centroid-set broadcast (all k centroid arrays in one
+    # row, the ARI-scalar pattern) — scoring is map-side after it
+    "kmeans_silhouette": 1,
+    # single-row edge-count (m) broadcast onto the cluster report
+    "dup_modularity": 1,
+    # hll_shingles' register spine (distinct sources × 2^p register
+    # ids); the register relation feeds BOTH legs of the pair self-join
+    # so the spine subtree plans twice
+    "hll_source_overlap": 2,
+    # composes hybrid_retrieval's two sanctioned single-row broadcasts,
+    # once per method branch (lexical + hybrid) — the retrieval_ndcg
+    # shape
+    "retrieval_mrr": 4,
 }
 
 

@@ -1,0 +1,148 @@
+"""Round-10 operator tests: cache hygiene for the Mahalanobis audit
+(the textrank self-cleaning pattern, VERDICT r9 next-round #6) and the
+new query families added this round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestMahalanobisCacheRelease:
+    def test_no_resident_scored_cache_after_materialization(self, spark):
+        """diag_mahalanobis_outliers must not leave its scored
+        MEMORY_AND_DISK block resident: the labels-sized report is
+        eagerly localCheckpointed inside the operator and the scored
+        relation unpersisted before return, so consuming the result
+        adds at most the one checkpointed report RDD."""
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            diag_mahalanobis_outliers)
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 5), float((i * 3) % 7)], i % 2)
+             for i in range(40)],
+            "vec_id long, embedding array<float>, label int")
+        out = diag_mahalanobis_outliers(vecs, score_threshold=3.0)
+        assert out.count() == 2
+        after = jsc.getPersistentRDDs().size()
+        # the eager localCheckpoint of the 2-row report may remain;
+        # the vector-count-sized scored cache must not
+        assert after - before <= 1, (before, after)
+
+
+class TestHllSourceOverlap:
+    def test_disjoint_and_identical_sets(self, spark):
+        """Identical sets: union register files equal either side, so
+        union_est == est_a and the exact Jaccard is 1; disjoint sets:
+        inter_exact 0."""
+        from realtime_log_analytics_flink_kafka_spark.functions.hashing import (
+            md5_long)
+        from realtime_log_analytics_flink_kafka_spark.operators.sketches import (
+            hll_source_overlap)
+        rows = ([("a", f"t{i}") for i in range(300)]
+                + [("b", f"t{i}") for i in range(300)]      # b == a
+                + [("c", f"u{i}") for i in range(300)])      # c disjoint
+        items = (spark.createDataFrame(rows, "source string, term string")
+                 .select("source", md5_long(F.col("term")).alias("h")))
+        out = {(r.source_a, r.source_b): r
+               for r in hll_source_overlap(items, "source", "h").collect()}
+        ab = out[("a", "b")]
+        assert ab.jaccard_exact == 1.0 and ab.inter_exact == 300
+        # merged registers of identical sets are the per-set registers
+        assert ab.union_est == ab.inter_est or ab.jaccard_est == 1.0
+        ac = out[("a", "c")]
+        assert ac.inter_exact == 0 and ac.union_exact == 600
+        # HLL estimate at p=8 lands within ~4 sigma of the truth
+        assert abs(ac.union_est - 600) / 600 < 0.3
+
+
+class TestPartitionModularity:
+    def test_hand_computed_contributions(self, spark):
+        """Graph: triangle {1,2,3} + edge {4,5}, m=4.  Partition A =
+        {1,2,3}, B = {4,5} (components on their own graph): e_A=3,
+        d_A=6, e_B=1, d_B=2 -> contributions 3/4-(6/8)^2 and
+        1/4-(2/8)^2; Q = sum = 0.375."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            partition_modularity)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5)], "doc_a long, doc_b long")
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+            "doc_id long, cluster_id long")
+        got = {r.cluster_id: r for r in
+               partition_modularity(pairs, labels).collect()}
+        assert got[1].internal_edges == 3 and got[1].degree_sum == 6
+        assert got[1].contribution == 3 / 4 - (6 / 8) ** 2
+        assert got[4].contribution == 1 / 4 - (2 / 8) ** 2
+        assert abs(sum(r.contribution for r in got.values()) - 0.375) < 1e-9
+
+    def test_unlabeled_nodes_become_singletons(self, spark):
+        """A graph node missing from the partition is its own cluster:
+        zero internal edges, its degree, negative contribution."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            partition_modularity)
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        labels = spark.createDataFrame([(1, 7)], "doc_id long, cluster_id long")
+        got = {r.cluster_id: r for r in
+               partition_modularity(pairs, labels).collect()}
+        assert set(got) == {7, 2}
+        assert got[2].internal_edges == 0 and got[2].n_nodes == 1
+        assert got[2].contribution == -(1 / 2) ** 2
+
+
+class TestKmeansSilhouette:
+    def test_separated_clusters_score_high(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            kmeans_silhouette)
+        rows = ([(i, [0.0 + 0.01 * i, 0.0], 0) for i in range(10)]
+                + [(100 + i, [10.0, 10.0 + 0.01 * i], 1) for i in range(10)])
+        out = {r.label: r for r in kmeans_silhouette(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int")
+        ).collect()}
+        assert out[0].n_vecs == 10 and out[0].n_negative == 0
+        assert out[0].mean_silhouette > 0.9 and out[1].mean_silhouette > 0.9
+
+    def test_misassigned_vector_goes_negative(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            kmeans_silhouette)
+        rows = ([(i, [0.0, float(i % 3)], 0) for i in range(9)]
+                + [(99, [10.0, 10.0], 0)]          # sits on cluster 1
+                + [(100 + i, [10.0, 10.0 + i % 3], 1) for i in range(9)])
+        out = {r.label: r for r in kmeans_silhouette(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int")
+        ).collect()}
+        assert out[0].n_negative >= 1
+
+
+class TestSeasonalDecompose:
+    def test_weekly_spike_lands_in_seasonal(self, spark):
+        """Flat 10/day series with +7 every Monday across 4 weeks: the
+        spike must be absorbed by the seasonal component (Monday
+        seasonal high, other weekdays slightly negative), with y ==
+        trend + seasonal + residual on every row."""
+        from datetime import datetime, timedelta
+        from realtime_log_analytics_flink_kafka_spark.operators.detect import (
+            seasonal_decompose)
+        t0 = datetime(2024, 1, 1)  # a Monday
+        rows = []
+        eid = 0
+        for d in range(28):
+            n = 10 + (7 if d % 7 == 0 else 0)
+            for k in range(n):
+                rows.append((eid, t0 + timedelta(days=d, seconds=k),
+                             "svc", 1.0))
+                eid += 1
+        logs = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, service string, v double"
+        ).withColumn("is_error", F.lit(1))
+        out = {r.dow: r for r in seasonal_decompose(logs).collect()
+               if r.day_epoch < 19725 + 7}  # first week only
+        assert len(out) == 7
+        monday = max(out.values(), key=lambda r: r.seasonal)
+        assert monday.y == 17 and monday.seasonal > 4
+        for r in out.values():
+            assert abs((r.trend + r.seasonal + r.residual) - r.y) < 1e-6
