@@ -35,57 +35,54 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ==== round-9 evidence policy =========================================
-    # The r8 board was 50/50 green, so r9 does what VERDICT r8
-    # next-round #1 asks — retire the r5-stale freshness tier: (a) the
-    # FOURTEEN r9-new query families (error_latency_auc's rank-free
-    # cumulative pair counting, error_rate_calibration's day-parity
-    # train/test split, k_anonymity_audit's QI group-size reduction,
-    # holt_forecast's two-state ordered float recursion,
-    # changepoint_split's prefix-sum argmax, acf_daily's calendar-lag
-    # spine join, nation_market_share's indicator-vs-semi-join Q8
-    # shape, promo_revenue_share's Q14 indicator-carrying join,
-    # dup_local_clustering's apex-kept triangle attribution,
-    # embedding_outliers' broadcast-array Mahalanobis fold,
-    # dow_anomalies' integer-exact seasonality flags,
-    # sequence_matches' CEP-style relaxed-contiguity pattern,
-    # kmeans_refine's fixed-sweep Lloyd codebook training,
-    # dedup_detector_ari's pair-counting partition agreement) — new
-    # construct classes go in the window immediately; (b) the ENTIRE remaining
-    # 32-query r5-stale cohort (everything whose last driver check is
-    # CORRECTNESS_r05) — note robust_trend is NOT here: its r9
-    # trailing-window cap (ROBUST_TREND_MAX_DAYS) is proven
-    # hash-neutral on the fixture by the unchanged-oracle sf0.001/0.01
-    # sweeps and its r8 driver row is fresh; (c) 4 fills from the
-    # 43-query r6-stale tier, taken as the alphabetical prefix (so the
-    # next rotation continues deterministically at doc_split_counts).
-    # After r9 no registry query's last driver check is older than r6
-    # (the r8 done-bar, advanced one round).  Everything out-of-window
-    # is re-proven by the sf0.01 full-registry value-exact sweep each
+    # ==== round-10 evidence policy ========================================
+    # The r9 board was 50/50 green (fifth consecutive), so r10 does what
+    # VERDICT r9 next-round #2 asks — retire the r6-stale freshness
+    # tier: (a) the EIGHT r10-new query families (media_near_dups'
+    # banded dHash pair join, seasonal_decompose's centered-window +
+    # ordered-fold decomposition, kmeans_silhouette's broadcast-centroid
+    # (b−a)/max(a,b) scorecard, hll_source_overlap's merged-register set
+    # algebra, l_diversity_audit's sensitive-diversity reduction,
+    # dup_modularity's cross-detector e_c/m − (d_c/2m)² audit,
+    # retrieval_mrr's first-hit reciprocal-rank report,
+    # embedding_centroid_drift's split-half centroid comparison) — new
+    # construct classes go in the window immediately; (b) the ENTIRE
+    # 39-query r6-stale cohort (everything whose last driver check is
+    # CORRECTNESS_r06, per the committed EVIDENCE.md freshness table);
+    # (c) embedding_anisotropy — rows-only by classification, never
+    # driver-green, last rows-checked r7 — so its weaker check stays
+    # fresh too; (d) 2 fills from the r7 tier, taken as the
+    # alphabetical prefix (so the next rotation continues
+    # deterministically at alert_union_normalized).  After r10 no
+    # registry query's last driver check is older than r7 (the r9
+    # done-bar, advanced one round).  Everything out-of-window is
+    # re-proven by the sf0.01 full-registry value-exact sweep each
     # session (tests/test_oracle_parity*.py).
     #
-    # -- (a) never driver-checked: r9-new (14) -------------------------------
-    "error_latency_auc", "error_rate_calibration", "k_anonymity_audit",
-    "holt_forecast", "changepoint_split",
-    "acf_daily", "nation_market_share", "promo_revenue_share",
-    "dup_local_clustering", "embedding_outliers", "dow_anomalies",
-    "sequence_matches", "kmeans_refine", "dedup_detector_ari",
-    # -- (b) the full r5-stale cohort (32) ----------------------------------
-    "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_token_loss", "doc_chunks", "doc_fingerprints",
-    "doc_length_histogram", "dup_graph_degrees", "duplicate_ngram_spans",
-    "error_burst_busy_overlap", "heaps_law_fit", "knn_bruteforce",
-    "language_id", "leakage_safe_split", "near_dup_survivors",
-    "perplexity_buckets", "quality_filter_funnel", "quality_vs_perplexity",
-    "repetition_filters", "signal_correlations", "simhash_pairs",
-    "temperature_mixture", "tfidf_top_terms", "token_budget_cut",
-    "token_counts", "token_entropy", "token_shards",
-    "token_weighted_sample", "tokenizer_fertility", "top_terms_per_source",
-    "winnowing_pairs", "zipf_fit",
-    # -- (c) r6-stale fill: alphabetical prefix (4; the next rotation
-    # continues deterministically at doc_split_counts) -----------------------
-    "cms_term_counts", "curation_report", "customer_running_spend",
-    "dedup_minhash_lsh",
+    # -- (a) never driver-checked: r10-new (8) -------------------------------
+    "media_near_dups", "seasonal_decompose", "kmeans_silhouette",
+    "hll_source_overlap", "l_diversity_audit", "dup_modularity",
+    "retrieval_mrr", "embedding_centroid_drift",
+    # -- (b) the full r6-stale cohort (39) ----------------------------------
+    "doc_split_counts", "embedding_near_dups", "error_budget_burn",
+    "error_rate_sliding", "escalation_metrics_daily", "frame_samples",
+    "grouping_sets_orders", "hll_shingles", "hourly_profile",
+    "hybrid_retrieval", "intra_doc_dedup", "jaccard_prefix_join",
+    "jm_bigram_surprisal", "knn_ivf", "knn_ivf_multiprobe",
+    "knn_lsh_pairs", "label_centroids", "latency_ewma_daily",
+    "latency_median_mad", "media_resize", "media_summary",
+    "minhash_accuracy", "nation_trade_volume", "ngram_diversity",
+    "order_fulfillment_lag", "orders_by_priority_pivot",
+    "pmi_collocations", "props_json_extract", "quality_scores",
+    "segment_dedup", "session_bounce_rate", "skew_audit",
+    "small_quantity_revenue", "source_kl_divergence", "stratified_sample",
+    "term_typo_variants", "top_revenue_orders", "unigram_surprisal",
+    "zorder_locality",
+    # -- (c) the never-green rows-only classification, kept fresh ------------
+    "embedding_anisotropy",
+    # -- (d) r7-tier fill: alphabetical prefix (2; the next rotation
+    # continues deterministically at alert_union_normalized) -----------------
+    "alert_metrics_daily", "alert_throttle",
 )
 
 
