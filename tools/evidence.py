@@ -222,6 +222,80 @@ def main() -> None:
         "with zero code change).  No plan changed; no action beyond "
         "this record.",
         "",
+        "## Bench-drift audit, round 10 (VERDICT r9, next-round #3)",
+        "",
+        "The six r8→r9 driver-to-driver upticks on code untouched in r9 "
+        "(text.py gained 25 doc-only lines; sketches.py, dedup.py's "
+        "cluster path, and sampling.py's split path are byte-identical "
+        "on these queries' dependency chains) are adjudicated against "
+        "the COMMITTED post-ARI builder-uncontended full-registry "
+        "refresh (05a9252, 2026-08-15, same build the r9 driver ran, "
+        "sf0.1, bench protocol, `harness: builder-uncontended`) — no "
+        "new experiments needed, the prescribed A/B data already "
+        "exists:",
+        "",
+        "| query | r8 driver (9e54f56) | r9 driver (e8db4b9) | "
+        "r9/r8 driver | builder same-build (05a9252) | "
+        "builder vs r8 driver |",
+        "|---|---|---|---|---|---|",
+        "| source_kl_divergence | 1.632 | 2.808 | 1.72× | 1.927 | "
+        "1.18× |",
+        "| hll_shingles | 1.654 | 2.547 | 1.54× | 1.909 | 1.15× |",
+        "| cluster_best_representative | 2.656 | 4.002 | 1.51× | "
+        "2.587 | 0.97× |",
+        "| jm_bigram_surprisal | 1.685 | 2.444 | 1.45× | 1.834 | "
+        "1.09× |",
+        "| token_entropy | 1.829 | 2.532 | 1.38× | 1.903 | 1.04× |",
+        "| leakage_safe_split | 3.109 | 4.173 | 1.34× | 3.002 | "
+        "0.97× |",
+        "",
+        "On the same build, uncontended, every one of the six sits at "
+        "≤1.18× of the r8 DRIVER number (two are FASTER than r8), so "
+        "the code the r9 driver measured is not slower — the 1.3-1.7× "
+        "driver readings are driver-session ambient load on the "
+        "189-query session, the same band as the r6→r7, r7→r8, and "
+        "r8→r9-headline audits above (and the widest offender, "
+        "cluster_best_representative, is precisely the query whose "
+        "committed no-code-change history already spans 2.2-4.0 s).  "
+        "Measured variance; no plan changed; no action beyond this "
+        "record.",
+        "",
+        "## BENCH_DETAIL at 197 (round-10 builder refresh), declared "
+        "in advance",
+        "",
+        "The committed `BENCH_DETAIL.json` (harness: "
+        "builder-uncontended, 2026-08-16, box idle — load <2, 123 GiB "
+        "free) covers the full 197-query registry: suite 261.8 s.  The "
+        "delta vs the r9 runs decomposes as:",
+        "",
+        "- **+8 new queries = +29.2 s intrinsic**: dup_modularity 11.68 "
+        "(composes BOTH detector pipelines + one bounded-round "
+        "component propagation — the ARI cost class), "
+        "hll_source_overlap 5.07 (shingle registers + the "
+        "deliberately-kept exact audit legs), media_near_dups 4.15 "
+        "(bigram-histogram fingerprints + banded join), retrieval_mrr "
+        "3.21 (re-runs the hybrid fusion per method branch, the "
+        "retrieval_ndcg class), kmeans_silhouette 2.13, "
+        "seasonal_decompose 1.94, embedding_centroid_drift 0.76, "
+        "l_diversity_audit 0.30.",
+        "- **Common-query scatter is a SLOW BOOT, not code**: median "
+        "ratio vs the r9 DRIVER detail is 1.03 (vs the r9 builder run "
+        "1.15), but the p90 sits at 1.37/1.43 with a short-query tail "
+        "up to 2.4× (hard_negatives 0.72→1.72, dedup_simhash "
+        "0.95→1.86, quality_filter_funnel 3.79→5.92 — all "
+        "code-untouched this round; text.py not modified at all).  "
+        "Re-measured in ISOLATION on this same boot (3-run bench "
+        "protocol, idle box): hard_negatives [2.25, 2.88, 4.16], "
+        "dedup_simhash [1.41, 1.62, 2.30] — still elevated AND 2× wide "
+        "run-to-run, i.e. the Firecracker boot itself is slower and "
+        "noisier than the r9 session's (the documented cross-boot "
+        "±30% band, stretched on sub-second scheduling-sensitive "
+        "queries).  No plan changed; the r10 driver bench run is the "
+        "authoritative same-session comparison.",
+        "- **Headline-16 vs the r1 baseline: 11.51 s / 24.65 s = "
+        "0.47×** even on this slow boot — the ≤2× gate passes with "
+        ">4× headroom.",
+        "",
         "Every construct class has at least one driver-green carrier, so "
         "driver-side engine-version skew is ruled out for all of them — "
         "including `string_agg ORDER BY` (pq_codes, green) and the hex "
