@@ -1598,6 +1598,123 @@ FROM qi GROUP BY segment
 """
 
 
+def q_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil concentration index of customer spend per market segment —
+    the decomposable inequality companion to q_spend_gini:
+
+        T = Σ_i (x_i/X) · ln(n · x_i / X)
+
+    (0 = perfectly even, ln n = one customer holds everything).  Gini
+    weights transfers by RANK distance; Theil weights them by log
+    RATIO, so it reacts to the extreme tail Gini flattens — the number
+    that moves when one whale joins a segment.
+
+    Scale shape: the spend_gini value-domain histogram — one map-side
+    groupBy to (segment, whole-dollar spend) counts, so state is
+    bounded by distinct VALUES, never customers; the per-segment
+    (n, X) scalars join back by segment (broadcast); the float sum
+    folds histogram rows in (chunk, value) order via the chunked
+    two-level sorted fold.
+
+    Determinism: x, X, n are exact BIGINT dollars; ln(n·x/X) is the
+    staged det_ln_ratio (identical constants both dialects; overflow
+    bound n·x < 2^62 holds to 10^7 customers × 10^5-dollar spends);
+    each term is one double product of exact casts; folds are sorted;
+    det_round(…, 6).  Zero-dollar customers contribute their limit 0
+    (guarded, x > 0)."""
+    from ..functions.detmath import with_det_ln
+
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(int_div(F.sum(cents.cast("long")), F.lit(100)).alias("x"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hist = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "x")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    totals = hist.groupBy(F.col("segment").alias("_seg")).agg(
+        F.sum(F.col("cnt") * F.col("x")).cast("long").alias("xt"),
+        F.sum("cnt").cast("long").alias("n"))
+    j = hist.join(F.broadcast(totals), F.col("segment") == F.col("_seg"))
+    j = with_det_ln(j.filter(F.col("x") > 0),
+                    F.col("n") * F.col("x"), F.col("xt"), "_lnr", pfx="_th")
+    term = ((F.col("cnt") * F.col("x")).cast("double")
+            / F.col("xt").cast("double")) * F.col("_lnr")
+    per_chunk = (j.select("segment", "x", "n", "xt",
+                          (F.col("x") % 64).alias("chunk"),
+                          term.alias("t"))
+                 .groupBy("segment", "chunk")
+                 .agg(F.max("n").alias("n"), F.max("xt").alias("xt"),
+                      F.aggregate(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct("x", "t"))),
+                              lambda s: s["t"]),
+                          F.lit(0.0), lambda acc, e: acc + e)
+                      .alias("csum")))
+    return (per_chunk.groupBy("segment")
+            .agg(F.max("n").cast("long").alias("n_customers"),
+                 F.max("xt").cast("long").alias("total_spend_d"),
+                 F.aggregate(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("chunk", "csum"))),
+                         lambda s: s["csum"]),
+                     F.lit(0.0), lambda acc, e: acc + e).alias("tsum"))
+            .select("segment", "n_customers", "total_spend_d",
+                    det_round(F.col("tsum"), 6).alias("theil")))
+
+
+def _revenue_theil_sql() -> str:
+    from ..functions.detmath import det_ln_sql_items
+    return f"""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) // 100 AS x
+    FROM orders GROUP BY o_custkey
+),
+hist AS (
+    SELECT c.c_mktsegment AS segment, s.x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT segment AS _seg, CAST(sum(cnt * x) AS BIGINT) AS xt,
+           CAST(sum(cnt) AS BIGINT) AS n
+    FROM hist GROUP BY 1
+),
+lnr AS (
+    SELECT h.segment, h.x, h.cnt, t.xt, t.n,
+           {det_ln_sql_items('h.n * h.x', 't.xt', '_lnr', '_th')}
+    FROM (SELECT hist.*, totals.n FROM hist
+          JOIN totals ON hist.segment = totals._seg
+          WHERE hist.x > 0) h
+    JOIN totals t ON h.segment = t._seg
+),
+per_chunk AS (
+    SELECT segment, x % 64 AS chunk, max(n) AS n, max(xt) AS xt,
+           list_reduce(list_prepend(0.0, list_transform(
+               list_sort(list(struct_pack(x := x,
+                   t := (CAST(cnt * x AS DOUBLE) / CAST(xt AS DOUBLE))
+                        * _lnr))),
+               s -> s.t)), (acc, e) -> acc + e) AS csum
+    FROM lnr GROUP BY 1, 2
+)
+SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(max(xt) AS BIGINT) AS total_spend_d,
+       {det_round_sql('''list_reduce(list_prepend(0.0, list_transform(
+           list_sort(list(struct_pack(chunk := chunk, csum := csum))),
+           s -> s.csum)), (acc, e) -> acc + e)''', 6)} AS theil
+FROM per_chunk GROUP BY segment
+"""
+
+
 #: l-diversity thresholds audited (groups whose sensitive-attribute
 #: diversity falls below these leak the attribute to any attacker who
 #: can place a row in the group).
@@ -1858,6 +1975,7 @@ QUERIES: dict[str, QuerySpec] = {
                                    _k_anonymity_audit_sql()),
     "l_diversity_audit": QuerySpec(q_l_diversity_audit,
                                    _l_diversity_audit_sql()),
+    "revenue_theil": QuerySpec(q_revenue_theil, _revenue_theil_sql()),
     "order_priority_check": QuerySpec(q_order_priority_check,
                                       SQL_ORDER_PRIORITY_CHECK),
     "customer_spend_deciles": QuerySpec(q_customer_spend_deciles,
