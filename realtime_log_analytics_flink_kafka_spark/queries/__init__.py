@@ -38,31 +38,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ==== round-10 evidence policy ========================================
     # The r9 board was 50/50 green (fifth consecutive), so r10 does what
     # VERDICT r9 next-round #2 asks — retire the r6-stale freshness
-    # tier: (a) the EIGHT r10-new query families (media_near_dups'
+    # tier: (a) the TEN r10-new query families (media_near_dups'
     # banded dHash pair join, seasonal_decompose's centered-window +
     # ordered-fold decomposition, kmeans_silhouette's broadcast-centroid
     # (b−a)/max(a,b) scorecard, hll_source_overlap's merged-register set
     # algebra, l_diversity_audit's sensitive-diversity reduction,
     # dup_modularity's cross-detector e_c/m − (d_c/2m)² audit,
     # retrieval_mrr's first-hit reciprocal-rank report,
-    # embedding_centroid_drift's split-half centroid comparison) — new
+    # embedding_centroid_drift's split-half centroid comparison,
+    # revenue_theil's det_ln concentration fold, dup_cluster_sources'
+    # mirror/boilerplate verdict) — new
     # construct classes go in the window immediately; (b) the ENTIRE
     # 39-query r6-stale cohort (everything whose last driver check is
     # CORRECTNESS_r06, per the committed EVIDENCE.md freshness table);
-    # (c) embedding_anisotropy — rows-only by classification, never
+    # and (c) embedding_anisotropy — rows-only by classification, never
     # driver-green, last rows-checked r7 — so its weaker check stays
-    # fresh too; (d) 2 fills from the r7 tier, taken as the
-    # alphabetical prefix (so the next rotation continues
-    # deterministically at alert_union_normalized).  After r10 no
+    # fresh too.  10 + 39 + 1 = exactly 50; the r7 tier's rotation
+    # continues next round at alert_metrics_daily.  After r10 no
     # registry query's last driver check is older than r7 (the r9
     # done-bar, advanced one round).  Everything out-of-window is
     # re-proven by the sf0.01 full-registry value-exact sweep each
     # session (tests/test_oracle_parity*.py).
     #
-    # -- (a) never driver-checked: r10-new (8) -------------------------------
+    # -- (a) never driver-checked: r10-new (10) ------------------------------
     "media_near_dups", "seasonal_decompose", "kmeans_silhouette",
     "hll_source_overlap", "l_diversity_audit", "dup_modularity",
-    "retrieval_mrr", "embedding_centroid_drift",
+    "retrieval_mrr", "embedding_centroid_drift", "revenue_theil",
+    "dup_cluster_sources",
     # -- (b) the full r6-stale cohort (39) ----------------------------------
     "doc_split_counts", "embedding_near_dups", "error_budget_burn",
     "error_rate_sliding", "escalation_metrics_daily", "frame_samples",
@@ -80,9 +82,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_locality",
     # -- (c) the never-green rows-only classification, kept fresh ------------
     "embedding_anisotropy",
-    # -- (d) r7-tier fill: alphabetical prefix (2; the next rotation
-    # continues deterministically at alert_union_normalized) -----------------
-    "alert_metrics_daily", "alert_throttle",
 )
 
 

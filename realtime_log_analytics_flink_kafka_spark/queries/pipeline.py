@@ -3146,6 +3146,86 @@ FROM cc
 """
 
 
+def q_dup_cluster_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source composition of every near-dup cluster — the MIRROR
+    detector a curation pipeline runs after clustering: a cluster that
+    spans sources is cross-site mirrored content (keep one copy
+    globally, and distrust per-source quality stats computed before
+    dedup); a single-source cluster is internal boilerplate (a
+    source-local template, the C4-style removal target).  Per MinHash
+    cluster: size, distinct sources, the dominant source with its exact
+    share, and the single-source flag.
+
+    Scale shape: composes dup_clusters' bounded-round component
+    propagation with one (cluster, source) map-side count and a
+    cluster-cardinality reduction; the verdict needs no window and
+    nothing document-sized crosses a second shuffle.
+
+    Determinism: counts BIGINT; top-source tie-break is lexicographic
+    min over sources holding the max count; share is exact_round_div
+    at scale 4."""
+    docs = _docs(spark, sf_dir)
+    comp = dedup.duplicate_components(
+        dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD))
+    per_src = (comp.join(docs.select("doc_id", "source"), "doc_id")
+               .groupBy("cluster_id", "source")
+               .agg(F.count("*").cast("long").alias("scnt")))
+    ps = per_src.withColumn(
+        "_mx", F.max("scnt").over(Window.partitionBy("cluster_id")))
+    grp = ps.groupBy("cluster_id").agg(
+        F.sum("scnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("scnt").cast("long").alias("_top"),
+        F.min(F.when(F.col("scnt") == F.col("_mx"), F.col("source")))
+        .alias("top_source"))
+    return grp.select(
+        "cluster_id", "n_docs", "n_sources", "top_source",
+        exact_round_div(F.col("_top"), F.col("n_docs"), 4)
+        .alias("top_share"),
+        (F.col("n_sources") == 1).alias("single_source"))
+
+
+def _dup_cluster_sources_sql() -> str:
+    share = exact_round_div_sql("_top", "n_docs", 4)
+    return f"""
+WITH RECURSIVE mh AS ({_minhash_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mh
+    UNION
+    SELECT doc_b, doc_a FROM mh
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach
+       GROUP BY node),
+per_src AS (
+    SELECT c.cluster_id, d.source, CAST(count(*) AS BIGINT) AS scnt
+    FROM cc c JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+),
+ps AS (
+    SELECT *, max(scnt) OVER (PARTITION BY cluster_id) AS _mx
+    FROM per_src
+),
+grp AS (
+    SELECT cluster_id,
+           CAST(sum(scnt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(max(scnt) AS BIGINT) AS _top,
+           min(CASE WHEN scnt = _mx THEN source END) AS top_source
+    FROM ps GROUP BY cluster_id
+)
+SELECT cluster_id, n_docs, n_sources, top_source,
+       {share} AS top_share,
+       (n_sources = 1) AS single_source
+FROM grp
+"""
+
+
 def q_dedup_detector_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjusted Rand index between the MinHash-LSH and SimHash dup
     clusterings — the detector-AGREEMENT audit: pair-level calibration
@@ -6319,6 +6399,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_detector_ari": QuerySpec(q_dedup_detector_ari,
                                     _dedup_detector_ari_sql()),
     "dup_modularity": QuerySpec(q_dup_modularity, _dup_modularity_sql()),
+    "dup_cluster_sources": QuerySpec(q_dup_cluster_sources,
+                                     _dup_cluster_sources_sql()),
     "leakage_safe_split": QuerySpec(q_leakage_safe_split,
                                     _leakage_safe_split_sql()),
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
