@@ -260,41 +260,45 @@ def main() -> None:
         "Measured variance; no plan changed; no action beyond this "
         "record.",
         "",
-        "## BENCH_DETAIL at 197 (round-10 builder refresh), declared "
+        "## BENCH_DETAIL at 199 (round-10 builder refresh), declared "
         "in advance",
         "",
         "The committed `BENCH_DETAIL.json` (harness: "
-        "builder-uncontended, 2026-08-16, box idle — load <2, 123 GiB "
-        "free) covers the full 197-query registry: suite 261.8 s.  The "
-        "delta vs the r9 runs decomposes as:",
+        "builder-uncontended, 2026-08-16, box idle) covers the full "
+        "199-query registry: suite 274.9 s.  The delta vs the r9 runs "
+        "decomposes as:",
         "",
-        "- **+8 new queries = +29.2 s intrinsic**: dup_modularity 11.68 "
-        "(composes BOTH detector pipelines + one bounded-round "
+        "- **+10 new queries = +26.2 s intrinsic**: dup_modularity "
+        "10.23 (composes BOTH detector pipelines + one bounded-round "
         "component propagation — the ARI cost class), "
-        "hll_source_overlap 5.07 (shingle registers + the "
-        "deliberately-kept exact audit legs), media_near_dups 4.15 "
-        "(bigram-histogram fingerprints + banded join), retrieval_mrr "
-        "3.21 (re-runs the hybrid fusion per method branch, the "
-        "retrieval_ndcg class), kmeans_silhouette 2.13, "
-        "seasonal_decompose 1.94, embedding_centroid_drift 0.76, "
-        "l_diversity_audit 0.30.",
-        "- **Common-query scatter is a SLOW BOOT, not code**: median "
-        "ratio vs the r9 DRIVER detail is 1.03 (vs the r9 builder run "
-        "1.15), but the p90 sits at 1.37/1.43 with a short-query tail "
-        "up to 2.4× (hard_negatives 0.72→1.72, dedup_simhash "
-        "0.95→1.86, quality_filter_funnel 3.79→5.92 — all "
-        "code-untouched this round; text.py not modified at all).  "
-        "Re-measured in ISOLATION on this same boot (3-run bench "
-        "protocol, idle box): hard_negatives [2.25, 2.88, 4.16], "
-        "dedup_simhash [1.41, 1.62, 2.30] — still elevated AND 2× wide "
-        "run-to-run, i.e. the Firecracker boot itself is slower and "
-        "noisier than the r9 session's (the documented cross-boot "
-        "±30% band, stretched on sub-second scheduling-sensitive "
-        "queries).  No plan changed; the r10 driver bench run is the "
-        "authoritative same-session comparison.",
-        "- **Headline-16 vs the r1 baseline: 11.51 s / 24.65 s = "
-        "0.47×** even on this slow boot — the ≤2× gate passes with "
-        ">4× headroom.",
+        "hll_source_overlap 3.86 (shingle registers + the "
+        "deliberately-kept exact audit legs), media_near_dups 3.15 "
+        "(bigram-histogram fingerprints + banded join), "
+        "dup_cluster_sources 3.14 (component propagation + one "
+        "map-side count), retrieval_mrr 2.62 (re-runs the hybrid "
+        "fusion per method branch, the retrieval_ndcg class), "
+        "revenue_theil 1.14, kmeans_silhouette 0.71, "
+        "embedding_centroid_drift 0.55, seasonal_decompose 0.55, "
+        "l_diversity_audit 0.28.",
+        "- **Common-query scatter is the BOOT, not code**: median "
+        "ratio vs the r9 DRIVER detail is 1.09, p90 1.33, with a "
+        "sub-second-query tail to ~2× (hard_negatives, dedup_simhash, "
+        "quality_filter_funnel — all code-untouched this round; "
+        "text.py not modified at all).  Re-measured in ISOLATION on "
+        "this same boot (3-run bench protocol, idle box): "
+        "hard_negatives [2.25, 2.88, 4.16], dedup_simhash "
+        "[1.41, 1.62, 2.30] — still elevated AND 2× wide run-to-run, "
+        "i.e. this Firecracker boot is slower and noisier than the r9 "
+        "session's (the documented cross-boot ±30% band, stretched on "
+        "sub-second scheduling-sensitive queries).  An earlier "
+        "same-boot full refresh (197 queries, suite 261.8 s, in git "
+        "history at 41e88df) shows the same shape — two independent "
+        "full runs on this boot agree with each other and disagree "
+        "with r9's boot.  No plan changed; the r10 driver bench run "
+        "is the authoritative same-session comparison.",
+        "- **Headline-16 vs the r1 baseline: 12.43 s / 24.65 s = "
+        "0.50×** even on this slow boot — the ≤2× gate passes with "
+        "4× headroom.",
         "",
         "Every construct class has at least one driver-green carrier, so "
         "driver-side engine-version skew is ruled out for all of them — "
