@@ -146,3 +146,64 @@ class TestSeasonalDecompose:
         assert monday.y == 17 and monday.seasonal > 4
         for r in out.values():
             assert abs((r.trend + r.seasonal + r.residual) - r.y) < 1e-6
+
+
+class TestRevenueTheil:
+    def test_even_and_concentrated_segments(self, spark):
+        """Perfectly even spend -> T = 0 (every term ln(1)); a whale
+        segment -> T > 0; a single-customer segment -> T = ln(1) = 0."""
+        from realtime_log_analytics_flink_kafka_spark.queries.relational import (
+            q_revenue_theil)
+        import tempfile, os
+        from datetime import date
+        d = tempfile.mkdtemp()
+        day = date(1995, 1, 1)
+        orders = spark.createDataFrame(
+            # EVEN: 4 customers x $100; WHALE: 3x$1 + 1x$997; SOLO: 1x$5
+            [(i, i, "O", 100.0, day, "1-URGENT") for i in range(4)]
+            + [(10 + i, 10 + i, "O", 1.0, day, "1-URGENT")
+               for i in range(3)]
+            + [(13, 13, "O", 997.0, day, "1-URGENT"),
+               (20, 20, "O", 5.0, day, "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate date, o_orderpriority string")
+        cust = spark.createDataFrame(
+            [(i, f"c{i}", 0, 0.0, "EVEN") for i in range(4)]
+            + [(10 + i, f"c{10+i}", 0, 0.0, "WHALE") for i in range(4)]
+            + [(20, "c20", 0, 0.0, "SOLO")],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string")
+        orders.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        cust.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        out = {r.segment: r for r in q_revenue_theil(spark, d).collect()}
+        assert out["EVEN"].theil == 0.0 and out["SOLO"].theil == 0.0
+        assert out["WHALE"].theil > 1.0  # 997/1000 on one of four
+        assert out["WHALE"].total_spend_d == 1000
+
+
+class TestDupClusterSources:
+    def test_tie_breaks_lexicographically(self, spark):
+        """partition_modularity's sibling verdict: equal source counts
+        pick the lexicographically smallest source; single-source
+        clusters flag."""
+        from pyspark.sql import functions as F
+        from realtime_log_analytics_flink_kafka_spark.operators import dedup
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+            "doc_id long, cluster_id long")
+        docs = spark.createDataFrame(
+            [(1, "srcB"), (2, "srcA"), (3, "srcC"),
+             (4, "srcZ"), (5, "srcZ")],
+            "doc_id long, source string")
+        per_src = (comp.join(docs, "doc_id")
+                   .groupBy("cluster_id", "source")
+                   .agg(F.count("*").cast("long").alias("scnt")))
+        from pyspark.sql import Window
+        ps = per_src.withColumn(
+            "_mx", F.max("scnt").over(Window.partitionBy("cluster_id")))
+        got = {r.cluster_id: r for r in ps.groupBy("cluster_id").agg(
+            F.min(F.when(F.col("scnt") == F.col("_mx"), F.col("source")))
+            .alias("top_source"),
+            F.count("*").cast("long").alias("n_sources")).collect()}
+        assert got[1].top_source == "srcA" and got[1].n_sources == 3
+        assert got[4].top_source == "srcZ" and got[4].n_sources == 1
