@@ -207,3 +207,39 @@ class TestDupClusterSources:
             F.count("*").cast("long").alias("n_sources")).collect()}
         assert got[1].top_source == "srcA" and got[1].n_sources == 3
         assert got[4].top_source == "srcZ" and got[4].n_sources == 1
+
+
+class TestDhashBandingInvariants:
+    def test_pigeonhole_recall_guarantee(self):
+        """The banded join's recall proof, property-tested: for ANY two
+        64-bit fingerprints within DHASH_MAX_HAMMING, at least one of
+        the 4 x 16-bit bands is identical — so the equi-join can never
+        miss a qualifying pair (candidate generation is lossless below
+        the bound; the hamming predicate only REMOVES collisions)."""
+        from hypothesis import given, strategies as st
+        from realtime_log_analytics_flink_kafka_spark.operators.multimodal import (
+            DHASH_BANDS, DHASH_BAND_BITS, DHASH_MAX_HAMMING)
+
+        mask = (1 << DHASH_BAND_BITS) - 1
+
+        @given(st.integers(0, (1 << 64) - 1),
+               st.sets(st.integers(0, 63), max_size=DHASH_MAX_HAMMING))
+        def check(a, flipped_bits):
+            b = a
+            for bit in flipped_bits:
+                b ^= 1 << bit
+            shared = any(((a >> (DHASH_BAND_BITS * i)) & mask)
+                         == ((b >> (DHASH_BAND_BITS * i)) & mask)
+                         for i in range(DHASH_BANDS))
+            assert shared
+
+        check()
+
+    def test_gray_grid_uneven_block_means_exact(self):
+        """_gray_grid's integer block means on dimensions that do NOT
+        divide the 8x9 grid evenly: a 10x11 all-gray-70 PPM reduces to
+        a grid of exactly 70s (sum // count per block, no float)."""
+        from realtime_log_analytics_flink_kafka_spark.operators.multimodal import (
+            _gray_grid, synth_ppm)
+        g = _gray_grid(synth_ppm(11, 10, 70))
+        assert g.shape == (8, 9) and (g == 70).all()
