@@ -1171,6 +1171,17 @@ def partition_modularity(pairs: DataFrame, labels: DataFrame, *,
     detectors).  Nodes of the graph missing from the partition are
     their own singletons (the ARI universe convention).
 
+    CONTRACT — label namespace (ADVICE r10): unlabeled nodes become
+    singletons via ``coalesce(lbl, node)``, so cluster ids must be
+    drawn from the member-node-id namespace (e.g. cluster_id = min
+    member doc_id, the convention every propagation in this package
+    emits).  Under that convention a collision is impossible: a
+    cluster id IS one of its members' ids, so an UNLABELED node's id
+    can never equal the id of a cluster it doesn't belong to.  A
+    caller supplying labels from an arbitrary namespace (say dense
+    ints 0..k) must first offset/disambiguate them, or a singleton
+    whose doc_id equals a foreign cluster id silently merges into it.
+
     Scale shape: the label relation is node-sized and localCheckpointed
     once (it feeds three joins); internal edges are one equi-join per
     endpoint + a map-combinable count; degrees are an endpoint-union
@@ -1221,3 +1232,50 @@ def partition_modularity(pairs: DataFrame, labels: DataFrame, *,
     return rep.select(
         "cluster_id", "n_nodes", "internal_edges", "degree_sum", "m",
         det_round(frac - half * half, 6).alias("contribution"))
+
+
+def cluster_source_composition(components: DataFrame, docs: DataFrame, *,
+                               node_col: str = "doc_id",
+                               label_col: str = "cluster_id",
+                               source_col: str = "source") -> DataFrame:
+    """Source composition of every duplicate cluster — the
+    mirror-vs-boilerplate verdict a curation pipeline runs after
+    clustering: a cluster spanning sources is cross-site MIRRORED
+    content (keep one copy globally; distrust per-source quality stats
+    computed before dedup), a single-source cluster is internal
+    BOILERPLATE (a source-local template, the C4-style removal target).
+    Per cluster: size, distinct sources, the dominant source with its
+    exact share, and the single-source flag.
+
+    Factored out of q_dup_cluster_sources so the production path and
+    its edge tests exercise the SAME code (ADVICE r10).
+
+    Scale shape: one (cluster, source) map-side count over the
+    node-sized component relation, then a cluster-cardinality
+    reduction; no window wider than a cluster's source list and
+    nothing document-sized crosses a second shuffle.
+
+    Determinism: counts BIGINT; top-source tie-break is lexicographic
+    min over sources holding the max count; share is exact_round_div
+    at scale 4 (half-up decimal, cross-engine stable).
+    """
+    from pyspark.sql import Window
+
+    per_src = (components
+               .select(node_col, label_col)
+               .join(docs.select(node_col, source_col), node_col)
+               .groupBy(label_col, source_col)
+               .agg(F.count("*").cast("long").alias("scnt")))
+    ps = per_src.withColumn(
+        "_mx", F.max("scnt").over(Window.partitionBy(label_col)))
+    grp = ps.groupBy(label_col).agg(
+        F.sum("scnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("scnt").cast("long").alias("_top"),
+        F.min(F.when(F.col("scnt") == F.col("_mx"), F.col(source_col)))
+        .alias("top_source"))
+    return grp.select(
+        label_col, "n_docs", "n_sources", "top_source",
+        exact_round_div(F.col("_top"), F.col("n_docs"), 4)
+        .alias("top_share"),
+        (F.col("n_sources") == 1).alias("single_source"))

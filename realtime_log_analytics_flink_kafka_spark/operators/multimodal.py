@@ -671,7 +671,19 @@ def dhash_near_dups(media: DataFrame, *, max_hamming: int = DHASH_MAX_HAMMING,
     self-join — a plan-size explosion at ANY data scale.  Materializing
     (doc_id, dhash) — two longs per image — is also the 100 TB shape:
     hash once in the scan, band/join over the sketch (the
-    checkpoint-the-sketch trade documented on simhash_pairs)."""
+    checkpoint-the-sketch trade documented on simhash_pairs).
+
+    ``max_hamming`` must stay below ``DHASH_BANDS``: the pigeonhole
+    recall guarantee (hamming < band count => >= 1 identical band) is
+    what makes the banded candidate generation lossless, so a larger
+    bound would silently drop qualifying pairs.  Guarded loudly below
+    (ADVICE r10)."""
+    if not 0 <= max_hamming < DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, {DHASH_BANDS}): the "
+            f"{DHASH_BANDS}-band pigeonhole only guarantees a shared band "
+            f"for hamming < {DHASH_BANDS}; candidate generation would be "
+            "lossy for a larger bound")
     fps = image_dhash(media, decode_stub=decode_stub).filter(
         F.col("dhash").isNotNull()).localCheckpoint()
     banded = fps.select(

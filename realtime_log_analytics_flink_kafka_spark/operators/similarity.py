@@ -1449,8 +1449,13 @@ def kmeans_silhouette(vecs: DataFrame, *, vec_col: str = "embedding",
     other = F.filter(dists, lambda s: s["clabel"] != F.col(label_col))
     a = F.element_at(own, 1)["d"]
     b = F.array_min(F.transform(other, lambda s: s["d"]))
-    sil = F.when(F.greatest(a, b) > 0,
-                 (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    # degenerate k=1 corpus: no "other" centroid exists, b is NULL, and
+    # silhouette is undefined — pinned to 0.0 explicitly (the standard
+    # convention) so the Spark fold and the SQL oracle's list() (which
+    # KEEPS NULLs where collect_list drops them) agree (ADVICE r10)
+    sil = F.when(b.isNull(), F.lit(0.0)).when(
+        F.greatest(a, b) > 0,
+        (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
     scored = (vecs.crossJoin(F.broadcast(allc))
               .select(label_col,
                       (F.col(id_col) % n_chunks).alias("chunk"),

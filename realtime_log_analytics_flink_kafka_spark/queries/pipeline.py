@@ -767,8 +767,11 @@ ab AS (
     FROM dists GROUP BY 1, 2
 ),
 sil AS (
+    -- b IS NULL = degenerate single-label corpus (no "other" centroid):
+    -- pinned to 0.0 in BOTH dialects (operators/similarity.py, ADVICE r10)
     SELECT label, vec_id % {LABEL_CENTROID_CHUNKS} AS chunk,
-           CASE WHEN greatest(a, b) > 0
+           CASE WHEN b IS NULL THEN 0.0
+                WHEN greatest(a, b) > 0
                 THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
     FROM ab
 ),
@@ -3163,26 +3166,12 @@ def q_dup_cluster_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts BIGINT; top-source tie-break is lexicographic
     min over sources holding the max count; share is exact_round_div
-    at scale 4."""
+    at scale 4.  Verdict logic lives in
+    dedup.cluster_source_composition (shared with its edge tests)."""
     docs = _docs(spark, sf_dir)
     comp = dedup.duplicate_components(
         dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD))
-    per_src = (comp.join(docs.select("doc_id", "source"), "doc_id")
-               .groupBy("cluster_id", "source")
-               .agg(F.count("*").cast("long").alias("scnt")))
-    ps = per_src.withColumn(
-        "_mx", F.max("scnt").over(Window.partitionBy("cluster_id")))
-    grp = ps.groupBy("cluster_id").agg(
-        F.sum("scnt").cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("n_sources"),
-        F.max("scnt").cast("long").alias("_top"),
-        F.min(F.when(F.col("scnt") == F.col("_mx"), F.col("source")))
-        .alias("top_source"))
-    return grp.select(
-        "cluster_id", "n_docs", "n_sources", "top_source",
-        exact_round_div(F.col("_top"), F.col("n_docs"), 4)
-        .alias("top_share"),
-        (F.col("n_sources") == 1).alias("single_source"))
+    return dedup.cluster_source_composition(comp, docs)
 
 
 def _dup_cluster_sources_sql() -> str:

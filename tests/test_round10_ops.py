@@ -183,10 +183,11 @@ class TestRevenueTheil:
 
 class TestDupClusterSources:
     def test_tie_breaks_lexicographically(self, spark):
-        """partition_modularity's sibling verdict: equal source counts
-        pick the lexicographically smallest source; single-source
-        clusters flag."""
-        from pyspark.sql import functions as F
+        """partition_modularity's sibling verdict, exercised through the
+        PRODUCTION operator (dedup.cluster_source_composition — the same
+        code q_dup_cluster_sources runs, ADVICE r10): equal source
+        counts pick the lexicographically smallest source;
+        single-source clusters flag."""
         from realtime_log_analytics_flink_kafka_spark.operators import dedup
         comp = spark.createDataFrame(
             [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
@@ -195,18 +196,14 @@ class TestDupClusterSources:
             [(1, "srcB"), (2, "srcA"), (3, "srcC"),
              (4, "srcZ"), (5, "srcZ")],
             "doc_id long, source string")
-        per_src = (comp.join(docs, "doc_id")
-                   .groupBy("cluster_id", "source")
-                   .agg(F.count("*").cast("long").alias("scnt")))
-        from pyspark.sql import Window
-        ps = per_src.withColumn(
-            "_mx", F.max("scnt").over(Window.partitionBy("cluster_id")))
-        got = {r.cluster_id: r for r in ps.groupBy("cluster_id").agg(
-            F.min(F.when(F.col("scnt") == F.col("_mx"), F.col("source")))
-            .alias("top_source"),
-            F.count("*").cast("long").alias("n_sources")).collect()}
+        got = {r.cluster_id: r
+               for r in dedup.cluster_source_composition(comp, docs)
+               .collect()}
         assert got[1].top_source == "srcA" and got[1].n_sources == 3
+        assert got[1].n_docs == 3 and not got[1].single_source
+        assert float(got[1].top_share) == 0.3333
         assert got[4].top_source == "srcZ" and got[4].n_sources == 1
+        assert got[4].single_source and float(got[4].top_share) == 1.0
 
 
 class TestDhashBandingInvariants:
