@@ -678,28 +678,238 @@ def dhash_near_dups(media: DataFrame, *, max_hamming: int = DHASH_MAX_HAMMING,
     what makes the banded candidate generation lossless, so a larger
     bound would silently drop qualifying pairs.  Guarded loudly below
     (ADVICE r10)."""
+    _check_banded_bound(max_hamming)
+    fps = image_dhash(media, decode_stub=decode_stub).filter(
+        F.col("dhash").isNotNull()).localCheckpoint()
+    banded = _band_fingerprints(fps, hash_col="dhash")
+    x, y = banded.alias("x"), banded.alias("y")
+    hamming = F.bit_count(F.expr("x.dhash ^ y.dhash"))
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bkey") == F.col("y.bkey"))
+               & (F.col("x.doc_id") < F.col("y.doc_id"))
+               & (hamming <= max_hamming))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _check_banded_bound(max_hamming: int) -> None:
+    """Loud guard for the pigeonhole recall contract shared by every
+    Hamming-banded join in this module: candidates are generated from
+    DHASH_BANDS equi-joins, which is lossless ONLY for
+    hamming < DHASH_BANDS (ADVICE r10)."""
     if not 0 <= max_hamming < DHASH_BANDS:
         raise ValueError(
             f"max_hamming={max_hamming} outside [0, {DHASH_BANDS}): the "
             f"{DHASH_BANDS}-band pigeonhole only guarantees a shared band "
             f"for hamming < {DHASH_BANDS}; candidate generation would be "
             "lossy for a larger bound")
-    fps = image_dhash(media, decode_stub=decode_stub).filter(
-        F.col("dhash").isNotNull()).localCheckpoint()
-    banded = fps.select(
-        "doc_id", "dhash",
+
+
+def _band_fingerprints(fps: DataFrame, *, hash_col: str,
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, hash) -> (id, hash, band, bkey), one row per 16-bit band.
+    The band key masks AFTER the shift, so arithmetic-vs-logical shift
+    of the sign bit can never skew bucketing.  Shared by the image and
+    audio near-dup joins (and the incremental variant) so the recall
+    proof (tests: pigeonhole property) covers one implementation."""
+    return fps.select(
+        id_col, hash_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("dhash"), DHASH_BAND_BITS * b)
+                F.shiftright(F.col(hash_col), DHASH_BAND_BITS * b)
                     .bitwiseAND(F.lit((1 << DHASH_BAND_BITS) - 1))
                     .alias("bkey"),
             )
             for b in range(DHASH_BANDS)
         ])).alias("s"),
-    ).select("doc_id", "dhash", "s.band", "s.bkey")
-    x, y = banded.alias("x"), banded.alias("y")
+    ).select(id_col, hash_col, "s.band", "s.bkey")
+
+
+def dhash_incremental(index_media: DataFrame, new_media: DataFrame, *,
+                      max_hamming: int = DHASH_MAX_HAMMING,
+                      decode_stub: bool = True) -> DataFrame:
+    """Daily-ingest image near-dedup (VERDICT r10 next-round #6): flag
+    payloads in ``new_media`` whose dHash sits within ``max_hamming``
+    of anything already in ``index_media``.  One row per flagged new
+    doc: (doc_id, n_matches, matched_index_doc = smallest matching
+    index id, best_hamming = closest match) — the
+    :func:`~..dedup.incremental_dedup_flags` report shape, perceptual
+    edition.
+
+    Scale shape: the asymmetric new-vs-index join of dedup_incremental
+    (operators/dedup.py) on the dHash banding — both sides reduce to
+    two-longs-per-image fingerprints BEFORE the join, candidates come
+    from 4 banded equi-joins probing the (persistent, in production
+    pre-banded and bucketed) index side, never new x index all-pairs,
+    and the hamming bound rides in the join condition.  Both
+    fingerprint relations are localCheckpointed for the same
+    plan-explosion reason documented on :func:`dhash_near_dups`.
+
+    Determinism: counts BIGINT over DISTINCT (new, index) pairs (a
+    pair colliding in several bands counts once); min() tie-breaks.
+    """
+    _check_banded_bound(max_hamming)
+    new_fps = image_dhash(new_media, decode_stub=decode_stub).filter(
+        F.col("dhash").isNotNull()).localCheckpoint()
+    idx_fps = image_dhash(index_media, decode_stub=decode_stub).filter(
+        F.col("dhash").isNotNull()).localCheckpoint()
+    x = _band_fingerprints(new_fps, hash_col="dhash").alias("x")
+    y = _band_fingerprints(idx_fps, hash_col="dhash").alias("y")
     hamming = F.bit_count(F.expr("x.dhash ^ y.dhash"))
+    pairs = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bkey") == F.col("y.bkey"))
+               & (hamming <= max_hamming))
+        .select(F.col("x.doc_id").alias("doc_id"),
+                F.col("y.doc_id").alias("index_doc"),
+                hamming.alias("hamming"))
+        .distinct()
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("index_doc").alias("matched_index_doc"),
+        F.min("hamming").cast("long").alias("best_hamming"))
+
+
+# --- perceptual near-duplicate hashing, audio (energy-gradient hash) ----------
+
+#: The audio hash reuses the dHash bit geometry: DHASH_BITS + 1 = 65
+#: energy buckets over the frame grid, one bit per adjacent-bucket
+#: gradient -> 64 bits, banded 4 x 16 with the same pigeonhole recall
+#: bound.  Stub "energy profile": token-TRIGRAM mass histogram (the
+#: bigram histogram is image dHash's stub — distinct n so the two
+#: perceptual layers never emit the same fingerprint for one payload).
+AHASH_BUCKETS = DHASH_BITS + 1
+
+
+def wav_energy_hash_py(buf: bytes, frame: int = WAV_FRAME_SAMPLES):
+    """PCM16 WAV -> 64-bit energy-gradient fingerprint (None when the
+    payload doesn't decode or has no samples).
+
+    Rides the existing deterministic frame grid (:func:`wav_frame_py`:
+    Σs² per ``frame``-sample frame, tail partial): the frame-energy
+    sequence is resampled to AHASH_BUCKETS buckets by integer block
+    mean (sum // count — the _gray_grid discipline; for fewer frames
+    than buckets the mapping repeats frames, so any n >= 1 works), one
+    bit per adjacent-bucket energy RISE.  Like dHash's gradients, the
+    bit pattern is invariant to uniform gain scaling ONLY in the
+    rank-order sense — a constant DC offset or resample shifts few
+    buckets, a different recording flips ~half the bits.  Pure integer
+    path end to end: Σs² per frame <= frame·32768², and a bucket sums
+    < 2³² frames before overflow could matter, far above any payload.
+    """
+    frames = wav_frame_py(buf, frame)
+    if not frames:
+        return None
+    en = [e for _, _, e, _ in frames]
+    n = len(en)
+    buckets = []
+    for b in range(AHASH_BUCKETS):
+        lo = (b * n) // AHASH_BUCKETS
+        hi = max(lo + 1, ((b + 1) * n) // AHASH_BUCKETS)
+        seg = en[lo:hi]
+        buckets.append(sum(seg) // len(seg))
+    h = 0
+    for bit in range(DHASH_BITS):
+        if buckets[bit + 1] > buckets[bit]:
+            h += _dhash_bit_addend(bit)
+    return h
+
+
+def audio_ehash(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
+    """(doc_id, fmt, ehash) — 64-bit energy-gradient hash per payload.
+
+    Real path (``decode_stub=False``): decode PCM16 WAV, per-frame
+    energies over the :func:`wav_frame_features` grid, integer
+    block-mean to 65 buckets, one bit per adjacent-bucket rise
+    (mapInPandas, Arrow-batched; undecodable payloads NULL).
+
+    Stub path (default, fixture-oracle-checkable): the "energy
+    profile" is a 1 x 65 histogram of token-TRIGRAM mass (bin = md5 of
+    the trigram mod 65), one bit per adjacent-bin gradient — the
+    image_dhash stub construction at n = 3, so the same token-level
+    edit locality holds (one edited token moves <= 3 trigrams of mass;
+    unrelated docs scatter ~half the gradients) while staying a
+    DIFFERENT fingerprint from the image layer's bigram stub.  Docs
+    with < 3 tokens have no trigram mass and hash to NULL (no row),
+    matching the real path's NULL posture for undecodable payloads.
+    Shape: explode trigrams -> one map-combinable groupBy; at 100 TB
+    only (doc_id, bin) rows reach the single shuffle and the output is
+    two longs per payload.
+    """
+    if not decode_stub:
+        def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for b in pdf["payload"]:
+                    out.append(None if b is None
+                               else wav_energy_hash_py(bytes(b)))
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"], "fmt": pdf["fmt"],
+                    "ehash": pd.array(out, dtype="Int64"),
+                })
+        return media.select("doc_id", "fmt", "payload").mapInPandas(
+            _hash, schema="doc_id long, fmt string, ehash long")
+
+    from ..functions.hashing import md5_long
+    from .text import ws_tokens
+
+    toks = ws_tokens(F.col("payload").cast("string"))
+    n_tri = F.greatest(F.size(toks) - 2, F.lit(0))  # slice rejects len<0
+    trigrams = F.zip_with(
+        F.zip_with(F.slice(toks, 1, n_tri), F.slice(toks, 2, n_tri),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        F.slice(toks, 3, n_tri),
+        lambda ab, c: F.concat(ab, F.lit(" "), c))
+    binned = (media
+              .select("doc_id", "fmt", F.explode(trigrams).alias("tg"))
+              .select("doc_id", "fmt",
+                      (md5_long(F.col("tg")) % AHASH_BUCKETS).alias("bin")))
+    hist = binned.groupBy("doc_id", "fmt").agg(*[
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).alias(f"_h{i}")
+        for i in range(AHASH_BUCKETS)])
+    acc = None
+    for bit in range(DHASH_BITS):
+        term = F.when(F.col(f"_h{bit + 1}") > F.col(f"_h{bit}"),
+                      F.lit(_dhash_bit_addend(bit)).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc + term
+    return hist.select("doc_id", "fmt", acc.alias("ehash"))
+
+
+def audio_near_dups(media: DataFrame, *,
+                    max_hamming: int = DHASH_MAX_HAMMING,
+                    decode_stub: bool = True) -> DataFrame:
+    """Audio near-duplicate pairs by energy-hash hamming distance
+    (VERDICT r10 next-round #4) — the media layer's remaining dedup
+    gap closed with the :func:`dhash_near_dups` machinery: hamming <=
+    max_hamming over 4 x 16-bit bands implies >= 1 identical band
+    (pigeonhole, property-tested), so candidates come from 4 banded
+    equi-joins — never an all-pairs join — and the hamming bound rides
+    in the join condition so far-apart band collisions die before the
+    distinct's shuffle.
+
+    The fingerprint relation is localCheckpointed before banding for
+    the identical plan-explosion reason documented on
+    :func:`dhash_near_dups` (the stub hash is a ~130-subtree scan
+    projection; without the barrier Catalyst's projection collapse
+    inlines one copy per band key per join side).  Materializing
+    (doc_id, ehash) — two longs per payload — is also the 100 TB
+    shape: hash once in the scan, band/join over the sketch.
+    """
+    _check_banded_bound(max_hamming)
+    fps = audio_ehash(media, decode_stub=decode_stub).filter(
+        F.col("ehash").isNotNull()).localCheckpoint()
+    banded = _band_fingerprints(fps, hash_col="ehash")
+    x, y = banded.alias("x"), banded.alias("y")
+    hamming = F.bit_count(F.expr("x.ehash ^ y.ehash"))
     return (
         x.join(y, (F.col("x.band") == F.col("y.band"))
                & (F.col("x.bkey") == F.col("y.bkey"))

@@ -35,53 +35,47 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ==== round-10 evidence policy ========================================
-    # The r9 board was 50/50 green (fifth consecutive), so r10 does what
-    # VERDICT r9 next-round #2 asks — retire the r6-stale freshness
-    # tier: (a) the TEN r10-new query families (media_near_dups'
-    # banded dHash pair join, seasonal_decompose's centered-window +
-    # ordered-fold decomposition, kmeans_silhouette's broadcast-centroid
-    # (b−a)/max(a,b) scorecard, hll_source_overlap's merged-register set
-    # algebra, l_diversity_audit's sensitive-diversity reduction,
-    # dup_modularity's cross-detector e_c/m − (d_c/2m)² audit,
-    # retrieval_mrr's first-hit reciprocal-rank report,
-    # embedding_centroid_drift's split-half centroid comparison,
-    # revenue_theil's det_ln concentration fold, dup_cluster_sources'
-    # mirror/boilerplate verdict) — new
-    # construct classes go in the window immediately; (b) the ENTIRE
-    # 39-query r6-stale cohort (everything whose last driver check is
-    # CORRECTNESS_r06, per the committed EVIDENCE.md freshness table);
-    # and (c) embedding_anisotropy — rows-only by classification, never
-    # driver-green, last rows-checked r7 — so its weaker check stays
-    # fresh too.  10 + 39 + 1 = exactly 50; the r7 tier's rotation
-    # continues next round at alert_metrics_daily.  After r10 no
-    # registry query's last driver check is older than r7 (the r9
-    # done-bar, advanced one round).  Everything out-of-window is
-    # re-proven by the sf0.01 full-registry value-exact sweep each
-    # session (tests/test_oracle_parity*.py).
+    # ==== round-11 evidence policy ========================================
+    # The r10 board was 49 green + the by-design rows-only anisotropy
+    # (sixth consecutive zero-failure round), so r11 rotates the
+    # r7-stale tier per VERDICT r10 next-round #3, reconciled with
+    # asks #4 and #6 (TWO never-checked new families must be
+    # driver-green this round): (a) the r11-new queries —
+    # audio_near_dups' energy-gradient Hamming-banded pair join and
+    # media_near_dups_incremental's asymmetric new-vs-index dHash
+    # join — new construct classes go in the window immediately;
+    # (b) 48 of the 49-query r7-stale cohort.  2 + 48 = exactly 50.
+    # The one r7 carry is returns_rollup, chosen because its DuckDB
+    # construct class (GROUPING SETS / CUBE / ROLLUP) keeps BOTH an
+    # r10-green carrier (grouping_sets_orders) and an in-window r11
+    # sibling (cube_returns), so no construct loses freshness; it
+    # HEADS the r12 window, where the rotation resumes at the r8 tier
+    # (alphabetically from alert_metrics_unpivot).  After r11 no
+    # registry query's last driver check is older than r8 except that
+    # single adjudicated carry.  Everything out-of-window is re-proven
+    # by the sf0.01 full-registry value-exact sweep each session
+    # (tests/test_oracle_parity*.py).
     #
-    # -- (a) never driver-checked: r10-new (10) ------------------------------
-    "media_near_dups", "seasonal_decompose", "kmeans_silhouette",
-    "hll_source_overlap", "l_diversity_audit", "dup_modularity",
-    "retrieval_mrr", "embedding_centroid_drift", "revenue_theil",
-    "dup_cluster_sources",
-    # -- (b) the full r6-stale cohort (39) ----------------------------------
-    "doc_split_counts", "embedding_near_dups", "error_budget_burn",
-    "error_rate_sliding", "escalation_metrics_daily", "frame_samples",
-    "grouping_sets_orders", "hll_shingles", "hourly_profile",
-    "hybrid_retrieval", "intra_doc_dedup", "jaccard_prefix_join",
-    "jm_bigram_surprisal", "knn_ivf", "knn_ivf_multiprobe",
-    "knn_lsh_pairs", "label_centroids", "latency_ewma_daily",
-    "latency_median_mad", "media_resize", "media_summary",
-    "minhash_accuracy", "nation_trade_volume", "ngram_diversity",
-    "order_fulfillment_lag", "orders_by_priority_pivot",
-    "pmi_collocations", "props_json_extract", "quality_scores",
-    "segment_dedup", "session_bounce_rate", "skew_audit",
-    "small_quantity_revenue", "source_kl_divergence", "stratified_sample",
-    "term_typo_variants", "top_revenue_orders", "unigram_surprisal",
-    "zorder_locality",
-    # -- (c) the never-green rows-only classification, kept fresh ------------
-    "embedding_anisotropy",
+    # -- (a) never driver-checked: r11-new (2) -------------------------------
+    "audio_near_dups", "media_near_dups_incremental",
+    # -- (b) the r7-stale cohort minus the adjudicated carry (48) ------------
+    "alert_metrics_daily", "alert_throttle", "alert_union_normalized",
+    "benford_price_audit", "bloom_prefilter_audit", "centroid_similarity",
+    "click_attribution_asof", "corpus_shuffle", "cube_returns",
+    "customer_order_histogram", "customer_spend_deciles",
+    "customers_without_orders", "dup_graph_triangles", "dup_pagerank",
+    "embedding_quantization", "error_click_pairs", "error_cusum_drift",
+    "error_interarrival", "error_rate_tumbling", "error_trend_slope",
+    "escalations_every_third", "event_lateness_audit",
+    "fk_integrity_audit", "frequent_terms", "funnel_conversion",
+    "gate_agreement_kappa", "hdr_latency_quantiles", "latency_p95_approx",
+    "latency_p95_daily", "packing_efficiency", "part_revenue_share",
+    "pii_redaction", "pricing_summary", "purchase_attribution",
+    "regional_revenue", "rich_idle_customers", "rolling_user_activity",
+    "salted_join_revenue", "segment_approx_distinct",
+    "segment_distinct_nations", "shipping_priority", "slo_breach_streaks",
+    "source_mixture", "spend_gini", "suppliers_with_shipments",
+    "synthetic_log_profile", "top_parts_per_brand", "user_sessions",
 )
 
 

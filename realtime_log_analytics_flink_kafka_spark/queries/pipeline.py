@@ -1280,6 +1280,133 @@ WHERE bit_count(xor(x.dhash, y.dhash)) <= {multimodal.DHASH_MAX_HAMMING}
 """
 
 
+def q_media_near_dups_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Daily-ingest image near-dedup (VERDICT r10 next-round #6): the
+    doc_id % {m} == 0 slice plays the day's ingest, the rest the
+    persistent fingerprint index — the dedup_incremental split
+    convention.  Per flagged new doc: match count, closest index doc,
+    best hamming (operators/multimodal.dhash_incremental: asymmetric
+    4-band equi-joins over two-longs-per-image fingerprints, never
+    new x index all-pairs)."""
+    docs = multimodal.as_media(_docs(spark, sf_dir))
+    m = INCREMENTAL_BATCH_MOD
+    return multimodal.dhash_incremental(
+        docs.filter(F.col("doc_id") % m != 0),
+        docs.filter(F.col("doc_id") % m == 0))
+
+
+def _media_near_dups_incremental_sql() -> str:
+    # The dHash is a per-document aggregate, so hashing the whole table
+    # and splitting at the candidate join is identical to the Spark
+    # side's split-then-hash (the dedup_incremental oracle argument).
+    bins = multimodal.DHASH_STUB_BINS
+    m = INCREMENTAL_BATCH_MOD
+    hist_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+        for i in range(bins))
+    terms = []
+    for bit in range(multimodal.DHASH_BITS):
+        addend = ("(-9223372036854775807 - 1)" if bit == 63
+                  else str(1 << bit))
+        terms.append(f"CASE WHEN h{bit + 1} > h{bit} "
+                     f"THEN CAST({addend} AS BIGINT) ELSE 0 END")
+    hash_expr = "\n         + ".join(terms)
+    band_bits = multimodal.DHASH_BAND_BITS
+    mask = (1 << band_bits) - 1
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, dhash, {b} AS band, "
+        f"(dhash >> {band_bits * b}) & {mask} AS bkey FROM fp"
+        for b in range(multimodal.DHASH_BANDS))
+    return f"""
+WITH {TOKENS_CTE},
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM tok WHERE len(toks) >= 2
+), binned AS (
+    SELECT doc_id, {MD5_LONG.format(x='bg')} % {bins} AS bin FROM big
+), hist AS (
+    SELECT doc_id,
+           {hist_cols}
+    FROM binned GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, CAST({hash_expr} AS BIGINT) AS dhash FROM hist
+), banded AS (
+{bands}
+), pairs AS (
+    SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS index_doc,
+           bit_count(xor(x.dhash, y.dhash)) AS hamming
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bkey = y.bkey
+    WHERE x.doc_id % {m} = 0 AND y.doc_id % {m} <> 0
+      AND bit_count(xor(x.dhash, y.dhash)) <= {multimodal.DHASH_MAX_HAMMING}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       min(index_doc) AS matched_index_doc,
+       CAST(min(hamming) AS BIGINT) AS best_hamming
+FROM pairs GROUP BY doc_id
+"""
+
+
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs over the media layer (VERDICT r10
+    next-round #4): a 64-bit energy-gradient hash per payload
+    (operators/multimodal.audio_ehash — frame-energy bucket gradients
+    on the real path, trigram-mass gradients on the oracle-checkable
+    stub path), Hamming-banded into 4 x 16-bit bands exactly like the
+    image dHash — candidates come from 4 equi-joins, never an
+    all-pairs join."""
+    return multimodal.audio_near_dups(
+        multimodal.as_media(_docs(spark, sf_dir)))
+
+
+def _audio_near_dups_sql() -> str:
+    bins = multimodal.AHASH_BUCKETS
+    hist_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+        for i in range(bins))
+    terms = []
+    for bit in range(multimodal.DHASH_BITS):
+        addend = ("(-9223372036854775807 - 1)" if bit == 63
+                  else str(1 << bit))
+        terms.append(f"CASE WHEN h{bit + 1} > h{bit} "
+                     f"THEN CAST({addend} AS BIGINT) ELSE 0 END")
+    hash_expr = "\n         + ".join(terms)
+    band_bits = multimodal.DHASH_BAND_BITS
+    mask = (1 << band_bits) - 1
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, ehash, {b} AS band, "
+        f"(ehash >> {band_bits * b}) & {mask} AS bkey FROM fp"
+        for b in range(multimodal.DHASH_BANDS))
+    return f"""
+WITH {TOKENS_CTE},
+tri AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1]
+                                      || ' ' || toks[i + 2])) AS tg
+    FROM tok WHERE len(toks) >= 3
+), binned AS (
+    SELECT doc_id, {MD5_LONG.format(x='tg')} % {bins} AS bin FROM tri
+), hist AS (
+    SELECT doc_id,
+           {hist_cols}
+    FROM binned GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, CAST({hash_expr} AS BIGINT) AS ehash FROM hist
+), banded AS (
+{bands}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.ehash, y.ehash)) AS hamming
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.ehash, y.ehash)) <= {multimodal.DHASH_MAX_HAMMING}
+"""
+
+
 def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by content-independent
     doc-id hash — the sampling/splitting primitive of a training-data
@@ -6374,6 +6501,9 @@ QUERIES: dict[str, QuerySpec] = {
     "frame_samples": QuerySpec(q_frame_samples, SQL_FRAME_SAMPLES),
     "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
     "media_near_dups": QuerySpec(q_media_near_dups, _media_near_dups_sql()),
+    "media_near_dups_incremental": QuerySpec(
+        q_media_near_dups_incremental, _media_near_dups_incremental_sql()),
+    "audio_near_dups": QuerySpec(q_audio_near_dups, _audio_near_dups_sql()),
     "doc_split_counts": QuerySpec(q_doc_split_counts, SQL_DOC_SPLIT_COUNTS),
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_shards": QuerySpec(q_token_shards, SQL_TOKEN_SHARDS),

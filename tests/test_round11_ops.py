@@ -1,0 +1,176 @@
+"""Round-11 operator tests: audio energy-gradient near-dup fingerprints,
+the incremental image-dedup twin, the shared Hamming-banding helper's
+guard, and the k=1 silhouette degenerate-input pin (ADVICE r10).
+"""
+
+import numpy as np
+import pytest
+
+from realtime_log_analytics_flink_kafka_spark.operators import multimodal
+from realtime_log_analytics_flink_kafka_spark.operators.multimodal import (
+    DHASH_BANDS, DHASH_MAX_HAMMING, audio_ehash, audio_near_dups,
+    dhash_incremental, synth_bmp, synth_wav, wav_energy_hash_py)
+
+
+def _wave(seed: int, n: int = 640, amp: int = 9000) -> list[int]:
+    """Deterministic recording whose STRUCTURE (pitch + loudness
+    envelope) depends on the seed — the energy hash tracks the frame
+    energy profile, so same-structure/different-noise waves are
+    correctly NEAR (that's the perceptual contract); different seeds
+    must differ in envelope to be far."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    period = 18 + 11 * seed
+    env = 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * t / (97.0 + 31 * seed)))
+    base = amp * env * np.sin(2 * np.pi * t / period)
+    noise = rng.integers(-amp // 8, amp // 8, n)
+    return (base + noise).astype(np.int64).clip(-32768, 32767).tolist()
+
+
+class TestWavEnergyHash:
+    def test_gain_invariant(self):
+        """Uniform gain scaling multiplies every frame energy by the
+        same factor, so every adjacent-bucket rank comparison — hence
+        every hash bit — is preserved: hamming 0."""
+        s = _wave(1)
+        a = wav_energy_hash_py(synth_wav(s))
+        b = wav_energy_hash_py(synth_wav([v // 2 for v in s]))
+        assert a is not None
+        assert bin(a ^ b).count("1") <= 2  # // rounding can flip a tie
+
+    def test_different_recordings_far(self):
+        a = wav_energy_hash_py(synth_wav(_wave(1)))
+        b = wav_energy_hash_py(synth_wav(_wave(2)))
+        assert bin(a ^ b).count("1") > DHASH_MAX_HAMMING
+
+    def test_short_payload_still_hashes(self):
+        """Fewer frames than buckets: the bucket->frame mapping repeats
+        frames, any n >= 1 sample works."""
+        assert wav_energy_hash_py(synth_wav([100, -200, 300])) is not None
+
+    def test_non_wav_is_none(self):
+        assert wav_energy_hash_py(b"not audio") is None
+        assert wav_energy_hash_py(synth_bmp(4, 4, (1, 2, 3))) is None
+
+    def test_int64_range(self):
+        h = wav_energy_hash_py(synth_wav(_wave(3)))
+        assert -(1 << 63) <= h < (1 << 63)
+
+
+class TestAudioNearDupsReal:
+    def test_real_path_pairs_scaled_copy(self, spark):
+        """decode_stub=False end-to-end: a half-gain re-encode of the
+        same recording pairs with the original; an unrelated recording
+        pairs with neither."""
+        s = _wave(7)
+        rows = [(1, "wav", bytearray(synth_wav(s))),
+                (2, "wav", bytearray(synth_wav([v // 2 for v in s]))),
+                (3, "wav", bytearray(synth_wav(_wave(8)))),
+                (4, "txt", bytearray(b"not audio at all"))]
+        media = spark.createDataFrame(
+            rows, "doc_id long, fmt string, payload binary")
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in audio_near_dups(media, decode_stub=False).collect()}
+        assert (1, 2) in got and got[(1, 2)] <= DHASH_MAX_HAMMING
+        assert all({a, b} == {1, 2} for a, b in got)
+
+    def test_real_path_hash_matches_python_twin(self, spark):
+        s = _wave(11)
+        media = spark.createDataFrame(
+            [(1, "wav", bytearray(synth_wav(s)))],
+            "doc_id long, fmt string, payload binary")
+        [row] = audio_ehash(media, decode_stub=False).collect()
+        assert row.ehash == wav_energy_hash_py(synth_wav(s))
+
+    def test_banded_bound_guard(self, spark):
+        with pytest.raises(ValueError, match="pigeonhole"):
+            audio_near_dups(None, max_hamming=DHASH_BANDS)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dhash_incremental(None, None, max_hamming=-1)
+
+
+class TestDhashIncremental:
+    def test_new_vs_index_report(self, spark):
+        """Stub path: a new doc whose text token-edits an index doc is
+        flagged (bigram-histogram hamming small); an unrelated new doc
+        is absent; INDEX-internal dups never pair with each other."""
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight") * 3
+        near = base.replace("lazy", "sleepy", 1)
+        other = ("completely different content about spark shuffles "
+                 "and parquet footers with no overlap whatsoever") * 3
+        docs = spark.createDataFrame(
+            [(10, base), (20, base + " extra"), (11, near), (13, other)],
+            "doc_id long, text string")
+        media = multimodal.as_media(docs)
+        new = media.filter("doc_id % 2 = 1")
+        idx = media.filter("doc_id % 2 = 0")
+        got = {r.doc_id: r for r in dhash_incremental(idx, new).collect()}
+        assert 11 in got and 13 not in got
+        assert got[11].matched_index_doc == 10
+        assert got[11].n_matches == 2  # both index copies
+        assert got[11].best_hamming <= DHASH_MAX_HAMMING
+
+    def test_pair_counted_once_across_bands(self, spark):
+        """Identical fingerprints collide in ALL 4 bands; the DISTINCT
+        must collapse them to n_matches = 1."""
+        txt = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        docs = spark.createDataFrame(
+            [(1, txt), (2, txt)], "doc_id long, text string")
+        media = multimodal.as_media(docs)
+        [row] = dhash_incremental(media.filter("doc_id = 1"),
+                                  media.filter("doc_id = 2")).collect()
+        assert row.n_matches == 1 and row.best_hamming == 0
+
+
+class TestAudioBandingRecall:
+    def test_pigeonhole_recall_guarantee_shared_geometry(self):
+        """audio_near_dups bands through the SAME _band_fingerprints /
+        4 x 16 geometry the image proof (test_round10_ops) covers; this
+        re-proves the property against AHASH constants so a future
+        audio-specific geometry change re-triggers the proof burden."""
+        from hypothesis import given, strategies as st
+        from realtime_log_analytics_flink_kafka_spark.operators.multimodal import (
+            DHASH_BAND_BITS)
+
+        mask = (1 << DHASH_BAND_BITS) - 1
+
+        @given(st.integers(0, (1 << 64) - 1),
+               st.sets(st.integers(0, 63), max_size=DHASH_MAX_HAMMING))
+        def check(a, flipped):
+            b = a
+            for bit in flipped:
+                b ^= 1 << bit
+            assert any(((a >> (DHASH_BAND_BITS * i)) & mask)
+                       == ((b >> (DHASH_BAND_BITS * i)) & mask)
+                       for i in range(DHASH_BANDS))
+
+        check()
+
+    def test_stub_trigram_differs_from_bigram_stub(self, spark):
+        """The audio stub must be a DIFFERENT fingerprint from the image
+        stub for the same payload (distinct n-gram order), or the two
+        'modalities' would trivially agree on every near-dup verdict."""
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten " * 3)],
+            "doc_id long, text string")
+        media = multimodal.as_media(docs)
+        [img] = multimodal.image_dhash(media).collect()
+        [aud] = audio_ehash(media).collect()
+        assert img.dhash != aud.ehash
+
+
+class TestSilhouetteDegenerateK1:
+    def test_single_label_mean_zero(self, spark):
+        """k=1: no 'other' centroid exists, b is NULL — pinned to 0.0 in
+        both engines (ADVICE r10), so the scorecard reports 0.0 instead
+        of Spark-drops-NULL/DuckDB-keeps-NULL divergence."""
+        from realtime_log_analytics_flink_kafka_spark.operators.similarity import (
+            kmeans_silhouette)
+        vecs = spark.createDataFrame(
+            [(1, 0, [1.0, 2.0]), (2, 0, [2.0, 1.0]), (3, 0, [1.5, 1.5])],
+            "vec_id long, label int, embedding array<float>")
+        [row] = kmeans_silhouette(vecs).collect()
+        assert row.n_vecs == 3
+        assert float(row.mean_silhouette) == 0.0
+        assert row.n_negative == 0
