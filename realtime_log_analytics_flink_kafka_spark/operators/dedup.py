@@ -1279,3 +1279,55 @@ def cluster_source_composition(components: DataFrame, docs: DataFrame, *,
         exact_round_div(F.col("_top"), F.col("n_docs"), 4)
         .alias("top_share"),
         (F.col("n_sources") == 1).alias("single_source"))
+
+
+def pair_set_agreement(pairs_a: DataFrame, pairs_b: DataFrame, *,
+                       left_col: str = "doc_a",
+                       right_col: str = "doc_b") -> DataFrame:
+    """PAIR-level agreement between two duplicate detectors — the third
+    angle of the detector-comparison family: ARI
+    (:func:`adjusted_rand_index`) compares the induced PARTITIONS,
+    :func:`partition_modularity` scores one partition on the other's
+    GRAPH, and this compares the raw pair sets themselves — one row:
+
+        n_a, n_b, n_both, n_a_only, n_b_only,
+        pair_jaccard = both / (a + b − both),
+        precision_b  = both / n_b   (b's pairs confirmed by a),
+        recall_b     = both / n_a   (a's pairs recovered by b).
+
+    Pair-level is the strictest of the three: two detectors can induce
+    identical partitions from DIFFERENT pair sets (transitive closure
+    hides which edges each found), so partition-level agreement can be
+    perfect while pair recall is low — exactly the gap this measures.
+
+    Scale shape: both inputs are already-bounded candidate-pair
+    relations (banded joins upstream, never all-pairs); the full outer
+    join runs on (pair-key)-sized relations and the report is one
+    map-combinable global aggregate.  No window, no driver-side action.
+
+    Determinism: counts BIGINT; ratios exact_round_div(…, 4) (NULL on
+    an empty side, both engines).
+    """
+    a = (pairs_a.select(F.col(left_col).alias("pa"),
+                        F.col(right_col).alias("pb"))
+         .distinct().withColumn("_a", F.lit(1)))
+    b = (pairs_b.select(F.col(left_col).alias("pa"),
+                        F.col(right_col).alias("pb"))
+         .distinct().withColumn("_b", F.lit(1)))
+    j = a.join(b, ["pa", "pb"], "full_outer")
+    rep = j.agg(
+        F.sum(F.coalesce("_a", F.lit(0))).cast("long").alias("n_a"),
+        F.sum(F.coalesce("_b", F.lit(0))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+              .otherwise(0)).cast("long").alias("n_both"))
+    return rep.select(
+        "n_a", "n_b", "n_both",
+        (F.col("n_a") - F.col("n_both")).cast("long").alias("n_a_only"),
+        (F.col("n_b") - F.col("n_both")).cast("long").alias("n_b_only"),
+        exact_round_div(F.col("n_both"),
+                        F.col("n_a") + F.col("n_b") - F.col("n_both"), 4)
+        .alias("pair_jaccard"),
+        exact_round_div(F.col("n_both"), F.col("n_b"), 4)
+        .alias("precision_b"),
+        exact_round_div(F.col("n_both"), F.col("n_a"), 4)
+        .alias("recall_b"))

@@ -1809,9 +1809,272 @@ WHERE event_type = '{SEQ_PATTERN[0]}' AND {steps}
 """
 
 
+# --- per-service burstiness (Fano factor) ------------------------------------
+
+def q_service_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service traffic burstiness: the Fano factor (variance / mean)
+    of per-minute event counts — the overdispersion audit that separates
+    Poisson-like steady load (F ≈ 1) from bursty/clustered arrival (the
+    regime where fixed-window rate detectors under-alert between bursts
+    and a CUSUM or interarrival detector is needed; complements
+    error_interarrival, which looks at gaps of ERRORS only).
+
+    Exact integer path end to end: with m observed minutes, S = Σc,
+    Q = Σc² over per-minute counts c,
+
+        fano = var/mean = (m·Q − S²) / (m·S)
+
+    both sides BIGINT, divided once by exact_round_div — NO doubles
+    until the final correctly-rounded division, so the oracle is
+    value-identical by construction.  The overdispersed flag compares
+    the SAME integers (m·Q − S² > m·S ⟺ fano > 1), so it can never
+    disagree with the printed ratio.  Minute buckets come from
+    epoch-microsecond integer division — timezone-free.  Only observed
+    minutes enter (an idle service's empty minutes aren't rows; the
+    all-zero-minute regime is invisible to ANY count-based stream, and
+    m is reported so a reader can compare against the service's span).
+
+    Scale shape: one map-combinable (service, minute) count, then a
+    4-row reduction.  Overflow: m·Q <= minutes · (minutes · c_max²);
+    at 1e6 minutes of 1e4 events/min that is ~1e14·m — past ~1e5
+    heavy minutes per service move the two products to DECIMAL(38,0)
+    (same expressions, wider type); the exact_round_div bound
+    (|num| < 4.6e14 at scale 4) is the binding one and is asserted by
+    the audit's n_minutes·max_minute² headroom being visible in the
+    output."""
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    minutes = (logs
+               .select("service",
+                       (F.unix_micros("ts") / F.lit(60_000_000))
+                       .cast("long").alias("minute"))
+               .groupBy("service", "minute")
+               .agg(F.count("*").cast("long").alias("c")))
+    per_svc = minutes.groupBy("service").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum("c").cast("long").alias("total_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_q"),
+        F.max("c").cast("long").alias("max_minute"))
+    num = (F.col("n_minutes") * F.col("_q")
+           - F.col("total_events") * F.col("total_events"))
+    den = F.col("n_minutes") * F.col("total_events")
+    return per_svc.select(
+        "service", "n_minutes", "total_events", "max_minute",
+        exact_round_div(num, den, 4).alias("fano"),
+        (num > den).alias("overdispersed"))
+
+
+def _service_burstiness_sql() -> str:
+    fano = exact_round_div_sql(
+        "n_minutes * _q - total_events * total_events",
+        "n_minutes * total_events", 4)
+    return f"""
+WITH {LOGS_CTE},
+mins AS (
+    SELECT service, epoch_us(ts) // 60000000 AS minute,
+           CAST(count(*) AS BIGINT) AS c
+    FROM logs GROUP BY 1, 2
+),
+per AS (
+    SELECT service,
+           CAST(count(*) AS BIGINT) AS n_minutes,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           CAST(sum(c * c) AS BIGINT) AS _q,
+           CAST(max(c) AS BIGINT) AS max_minute
+    FROM mins GROUP BY service
+)
+SELECT service, n_minutes, total_events, max_minute,
+       {fano} AS fano,
+       (n_minutes * _q - total_events * total_events
+        > n_minutes * total_events) AS overdispersed
+FROM per
+"""
+
+
+# --- Benjamini-Hochberg FDR audit over daily latency anomalies ---------------
+
+#: BH target false-discovery rate.  0.25 (not the textbook 0.05)
+#: because the Chebyshev p-values below are conservative by an order
+#: of magnitude; the audit is a day-screening triage, not inference.
+FDR_ALPHA_BP = 2500  # basis points, so the BH comparison stays integral
+
+#: Chunking modulus for the per-day latency fold (the label_centroids
+#: two-level discipline).
+FDR_DAY_CHUNKS = 32
+
+
+def q_latency_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which (service, day) latency means are anomalous after
+    MULTIPLE-TESTING correction?  Screening every service-day with a
+    fixed z-cut inflates false alarms linearly in days×services; this
+    runs the Benjamini-Hochberg step-up at FDR α = 25 % over
+    distribution-free Chebyshev p-values with LEAVE-ONE-OUT
+    studentization:
+
+        z²_d = (mean_d − μ_−d)² / var_−d   (moments of the OTHER days),
+        p_d  = min(1, 1/z²_d)              (two-sided Chebyshev bound),
+        reject p_(1..k*) where k* = max{{k : p_(k) ≤ k·α/m}}.
+
+    Leave-one-out is load-bearing, not a refinement: with the naive
+    self-normalized z², Σ_d z²_d = m identically, so the k-th smallest
+    p is ≥ k/m... making p_(k) ≤ k·α/m UNSATISFIABLE for any α < 1 —
+    the naive audit can never reject anything (a spike day inflates
+    the very variance it is scored against).  Excluding the tested day
+    from μ and var breaks the self-masking: a lone 100x day scores
+    z² → huge, p → ~0.  (Found by the planted-anomaly test; the naive
+    form passed parity while being vacuous.)
+
+    Per service: days tested, days flagged, and the most anomalous
+    day's index and rounded p.
+
+    Determinism: latency sums go through DECIMAL(18,6) (exact,
+    order-free — the fixture's doubles carry ≤ 6 decimals); day means
+    become doubles once, via one division of identical decimals; the
+    per-service mean/var over day means folds SORTED day-mean lists
+    (days-bounded); the BH comparison p ≤ k·α/m is evaluated as
+    p·(m·10⁴) ≤ k·{FDR_ALPHA_BP} — the α denominator moved into
+    integers so both engines compare identical doubles.  Ordering for
+    the step-up ranks on (p, service, day) — a total order.
+
+    Scale shape: the raw shuffle is ONE map-combinable
+    (service, day) decimal-sum; everything after runs on the
+    days×services-sized relation (global rank included — bounded,
+    the seasonal_decompose days-relation precedent), and k* comes
+    from a single-row broadcast, not a second global window."""
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    days = (logs
+            .select("service",
+                    (F.unix_micros("ts") / F.lit(86_400_000_000))
+                    .cast("long").alias("day"),
+                    F.col("latency_ms").cast("decimal(18,6)").alias("lat"))
+            .groupBy("service", "day")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("lat").alias("s"))
+            .select("service", "day", "n",
+                    (F.col("s").cast("double") / F.col("n").cast("double"))
+                    .alias("day_mean")))
+    stats = (days.groupBy("service")
+             .agg(F.array_sort(F.collect_list("day_mean")).alias("dm"))
+             .select(
+                 "service",
+                 F.size("dm").cast("long").alias("_nd"),
+                 F.aggregate("dm", F.lit(0.0), lambda a, x: a + x)
+                 .alias("_s1"),
+                 F.aggregate("dm", F.lit(0.0), lambda a, x: a + x * x)
+                 .alias("_s2")))
+    # leave-one-out moments from the per-service totals: the tested
+    # day's mean is subtracted back out of S and Q, so no second pass
+    # over the data is ever needed
+    nd1 = (F.col("_nd") - 1).cast("double")
+    x = F.col("day_mean")
+    mu_loo = (F.col("_s1") - x) / nd1
+    var_loo = (F.col("_s2") - x * x) / nd1 - mu_loo * mu_loo
+    dv = x - mu_loo
+    z2 = dv * dv / var_loo
+    p = (F.when(F.col("_nd") < 2, F.lit(1.0))
+         .when((var_loo <= 0) & (dv * dv > 0), F.lit(0.0))
+         .when(var_loo <= 0, F.lit(1.0))
+         .when(z2 > 1, 1.0 / z2)
+         .otherwise(F.lit(1.0)))
+    scored = (days.join(stats, "service")
+              .select("service", "day", p.alias("p")))
+    m_row = scored.groupBy().agg(F.count("*").cast("long").alias("m"))
+    ranked = (scored.crossJoin(F.broadcast(m_row))
+              .withColumn("k", F.row_number().over(
+                  Window.orderBy("p", "service", "day")))
+              .withColumn("_pass",
+                          F.col("p") * (F.col("m") * 10_000)
+                          .cast("double")
+                          <= (F.col("k") * FDR_ALPHA_BP).cast("double")))
+    kmax = (ranked.filter("_pass")
+            .groupBy().agg(F.coalesce(F.max("k"), F.lit(0)).alias("_kmax")))
+    flagged = (ranked.crossJoin(F.broadcast(kmax))
+               .withColumn("_rej", F.col("k") <= F.col("_kmax")))
+    best = Window.partitionBy("service").orderBy("p", "day")
+    return (flagged
+            .withColumn("_rn", F.row_number().over(best))
+            .groupBy("service")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum(F.when(F.col("_rej"), 1).otherwise(0)).cast("long")
+                 .alias("n_flagged"),
+                 F.min(F.when(F.col("_rn") == 1, F.col("day"))).cast("long")
+                 .alias("top_day"),
+                 det_round(F.min("p"), 6).alias("min_p")))
+
+
+def _latency_fdr_audit_sql() -> str:
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))), "
+            "(acc, x) -> acc + x)")
+    return f"""
+WITH {LOGS_CTE},
+days AS (
+    SELECT service, epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(latency_ms AS DECIMAL(18,6))) AS s
+    FROM logs GROUP BY 1, 2
+),
+dm AS (
+    SELECT service, day, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS day_mean
+    FROM days
+),
+stats AS (
+    SELECT service,
+           CAST(count(*) AS BIGINT) AS _nd,
+           {fold.format(v='day_mean')} AS _s1,
+           {fold.format(v='day_mean * day_mean')} AS _s2
+    FROM dm GROUP BY service
+),
+loo AS (
+    SELECT d.service, d.day,
+           CAST(_nd AS BIGINT) AS _nd,
+           d.day_mean - (_s1 - d.day_mean) / CAST(_nd - 1 AS DOUBLE) AS dv,
+           (_s2 - d.day_mean * d.day_mean) / CAST(_nd - 1 AS DOUBLE)
+             - ((_s1 - d.day_mean) / CAST(_nd - 1 AS DOUBLE))
+               * ((_s1 - d.day_mean) / CAST(_nd - 1 AS DOUBLE)) AS var_loo
+    FROM dm d JOIN stats USING (service)
+),
+scored AS (
+    SELECT service, day,
+           CASE WHEN _nd < 2 THEN 1.0
+                WHEN var_loo <= 0 AND dv * dv > 0 THEN 0.0
+                WHEN var_loo <= 0 THEN 1.0
+                WHEN dv * dv / var_loo > 1 THEN 1.0 / (dv * dv / var_loo)
+                ELSE 1.0 END AS p
+    FROM loo
+),
+ranked AS (
+    SELECT *, (SELECT count(*) FROM scored) AS m,
+           row_number() OVER (ORDER BY p, service, day) AS k
+    FROM scored
+),
+km AS (
+    SELECT coalesce(max(k), 0) AS _kmax FROM ranked
+    WHERE p * CAST(m * 10000 AS DOUBLE)
+          <= CAST(k * {FDR_ALPHA_BP} AS DOUBLE)
+),
+flagged AS (
+    SELECT r.*, r.k <= km._kmax AS _rej,
+           row_number() OVER (PARTITION BY service ORDER BY p, day) AS _rn
+    FROM ranked r CROSS JOIN km
+)
+SELECT service, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN _rej THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(min(CASE WHEN _rn = 1 THEN day END) AS BIGINT) AS top_day,
+       {det_round_sql('min(p)', 6)} AS min_p
+FROM flagged GROUP BY service
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sequence_matches": QuerySpec(q_sequence_matches,
                                   _sequence_matches_sql()),
+    "service_burstiness": QuerySpec(q_service_burstiness,
+                                    _service_burstiness_sql()),
+    "latency_fdr_audit": QuerySpec(q_latency_fdr_audit,
+                                   _latency_fdr_audit_sql()),
     "error_latency_auc": QuerySpec(q_error_latency_auc,
                                    _error_latency_auc_sql()),
     "error_rate_calibration": QuerySpec(q_error_rate_calibration,

@@ -2818,6 +2818,111 @@ FROM n WHERE n_copies > 0
 """
 
 
+def q_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is language independent of source?  Pearson chi-square over the
+    source x lang contingency table plus Cramér's V — the
+    corpus-composition audit behind every "rebalance by language within
+    source" decision (source_kl_divergence measures how DIFFERENT the
+    distributions are; this says whether the association is larger than
+    sampling noise, with an effect size that doesn't grow with N).
+
+        chi² = Σ_cells (o − e)² / e,   e = row_tot · col_tot / N,
+        V    = sqrt(chi² / (N · min(r−1, c−1)))
+
+    The cell sum runs over the FULL cross of observed sources x langs
+    (absent combinations enter with o = 0 — dropping them understates
+    chi², the classic bug), built by cross-joining the two
+    margin relations: both are attribute-cardinality-bounded, so the
+    cross join is a sanctioned bounded broadcast (the l_diversity
+    class), and at 100 TB only (source, lang) count rows ever shuffle.
+
+    Determinism: o, margins, N are BIGINT; every e and contribution is
+    the identical double DAG on those integers; the cell fold sorts
+    contributions first (value order, the label_centroids discipline);
+    sqrt is IEEE-correctly-rounded; det_round(…, 4) at the edge.
+    chi2_gt_dof compares chi² to dof in doubles AFTER det_round so the
+    flag can never disagree with the printed values."""
+    from ..functions.detmath import det_round
+
+    docs = _docs(spark, sf_dir)
+    obs = (docs.groupBy("source", "lang")
+           .agg(F.count("*").cast("long").alias("o")))
+    rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    n_row = obs.groupBy().agg(F.sum("o").cast("long").alias("n"))
+    cells = (rt.crossJoin(ct)
+             .join(obs, ["source", "lang"], "left")
+             .select("source", "lang", "rt", "ct",
+                     F.coalesce("o", F.lit(0)).cast("long").alias("o"))
+             .crossJoin(F.broadcast(n_row)))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    folded = (cells
+              .select("n", contrib.alias("x"),
+                      F.col("source").alias("_s"), F.col("lang").alias("_l"))
+              .groupBy("n")
+              .agg(F.aggregate(F.array_sort(F.collect_list("x")),
+                               F.lit(0.0), lambda a, x: a + x).alias("chi2"),
+                   F.count("*").cast("long").alias("n_cells"),
+                   F.countDistinct("_s").cast("long").alias("n_sources"),
+                   F.countDistinct("_l").cast("long").alias("n_langs")))
+    dof = ((F.col("n_sources") - 1) * (F.col("n_langs") - 1)).cast("long")
+    v = F.sqrt(F.col("chi2")
+               / (F.col("n").cast("double")
+                  * F.least(F.col("n_sources") - 1,
+                            F.col("n_langs") - 1).cast("double")))
+    return folded.select(
+        "n_sources", "n_langs", "n_cells", dof.alias("dof"),
+        F.col("n").alias("n_docs"),
+        det_round(F.col("chi2"), 4).alias("chi2"),
+        det_round(v, 4).alias("cramers_v"),
+        (det_round(F.col("chi2"), 4) > dof.cast("double"))
+        .alias("chi2_gt_dof"))
+
+
+def _source_lang_chisq_sql() -> str:
+    from ..functions.detmath import det_round_sql
+
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))), "
+            "(acc, x) -> acc + x)")
+    contrib = ("(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / "
+               "CAST(n AS DOUBLE)) * (CAST(o AS DOUBLE) - "
+               "CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) / "
+               "(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))")
+    chi2 = fold.format(v=contrib)
+    return f"""
+WITH obs AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY source),
+ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY lang),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+cells AS (
+    SELECT rt.source, ct.lang, rt.rt, ct.ct, tot.n,
+           CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+    FROM rt CROSS JOIN ct CROSS JOIN tot
+    LEFT JOIN obs ON obs.source = rt.source AND obs.lang = ct.lang
+),
+folded AS (
+    SELECT n,
+           {chi2} AS chi2,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM cells GROUP BY n
+)
+SELECT n_sources, n_langs, n_cells,
+       CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof,
+       n AS n_docs,
+       {det_round_sql('chi2', 4)} AS chi2,
+       {det_round_sql('sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(n_sources - 1, n_langs - 1) AS DOUBLE)))', 4)} AS cramers_v,
+       ({det_round_sql('chi2', 4)}
+        > CAST((n_sources - 1) * (n_langs - 1) AS DOUBLE)) AS chi2_gt_dof
+FROM folded
+"""
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling rates (the mC4/XLM-R mixing
     rule): sampling probability proportional to (token share)^alpha with
@@ -3339,6 +3444,48 @@ SELECT cluster_id, n_docs, n_sources, top_source,
        {share} AS top_share,
        (n_sources = 1) AS single_source
 FROM grp
+"""
+
+
+def q_dedup_modality_agreement(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PAIR-level agreement between the LEXICAL near-dup detector
+    (MinHash-LSH, exact-Jaccard verified) and the PERCEPTUAL one (the
+    media layer's banded dHash) — the third angle of the
+    detector-comparison family (ARI = label-level, dup_modularity =
+    edge-vs-partition, this = raw pair sets;
+    operators/dedup.pair_set_agreement).  Pair precision/recall of the
+    perceptual detector against the lexical pair set tells a curation
+    pipeline whether the cheap two-longs-per-image fingerprint can
+    stand in for the shingle pipeline on mixed-modality shards."""
+    docs = _docs(spark, sf_dir)
+    lex = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    per = multimodal.dhash_near_dups(multimodal.as_media(docs))
+    return dedup.pair_set_agreement(lex, per)
+
+
+def _dedup_modality_agreement_sql() -> str:
+    jac = exact_round_div_sql("n_both", "n_a + n_b - n_both", 4)
+    prec = exact_round_div_sql("n_both", "n_b", 4)
+    rec = exact_round_div_sql("n_both", "n_a", 4)
+    return f"""
+WITH lex AS ({_minhash_sql()}),
+per AS ({_media_near_dups_sql()}),
+a AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM lex),
+b AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM per),
+rep AS (
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (pa, pb)) AS BIGINT)
+               AS n_both
+)
+SELECT n_a, n_b, n_both,
+       CAST(n_a - n_both AS BIGINT) AS n_a_only,
+       CAST(n_b - n_both AS BIGINT) AS n_b_only,
+       CASE WHEN n_a + n_b - n_both > 0 THEN {jac} END AS pair_jaccard,
+       CASE WHEN n_b > 0 THEN {prec} END AS precision_b,
+       CASE WHEN n_a > 0 THEN {rec} END AS recall_b
+FROM rep
 """
 
 
@@ -6518,6 +6665,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_detector_ari": QuerySpec(q_dedup_detector_ari,
                                     _dedup_detector_ari_sql()),
     "dup_modularity": QuerySpec(q_dup_modularity, _dup_modularity_sql()),
+    "dedup_modality_agreement": QuerySpec(q_dedup_modality_agreement,
+                                          _dedup_modality_agreement_sql()),
     "dup_cluster_sources": QuerySpec(q_dup_cluster_sources,
                                      _dup_cluster_sources_sql()),
     "leakage_safe_split": QuerySpec(q_leakage_safe_split,
@@ -6525,6 +6674,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_redaction": QuerySpec(q_pii_redaction, _pii_redaction_sql()),
     "media_decode": QuerySpec(q_media_decode, _media_decode_sql()),
     "source_mixture": QuerySpec(q_source_mixture, _source_mixture_sql()),
+    "source_lang_chisq": QuerySpec(q_source_lang_chisq,
+                                   _source_lang_chisq_sql()),
     "perplexity_buckets": QuerySpec(q_perplexity_buckets,
                                     SQL_PERPLEXITY_BUCKETS),
     "token_entropy": QuerySpec(q_token_entropy, _token_entropy_sql()),

@@ -160,6 +160,135 @@ class TestAudioBandingRecall:
         assert img.dhash != aud.ehash
 
 
+class TestPairSetAgreement:
+    def test_counts_and_ratios(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            pair_set_agreement)
+        a = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long")
+        b = spark.createDataFrame(
+            [(1, 2), (5, 6), (7, 8), (9, 10)], "doc_a long, doc_b long")
+        [r] = pair_set_agreement(a, b).collect()
+        assert (r.n_a, r.n_b, r.n_both) == (3, 4, 2)
+        assert (r.n_a_only, r.n_b_only) == (1, 2)
+        assert float(r.pair_jaccard) == 0.4       # 2 / (3+4-2)
+        assert float(r.precision_b) == 0.5
+        assert float(r.recall_b) == 0.6667
+
+    def test_empty_side_null_ratios(self, spark):
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            pair_set_agreement)
+        a = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        b = a.filter("doc_a < 0")
+        [r] = pair_set_agreement(a, b).collect()
+        assert r.n_b == 0 and r.precision_b is None
+        assert float(r.recall_b) == 0.0
+
+
+class TestServiceBurstiness:
+    def test_bursty_vs_steady(self, spark):
+        """Planted arrivals: svc with all events crammed into 2 of 20
+        minutes is overdispersed (Fano > 1); a 1-event-per-minute svc
+        has zero variance (Fano = 0).  Uses the production query via a
+        fixture events table."""
+        import os
+        import tempfile
+        from datetime import datetime, timezone
+        from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+            q_service_burstiness)
+        rows = []
+        eid = 0
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+        def ts(minute, sec):
+            return base.replace(hour=minute // 60, minute=minute % 60,
+                                second=sec)
+        # user_id 0 -> svc-0: 10 events in each of minutes 0 and 1,
+        # then 18 single-event minutes
+        for minute in (0, 1):
+            for s in range(10):
+                rows.append((eid, ts(minute, s), 0, "view", 1.0, "{}"))
+                eid += 1
+        for minute in range(2, 20):
+            rows.append((eid, ts(minute, 0), 0, "view", 1.0, "{}")); eid += 1
+        # user_id 1 -> svc-1: exactly one event per minute
+        for minute in range(20):
+            rows.append((eid, ts(minute, 0), 1, "view", 1.0, "{}")); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r.service: r for r in q_service_burstiness(spark, d).collect()}
+        assert got["svc-0"].overdispersed and float(got["svc-0"].fano) > 1
+        assert not got["svc-1"].overdispersed
+        assert float(got["svc-1"].fano) == 0.0
+        assert got["svc-0"].n_minutes == 20 and got["svc-0"].max_minute == 10
+
+
+class TestLatencyFdrAudit:
+    def test_planted_anomalous_day_flagged(self, spark):
+        """30 steady days + one 100x-latency day: the spike day's
+        Chebyshev p ~ 1/z^2 is tiny, BH at alpha=0.25 with m=31 rejects
+        it, and no steady day is flagged."""
+        import os
+        import tempfile
+        from datetime import datetime, timedelta, timezone
+        from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+            q_latency_fdr_audit)
+        rows, eid = [], 0
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        for day in range(31):
+            lat = 5000.0 if day == 30 else 50.0
+            for i in range(4):
+                # day-varying jitter so the steady days' leave-one-out
+                # variance is positive (all-identical means hit the
+                # var_loo <= 0 degenerate branch instead of BH)
+                rows.append((eid, base + timedelta(days=day, minutes=i),
+                             0, "view", lat + (day % 3) + (i % 2), "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        [r] = q_latency_fdr_audit(spark, d).collect()
+        assert r.n_days == 31
+        assert r.n_flagged == 1
+        assert r.top_day == (base + timedelta(days=30)
+                             - datetime(1970, 1, 1, tzinfo=timezone.utc)).days
+        assert float(r.min_p) < 0.05
+
+
+class TestSourceLangChisq:
+    def test_dependent_vs_independent(self, spark):
+        """A perfectly source-determined language split yields chi2 = N
+        and V = 1; a perfectly proportional table yields chi2 = 0."""
+        import os
+        import tempfile
+        from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+            q_source_lang_chisq)
+
+        def run(assign):
+            docs = spark.createDataFrame(
+                [(i, "t", lang, src, 1) for i, (src, lang) in
+                 enumerate(assign)],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long")
+            d = tempfile.mkdtemp()
+            docs.write.mode("overwrite").parquet(
+                os.path.join(d, "documents.parquet"))
+            [r] = q_source_lang_chisq(spark, d).collect()
+            return r
+
+        dep = run([("sA", "en")] * 10 + [("sB", "de")] * 10)
+        assert float(dep.chi2) == 20.0 and float(dep.cramers_v) == 1.0
+        assert dep.dof == 1 and dep.chi2_gt_dof
+        ind = run(([("sA", "en")] * 6 + [("sA", "de")] * 2
+                   + [("sB", "en")] * 3 + [("sB", "de")] * 1))
+        assert float(ind.chi2) == 0.0 and not ind.chi2_gt_dof
+
+
 class TestSilhouetteDegenerateK1:
     def test_single_label_mean_zero(self, spark):
         """k=1: no 'other' centroid exists, b is NULL — pinned to 0.0 in
