@@ -2850,7 +2850,7 @@ def q_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
     ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
     n_row = obs.groupBy().agg(F.sum("o").cast("long").alias("n"))
-    cells = (rt.crossJoin(ct)
+    cells = (rt.crossJoin(F.broadcast(ct))
              .join(obs, ["source", "lang"], "left")
              .select("source", "lang", "rt", "ct",
                      F.coalesce("o", F.lit(0)).cast("long").alias("o"))

@@ -86,6 +86,14 @@ NESTED_LOOP_SANCTIONED = {
     "dsir_weights": 1,             # single-row (T, S) totals broadcast
     "pmi_collocations": 1,         # single-row bigram-total broadcast
     "temperature_mixture": 1,      # single-row (tot_tokens, tot_w) broadcast
+    # BH step-up: single-row m broadcast + single-row k* broadcast +
+    # the |services|-row moment relation joined back (equi on service,
+    # but its build side is tiny enough that AQE may plan it BNLJ)
+    "latency_fdr_audit": 3,
+    # contingency spine: |sources|-row margin x broadcast |langs|-row
+    # margin (the l_diversity bounded-attribute class) + the single-row
+    # N broadcast
+    "source_lang_chisq": 2,
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
     "leakage_safe_split": 1,       # single-row straddle-audit broadcast
     "token_budget_cut": 1,         # single-row token-budget broadcast
