@@ -757,12 +757,42 @@ def dhash_incremental(index_media: DataFrame, new_media: DataFrame, *,
     """
     _check_banded_bound(max_hamming)
     new_fps = image_dhash(new_media, decode_stub=decode_stub).filter(
-        F.col("dhash").isNotNull()).localCheckpoint()
+        F.col("dhash").isNotNull())
     idx_fps = image_dhash(index_media, decode_stub=decode_stub).filter(
-        F.col("dhash").isNotNull()).localCheckpoint()
-    x = _band_fingerprints(new_fps, hash_col="dhash").alias("x")
-    y = _band_fingerprints(idx_fps, hash_col="dhash").alias("y")
-    hamming = F.bit_count(F.expr("x.dhash ^ y.dhash"))
+        F.col("dhash").isNotNull())
+    return _fingerprint_incremental(idx_fps, new_fps, hash_col="dhash",
+                                    max_hamming=max_hamming)
+
+
+def ehash_incremental(index_media: DataFrame, new_media: DataFrame, *,
+                      max_hamming: int = DHASH_MAX_HAMMING,
+                      decode_stub: bool = True) -> DataFrame:
+    """Daily-ingest AUDIO near-dedup: :func:`dhash_incremental` with the
+    energy-gradient hash (:func:`audio_ehash`) — same asymmetric banded
+    join, same report shape, same pigeonhole recall contract.  One
+    shared `_fingerprint_incremental` body carries both modalities, so
+    the recall property test covers each."""
+    _check_banded_bound(max_hamming)
+    new_fps = audio_ehash(new_media, decode_stub=decode_stub).filter(
+        F.col("ehash").isNotNull())
+    idx_fps = audio_ehash(index_media, decode_stub=decode_stub).filter(
+        F.col("ehash").isNotNull())
+    return _fingerprint_incremental(idx_fps, new_fps, hash_col="ehash",
+                                    max_hamming=max_hamming)
+
+
+def _fingerprint_incremental(idx_fps: DataFrame, new_fps: DataFrame, *,
+                             hash_col: str,
+                             max_hamming: int) -> DataFrame:
+    """Shared body of the incremental perceptual dedups: band both
+    fingerprint relations (localCheckpointed first — the plan-explosion
+    barrier documented on dhash_near_dups), asymmetric banded equi-join
+    new-probe vs index-build, distinct pairs, per-new-doc report."""
+    new_fps = new_fps.localCheckpoint()
+    idx_fps = idx_fps.localCheckpoint()
+    x = _band_fingerprints(new_fps, hash_col=hash_col).alias("x")
+    y = _band_fingerprints(idx_fps, hash_col=hash_col).alias("y")
+    hamming = F.bit_count(F.expr(f"x.{hash_col} ^ y.{hash_col}"))
     pairs = (
         x.join(y, (F.col("x.band") == F.col("y.band"))
                & (F.col("x.bkey") == F.col("y.bkey"))

@@ -1350,6 +1350,71 @@ FROM pairs GROUP BY doc_id
 """
 
 
+def q_audio_near_dups_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Daily-ingest AUDIO near-dedup: the media_near_dups_incremental
+    split convention on the energy-gradient hash
+    (operators/multimodal.ehash_incremental — the shared
+    _fingerprint_incremental banded join, audio modality)."""
+    docs = multimodal.as_media(_docs(spark, sf_dir))
+    m = INCREMENTAL_BATCH_MOD
+    return multimodal.ehash_incremental(
+        docs.filter(F.col("doc_id") % m != 0),
+        docs.filter(F.col("doc_id") % m == 0))
+
+
+def _audio_near_dups_incremental_sql() -> str:
+    bins = multimodal.AHASH_BUCKETS
+    m = INCREMENTAL_BATCH_MOD
+    hist_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+        for i in range(bins))
+    terms = []
+    for bit in range(multimodal.DHASH_BITS):
+        addend = ("(-9223372036854775807 - 1)" if bit == 63
+                  else str(1 << bit))
+        terms.append(f"CASE WHEN h{bit + 1} > h{bit} "
+                     f"THEN CAST({addend} AS BIGINT) ELSE 0 END")
+    hash_expr = "\n         + ".join(terms)
+    band_bits = multimodal.DHASH_BAND_BITS
+    mask = (1 << band_bits) - 1
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, ehash, {b} AS band, "
+        f"(ehash >> {band_bits * b}) & {mask} AS bkey FROM fp"
+        for b in range(multimodal.DHASH_BANDS))
+    return f"""
+WITH {TOKENS_CTE},
+tri AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1]
+                                      || ' ' || toks[i + 2])) AS tg
+    FROM tok WHERE len(toks) >= 3
+), binned AS (
+    SELECT doc_id, {MD5_LONG.format(x='tg')} % {bins} AS bin FROM tri
+), hist AS (
+    SELECT doc_id,
+           {hist_cols}
+    FROM binned GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, CAST({hash_expr} AS BIGINT) AS ehash FROM hist
+), banded AS (
+{bands}
+), pairs AS (
+    SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS index_doc,
+           bit_count(xor(x.ehash, y.ehash)) AS hamming
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bkey = y.bkey
+    WHERE x.doc_id % {m} = 0 AND y.doc_id % {m} <> 0
+      AND bit_count(xor(x.ehash, y.ehash)) <= {multimodal.DHASH_MAX_HAMMING}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       min(index_doc) AS matched_index_doc,
+       CAST(min(hamming) AS BIGINT) AS best_hamming
+FROM pairs GROUP BY doc_id
+"""
+
+
 def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate pairs over the media layer (VERDICT r10
     next-round #4): a 64-bit energy-gradient hash per payload
@@ -6651,6 +6716,8 @@ QUERIES: dict[str, QuerySpec] = {
     "media_near_dups_incremental": QuerySpec(
         q_media_near_dups_incremental, _media_near_dups_incremental_sql()),
     "audio_near_dups": QuerySpec(q_audio_near_dups, _audio_near_dups_sql()),
+    "audio_near_dups_incremental": QuerySpec(
+        q_audio_near_dups_incremental, _audio_near_dups_incremental_sql()),
     "doc_split_counts": QuerySpec(q_doc_split_counts, SQL_DOC_SPLIT_COUNTS),
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_shards": QuerySpec(q_token_shards, SQL_TOKEN_SHARDS),

@@ -111,6 +111,27 @@ class TestDhashIncremental:
         assert got[11].n_matches == 2  # both index copies
         assert got[11].best_hamming <= DHASH_MAX_HAMMING
 
+    def test_audio_twin_real_path(self, spark):
+        """ehash_incremental (the audio modality of the shared
+        _fingerprint_incremental body) on real WAV payloads: a re-gained
+        copy of an indexed recording is flagged; a new recording with a
+        different envelope is not."""
+        from realtime_log_analytics_flink_kafka_spark.operators.multimodal import (
+            ehash_incremental)
+        s = _wave(4)
+        idx = spark.createDataFrame(
+            [(100, "wav", bytearray(synth_wav(s)))],
+            "doc_id long, fmt string, payload binary")
+        new = spark.createDataFrame(
+            [(1, "wav", bytearray(synth_wav([v // 2 for v in s]))),
+             (2, "wav", bytearray(synth_wav(_wave(5))))],
+            "doc_id long, fmt string, payload binary")
+        got = {r.doc_id: r
+               for r in ehash_incremental(idx, new,
+                                          decode_stub=False).collect()}
+        assert 1 in got and 2 not in got
+        assert got[1].matched_index_doc == 100
+
     def test_pair_counted_once_across_bands(self, spark):
         """Identical fingerprints collide in ALL 4 bands; the DISTINCT
         must collapse them to n_matches = 1."""
