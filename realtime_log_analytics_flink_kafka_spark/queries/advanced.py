@@ -1955,7 +1955,13 @@ def q_latency_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("lat").alias("s"))
             .select("service", "day", "n",
                     (F.col("s").cast("double") / F.col("n").cast("double"))
-                    .alias("day_mean")))
+                    .alias("day_mean"))
+            # localCheckpointed: stats, the LOO scoring join, and the m
+            # count all derive from this days x services-bounded
+            # relation; without the barrier Catalyst re-plans the raw
+            # event scan + decimal-sum once per branch (8 scans of the
+            # 100 TB table for a days-sized table)
+            .localCheckpoint())
     stats = (days.groupBy("service")
              .agg(F.array_sort(F.collect_list("day_mean")).alias("dm"))
              .select(

@@ -2910,8 +2910,14 @@ def q_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.detmath import det_round
 
     docs = _docs(spark, sf_dir)
+    # localCheckpointed: rt, ct, N and the cell join all derive from
+    # obs, and without the barrier Catalyst re-plans the corpus scan +
+    # contingency aggregation once PER BRANCH (4 scans at 100 TB for a
+    # sources x langs-bounded relation).  One scan, then everything
+    # downstream runs on the tiny checkpointed table.
     obs = (docs.groupBy("source", "lang")
-           .agg(F.count("*").cast("long").alias("o")))
+           .agg(F.count("*").cast("long").alias("o"))
+           .localCheckpoint())
     rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
     ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
     n_row = obs.groupBy().agg(F.sum("o").cast("long").alias("n"))
