@@ -370,6 +370,42 @@ def main() -> None:
         "driver's 3.95×.  Determination: construction cost runs once; "
         "the driver reading is ambient, not a regression.",
         "",
+        "## Round-11 additions: intrinsic bench cost, declared in "
+        "advance",
+        "",
+        "The seven r11-new queries add ~17.7 s to the full-registry "
+        "suite metric.  Measured on the settled build in quiet "
+        "isolation (tools/isolate_r11.py protocol: untimed warmup, "
+        "clearCache+GC, median-of-5, sf0.1, 2026-08-16) so the next "
+        "driver bench's suite-total growth is attributable BEFORE the "
+        "driver runs:",
+        "",
+        "| query | median [min, max] | cost class |",
+        "|---|---|---|",
+        "| audio_near_dups_incremental | 4.77 [4.14, 5.13] | two "
+        "trigram-histogram fingerprint passes + asymmetric banded join |",
+        "| media_near_dups_incremental | 4.08 [3.81, 5.28] | two "
+        "bigram-histogram fingerprint passes + asymmetric banded join |",
+        "| dedup_modality_agreement | 3.96 [3.81, 4.02] | composes the "
+        "FULL MinHash-LSH pipeline AND the dHash pipeline (the "
+        "ARI/modularity cost class) + one pair-key full outer join |",
+        "| audio_near_dups | 3.26 [2.99, 3.44] | trigram fingerprint "
+        "pass + banded self-join (the media_near_dups class) |",
+        "| latency_fdr_audit | 0.87 [0.79, 0.97] | one decimal-sum "
+        "shuffle; everything after runs on the days-sized checkpoint |",
+        "| source_lang_chisq | 0.47 [0.45, 0.48] | one contingency "
+        "aggregation, margins on the checkpointed cells |",
+        "| service_burstiness | 0.29 [0.27, 0.32] | one "
+        "(service, minute) count + 4-row reduction |",
+        "",
+        "The incremental twins cost MORE than their batch siblings at "
+        "bench scale because the split-then-hash runs the fingerprint "
+        "scan once per side (two construction-time localCheckpoints); "
+        "in production the index side is precomputed and this cost "
+        "disappears — at 100 TB the asymmetric probe is the whole "
+        "point.  Documented here so the r11→r12 driver suite delta "
+        "(+~17.7 s intrinsic) is not misread as drift.",
+        "",
         "Every construct class has at least one driver-green carrier, so "
         "driver-side engine-version skew is ruled out for all of them — "
         "including `string_agg ORDER BY` (pq_codes, green) and the hex "

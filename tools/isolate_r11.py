@@ -6,13 +6,18 @@ session WITHOUT touching BENCH_DETAIL.json.
 import gc
 import json
 import statistics
+import sys
 import time
 
 from realtime_log_analytics_flink_kafka_spark.queries import all_queries
 from realtime_log_analytics_flink_kafka_spark.session import get_spark
 
-TAIL = ["embedding_outliers", "token_entropy", "fk_integrity_audit",
-        "leakage_safe_split", "blocklist_filter", "dedup_token_loss"]
+#: Default: the r10 driver-tail drift set.  Pass query names as argv to
+#: measure any other set under the same protocol (e.g. the
+#: declared-in-advance cost of a round's new queries).
+TAIL = sys.argv[1:] or [
+    "embedding_outliers", "token_entropy", "fk_integrity_audit",
+    "leakage_safe_split", "blocklist_filter", "dedup_token_loss"]
 RUNS = 5
 SF_DIR = "/root/testdata/sf0.1"
 
