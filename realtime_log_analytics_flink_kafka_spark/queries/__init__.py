@@ -48,13 +48,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # The one r7 carry is returns_rollup, chosen because its DuckDB
     # construct class (GROUPING SETS / CUBE / ROLLUP) keeps BOTH an
     # r10-green carrier (grouping_sets_orders) and an in-window r11
-    # sibling (cube_returns), so no construct loses freshness; it
-    # HEADS the r12 window, where the rotation resumes at the r8 tier
-    # (alphabetically from alert_metrics_unpivot).  After r11 no
-    # registry query's last driver check is older than r8 except that
-    # single adjudicated carry.  Everything out-of-window is re-proven
-    # by the sf0.01 full-registry value-exact sweep each session
-    # (tests/test_oracle_parity*.py).
+    # sibling (cube_returns), so no construct loses freshness.  After
+    # r11 no registry query's last driver check is older than r8
+    # except that single adjudicated carry.  The r12 window opens
+    # with: the FIVE r11 queries added after this window was frozen
+    # (dedup_modality_agreement, audio_near_dups_incremental,
+    # latency_fdr_audit, source_lang_chisq, service_burstiness — all
+    # sf0.01-value-exact this session, EVIDENCE.md "Round-11
+    # additions"), then returns_rollup, then the r8 tier
+    # (alphabetically from alert_metrics_unpivot).  Everything
+    # out-of-window is re-proven by the sf0.01 full-registry
+    # value-exact sweep each session (tests/test_oracle_parity*.py).
     #
     # -- (a) never driver-checked: r11-new (2) -------------------------------
     "audio_near_dups", "media_near_dups_incremental",
