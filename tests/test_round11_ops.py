@@ -181,6 +181,28 @@ class TestAudioBandingRecall:
         assert img.dhash != aud.ehash
 
 
+class TestWavEnergyHashRobustness:
+    def test_arbitrary_bytes_never_raise(self):
+        """The real-path hash runs inside mapInPandas: ANY payload —
+        junk, truncated RIFF, hostile chunk sizes — must yield None or
+        an int64, never an exception (one bad blob would kill the whole
+        Arrow batch's task)."""
+        from hypothesis import given, strategies as st
+
+        @given(st.binary(max_size=300))
+        def check(buf):
+            h = wav_energy_hash_py(buf)
+            assert h is None or -(1 << 63) <= h < (1 << 63)
+
+        check()
+
+    def test_truncations_of_valid_wav_never_raise(self):
+        buf = synth_wav(_wave(1))
+        for cut in range(0, len(buf), 7):
+            h = wav_energy_hash_py(buf[:cut])
+            assert h is None or isinstance(h, int)
+
+
 class TestPairSetAgreement:
     def test_counts_and_ratios(self, spark):
         from realtime_log_analytics_flink_kafka_spark.operators.dedup import (

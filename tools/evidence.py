@@ -370,6 +370,21 @@ def main() -> None:
         "driver's 3.95×.  Determination: construction cost runs once; "
         "the driver reading is ambient, not a regression.",
         "",
+        "## Round-11 validation record (builder, 2026-08-16)",
+        "",
+        "On the settled r11 build, in this order: full pytest suite "
+        "**1099 passed, 1 skipped** (the formally-closed Kafka "
+        "connector; 206 sf0.01 parity marks deselected, run separately "
+        "below) in 47:27; full-registry sf0.01 harness sweep (strict "
+        "string canonicalization — stricter than the driver hash) "
+        "**206/206** in the default session timezone; the SAME sweep "
+        "under `TZ=America/New_York` **206/206**; full bench refresh "
+        "at sf0.1 committed to BENCH_DETAIL.json "
+        "(harness: builder-uncontended, suite 280.6 s / 206 queries, "
+        "headline-16 vs the r1 baseline = 0.483×).  Every query added "
+        "or touched this round additionally got a targeted sf0.01 "
+        "harness compare at the commit that introduced it.",
+        "",
         "## Round-11 additions: intrinsic bench cost, declared in "
         "advance",
         "",
