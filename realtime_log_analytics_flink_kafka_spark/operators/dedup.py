@@ -1305,8 +1305,13 @@ def pair_set_agreement(pairs_a: DataFrame, pairs_b: DataFrame, *,
     join runs on (pair-key)-sized relations and the report is one
     map-combinable global aggregate.  No window, no driver-side action.
 
-    Determinism: counts BIGINT; ratios exact_round_div(…, 4) (NULL on
-    an empty side, both engines).
+    CONTRACT — pair normalization: both inputs must order each pair the
+    same way (every producer in this package emits doc_a < doc_b); an
+    unnormalized caller would count (1,2) and (2,1) as disjoint.
+
+    Determinism: counts BIGINT (0, not NULL, on empty inputs — matching
+    the SQL twin's count(*)); ratios exact_round_div(…, 4) (NULL on an
+    empty side, both engines).
     """
     a = (pairs_a.select(F.col(left_col).alias("pa"),
                         F.col(right_col).alias("pb"))
@@ -1315,11 +1320,17 @@ def pair_set_agreement(pairs_a: DataFrame, pairs_b: DataFrame, *,
                         F.col(right_col).alias("pb"))
          .distinct().withColumn("_b", F.lit(1)))
     j = a.join(b, ["pa", "pb"], "full_outer")
+    # outer coalesce: on two EMPTY inputs the zero-row agg sums to NULL
+    # where the SQL twin's count(*) gives 0 — pin both engines to 0
     rep = j.agg(
-        F.sum(F.coalesce("_a", F.lit(0))).cast("long").alias("n_a"),
-        F.sum(F.coalesce("_b", F.lit(0))).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
-              .otherwise(0)).cast("long").alias("n_both"))
+        F.coalesce(F.sum(F.coalesce("_a", F.lit(0))), F.lit(0))
+        .cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.coalesce("_b", F.lit(0))), F.lit(0))
+        .cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(),
+                         1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_both"))
     return rep.select(
         "n_a", "n_b", "n_both",
         (F.col("n_a") - F.col("n_both")).cast("long").alias("n_a_only"),

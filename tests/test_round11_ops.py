@@ -227,6 +227,16 @@ class TestPairSetAgreement:
         assert r.n_b == 0 and r.precision_b is None
         assert float(r.recall_b) == 0.0
 
+    def test_both_empty_zero_counts(self, spark):
+        """Zero-row inputs: counts must be 0 (the SQL twin's count(*)),
+        not the NULL a bare sum-over-nothing would give."""
+        from realtime_log_analytics_flink_kafka_spark.operators.dedup import (
+            pair_set_agreement)
+        e = spark.createDataFrame([], "doc_a long, doc_b long")
+        [r] = pair_set_agreement(e, e).collect()
+        assert (r.n_a, r.n_b, r.n_both) == (0, 0, 0)
+        assert r.pair_jaccard is None and r.precision_b is None
+
 
 class TestServiceBurstiness:
     def test_bursty_vs_steady(self, spark):
