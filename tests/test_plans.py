@@ -191,6 +191,32 @@ def test_no_unbounded_nested_loop_joins(spark):
     assert not offenders, f"unsanctioned nested-loop joins: {offenders}"
 
 
+def test_r11_banded_joins_are_equi(spark):
+    """The r11 perceptual near-dup queries (audio + both incremental
+    twins) must candidate-generate through banded EQUI-joins — a
+    regression to a nested loop or cartesian would be the all-pairs
+    plan the banding exists to avoid."""
+    for name in ("audio_near_dups", "media_near_dups_incremental",
+                 "audio_near_dups_incremental"):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        assert node_count(df, "CartesianProduct") == 0, name
+        assert node_count(df, "BroadcastNestedLoop") == 0, name
+
+
+def test_r11_bounded_relations_materialized_once(spark):
+    """source_lang_chisq and latency_fdr_audit localCheckpoint their
+    attribute-bounded relation so the corpus scan runs ONCE at
+    construction; service_burstiness needs no barrier but must stay a
+    single scan.  A re-appearing multi-scan plan means the checkpoint
+    was dropped and the 100 TB table is being read once per branch."""
+    for name, max_scans in (("source_lang_chisq", 0),
+                            ("latency_fdr_audit", 0),
+                            ("service_burstiness", 1)):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        n = len(scan_read_schemas(df))
+        assert n <= max_scans, f"{name}: {n} scans in final plan"
+
+
 def test_near_dup_pair_join_is_equi(spark):
     """The registry near-dup query's pair join is a hash/merge equi-join
     on the cluster id, not the n^2 nested loop of the brute-force
