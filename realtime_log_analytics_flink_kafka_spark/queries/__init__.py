@@ -51,11 +51,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sibling (cube_returns), so no construct loses freshness.  After
     # r11 no registry query's last driver check is older than r8
     # except that single adjudicated carry.  The r12 window opens
-    # with: the FIVE r11 queries added after this window was frozen
-    # (dedup_modality_agreement, audio_near_dups_incremental,
-    # latency_fdr_audit, source_lang_chisq, service_burstiness — all
-    # sf0.01-value-exact this session, EVIDENCE.md "Round-11
-    # additions"), then returns_rollup, then the r8 tier
+    # with: the SIX r11 queries added after this window was frozen
+    # (dedup_modality_agreement, lexical_pair_agreement,
+    # audio_near_dups_incremental, latency_fdr_audit,
+    # source_lang_chisq, service_burstiness — all sf0.01-value-exact
+    # this session, EVIDENCE.md "Round-11 additions"), then
+    # returns_rollup, then the r8 tier
     # (alphabetically from alert_metrics_unpivot).  Everything
     # out-of-window is re-proven by the sf0.01 full-registry
     # value-exact sweep each session (tests/test_oracle_parity*.py).

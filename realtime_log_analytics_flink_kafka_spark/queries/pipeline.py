@@ -3560,6 +3560,48 @@ FROM rep
 """
 
 
+def q_lexical_pair_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-level agreement between the two LEXICAL detectors — MinHash
+    (set-Jaccard semantics) vs SimHash (weighted-cosine semantics).
+    dedup_detector_ari already compares their induced PARTITIONS; this
+    asks the stricter question of whether they find the same EDGES,
+    which ARI cannot see (transitive closure hides which detector
+    contributed which pair — two detectors can agree on every cluster
+    while one finds half the edges).  With dedup_modality_agreement
+    (lexical vs perceptual) the agreement matrix over all three
+    detector families is complete at both levels.  Same operator, same
+    bounded shape (operators/dedup.pair_set_agreement)."""
+    docs = _docs(spark, sf_dir)
+    mh = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    sh = dedup.simhash_pairs(docs)
+    return dedup.pair_set_agreement(mh, sh)
+
+
+def _lexical_pair_agreement_sql() -> str:
+    jac = exact_round_div_sql("n_both", "n_a + n_b - n_both", 4)
+    prec = exact_round_div_sql("n_both", "n_b", 4)
+    rec = exact_round_div_sql("n_both", "n_a", 4)
+    return f"""
+WITH lex AS ({_minhash_sql()}),
+per AS ({_simhash_pairs_sql()}),
+a AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM lex),
+b AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM per),
+rep AS (
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (pa, pb)) AS BIGINT)
+               AS n_both
+)
+SELECT n_a, n_b, n_both,
+       CAST(n_a - n_both AS BIGINT) AS n_a_only,
+       CAST(n_b - n_both AS BIGINT) AS n_b_only,
+       CASE WHEN n_a + n_b - n_both > 0 THEN {jac} END AS pair_jaccard,
+       CASE WHEN n_b > 0 THEN {prec} END AS precision_b,
+       CASE WHEN n_a > 0 THEN {rec} END AS recall_b
+FROM rep
+"""
+
+
 def q_dedup_detector_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjusted Rand index between the MinHash-LSH and SimHash dup
     clusterings — the detector-AGREEMENT audit: pair-level calibration
@@ -6740,6 +6782,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dup_modularity": QuerySpec(q_dup_modularity, _dup_modularity_sql()),
     "dedup_modality_agreement": QuerySpec(q_dedup_modality_agreement,
                                           _dedup_modality_agreement_sql()),
+    "lexical_pair_agreement": QuerySpec(q_lexical_pair_agreement,
+                                        _lexical_pair_agreement_sql()),
     "dup_cluster_sources": QuerySpec(q_dup_cluster_sources,
                                      _dup_cluster_sources_sql()),
     "leakage_safe_split": QuerySpec(q_leakage_safe_split,

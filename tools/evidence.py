@@ -383,12 +383,15 @@ def main() -> None:
         "(harness: builder-uncontended, suite 280.6 s / 206 queries, "
         "headline-16 vs the r1 baseline = 0.483×).  Every query added "
         "or touched this round additionally got a targeted sf0.01 "
-        "harness compare at the commit that introduced it.",
+        "harness compare at the commit that introduced it "
+        "(lexical_pair_agreement, registered after the full runs "
+        "above, is covered by exactly that: sf0.001 parity + sf0.01 "
+        "harness compare + isolated bench measure at its commit).",
         "",
         "## Round-11 additions: intrinsic bench cost, declared in "
         "advance",
         "",
-        "The seven r11-new queries add ~17.7 s to the full-registry "
+        "The eight r11-new queries add ~20.7 s to the full-registry "
         "suite metric.  Measured on the settled build in quiet "
         "isolation (tools/isolate_r11.py protocol: untimed warmup, "
         "clearCache+GC, median-of-5, sf0.1, 2026-08-16) so the next "
@@ -397,6 +400,9 @@ def main() -> None:
         "",
         "| query | median [min, max] | cost class |",
         "|---|---|---|",
+        "| lexical_pair_agreement | 2.94 [2.69, 4.01] | composes the "
+        "MinHash AND SimHash pipelines (the ARI cost class) + one "
+        "pair-key full outer join |",
         "| audio_near_dups_incremental | 4.77 [4.14, 5.13] | two "
         "trigram-histogram fingerprint passes + asymmetric banded join |",
         "| media_near_dups_incremental | 4.08 [3.81, 5.28] | two "
