@@ -383,10 +383,10 @@ def main() -> None:
         "(harness: builder-uncontended, suite 280.6 s / 206 queries, "
         "headline-16 vs the r1 baseline = 0.483×).  Every query added "
         "or touched this round additionally got a targeted sf0.01 "
-        "harness compare at the commit that introduced it "
-        "(lexical_pair_agreement, registered after the full runs "
-        "above, is covered by exactly that: sf0.001 parity + sf0.01 "
-        "harness compare + isolated bench measure at its commit).",
+        "harness compare at the commit that introduced it, and after "
+        "the FINAL registry state (207 queries, lexical_pair_agreement "
+        "included) the full sweep was repeated end-to-end: **207/207** "
+        "default timezone and **207/207** under TZ=America/New_York.",
         "",
         "## Round-11 additions: intrinsic bench cost, declared in "
         "advance",
