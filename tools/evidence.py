@@ -427,6 +427,16 @@ def main() -> None:
         "point.  Documented here so the r11→r12 driver suite delta "
         "(+~17.7 s intrinsic) is not misread as drift.",
         "",
+        "## Bench-drift audit, round 12 (VERDICT r11, next-round #1)",
+        "",
+        "r11 driver tail: the r11 driver bench session ran at median "
+        "0.83× (max 1.30×) of the builder's committed same-build "
+        "builder-uncontended refresh — every query inside the "
+        "documented ±30% cross-boot band, so there is NO unadjudicated "
+        "drift to carry into r12 (the r11 judge verified this "
+        "in-session; VERDICT r11 summary).  No action needed beyond "
+        "this record.",
+        "",
         "Every construct class has at least one driver-green carrier, so "
         "driver-side engine-version skew is ruled out for all of them — "
         "including `string_agg ORDER BY` (pq_codes, green) and the hex "
