@@ -1,0 +1,372 @@
+"""Two-sample distribution-drift tests over a CONTINUOUS column
+(VERDICT r11 next-round #4).
+
+The engine already covers drift on CATEGORICAL columns (chi-square +
+Cramér's V, `source_lang_chisq`) and on aggregate token mass (KL
+divergence, `source_kl_divergence`); this module adds the missing
+NONPARAMETRIC two-sample test on a numeric column: the Kolmogorov-
+Smirnov D statistic,
+
+    D = max_v |ECDF_a(v) − ECDF_b(v)|,
+
+with the asymptotic two-sided rejection rule D > c(α)·√((n_a+n_b)/
+(n_a·n_b)), c(0.05) = 1.358.
+
+Scale shape — the spend_gini value-domain-histogram discipline, state
+bounded by DISTINCT VALUES, never events:
+
+1. one map-side-combined ``groupBy(group, value)`` count with per-side
+   conditional sums (the only event-sized shuffle);
+2. a cumulative window over the compact per-group histogram (one row
+   per distinct value — the merged support IS where D attains its max,
+   so nothing is lost by never materializing per-event ranks);
+3. a per-group reduction taking ``max |cum_a·n_b − cum_b·n_a|``.
+
+Determinism — integers end to end:
+
+- D's numerator/denominator are exact integer cross-products
+  (DECIMAL(38,0) on Spark, HUGEINT on the DuckDB twins — both exact
+  below 10^38), divided ONCE by :func:`exact_round_div`;
+- the rejection rule is evaluated as the equivalent integral
+  comparison ``10^6·D_num² > KS_C2_PPM·(n_a+n_b)·n_a·n_b`` (the α
+  constant moved into parts-per-million), so the flag can never
+  disagree with the printed statistic and no engine ever computes a
+  square root.
+
+Overflow bounds, explicit: exact_round_div at scale 4 needs
+``n_a·n_b < 4.6e14`` (≈ 2·10^7 rows per side, balanced) and the
+integral flag needs ``10^6·(n_a·n_b)² < 10^38`` (≈ 2·10^8 per side).
+Past those, widen the division to DECIMAL with the same DAG — at such
+n the test statistic itself is astronomically significant long before
+the integers overflow, so the flag is also safely computable in
+doubles; the exact path is kept because the ORACLE contract is
+value-identity, not statistics.
+
+Callers feed integer-valued columns.  A double column with bounded
+decimals (the fixture's latency_ms carries ≤ 6) is quantized by the
+monotone map ``floor(x·10^6 + 0.5)`` — KS depends only on the value
+ORDERING, so any monotone injective transform leaves D exactly
+unchanged, and a transform that merges sub-resolution ties computes
+the KS of the quantized distributions identically in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.detmath import exact_round_div, exact_round_div_sql
+
+#: c(α)² in parts-per-million for the asymptotic two-sample KS
+#: rejection D > c·√((n_a+n_b)/(n_a·n_b)); c(0.05) = 1.358 (two-sided),
+#: c² = 1.844164.
+KS_C2_PPM = 1_844_164
+
+_DEC = "decimal(38,0)"
+
+
+def ks_from_counts(hist: DataFrame, *, group_cols: Sequence[str],
+                   value_col: str = "v", ca: str = "ca", cb: str = "cb",
+                   scale: int = 4) -> DataFrame:
+    """KS report from a pre-built per-group value histogram.
+
+    ``hist`` has ONE row per (group, value) with the two sides' counts
+    in ``ca``/``cb`` (zeros allowed — a value seen by only one side
+    still advances that side's ECDF and is exactly where D often
+    peaks).  Returns one row per group: ``n_a, n_b, ks_d, drifted``
+    (``ks_d``/``drifted`` NULL when either side is empty).
+
+    Split out from :func:`ks_two_sample` so one-vs-rest callers (e.g.
+    per-source vs pooled-rest) can assemble their own bounded
+    histogram, the chi-square-margins pattern.
+    """
+    gc = list(group_cols)
+    w = Window.partitionBy(*gc).orderBy(value_col)
+    wt = Window.partitionBy(*gc)
+    cum = hist.select(
+        *gc,
+        F.sum(ca).over(w).cast(_DEC).alias("_cuma"),
+        F.sum(cb).over(w).cast(_DEC).alias("_cumb"),
+        F.sum(ca).over(wt).cast("long").alias("_ta"),
+        F.sum(cb).over(wt).cast("long").alias("_tb"))
+    d_term = F.abs(F.col("_cuma") * F.col("_tb").cast(_DEC)
+                   - F.col("_cumb") * F.col("_ta").cast(_DEC))
+    per = (cum.select(*gc, "_ta", "_tb", d_term.alias("_dt"))
+           .groupBy(*gc)
+           .agg(F.max("_ta").alias("_na"), F.max("_tb").alias("_nb"),
+                F.max("_dt").alias("_dnum")))
+    lhs = F.lit(1_000_000).cast(_DEC) * F.col("_dnum") * F.col("_dnum")
+    rhs = (F.lit(KS_C2_PPM).cast(_DEC)
+           * (F.col("_na") + F.col("_nb")).cast(_DEC)
+           * F.col("_na").cast(_DEC) * F.col("_nb").cast(_DEC))
+    return per.select(
+        *gc,
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        exact_round_div(F.col("_dnum"),
+                        F.col("_na") * F.col("_nb"), scale).alias("ks_d"),
+        F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+               lhs > rhs).alias("drifted"))
+
+
+def ks_two_sample(df: DataFrame, *, group_cols: Sequence[str],
+                  value_col: str, side_a: Column,
+                  scale: int = 4) -> DataFrame:
+    """Per-group two-sample KS over row-level data.
+
+    ``side_a`` is a boolean/0-1 Column splitting rows into sample a
+    (true) vs sample b (false); NULL values in ``value_col`` are
+    excluded from BOTH samples (an unmeasured row carries no
+    distributional evidence).  ``value_col`` must be integer-valued —
+    quantize doubles first (module docstring).
+    """
+    gc = list(group_cols)
+    a = side_a.cast("int")
+    hist = (df.filter(F.col(value_col).isNotNull())
+            .groupBy(*gc, value_col)
+            .agg(F.sum(a).cast("long").alias("ca"),
+                 F.sum(1 - a).cast("long").alias("cb")))
+    return ks_from_counts(hist, group_cols=gc, value_col=value_col,
+                          scale=scale)
+
+
+#: PSI "significant shift" convention threshold (industry standard:
+#: < 0.1 stable, 0.1-0.2 moderate, > 0.2 action) — compared against
+#: det_round(psi, 4) so the flag can never disagree with the printed
+#: statistic.
+PSI_ACTION = 0.2
+
+
+def psi_report(per_b: DataFrame, *, group_cols: Sequence[str],
+               a: str = "a", b: str = "b") -> DataFrame:
+    """Population Stability Index per group from a per-bucket count
+    relation: ``per_b`` has one row per (group, bucket) with the two
+    periods' counts in ``a``/``b`` (zeros allowed — Laplace +1
+    smoothing keeps every ln finite; B = the group's observed-bucket
+    count enters both denominators):
+
+        PSI = Σ_i (p_i − q_i)·ln(p_i/q_i),
+        p_i = (a_i+1)/(n_a+B),  q_i = (b_i+1)/(n_b+B).
+
+    Determinism: ln runs on the INTEGER cross-ratio (a_i+1)(n_b+B) /
+    (b_i+1)(n_a+B) through the det_ln bit-parity DAG (overflow:
+    (n+1)(n+B) must fit int64 — ~3e9 events/group; decimals beyond);
+    the share differences divide exact integers as identical doubles;
+    the bucket sum folds SORTED terms; det_round(…, 4) at the edge.
+    psi/unstable NULL when either period is empty.  Bounded end to
+    end: everything here runs on the (group × bucket)-sized relation
+    the caller built."""
+    from ..functions.detmath import det_round, with_det_ln
+
+    gc = list(group_cols)
+    tot = per_b.groupBy(*gc).agg(
+        F.sum(a).cast("long").alias("na"),
+        F.sum(b).cast("long").alias("nb"),
+        F.count("*").cast("long").alias("nbk"))
+    j = per_b.join(tot, gc)
+    j = with_det_ln(j, (F.col(a) + 1) * (F.col("nb") + F.col("nbk")),
+                    (F.col(b) + 1) * (F.col("na") + F.col("nbk")), "lr")
+    p = (F.col(a) + 1).cast("double") \
+        / (F.col("na") + F.col("nbk")).cast("double")
+    q = (F.col(b) + 1).cast("double") \
+        / (F.col("nb") + F.col("nbk")).cast("double")
+    per = (j.select(*gc, "na", "nb", "nbk",
+                    ((p - q) * F.col("lr")).alias("term"))
+           .groupBy(*gc)
+           .agg(F.max("na").alias("n_base"), F.max("nb").alias("n_curr"),
+                F.max("nbk").alias("n_buckets"),
+                F.aggregate(F.array_sort(F.collect_list("term")),
+                            F.lit(0.0), lambda acc, x: acc + x)
+                .alias("_psi")))
+    ok = (F.col("n_base") > 0) & (F.col("n_curr") > 0)
+    psi = det_round(F.col("_psi"), 4)
+    return per.select(
+        *gc, "n_base", "n_curr", "n_buckets",
+        F.when(ok, psi).alias("psi"),
+        F.when(ok, psi > F.lit(PSI_ACTION)).alias("unstable"))
+
+
+#: ceil(ln(2/0.05)·10^6) for the Pettitt significance rule — the CEIL
+#: makes the integral comparison CONSERVATIVE (a K in the 2e-7-relative
+#: band between ln(40) and this constant fails to reject, never the
+#: reverse).
+PETTITT_LN40_PPM = 3_688_880
+
+
+def pettitt_changepoint(series: DataFrame, *, group_cols: Sequence[str],
+                        time_col: str, value_col: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test per group: WHERE does a
+    time series most plausibly split into before/after distributions,
+    and is the split significant?
+
+        U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j),   K = max_{t<n} |U_t|,
+        p ≈ 2·exp(−6K² / (n³ + n²)),  reject at α = 5% ⟺
+        6·K² ≥ ln(40)·(n³ + n²).
+
+    Rank identity that makes it one pass instead of O(n²): with
+    midranks r_i over the group (ties included),
+    Σ_j sgn(x_i − x_j) = 2r_i − (n+1) EXACTLY (derivation: #less =
+    r_i − (t_i+1)/2, #greater = n − #less − t_i, difference telescopes
+    to 2r_i − (n+1)), and the within-prefix part of U_t cancels by
+    antisymmetry, so U_t = Σ_{i≤t} (2r_i − (n+1)).  Doubled midranks
+    ``R2_i = 2·(rank_i − 1) + t_i + 1`` keep everything integer.
+
+    Input: ONE row per (group, time) — an already-aggregated bounded
+    relation (e.g. the per-day means the FDR audit builds), never raw
+    events; both windows below run on it.  Output per group: n,
+    change_t (the argmax-|U| time, min on ties — the LAST index of the
+    "before" segment), k_stat, u_sign (+1 = values RANK HIGHER before
+    the change, i.e. a downward level shift after it), shifted.
+    Groups with n < 2 report k_stat 0, NULL change_t, shifted false
+    (a single observation cannot split).
+
+    Determinism/overflow: U and K are exact integers; the significance
+    comparison runs in DECIMAL(38,0)/HUGEINT (K ≤ n²/2, so 6·10⁶·K²
+    overflows int64 past n ≈ 3.5e3 — fine for decades of days, and the
+    decimal path is exact to n ≈ 6e7).  The α constant is
+    :data:`PETTITT_LN40_PPM` parts-per-million, ceiling-rounded so the
+    integral rule is conservative."""
+    gc = list(group_cols)
+    wv = Window.partitionBy(*gc).orderBy(value_col)
+    wtie = Window.partitionBy(*gc, value_col)
+    wg = Window.partitionBy(*gc)
+    wt = (Window.partitionBy(*gc).orderBy(time_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wti = Window.partitionBy(*gc).orderBy(time_col)
+    ranked = series.select(
+        *gc, time_col,
+        (2 * (F.rank().over(wv) - 1) + F.count("*").over(wtie) + 1)
+        .cast("long").alias("_r2"),
+        F.count("*").over(wg).cast("long").alias("_n"))
+    u = (ranked
+         .withColumn("_t", F.row_number().over(wti))
+         .withColumn("_u", (F.sum("_r2").over(wt)
+                            - F.col("_t") * (F.col("_n") + 1))
+                     .cast("long"))
+         .filter(F.col("_t") < F.col("_n")))  # U_n ≡ 0, not a split
+    kw = F.max(F.abs(F.col("_u"))).over(wg)
+    per = (u.withColumn("_k", kw)
+           .groupBy(*gc)
+           .agg(F.max("_n").alias("_n"),
+                F.max("_k").cast("long").alias("k_stat"),
+                # struct-min argmin: change_t AND its sign come from the
+                # SAME row (the earliest argmax) — an independent
+                # min-of-sign could pair the time of one tie row with
+                # the sign of another
+                F.min(F.when(F.abs(F.col("_u")) == F.col("_k"),
+                             F.struct(F.col(time_col).alias("t"),
+                                      F.signum("_u").alias("s"))))
+                .alias("_arg")))
+    per = per.select(
+        *gc, "_n", "k_stat",
+        F.col("_arg").getField("t").alias("change_t"),
+        F.col("_arg").getField("s").cast("int").alias("u_sign"))
+    # n = 1 groups produce no U rows; restore them with the null report
+    singles = (series.groupBy(*gc)
+               .agg(F.count("*").cast("long").alias("_n"))
+               .filter(F.col("_n") < 2)
+               .select(*gc, "_n", F.lit(0).cast("long").alias("k_stat"),
+                       F.lit(None).cast("long").alias("change_t"),
+                       F.lit(0).cast("int").alias("u_sign")))
+    allg = per.unionByName(singles)
+    n = F.col("_n").cast(_DEC)
+    sig = (F.lit(6_000_000).cast(_DEC)
+           * F.col("k_stat").cast(_DEC) * F.col("k_stat").cast(_DEC)
+           >= F.lit(PETTITT_LN40_PPM).cast(_DEC) * (n * n * n + n * n))
+    return allg.select(
+        *gc, F.col("_n").alias("n"), "change_t", "k_stat", "u_sign",
+        (sig & (F.col("_n") >= 2)).alias("shifted"))
+
+
+def pettitt_report_sql(series_cte: str, group_cols: Sequence[str], *,
+                       time_col: str = "t", value_col: str = "x",
+                       n_alias: str = "n",
+                       change_alias: str = "change_t") -> str:
+    """DuckDB twin of :func:`pettitt_changepoint`: ``series_cte`` has
+    columns (group…, {time_col}, {value_col}), one row per time.
+    ``n_alias``/``change_alias`` rename the output columns so query
+    twins can match their Spark side's aliases."""
+    g = ", ".join(group_cols)
+    return f"""
+rk AS (
+    SELECT {g}, {time_col},
+           CAST(2 * (rank() OVER (PARTITION BY {g} ORDER BY {value_col})
+                     - 1)
+                + count(*) OVER (PARTITION BY {g}, {value_col})
+                + 1 AS BIGINT) AS _r2,
+           CAST(count(*) OVER (PARTITION BY {g}) AS BIGINT) AS _n
+    FROM {series_cte}
+),
+uu AS (
+    SELECT {g}, {time_col}, _n,
+           CAST(sum(_r2) OVER (PARTITION BY {g} ORDER BY {time_col}
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - CAST(row_number() OVER (PARTITION BY {g}
+                                     ORDER BY {time_col})
+                  AS BIGINT) * (_n + 1) AS _u,
+           row_number() OVER (PARTITION BY {g} ORDER BY {time_col}) AS _t
+    FROM rk
+),
+uk AS (
+    SELECT *, max(abs(_u)) OVER (PARTITION BY {g}) AS _k
+    FROM uu WHERE _t < _n
+),
+per AS (
+    SELECT {g}, CAST(max(_n) AS BIGINT) AS _n,
+           CAST(max(_k) AS BIGINT) AS k_stat,
+           (min(CASE WHEN abs(_u) = _k
+                     THEN {{'t': {time_col}, 's': sign(_u)}} END)).t
+               AS _chg,
+           CAST((min(CASE WHEN abs(_u) = _k
+                          THEN {{'t': {time_col}, 's': sign(_u)}} END)).s
+                AS INT) AS u_sign
+    FROM uk GROUP BY {g}
+    UNION ALL
+    SELECT {g}, CAST(count(*) AS BIGINT) AS _n,
+           CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS INT)
+    FROM {series_cte} GROUP BY {g} HAVING count(*) < 2
+)
+SELECT {g}, _n AS {n_alias}, _chg AS {change_alias}, k_stat, u_sign,
+       (CAST(6000000 AS HUGEINT) * k_stat * k_stat
+        >= CAST({PETTITT_LN40_PPM} AS HUGEINT)
+           * (CAST(_n AS HUGEINT) * _n * _n + CAST(_n AS HUGEINT) * _n))
+       AND _n >= 2 AS shifted
+FROM per
+"""
+
+
+def ks_report_sql(hist_cte: str, group_cols: Sequence[str], *,
+                  scale: int = 4) -> str:
+    """DuckDB twin of :func:`ks_from_counts`: takes the name of a CTE
+    with columns (group…, v, ca, cb) and emits the final SELECT.
+    HUGEINT keeps every cross-product exact below 10^38, mirroring the
+    Spark side's DECIMAL(38,0)."""
+    g = ", ".join(group_cols)
+    ks = exact_round_div_sql("CAST(_dnum AS BIGINT)", "n_a * n_b", scale)
+    return f"""
+cum AS (
+    SELECT {g}, v,
+           sum(ca) OVER (PARTITION BY {g} ORDER BY v) AS cuma,
+           sum(cb) OVER (PARTITION BY {g} ORDER BY v) AS cumb,
+           sum(ca) OVER (PARTITION BY {g}) AS ta,
+           sum(cb) OVER (PARTITION BY {g}) AS tb
+    FROM {hist_cte}
+),
+per AS (
+    SELECT {g},
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           max(abs(CAST(cuma AS HUGEINT) * CAST(tb AS HUGEINT)
+                   - CAST(cumb AS HUGEINT) * CAST(ta AS HUGEINT))) AS _dnum
+    FROM cum GROUP BY {g}
+)
+SELECT {g}, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN {ks} END AS ks_d,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+            CAST(1000000 AS HUGEINT) * _dnum * _dnum
+            > CAST({KS_C2_PPM} AS HUGEINT) * (n_a + n_b) * n_a * n_b
+       END AS drifted
+FROM per
+"""

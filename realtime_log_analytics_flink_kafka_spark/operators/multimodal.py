@@ -787,7 +787,14 @@ def _fingerprint_incremental(idx_fps: DataFrame, new_fps: DataFrame, *,
     """Shared body of the incremental perceptual dedups: band both
     fingerprint relations (localCheckpointed first — the plan-explosion
     barrier documented on dhash_near_dups), asymmetric banded equi-join
-    new-probe vs index-build, distinct pairs, per-new-doc report."""
+    new-probe vs index-build, distinct pairs, per-new-doc report.
+
+    CONTRACT: a doc never matches ITSELF even when the new and index
+    inputs overlap — the join carries an explicit ``x.doc_id !=
+    y.doc_id`` term (ADVICE r11 #1), so callers need not pre-split
+    disjointly.  A doc present on both sides can still match its
+    OTHER-side near-duplicates, which is the intended re-ingest
+    semantics."""
     new_fps = new_fps.localCheckpoint()
     idx_fps = idx_fps.localCheckpoint()
     x = _band_fingerprints(new_fps, hash_col=hash_col).alias("x")
@@ -796,6 +803,7 @@ def _fingerprint_incremental(idx_fps: DataFrame, new_fps: DataFrame, *,
     pairs = (
         x.join(y, (F.col("x.band") == F.col("y.band"))
                & (F.col("x.bkey") == F.col("y.bkey"))
+               & (F.col("x.doc_id") != F.col("y.doc_id"))
                & (hamming <= max_hamming))
         .select(F.col("x.doc_id").alias("doc_id"),
                 F.col("y.doc_id").alias("index_doc"),

@@ -35,52 +35,53 @@ class QuerySpec:
 # first; long-green queries fill the tail.  Names not listed keep module
 # order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ==== round-11 evidence policy ========================================
-    # The r10 board was 49 green + the by-design rows-only anisotropy
-    # (sixth consecutive zero-failure round), so r11 rotates the
-    # r7-stale tier per VERDICT r10 next-round #3, reconciled with
-    # asks #4 and #6 (TWO never-checked new families must be
-    # driver-green this round): (a) the r11-new queries —
-    # audio_near_dups' energy-gradient Hamming-banded pair join and
-    # media_near_dups_incremental's asymmetric new-vs-index dHash
-    # join — new construct classes go in the window immediately;
-    # (b) 48 of the 49-query r7-stale cohort.  2 + 48 = exactly 50.
-    # The one r7 carry is returns_rollup, chosen because its DuckDB
-    # construct class (GROUPING SETS / CUBE / ROLLUP) keeps BOTH an
-    # r10-green carrier (grouping_sets_orders) and an in-window r11
-    # sibling (cube_returns), so no construct loses freshness.  After
-    # r11 no registry query's last driver check is older than r8
-    # except that single adjudicated carry.  The r12 window opens
-    # with: the SIX r11 queries added after this window was frozen
+    # ==== round-12 evidence policy ========================================
+    # The r11 board was 50/50 green (seventh consecutive zero-failure
+    # round), so r12 rotates exactly as VERDICT r11 next-round #2
+    # prescribes: (a) the six r11 queries that were added AFTER the
+    # r11 window froze and have therefore never been driver-checked
     # (dedup_modality_agreement, lexical_pair_agreement,
     # audio_near_dups_incremental, latency_fdr_audit,
-    # source_lang_chisq, service_burstiness — all sf0.01-value-exact
-    # this session, EVIDENCE.md "Round-11 additions"), then
-    # returns_rollup, then the r8 tier
-    # (alphabetically from alert_metrics_unpivot).  Everything
-    # out-of-window is re-proven by the sf0.01 full-registry
-    # value-exact sweep each session (tests/test_oracle_parity*.py).
+    # source_lang_chisq, service_burstiness) plus any r12-new queries
+    # — never-checked entries always open the window; (b)
+    # returns_rollup, the adjudicated r7 carry, retiring the last
+    # pre-r8 staleness; (c) the r8-stale tier alphabetically from
+    # alert_metrics_unpivot, as many as fit.  With the r12-new
+    # queries in front, the r8 entries that do NOT fit this window
+    # and stay r8-stale (rotate them first in r13) are:
+    # order_priority_check, pq_codes, quarter_top_supplier,
+    # retrieval_ndcg,
+    # returned_revenue_customers, robust_trend, semantic_dup_clusters,
+    # service_daily_gapfill, supplier_revenue_share,
+    # textrank_keywords, token_budget_allocation, waiting_suppliers,
+    # wav_frames.  Everything out-of-window is re-proven by the
+    # sf0.01 full-registry value-exact sweep each session
+    # (tests/test_oracle_parity*.py + the verify-skill sweep).
     #
-    # -- (a) never driver-checked: r11-new (2) -------------------------------
-    "audio_near_dups", "media_near_dups_incremental",
-    # -- (b) the r7-stale cohort minus the adjudicated carry (48) ------------
-    "alert_metrics_daily", "alert_throttle", "alert_union_normalized",
-    "benford_price_audit", "bloom_prefilter_audit", "centroid_similarity",
-    "click_attribution_asof", "corpus_shuffle", "cube_returns",
-    "customer_order_histogram", "customer_spend_deciles",
-    "customers_without_orders", "dup_graph_triangles", "dup_pagerank",
-    "embedding_quantization", "error_click_pairs", "error_cusum_drift",
-    "error_interarrival", "error_rate_tumbling", "error_trend_slope",
-    "escalations_every_third", "event_lateness_audit",
-    "fk_integrity_audit", "frequent_terms", "funnel_conversion",
-    "gate_agreement_kappa", "hdr_latency_quantiles", "latency_p95_approx",
-    "latency_p95_daily", "packing_efficiency", "part_revenue_share",
-    "pii_redaction", "pricing_summary", "purchase_attribution",
-    "regional_revenue", "rich_idle_customers", "rolling_user_activity",
-    "salted_join_revenue", "segment_approx_distinct",
-    "segment_distinct_nations", "shipping_priority", "slo_breach_streaks",
-    "source_mixture", "spend_gini", "suppliers_with_shipments",
-    "synthetic_log_profile", "top_parts_per_brand", "user_sessions",
+    # -- (a) never driver-checked: r12-new first, then the post-window
+    #    r11 six ------------------------------------------------------------
+    "audio_modality_agreement", "latency_changepoint",
+    "latency_ks_drift", "latency_psi", "source_ks_drift",
+    "source_lang_mi",
+    "dedup_modality_agreement", "lexical_pair_agreement",
+    "audio_near_dups_incremental", "latency_fdr_audit",
+    "source_lang_chisq", "service_burstiness",
+    # -- (b) the adjudicated r7 carry ----------------------------------------
+    "returns_rollup",
+    # -- (c) the r8-stale tier, alphabetical, as many as fit (40) ------------
+    "alert_metrics_unpivot", "bigram_surprisal", "blocklist_filter",
+    "bm25_search", "boilerplate_fraction", "bpe_pair_counts",
+    "cluster_balanced_sample", "cluster_best_representative",
+    "cohort_retention", "correlated_incidents", "cross_source_overlap",
+    "dau_wau", "decontamination", "dedup_containment", "dedup_exact",
+    "dedup_rate_by_source", "dedup_threshold_sweep",
+    "disjunctive_revenue", "dsir_weights", "dup_clusters", "dup_kcore",
+    "embedding_audit", "embedding_effective_rank",
+    "embedding_top_eigen", "embedding_truncation", "event_transitions",
+    "hard_negatives", "knn_ivf_pq", "knn_recall", "lang_confusion",
+    "large_volume_orders", "latency_anomalies", "latency_bands_daily",
+    "log_templates", "media_decode", "metrics_reconciliation",
+    "mixture_temperature_sweep",
 )
 
 

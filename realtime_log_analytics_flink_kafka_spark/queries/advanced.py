@@ -1845,10 +1845,16 @@ def q_service_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.logs import as_logs
 
     logs = as_logs(_t(spark, sf_dir, "events"))
+    # exact integer floor division (the joins._floor_div idiom): a
+    # long->double cast rounds epoch micros by up to 256 us at 2^60
+    # magnitudes, so the double-division path can misbucket events
+    # within ~128 us of a minute boundary vs the oracle's integer `//`
+    # (ADVICE r11 #2); pmod-then-DIV is floor for every sign
+    minute = ("(unix_micros(ts) - pmod(unix_micros(ts), 60000000)) "
+              "DIV 60000000")
     minutes = (logs
                .select("service",
-                       (F.unix_micros("ts") / F.lit(60_000_000))
-                       .cast("long").alias("minute"))
+                       F.expr(minute).cast("long").alias("minute"))
                .groupBy("service", "minute")
                .agg(F.count("*").cast("long").alias("c")))
     per_svc = minutes.groupBy("service").agg(
@@ -1889,6 +1895,243 @@ SELECT service, n_minutes, total_events, max_minute,
        (n_minutes * _q - total_events * total_events
         > n_minutes * total_events) AS overdispersed
 FROM per
+"""
+
+
+def q_latency_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each service's latency
+    distribution, second half of the observed window vs the first —
+    the ML-monitoring drift score that reads on a FIXED bucket grid
+    (the feature-drift report a serving stack publishes):
+
+        PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+
+    over HDR log-buckets of centi-ms latency, with Laplace +1
+    smoothing on BOTH halves (the standard zero-bucket guard — an
+    empty cell would send ln to ±∞).  PSI complements the KS flag
+    (latency_ks_drift): KS answers "is there ANY difference" with a
+    significance test; PSI quantifies HOW MUCH the mass moved on a
+    monitoring-friendly scale (> 0.2 = act).
+
+    Determinism: counts BIGINT; ln runs on the INTEGER cross-ratio
+    (a_i+1)(n_b+B) / (b_i+1)(n_a+B) via the det_ln bit-parity DAG
+    (overflow bound: (n+1)·(n+B) must fit int64 — fine to ~3e9 events
+    per service, decimals beyond); the share differences divide exact
+    integers as identical doubles; the bucket sum folds SORTED terms
+    (the chisq discipline); det_round(…, 4) at the edge.  psi/unstable
+    NULL when either half is empty (a one-sided window has no drift to
+    measure).
+
+    Scale shape: ONE event scan into (service, day, bucket) cells —
+    bounded by services × days × ≤328 HDR buckets — localCheckpointed
+    (the chisq multi-branch barrier); the split day, both halves'
+    histograms, totals, and the fold all run on the checkpoint; the
+    single-row (min_day, max_day) broadcast is the sanctioned scalar
+    pattern."""
+    from ..functions.detmath import int_div
+    from ..operators.drift import psi_report
+    from ..operators.logs import as_logs
+    from ..operators.sketches import hdr_bucket
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    cms = F.floor(F.col("latency_ms") * F.lit(100.0) + F.lit(0.5)) \
+        .cast("long")
+    cells = (logs
+             .filter(F.col("latency_ms").isNotNull())
+             .select("service",
+                     F.expr("(unix_micros(ts) - pmod(unix_micros(ts), "
+                            "86400000000)) DIV 86400000000")
+                     .cast("long").alias("day"),
+                     hdr_bucket(cms).alias("bucket"))
+             .groupBy("service", "day", "bucket")
+             .agg(F.count("*").cast("long").alias("c"))
+             .localCheckpoint())
+    rng = cells.groupBy().agg(
+        int_div(F.min("day") + F.max("day"), F.lit(2)).alias("mid"))
+    per_b = (cells.crossJoin(F.broadcast(rng))
+             .groupBy("service", "bucket")
+             .agg(F.coalesce(F.sum(F.when(F.col("day") <= F.col("mid"),
+                                          F.col("c"))), F.lit(0))
+                  .cast("long").alias("a"),
+                  F.coalesce(F.sum(F.when(F.col("day") > F.col("mid"),
+                                          F.col("c"))), F.lit(0))
+                  .cast("long").alias("b")))
+    return psi_report(per_b, group_cols=["service"])
+
+
+def _latency_psi_sql() -> str:
+    from ..functions.detmath import det_ln_sql_items
+    from ..operators.drift import PSI_ACTION
+    from ..operators.sketches import hdr_bucket_sql
+
+    bucket = hdr_bucket_sql(
+        "CAST(floor(latency_ms * 100.0 + 0.5) AS BIGINT)")
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list(term))), "
+            "(acc, x) -> acc + x)")
+    return f"""
+WITH {LOGS_CTE},
+cells AS (
+    SELECT service, epoch_us(ts) // 86400000000 AS day,
+           {bucket} AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM logs WHERE latency_ms IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+rng AS (SELECT (min(day) + max(day)) // 2 AS mid FROM cells),
+per_b AS (
+    SELECT service, bucket,
+           CAST(coalesce(sum(CASE WHEN day <= mid THEN c END), 0)
+                AS BIGINT) AS a,
+           CAST(coalesce(sum(CASE WHEN day > mid THEN c END), 0)
+                AS BIGINT) AS b
+    FROM cells CROSS JOIN rng
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT service, CAST(sum(a) AS BIGINT) AS na,
+           CAST(sum(b) AS BIGINT) AS nb,
+           CAST(count(*) AS BIGINT) AS nbk
+    FROM per_b GROUP BY service
+),
+lnj AS (
+    SELECT per_b.service, a, b, na, nb, nbk,
+           {det_ln_sql_items('(a + 1) * (nb + nbk)',
+                             '(b + 1) * (na + nbk)', 'lr')}
+    FROM per_b JOIN tot USING (service)
+),
+terms AS (
+    SELECT service, na, nb, nbk,
+           (CAST(a + 1 AS DOUBLE) / CAST(na + nbk AS DOUBLE)
+            - CAST(b + 1 AS DOUBLE) / CAST(nb + nbk AS DOUBLE)) * lr
+               AS term
+    FROM lnj
+),
+per AS (
+    SELECT service, max(na) AS n_base, max(nb) AS n_curr,
+           max(nbk) AS n_buckets, {fold} AS _psi
+    FROM terms GROUP BY service
+)
+SELECT service, n_base, n_curr, n_buckets,
+       CASE WHEN n_base > 0 AND n_curr > 0
+            THEN {det_round_sql('_psi', 4)} END AS psi,
+       CASE WHEN n_base > 0 AND n_curr > 0
+            THEN {det_round_sql('_psi', 4)} > {PSI_ACTION} END AS unstable
+FROM per
+"""
+
+
+def q_latency_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN did each service's latency regime change?  Pettitt's
+    nonparametric changepoint test over the per-day latency means —
+    the structural-break companion to the drift family:
+    error_cusum_drift tracks a running deviation against a known
+    baseline, latency_fdr_audit screens individual anomalous DAYS,
+    this finds the single most plausible SPLIT POINT (rank-based, so a
+    monotone latency transform can't move it) and says whether the
+    before/after difference survives α = 5 %.
+
+    Statistic, rank identity, and the integral significance rule:
+    operators/drift.pettitt_changepoint.  change_day is the LAST day
+    of the "before" segment (epoch days); u_sign +1 means latency
+    ranked HIGHER before the change (a speedup), −1 a slowdown.
+
+    Scale shape: one map-combinable (service, day) decimal-sum shuffle
+    (the latency_fdr_audit days relation, localCheckpointed for the
+    same multi-branch reason), then BOTH Pettitt windows run on the
+    days×services-bounded checkpoint — the seasonal_decompose
+    days-relation precedent, never an event-sized sort."""
+    from ..operators.drift import pettitt_changepoint
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    days = (logs
+            .select("service",
+                    F.expr("(unix_micros(ts) - pmod(unix_micros(ts), "
+                           "86400000000)) DIV 86400000000")
+                    .cast("long").alias("day"),
+                    F.col("latency_ms").cast("decimal(18,6)").alias("lat"))
+            .groupBy("service", "day")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("lat").alias("s"))
+            .select("service", "day",
+                    (F.col("s").cast("double") / F.col("n").cast("double"))
+                    .alias("day_mean"))
+            .localCheckpoint())
+    rep = pettitt_changepoint(days, group_cols=["service"],
+                              time_col="day", value_col="day_mean")
+    return rep.select("service", F.col("n").alias("n_days"),
+                      F.col("change_t").alias("change_day"),
+                      "k_stat", "u_sign", "shifted")
+
+
+def _latency_changepoint_sql() -> str:
+    from ..operators.drift import pettitt_report_sql
+
+    return f"""
+WITH {LOGS_CTE},
+days AS (
+    SELECT service, epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(latency_ms AS DECIMAL(18,6))) AS s
+    FROM logs GROUP BY 1, 2
+),
+series AS (
+    SELECT service, day,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS day_mean
+    FROM days
+),
+{pettitt_report_sql('series', ['service'], time_col='day',
+                    value_col='day_mean', n_alias='n_days',
+                    change_alias='change_day')}
+"""
+
+
+def q_latency_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do ERROR events draw their latency from a different distribution
+    than healthy traffic?  Per-service two-sample Kolmogorov-Smirnov D
+    between error and non-error latency_ms, with the asymptotic α = 5 %
+    rejection flag — the nonparametric companion to latency_anomalies
+    (which assumes a z-scale) and latency_fdr_audit (which screens day
+    MEANS): KS sees ANY distributional difference — shift, spread, or
+    shape — without a normality assumption, the canonical "errors are
+    slow-path" triage.
+
+    Semantics, bounds, and the integral rejection rule live on
+    operators/drift (VERDICT r11 next-round #4).  Sample a = error
+    events, b = the rest; latencies are quantized by the monotone map
+    floor(ms·10⁶ + 0.5) — exact for the fixture's ≤ 6-decimal doubles,
+    and D is invariant under monotone maps anyway.
+
+    Scale shape: ONE map-combinable (service, value) count is the only
+    event-sized shuffle; the cumulative window runs on the per-service
+    DISTINCT-VALUE histogram (the spend_gini value-domain discipline),
+    partitioned by service — never a global sort."""
+    from ..operators.drift import ks_two_sample
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    v = F.floor(F.col("latency_ms") * F.lit(1_000_000.0) + F.lit(0.5)) \
+        .cast("long")
+    return ks_two_sample(
+        logs.select("service", "is_error", v.alias("v")),
+        group_cols=["service"], value_col="v",
+        side_a=F.col("is_error") == 1)
+
+
+def _latency_ks_drift_sql() -> str:
+    from ..operators.drift import ks_report_sql
+
+    return f"""
+WITH {LOGS_CTE},
+hist AS (
+    SELECT service,
+           CAST(floor(latency_ms * 1000000.0 + 0.5) AS BIGINT) AS v,
+           CAST(sum(is_error) AS BIGINT) AS ca,
+           CAST(sum(1 - is_error) AS BIGINT) AS cb
+    FROM logs WHERE latency_ms IS NOT NULL
+    GROUP BY 1, 2
+),
+{ks_report_sql('hist', ['service'])}
 """
 
 
@@ -1946,8 +2189,11 @@ def q_latency_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     logs = as_logs(_t(spark, sf_dir, "events"))
     days = (logs
+            # exact integer floor day bucket (ADVICE r11 #2; see
+            # q_service_burstiness for the 2^53 rationale)
             .select("service",
-                    (F.unix_micros("ts") / F.lit(86_400_000_000))
+                    F.expr("(unix_micros(ts) - pmod(unix_micros(ts), "
+                           "86400000000)) DIV 86400000000")
                     .cast("long").alias("day"),
                     F.col("latency_ms").cast("decimal(18,6)").alias("lat"))
             .groupBy("service", "day")
@@ -2012,7 +2258,13 @@ def q_latency_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _latency_fdr_audit_sql() -> str:
-    fold = ("list_reduce(list_prepend(0.0, list_sort(list({v}))), "
+    # {fn} maps each element AFTER the sort, mirroring the Spark side's
+    # array_sort(collect_list(day_mean)) -> aggregate(.., acc + x*x):
+    # sort by VALUE, then square.  Sorting the squares instead happens
+    # to coincide for non-negative day means but would silently break
+    # double-exact parity on a signed metric (ADVICE r11 #3).
+    fold = ("list_reduce(list_prepend(0.0, "
+            "list_transform(list_sort(list({v})), x -> {fn})), "
             "(acc, x) -> acc + x)")
     return f"""
 WITH {LOGS_CTE},
@@ -2029,8 +2281,8 @@ dm AS (
 stats AS (
     SELECT service,
            CAST(count(*) AS BIGINT) AS _nd,
-           {fold.format(v='day_mean')} AS _s1,
-           {fold.format(v='day_mean * day_mean')} AS _s2
+           {fold.format(v='day_mean', fn='x')} AS _s1,
+           {fold.format(v='day_mean', fn='x * x')} AS _s2
     FROM dm GROUP BY service
 ),
 loo AS (
@@ -2081,6 +2333,11 @@ QUERIES: dict[str, QuerySpec] = {
                                     _service_burstiness_sql()),
     "latency_fdr_audit": QuerySpec(q_latency_fdr_audit,
                                    _latency_fdr_audit_sql()),
+    "latency_ks_drift": QuerySpec(q_latency_ks_drift,
+                                  _latency_ks_drift_sql()),
+    "latency_changepoint": QuerySpec(q_latency_changepoint,
+                                     _latency_changepoint_sql()),
+    "latency_psi": QuerySpec(q_latency_psi, _latency_psi_sql()),
     "error_latency_auc": QuerySpec(q_error_latency_auc,
                                    _error_latency_auc_sql()),
     "error_rate_calibration": QuerySpec(q_error_rate_calibration,

@@ -16,8 +16,8 @@ from ..functions.detmath import det_ln_sql_items, det_round, det_round_sql, \
     exact_round_div, exact_round_div_sql, int_div, with_det_exp, with_det_ln
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
 from ..functions.textnorm import PUNCT_REGEX, WS_REGEX, ascii_lower_sql
-from ..operators import (decontam, dedup, multimodal, packing, sampling,
-                         similarity, sketches, text)
+from ..operators import (decontam, dedup, drift, multimodal, packing,
+                         sampling, similarity, sketches, text)
 from ..sources.batch import load_table
 from . import QuerySpec
 
@@ -2994,6 +2994,193 @@ FROM folded
 """
 
 
+def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW MUCH does knowing the source tell you about the language?
+    Mutual information + normalized MI over the source × lang table —
+    the effect-size companion to source_lang_chisq on an
+    information-theoretic scale (bits-of-association): chi²/Cramér's V
+    answer "is the association real / how strong vs the margins"; MI
+    prices it in nats and NMI = MI/min(H_src, H_lang) pins it to [0,1]
+    (1 = one attribute determines the other, 0 = independent), which is
+    the number a curation pipeline thresholds before deciding
+    per-source language filters are redundant.
+
+        MI  = Σ_{{o>0}} (o/N)·ln(o·N / (rt·ct)),
+        H_x = Σ (m/N)·ln(N/m)   (margin entropies, nats).
+
+    Unlike chi², absent cells contribute EXACTLY zero (lim p→0 of
+    p·ln p), so MI needs NO margin cross — only observed cells — and
+    ln always sees positive integers.
+
+    Determinism: ln runs on integer cross-ratios via det_ln
+    (o·N ≤ N², int64 to N ≈ 3e9 docs, decimals beyond); every term is
+    the identical double DAG on exact integers; all three sums fold
+    SORTED term lists; det_round(…, 6) at the edge; nmi NULL when
+    either margin entropy is 0 (a constant attribute has nothing to
+    explain).
+
+    Scale shape: the chisq discipline — ONE corpus scan into the
+    localCheckpointed (source, lang) cells; margins, N, the three
+    folds, and the single-row assembly all run on the checkpoint
+    (sanctioned scalar broadcasts)."""
+    from ..functions.detmath import det_round, with_det_ln
+
+    docs = _docs(spark, sf_dir)
+    obs = (docs.groupBy("source", "lang")
+           .agg(F.count("*").cast("long").alias("o"))
+           .localCheckpoint())
+    rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    n_row = obs.groupBy().agg(F.sum("o").cast("long").alias("n"))
+
+    cells = (obs.join(rt, "source").join(ct, "lang")
+             .crossJoin(F.broadcast(n_row)))
+    cells = with_det_ln(cells, F.col("o") * F.col("n"),
+                        F.col("rt") * F.col("ct"), "lr", pfx="_mi")
+    mi_row = (cells
+              .select((F.col("o").cast("double") / F.col("n").cast("double")
+                       * F.col("lr")).alias("term"))
+              .groupBy()
+              .agg(F.aggregate(F.array_sort(F.collect_list("term")),
+                               F.lit(0.0), lambda a, x: a + x).alias("mi"),
+                   F.count("*").cast("long").alias("n_cells")))
+
+    def _margin_entropy(margin, col, out):
+        m = margin.crossJoin(F.broadcast(n_row))
+        m = with_det_ln(m, F.col("n"), F.col(col), "lh", pfx="_mh")
+        return (m.select((F.col(col).cast("double")
+                          / F.col("n").cast("double")
+                          * F.col("lh")).alias("term"),
+                         F.col(col).alias("_m"))
+                .groupBy()
+                .agg(F.aggregate(F.array_sort(F.collect_list("term")),
+                                 F.lit(0.0), lambda a, x: a + x).alias(out),
+                     F.count("*").cast("long").alias(f"n_{out[2:]}")))
+
+    hs = _margin_entropy(rt, "rt", "h_source")
+    hl = _margin_entropy(ct, "ct", "h_lang")
+    rep = (mi_row.crossJoin(F.broadcast(hs)).crossJoin(F.broadcast(hl))
+           .crossJoin(F.broadcast(n_row)))
+    hmin = F.least(F.col("h_source"), F.col("h_lang"))
+    return rep.select(
+        F.col("n_source").alias("n_sources"),
+        F.col("n_lang").alias("n_langs"),
+        "n_cells", F.col("n").alias("n_docs"),
+        det_round(F.col("mi"), 6).alias("mi"),
+        det_round(F.col("h_source"), 6).alias("h_source"),
+        det_round(F.col("h_lang"), 6).alias("h_lang"),
+        F.when(hmin > 0, det_round(F.col("mi") / hmin, 6)).alias("nmi"))
+
+
+def _source_lang_mi_sql() -> str:
+    from ..functions.detmath import det_ln_sql_items, det_round_sql
+
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list(term))), "
+            "(acc, x) -> acc + x)")
+    return f"""
+WITH obs AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY source),
+ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY lang),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+lnc AS (
+    SELECT o, n,
+           {det_ln_sql_items('o * n', 'rt * ct', 'lr', '_mi')}
+    FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot
+),
+mi_row AS (
+    SELECT {fold} AS mi, CAST(count(*) AS BIGINT) AS n_cells
+    FROM (SELECT CAST(o AS DOUBLE) / CAST(n AS DOUBLE) * lr AS term
+          FROM lnc)
+),
+hs_ln AS (
+    SELECT rt AS m, n, {det_ln_sql_items('n', 'rt', 'lh', '_mh')}
+    FROM rt CROSS JOIN tot
+),
+hs AS (
+    SELECT {fold} AS h_source, CAST(count(*) AS BIGINT) AS n_source
+    FROM (SELECT CAST(m AS DOUBLE) / CAST(n AS DOUBLE) * lh AS term
+          FROM hs_ln)
+),
+hl_ln AS (
+    SELECT ct AS m, n, {det_ln_sql_items('n', 'ct', 'lh', '_mh')}
+    FROM ct CROSS JOIN tot
+),
+hl AS (
+    SELECT {fold} AS h_lang, CAST(count(*) AS BIGINT) AS n_lang
+    FROM (SELECT CAST(m AS DOUBLE) / CAST(n AS DOUBLE) * lh AS term
+          FROM hl_ln)
+)
+SELECT n_source AS n_sources, n_lang AS n_langs, n_cells, n AS n_docs,
+       {det_round_sql('mi', 6)} AS mi,
+       {det_round_sql('h_source', 6)} AS h_source,
+       {det_round_sql('h_lang', 6)} AS h_lang,
+       CASE WHEN least(h_source, h_lang) > 0
+            THEN {det_round_sql('mi / least(h_source, h_lang)', 6)}
+       END AS nmi
+FROM mi_row CROSS JOIN hs CROSS JOIN hl CROSS JOIN tot
+"""
+
+
+def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources' DOCUMENT-LENGTH distribution drifts from the rest
+    of the corpus?  One-vs-rest two-sample Kolmogorov-Smirnov on
+    n_chars per source, with the asymptotic α = 5 % flag — the
+    continuous-column sibling of source_lang_chisq (categorical) and
+    source_kl_divergence (token mass): a source whose length ECDF
+    rejects against the pooled rest is a format outlier (truncation,
+    boilerplate padding, crawler pathology) before any text is read.
+    Statistic, bounds, and the integral rejection rule:
+    operators/drift (VERDICT r11 next-round #4).
+
+    Scale shape — the chi-square margins pattern: ONE corpus scan
+    builds the (source, length) cells (localCheckpointed — tot, the
+    source list, and the grid all derive from it; without the barrier
+    Catalyst re-plans the scan per branch); the one-vs-rest histogram
+    is sources × distinct-lengths, BOTH attribute/value-domain-bounded
+    relations (the grid carries ca = 0 rows — a length the source
+    never emits still advances the rest's ECDF, and dropping it would
+    understate D); the source side broadcasts.  At extreme length
+    domains, pre-bucket lengths by any monotone map to keep the grid
+    compact — KS is monotone-invariant (module docstring)."""
+    docs = _docs(spark, sf_dir)
+    cells = (docs.groupBy("source", F.col("n_chars").alias("v"))
+             .agg(F.count("*").cast("long").alias("o"))
+             .localCheckpoint())
+    tot = cells.groupBy("v").agg(F.sum("o").cast("long").alias("t"))
+    srcs = cells.select("source").distinct()
+    o0 = F.coalesce("o", F.lit(0))
+    hist = (tot.crossJoin(F.broadcast(srcs))
+            .join(cells, ["source", "v"], "left")
+            .select("source", "v", o0.cast("long").alias("ca"),
+                    (F.col("t") - o0).cast("long").alias("cb")))
+    return drift.ks_from_counts(hist, group_cols=["source"],
+                                value_col="v")
+
+
+def _source_ks_drift_sql() -> str:
+    from ..operators.drift import ks_report_sql
+
+    return f"""
+WITH cells AS (
+    SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT v, CAST(sum(o) AS BIGINT) AS t FROM cells GROUP BY v),
+srcs AS (SELECT DISTINCT source FROM cells),
+hist AS (
+    SELECT s.source, t.v,
+           CAST(coalesce(c.o, 0) AS BIGINT) AS ca,
+           CAST(t.t - coalesce(c.o, 0) AS BIGINT) AS cb
+    FROM srcs s CROSS JOIN tot t
+    LEFT JOIN cells c ON c.source = s.source AND c.v = t.v
+),
+{ks_report_sql('hist', ['source'])}
+"""
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling rates (the mC4/XLM-R mixing
     rule): sampling probability proportional to (token share)^alpha with
@@ -3584,6 +3771,50 @@ def _lexical_pair_agreement_sql() -> str:
     return f"""
 WITH lex AS ({_minhash_sql()}),
 per AS ({_simhash_pairs_sql()}),
+a AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM lex),
+b AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM per),
+rep AS (
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (pa, pb)) AS BIGINT)
+               AS n_both
+)
+SELECT n_a, n_b, n_both,
+       CAST(n_a - n_both AS BIGINT) AS n_a_only,
+       CAST(n_b - n_both AS BIGINT) AS n_b_only,
+       CASE WHEN n_a + n_b - n_both > 0 THEN {jac} END AS pair_jaccard,
+       CASE WHEN n_b > 0 THEN {prec} END AS precision_b,
+       CASE WHEN n_a > 0 THEN {rec} END AS recall_b
+FROM rep
+"""
+
+
+def q_audio_modality_agreement(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PAIR-level agreement between the LEXICAL near-dup detector
+    (MinHash-LSH) and the AUDIO perceptual one (the energy-gradient
+    eHash of audio_near_dups) — the last missing cell of the
+    three-detector agreement matrix (VERDICT r11 next-round #3):
+    dedup_modality_agreement covers lexical-vs-IMAGE-dHash and
+    lexical_pair_agreement covers MinHash-vs-SimHash; with this the
+    pair-set layer spans all three fingerprint families.  Same
+    operator (operators/dedup.pair_set_agreement — both inputs emit
+    doc_a < doc_b, satisfying its pair-normalization contract), same
+    bounded shape: both pair relations come from banded equi-joins,
+    never all-pairs, and the report is one map-combinable aggregate."""
+    docs = _docs(spark, sf_dir)
+    lex = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
+    aud = multimodal.audio_near_dups(multimodal.as_media(docs))
+    return dedup.pair_set_agreement(lex, aud)
+
+
+def _audio_modality_agreement_sql() -> str:
+    jac = exact_round_div_sql("n_both", "n_a + n_b - n_both", 4)
+    prec = exact_round_div_sql("n_both", "n_b", 4)
+    rec = exact_round_div_sql("n_both", "n_a", 4)
+    return f"""
+WITH lex AS ({_minhash_sql()}),
+per AS ({_audio_near_dups_sql()}),
 a AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM lex),
 b AS (SELECT DISTINCT doc_a AS pa, doc_b AS pb FROM per),
 rep AS (
@@ -6784,6 +7015,8 @@ QUERIES: dict[str, QuerySpec] = {
                                           _dedup_modality_agreement_sql()),
     "lexical_pair_agreement": QuerySpec(q_lexical_pair_agreement,
                                         _lexical_pair_agreement_sql()),
+    "audio_modality_agreement": QuerySpec(q_audio_modality_agreement,
+                                          _audio_modality_agreement_sql()),
     "dup_cluster_sources": QuerySpec(q_dup_cluster_sources,
                                      _dup_cluster_sources_sql()),
     "leakage_safe_split": QuerySpec(q_leakage_safe_split,
@@ -6793,6 +7026,10 @@ QUERIES: dict[str, QuerySpec] = {
     "source_mixture": QuerySpec(q_source_mixture, _source_mixture_sql()),
     "source_lang_chisq": QuerySpec(q_source_lang_chisq,
                                    _source_lang_chisq_sql()),
+    "source_ks_drift": QuerySpec(q_source_ks_drift,
+                                 _source_ks_drift_sql()),
+    "source_lang_mi": QuerySpec(q_source_lang_mi,
+                                _source_lang_mi_sql()),
     "perplexity_buckets": QuerySpec(q_perplexity_buckets,
                                     SQL_PERPLEXITY_BUCKETS),
     "token_entropy": QuerySpec(q_token_entropy, _token_entropy_sql()),

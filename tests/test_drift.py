@@ -1,0 +1,236 @@
+"""operators/drift — two-sample KS: planted-shift power, invariances,
+and the empty-side/zero-count edges.
+
+The planted tests are the statistical-query discipline the FDR audit
+forced (a detector can pass ORACLE PARITY while being vacuous — parity
+only proves both engines compute the same thing): a shifted sample MUST
+reject, an identical sample MUST NOT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_log_analytics_flink_kafka_spark.operators.drift import (
+    KS_C2_PPM, ks_from_counts, ks_two_sample, pettitt_changepoint,
+    psi_report)
+
+
+def _rows(spark, a_vals, b_vals, group="g"):
+    rows = ([(group, int(v), 1) for v in a_vals]
+            + [(group, int(v), 0) for v in b_vals])
+    return spark.createDataFrame(rows, "g string, v long, in_a int")
+
+
+def _ks(spark, a_vals, b_vals):
+    df = ks_two_sample(_rows(spark, a_vals, b_vals), group_cols=["g"],
+                       value_col="v", side_a=F.col("in_a") == 1)
+    return df.collect()[0]
+
+
+def test_planted_shift_rejects(spark):
+    """Uniform 0..99 vs the same shifted +50 (200 per side): D = 0.5 —
+    far above the 5% critical 1.358·√(400/40000) ≈ 0.136."""
+    r = _ks(spark, list(range(100)) * 2, [v + 50 for v in range(100)] * 2)
+    assert r.n_a == 200 and r.n_b == 200
+    assert r.ks_d == 0.5
+    assert r.drifted is True
+
+
+def test_identical_distributions_do_not_reject(spark):
+    """The same sample on both sides: D = 0 exactly, no rejection —
+    a flag that fires here is pure false alarm."""
+    r = _ks(spark, list(range(100)) * 2, list(range(100)) * 2)
+    assert r.ks_d == 0.0
+    assert r.drifted is False
+
+
+def test_small_shift_small_sample_does_not_reject(spark):
+    """A 2-value shift at n=20 per side is far inside sampling noise
+    (critical D ≈ 0.43) — the flag must stay quiet even though D > 0."""
+    r = _ks(spark, range(20), [v + 2 for v in range(20)])
+    assert 0 < r.ks_d < 0.43
+    assert r.drifted is False
+
+
+def test_side_symmetry(spark):
+    """|ECDF_a − ECDF_b| is symmetric in the two samples: swapping
+    sides must give the identical D and flag."""
+    a, b = list(range(0, 60)), list(range(30, 120))
+    r1, r2 = _ks(spark, a, b), _ks(spark, b, a)
+    assert r1.ks_d == r2.ks_d
+    assert r1.drifted == r2.drifted
+    assert (r1.n_a, r1.n_b) == (r2.n_b, r2.n_a)
+
+
+def test_monotone_transform_invariance(spark):
+    """D depends only on the value ORDERING: any monotone injective
+    transform (here v -> 7v + 3) leaves it exactly unchanged — the
+    property that licenses the µs quantization in latency_ks_drift."""
+    a, b = list(range(50)), [v + 10 for v in range(50)]
+    r1 = _ks(spark, a, b)
+    r2 = _ks(spark, [7 * v + 3 for v in a], [7 * v + 3 for v in b])
+    assert r1.ks_d == r2.ks_d and r1.drifted == r2.drifted
+
+
+def test_empty_side_yields_null(spark):
+    """One-sided input: no distribution to compare — ks_d and drifted
+    are NULL, not 0/false (absence of evidence, not agreement)."""
+    df = ks_two_sample(_rows(spark, range(10), []), group_cols=["g"],
+                       value_col="v", side_a=F.col("in_a") == 1)
+    r = df.collect()[0]
+    assert r.n_a == 10 and r.n_b == 0
+    assert r.ks_d is None and r.drifted is None
+
+
+def test_null_values_excluded(spark):
+    """NULL measurements carry no distributional evidence and must not
+    count toward either side's n."""
+    df = _rows(spark, range(10), range(10)).union(
+        _rows(spark, [0], [0]).select("g", F.lit(None).cast("long"),
+                                      "in_a"))
+    r = ks_two_sample(df, group_cols=["g"], value_col="v",
+                      side_a=F.col("in_a") == 1).collect()[0]
+    assert r.n_a == 10 and r.n_b == 10
+
+
+def test_zero_count_rows_advance_the_other_ecdf(spark):
+    """ks_from_counts must honor ca=0 rows: a value only side b emits
+    still moves b's ECDF — dropping such rows understates D.  Here a
+    occupies {0}, b occupies {1}: D = 1 exactly, and the max is only
+    visible AT the b-only value."""
+    hist = spark.createDataFrame(
+        [("g", 0, 5, 0), ("g", 1, 0, 5)],
+        "g string, v long, ca long, cb long")
+    r = ks_from_counts(hist, group_cols=["g"], value_col="v").collect()[0]
+    assert r.ks_d == 1.0
+    assert r.drifted is True
+
+
+def _pettitt(spark, series, group="g"):
+    df = spark.createDataFrame([(group, t, float(x))
+                                for t, x in enumerate(series, start=1)],
+                               "g string, t long, x double")
+    return pettitt_changepoint(df, group_cols=["g"], time_col="t",
+                               value_col="x").collect()[0]
+
+
+def test_pettitt_planted_step_found_and_significant(spark):
+    """15 quiet days then 15 slow days: the split must land exactly on
+    the last quiet day (t=15), with the textbook K = 15·15 = 225
+    (every before/after pair discordant), direction = slowdown, and a
+    rejection (p ≈ 2e-5)."""
+    r = _pettitt(spark, [10.0] * 15 + [100.0] * 15)
+    assert r.n == 30
+    assert r.change_t == 15
+    assert r.k_stat == 225
+    assert r.u_sign == -1  # values ranked LOWER before => slowdown
+    assert r.shifted is True
+
+
+def test_pettitt_constant_series_never_fires(spark):
+    """An all-ties series has U_t = 0 for every t (the midrank identity
+    sends every R2 to n+1): K = 0, no rejection — a flag here would be
+    pure false alarm."""
+    r = _pettitt(spark, [7.0] * 20)
+    assert r.k_stat == 0
+    assert r.shifted is False
+
+
+def test_pettitt_alternating_series_not_significant(spark):
+    """A structureless alternating series keeps every |U_t| small —
+    the test must not mistake oscillation for a level shift."""
+    r = _pettitt(spark, [float(i % 2) for i in range(30)])
+    assert r.shifted is False
+
+
+def test_pettitt_monotone_invariance(spark):
+    """Rank-based: any monotone transform of the values leaves the
+    split point, K, and the verdict exactly unchanged."""
+    base = [10.0] * 10 + [30.0] * 10
+    r1 = _pettitt(spark, base)
+    r2 = _pettitt(spark, [x * x + 5 for x in base])
+    assert (r1.change_t, r1.k_stat, r1.u_sign, r1.shifted) == \
+           (r2.change_t, r2.k_stat, r2.u_sign, r2.shifted)
+
+
+def test_pettitt_direction_sign(spark):
+    """A downward step (fast after slow) must report u_sign = +1 —
+    values ranked HIGHER before the change."""
+    r = _pettitt(spark, [100.0] * 12 + [10.0] * 12)
+    assert r.u_sign == 1 and r.shifted is True and r.change_t == 12
+
+
+def test_pettitt_single_observation_group(spark):
+    """n = 1 cannot split: k_stat 0, NULL change point, no flag —
+    the group must still appear in the report."""
+    r = _pettitt(spark, [42.0])
+    assert r.n == 1
+    assert r.k_stat == 0 and r.change_t is None and r.shifted is False
+
+
+def _psi(spark, counts):
+    df = spark.createDataFrame([("g", i, int(a), int(b))
+                                for i, (a, b) in enumerate(counts)],
+                               "g string, bucket long, a long, b long")
+    return psi_report(df, group_cols=["g"]).collect()[0]
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    """Equal per-bucket mass at real sample sizes: PSI ≈ 0, no flag —
+    the smoothing must not manufacture drift out of agreement."""
+    r = _psi(spark, [(1000, 1000)] * 10)
+    assert r.n_base == r.n_curr == 10_000
+    assert r.psi < 0.001
+    assert r.unstable is False
+
+
+def test_psi_planted_mass_shift_fires(spark):
+    """Half the mass moves to previously-cold buckets: PSI far above
+    the 0.2 action threshold."""
+    r = _psi(spark, [(2000, 400)] * 5 + [(400, 2000)] * 5)
+    assert r.psi > 0.2
+    assert r.unstable is True
+
+
+def test_psi_symmetry(spark):
+    """PSI is symmetric in the two periods ((p−q)ln(p/q) is invariant
+    under swap): reversing base and current gives the identical
+    statistic."""
+    counts = [(900, 300), (300, 900), (500, 500), (10, 700)]
+    r1 = _psi(spark, counts)
+    r2 = _psi(spark, [(b, a) for a, b in counts])
+    assert r1.psi == r2.psi and r1.unstable == r2.unstable
+
+
+def test_psi_empty_period_is_null(spark):
+    """A one-sided window has no drift to measure: NULL, not 0 or a
+    fired flag."""
+    r = _psi(spark, [(100, 0), (250, 0)])
+    assert r.n_curr == 0
+    assert r.psi is None and r.unstable is None
+
+
+def test_psi_zero_buckets_stay_finite(spark):
+    """Buckets observed in only one period must contribute a FINITE
+    term (the Laplace +1 guard) — without smoothing ln(p/0) would send
+    the sum to infinity."""
+    import math
+    r = _psi(spark, [(1000, 1000), (600, 0), (0, 600)])
+    assert math.isfinite(r.psi)
+    assert r.unstable is True  # a 600-count bucket vanishing IS drift
+
+
+def test_flag_agrees_with_printed_statistic(spark):
+    """The integral rejection rule must equal the textbook double-math
+    rule on every group — the can-never-disagree contract."""
+    import math
+    cases = [(list(range(100)), [v + k for v in range(100)])
+             for k in (0, 5, 10, 20, 40, 80)]
+    for a, b in cases:
+        r = _ks(spark, a, b)
+        crit = math.sqrt(KS_C2_PPM / 1e6) * math.sqrt(
+            (r.n_a + r.n_b) / (r.n_a * r.n_b))
+        # every planted case sits >1e-3 from the boundary, so the
+        # scale-4 rounding of ks_d cannot flip the comparison
+        assert r.drifted == (r.ks_d > crit), (r.ks_d, crit, r.drifted)

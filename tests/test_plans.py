@@ -94,6 +94,15 @@ NESTED_LOOP_SANCTIONED = {
     # margin (the l_diversity bounded-attribute class) + the single-row
     # N broadcast
     "source_lang_chisq": 2,
+    # one-vs-rest KS spine: distinct-length histogram × the broadcast
+    # |sources|-row margin (the chisq contingency class); the cells
+    # join back is an equi-join on (source, v)
+    "source_ks_drift": 1,
+    # single-row (mid-day) broadcast onto the bounded cells relation
+    "latency_psi": 1,
+    # single-row N broadcast onto cells + onto each margin-entropy leg,
+    # then the 3-way single-row report assembly (the ARI scalar class)
+    "source_lang_mi": 6,
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
     "leakage_safe_split": 1,       # single-row straddle-audit broadcast
     "token_budget_cut": 1,         # single-row token-budget broadcast
@@ -215,6 +224,49 @@ def test_r11_bounded_relations_materialized_once(spark):
         df = QUERIES[name].fn(spark, SF_SMOKE)
         n = len(scan_read_schemas(df))
         assert n <= max_scans, f"{name}: {n} scans in final plan"
+
+
+def test_r12_ks_plan_shapes(spark):
+    """The KS drift queries must keep the spend_gini value-domain
+    discipline: latency_ks_drift's cumulative window runs over the
+    (service, value) HISTOGRAM aggregate — one event scan, never a
+    row-level rank; source_ks_drift localCheckpoints its cells so the
+    corpus scans once at construction (0 scans in the final plan)."""
+    df = QUERIES["latency_ks_drift"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(scan_read_schemas(df)) <= 1, plan
+    assert "row_number" not in plan, plan
+    tree = [l for l in plan.split("\n")
+            if ("+-" in l or ":-" in l) and "(" in l]
+    win_at = [i for i, l in enumerate(tree) if "Window" in l]
+    assert win_at, f"expected a Window over the histogram:\n{plan}"
+    below = " ".join(tree[max(win_at) + 1:])
+    assert "HashAggregate" in below, (
+        f"Window not fed by the histogram aggregate:\n{plan}")
+
+    df2 = QUERIES["source_ks_drift"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df2))
+    assert n == 0, f"source_ks_drift: {n} scans in final plan"
+
+    # latency_changepoint: both Pettitt windows run on the
+    # localCheckpointed days relation — 0 scans in the final plan, and
+    # no row_number/rank over anything event-sized can exist once the
+    # checkpoint is the only input
+    df3 = QUERIES["latency_changepoint"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df3))
+    assert n == 0, f"latency_changepoint: {n} scans in final plan"
+
+    # latency_psi: split-day scalar, both halves' histograms, and the
+    # det_ln fold all run on the localCheckpointed cells relation
+    df4 = QUERIES["latency_psi"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df4))
+    assert n == 0, f"latency_psi: {n} scans in final plan"
+
+    # source_lang_mi: margins, N, and all three entropy folds run on
+    # the localCheckpointed contingency cells (the chisq barrier)
+    df5 = QUERIES["source_lang_mi"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df5))
+    assert n == 0, f"source_lang_mi: {n} scans in final plan"
 
 
 def test_near_dup_pair_join_is_equi(spark):
