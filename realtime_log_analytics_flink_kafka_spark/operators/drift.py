@@ -132,6 +132,119 @@ def ks_two_sample(df: DataFrame, *, group_cols: Sequence[str],
                           scale=scale)
 
 
+def wasserstein_from_counts(hist: DataFrame, *, group_cols: Sequence[str],
+                            value_col: str = "v", ca: str = "ca",
+                            cb: str = "cb", unit_div: int = 1,
+                            scale: int = 4) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance per group from a per-group
+    value histogram — the drift MAGNITUDE in the column's own units,
+    completing the two-sample toolkit: KS answers "is there ANY
+    difference" (a max, unitless, significance-tested), PSI scores
+    bucket-mass movement on a monitoring convention, and W1 says "the
+    distributions are this many MILLISECONDS apart" (for one-dim
+    ECDFs the transport integral collapses to):
+
+        W1 = ∫ |F_a(v) − F_b(v)| dv
+           = Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)
+
+    over the SORTED distinct observed values (between consecutive
+    observed values both ECDFs are constant, so the merged support
+    loses nothing — the ks_from_counts argument).  W1 is translation-
+    faithful where KS/PSI saturate: shift a distribution by Δ and
+    W1 = Δ exactly, whether Δ is tiny or huge.
+
+    ``hist`` has ONE row per (group, value) with the two sides' counts
+    in ``ca``/``cb`` (zeros allowed).  ``unit_div`` converts the
+    quantized integer grid back to natural units at the single
+    division (e.g. 100 when values are centi-ms and the report should
+    read in ms).  Returns ``n_a, n_b, w1`` (+ the grid units folded
+    out), ``w1`` NULL when either side is empty.
+
+    Determinism: the numerator Σ |cuma_i·n_b − cumb_i·n_a|·Δv_i is an
+    EXACT non-negative integer in DECIMAL(38,0)/HUGEINT — order-free,
+    no fold needed (overflow at n_a·n_b·range ≥ 10^38, i.e. ~10^15
+    rows per side — never); both engines then cast that one integer
+    and the one denominator n_a·n_b·unit_div to correctly-rounded
+    doubles, divide once, and det_round at the edge.
+
+    Scale shape: one cumulative window over the per-group DISTINCT-
+    VALUE histogram (the spend_gini value-domain discipline, state
+    bounded by distinct quantized values), partitioned by group —
+    never a global sort, never per-event rank state."""
+    from ..functions.detmath import det_round
+
+    gc = list(group_cols)
+    w = Window.partitionBy(*gc).orderBy(value_col)
+    wt = Window.partitionBy(*gc)
+    cum = hist.select(
+        *gc,
+        F.col(value_col),
+        F.sum(ca).over(w).cast(_DEC).alias("_cuma"),
+        F.sum(cb).over(w).cast(_DEC).alias("_cumb"),
+        F.sum(ca).over(wt).cast("long").alias("_ta"),
+        F.sum(cb).over(wt).cast("long").alias("_tb"),
+        F.lead(value_col).over(w).alias("_nv"))
+    # the last value's lead is NULL -> term NULL -> skipped by sum:
+    # correct, both ECDFs are 1 there and the gap above the max
+    # carries no mass difference
+    term = (F.abs(F.col("_cuma") * F.col("_tb").cast(_DEC)
+                  - F.col("_cumb") * F.col("_ta").cast(_DEC))
+            * (F.col("_nv") - F.col(value_col)).cast(_DEC))
+    per = (cum.select(*gc, "_ta", "_tb", term.alias("_t"))
+           .groupBy(*gc)
+           .agg(F.max("_ta").alias("_na"), F.max("_tb").alias("_nb"),
+                F.coalesce(F.sum("_t"), F.lit(0).cast(_DEC))
+                .alias("_wnum")))
+    den = (F.col("_na").cast(_DEC) * F.col("_nb").cast(_DEC)
+           * F.lit(unit_div).cast(_DEC))
+    return per.select(
+        *gc,
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+               det_round(F.col("_wnum").cast("double")
+                         / den.cast("double"), scale)).alias("w1"))
+
+
+def wasserstein_report_sql(hist_cte: str, group_cols: Sequence[str], *,
+                           unit_div: int = 1, scale: int = 4) -> str:
+    """DuckDB twin of :func:`wasserstein_from_counts`: takes the name
+    of a CTE with columns (group…, v, ca, cb) and emits the final
+    SELECT.  HUGEINT keeps the transport numerator exact below 10^38,
+    mirroring the Spark side's DECIMAL(38,0); the single division runs
+    on correctly-rounded doubles of identical integers."""
+    from ..functions.detmath import det_round_sql
+
+    g = ", ".join(group_cols)
+    w1 = det_round_sql(
+        "CAST(_wnum AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * n_b"
+        f" * {unit_div} AS DOUBLE)", scale)
+    return f"""
+cum AS (
+    SELECT {g}, v,
+           sum(ca) OVER (PARTITION BY {g} ORDER BY v) AS cuma,
+           sum(cb) OVER (PARTITION BY {g} ORDER BY v) AS cumb,
+           sum(ca) OVER (PARTITION BY {g}) AS ta,
+           sum(cb) OVER (PARTITION BY {g}) AS tb,
+           lead(v) OVER (PARTITION BY {g} ORDER BY v) AS nv
+    FROM {hist_cte}
+),
+per AS (
+    SELECT {g},
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           coalesce(sum(abs(CAST(cuma AS HUGEINT) * CAST(tb AS HUGEINT)
+                            - CAST(cumb AS HUGEINT) * CAST(ta AS HUGEINT))
+                        * CAST(nv - v AS HUGEINT)),
+                    CAST(0 AS HUGEINT)) AS _wnum
+    FROM cum GROUP BY {g}
+)
+SELECT {g}, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN {w1} END AS w1
+FROM per
+"""
+
+
 #: PSI "significant shift" convention threshold (industry standard:
 #: < 0.1 stable, 0.1-0.2 moderate, > 0.2 action) — compared against
 #: det_round(psi, 4) so the flag can never disagree with the printed
@@ -157,15 +270,24 @@ def psi_report(per_b: DataFrame, *, group_cols: Sequence[str],
     the bucket sum folds SORTED terms; det_round(…, 4) at the edge.
     psi/unstable NULL when either period is empty.  Bounded end to
     end: everything here runs on the (group × bucket)-sized relation
-    the caller built."""
+    the caller built.
+
+    The group totals ride a WINDOW over that same relation rather than
+    a groupBy + self-join: per_b is typically an un-materialized
+    subtree (e.g. latency_psi's crossJoin of the checkpointed cells
+    with the split-day scalar), and a self-join would re-plan that
+    subtree once per branch — double-scanning it and double-counting
+    its sanctioned broadcast in the plan gate.  The window shares ONE
+    subtree and its state is bounded by the relation itself."""
     from ..functions.detmath import det_round, with_det_ln
 
     gc = list(group_cols)
-    tot = per_b.groupBy(*gc).agg(
-        F.sum(a).cast("long").alias("na"),
-        F.sum(b).cast("long").alias("nb"),
-        F.count("*").cast("long").alias("nbk"))
-    j = per_b.join(tot, gc)
+    wg = Window.partitionBy(*gc)
+    j = per_b.select(
+        "*",
+        F.sum(a).over(wg).cast("long").alias("na"),
+        F.sum(b).over(wg).cast("long").alias("nb"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("nbk"))
     j = with_det_ln(j, (F.col(a) + 1) * (F.col("nb") + F.col("nbk")),
                     (F.col(b) + 1) * (F.col("na") + F.col("nbk")), "lr")
     p = (F.col(a) + 1).cast("double") \

@@ -1898,6 +1898,218 @@ FROM per
 """
 
 
+#: Kaplan-Meier milestone horizon: S(7 days) in the minute grid.
+KM_HORIZON_MIN = 7 * 24 * 60
+
+
+def _conversion_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival-cohort histogram for the KM estimator and the
+    log-rank test: one row per (service, dur) with ``d`` = users whose
+    first post-click purchase landed at that minute and ``c`` = users
+    right-censored there (window end).  ONE definition of the cohort
+    semantics — "minutes from a user's FIRST click to their first
+    SUBSEQUENT purchase, censored at the global max timestamp" — so
+    the two survival queries can never drift apart.
+
+    Scale shape: TWO pushed scans — the (click ∪ purchase) slice
+    (predicate + 3-column pruning; the first-click window and the
+    cohort aggregate share its one user-hash shuffle) and the
+    column-pruned global max-ts scalar — then one (service, duration)
+    histogram shuffle over per-user rows.  Output cardinality is
+    bounded by services × the window's span in MINUTES (43k for a
+    month) regardless of user count."""
+    from ..operators.logs import N_SERVICES
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    # one pushed scan for the whole cohort: the per-user first-click
+    # time rides a window over the SAME (click ∪ purchase) slice, so
+    # "first purchase AT OR AFTER the first click" needs no self-join
+    # (a two-relation formulation re-plans the click aggregate once
+    # per consumer — 4 scans where this does 2)
+    w = Window.partitionBy("user_id")
+    sub = (ev.filter(F.col("event_type").isin("click", "purchase"))
+           .select("user_id", "event_type", us.alias("u"))
+           .withColumn("_t0", F.min(F.when(
+               F.col("event_type") == "click", F.col("u"))).over(w)))
+    cohort = (sub.filter(F.col("_t0").isNotNull())
+              .groupBy("user_id")
+              .agg(F.max("_t0").alias("t0"),
+                   F.min(F.when((F.col("event_type") == "purchase")
+                                & (F.col("u") >= F.col("_t0")),
+                                F.col("u"))).alias("tc")))
+    horizon = ev.groupBy().agg(F.max(us).alias("tmax"))
+    base = cohort.crossJoin(F.broadcast(horizon))
+    base = base.select(
+        F.concat(F.lit("svc-"),
+                 (F.col("user_id") % N_SERVICES).cast("string"))
+        .alias("service"),
+        F.expr("CAST(CASE WHEN tc IS NOT NULL THEN (tc - t0) DIV 60000000"
+               " ELSE (tmax - t0) DIV 60000000 END AS BIGINT)")
+        .alias("dur"),
+        F.col("tc").isNotNull().cast("int").alias("ev"))
+    return (base.groupBy("service", "dur")
+            .agg(F.sum("ev").cast("long").alias("d"),
+                 F.sum(1 - F.col("ev")).cast("long").alias("c")))
+
+
+def _conversion_hist_cte() -> str:
+    """DuckDB twin of :func:`_conversion_hist` — the CTE chain through
+    ``hist(service, dur, d, c)``, shared by both survival twins."""
+    from ..operators.logs import N_SERVICES
+
+    return f"""sub AS (
+    SELECT user_id, event_type, epoch_us(ts) AS u,
+           min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS _t0
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+cohort AS (
+    SELECT user_id, CAST(max(_t0) AS BIGINT) AS t0,
+           min(CASE WHEN event_type = 'purchase' AND u >= _t0
+                    THEN u END) AS tc
+    FROM sub WHERE _t0 IS NOT NULL GROUP BY user_id
+),
+horizon AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+base AS (
+    SELECT 'svc-' || CAST(user_id % {N_SERVICES} AS VARCHAR) AS service,
+           CAST(CASE WHEN tc IS NOT NULL THEN (tc - t0) // 60000000
+                ELSE (tmax - t0) // 60000000 END AS BIGINT) AS dur,
+           CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+    FROM cohort CROSS JOIN horizon
+),
+hist AS (
+    SELECT service, dur, CAST(sum(ev) AS BIGINT) AS d,
+           CAST(sum(1 - ev) AS BIGINT) AS c
+    FROM base GROUP BY 1, 2
+)"""
+
+
+def q_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-convert per service: survival analysis of
+    "minutes from a user's FIRST click to their first subsequent
+    purchase", with users who never purchased RIGHT-CENSORED at the
+    observation-window end — the estimator funnel_conversion cannot
+    replace: a plain conversion rate treats not-yet-converted users as
+    failures, biasing low exactly when the window is short; KM uses
+    their censored exposure time correctly (the reliability/churn
+    workhorse).
+
+        S(t) = Π_{{t_i ≤ t, d_i > 0}} (1 − d_i / n_i),
+
+    n_i = users still at risk entering duration t_i (neither converted
+    nor censored earlier).  Reported per service: cohort sizes, the KM
+    median time-to-convert (first duration with S ≤ 0.5 — NULL when
+    conversion never crosses half, which a rate can't even express),
+    S at 7 days (probability a clicker is STILL unconverted a week
+    in), and S at window end (the never-converting plateau estimate).
+
+    Determinism: durations land on an exact integer MINUTE grid
+    (epoch-micros subtraction, integer DIV — the grid is part of the
+    statistic's definition, identical in both engines); d, c, n are
+    BIGINT; each KM factor divides exact integers as doubles and the
+    product folds in duration order over the array_sort'ed struct list
+    (bounded state — see below); milestone comparisons (≤ 0.5,
+    ≤ horizon) run on those identical doubles; det_round(…, 4) only at
+    the output edge.
+
+    Scale shape: TWO pushed scans — the (click ∪ purchase) slice
+    (predicate + 3-column pruning; the first-click window and the
+    cohort aggregate share its one user-hash shuffle) and the
+    column-pruned global max-ts scalar — then everything runs on
+    per-user rows: one (service, duration) histogram shuffle, and the
+    KM fold's state is bounded by DISTINCT OBSERVED MINUTES per
+    service — capped by the observation window's span in minutes (43k
+    for a month) regardless of user count, the spend_gini value-domain
+    argument on the TIME axis."""
+    from ..functions.detmath import det_round
+
+    hist = _conversion_hist(spark, sf_dir)
+    elem = F.struct(F.col("dur").alias("dur"), F.col("d").alias("d"),
+                    F.col("c").alias("c"))
+    per = (hist.groupBy("service")
+           .agg(F.sum(F.col("d") + F.col("c")).cast("long")
+                .alias("n_users"),
+                F.sum("d").cast("long").alias("n_converted"),
+                F.sum("c").cast("long").alias("n_censored"),
+                F.array_sort(F.collect_list(elem)).alias("_es")))
+    zero = F.struct(F.lit(1.0).alias("s"),
+                    F.col("n_users").alias("ar"),
+                    F.lit(None).cast("long").alias("med"),
+                    F.lit(1.0).alias("s7"))
+
+    def step(a, e):
+        s_new = a["s"] * ((a["ar"] - e["d"]).cast("double")
+                          / a["ar"].cast("double"))
+        return F.struct(
+            s_new.alias("s"),
+            (a["ar"] - e["d"] - e["c"]).alias("ar"),
+            F.coalesce(a["med"],
+                       F.when(s_new <= 0.5, e["dur"])).alias("med"),
+            F.when(e["dur"] <= KM_HORIZON_MIN, s_new)
+            .otherwise(a["s7"]).alias("s7"))
+
+    folded = per.withColumn("_acc", F.aggregate("_es", zero, step))
+    return folded.select(
+        "service", "n_users", "n_converted", "n_censored",
+        F.col("_acc.med").alias("km_median_min"),
+        det_round(F.col("_acc.s7"), 4).alias("s_7d"),
+        det_round(F.col("_acc.s"), 4).alias("s_end"))
+
+
+def _conversion_survival_sql() -> str:
+    from ..functions.detmath import det_round_sql
+
+    # The KM prefix product is SEQUENTIAL double arithmetic, and
+    # neither DuckDB fallback reproduces Spark's fold order: window
+    # sum(ln) OVER (...) accumulates via a segment TREE (measured: 1921
+    # of 2000 adversarial prefixes differ from left-to-right addition),
+    # and list_reduce with a multi-field struct accumulator
+    # mis-evaluates `a.<field>` references under CSE (duckdb 1.0.0,
+    # minimal repro in tests/test_drift.py's module docstring sibling
+    # note).  A RECURSIVE CTE is sequential BY CONSTRUCTION — one
+    # multiply per step in duration order, the duplicate_components
+    # precedent — so both engines execute the identical chain
+    # s_i = s_{i-1} * ((ar_i - d_i) / ar_i) on identical integers.
+    return f"""
+WITH RECURSIVE {_conversion_hist_cte()},
+idx AS (
+    SELECT service, dur, d, c,
+           row_number() OVER (PARTITION BY service ORDER BY dur) AS i,
+           CAST(sum(d + c) OVER (PARTITION BY service) AS BIGINT)
+           - CAST(coalesce(sum(d + c) OVER (
+                 PARTITION BY service ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS ar
+    FROM hist
+),
+rec(service, i, s) AS (
+    SELECT service, CAST(0 AS BIGINT), CAST('1.0' AS DOUBLE)
+    FROM (SELECT DISTINCT service FROM idx)
+    UNION ALL
+    SELECT r.service, r.i + 1,
+           r.s * (CAST(x.ar - x.d AS DOUBLE) / CAST(x.ar AS DOUBLE))
+    FROM rec r JOIN idx x ON x.service = r.service AND x.i = r.i + 1
+),
+st AS (
+    SELECT x.service, x.dur, x.d, x.c, r.s
+    FROM idx x JOIN rec r ON r.service = x.service AND r.i = x.i
+)
+SELECT service,
+       CAST(sum(d + c) AS BIGINT) AS n_users,
+       CAST(sum(d) AS BIGINT) AS n_converted,
+       CAST(sum(c) AS BIGINT) AS n_censored,
+       min(CASE WHEN s <= 0.5 THEN dur END) AS km_median_min,
+       {det_round_sql(
+           "coalesce((max(CASE WHEN dur <= " + str(KM_HORIZON_MIN) +
+           " THEN struct_pack(dur := dur, s := s) END)).s,"
+           " CAST('1.0' AS DOUBLE))", 4)} AS s_7d,
+       {det_round_sql("(max(struct_pack(dur := dur, s := s))).s", 4)}
+           AS s_end
+FROM st GROUP BY service
+"""
+
+
 def q_latency_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of each service's latency
     distribution, second half of the observed window vs the first —
@@ -2017,6 +2229,95 @@ SELECT service, n_base, n_curr, n_buckets,
        CASE WHEN n_base > 0 AND n_curr > 0
             THEN {det_round_sql('_psi', 4)} > {PSI_ACTION} END AS unstable
 FROM per
+"""
+
+
+def q_latency_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW FAR did each service's latency distribution move, in
+    milliseconds?  Wasserstein-1 (earth-mover) distance between the
+    second half of the observed window and the first — the drift
+    MAGNITUDE companion closing the two-sample family: KS
+    (latency_ks_drift) answers "any difference?" with a significance
+    test but saturates near 1 for large shifts; PSI (latency_psi)
+    scores bucket-mass movement on a convention scale; W1 reads
+    directly as "the typical request moved N ms" and is
+    translation-faithful (shift everything by Δ ms ⟹ W1 = Δ ms,
+    exactly) — the number a capacity review actually wants.
+
+    Transport integral, exactness, and bounds: operators/drift.
+    wasserstein_from_counts.  Latencies enter on a whole-millisecond
+    grid (floor(ms + 0.5) — the grid is part of the statistic's
+    definition, identical in both engines, and keeps the value-domain
+    state bounded by the latency RANGE in ms rather than the event
+    count); the reported w1_ms is exact for the gridded distributions.
+
+    Scale shape: ONE event scan into (service, day, ms) cells —
+    bounded by services × days × latency-range — localCheckpointed
+    (the PSI multi-branch barrier: the split-day scalar and the halves
+    both derive from it); the single-row mid-day broadcast is the
+    sanctioned scalar pattern; the cumulative window runs on the
+    per-service distinct-value histogram, never a global sort."""
+    from ..functions.detmath import int_div
+    from ..operators.drift import wasserstein_from_counts
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    ms = F.floor(F.col("latency_ms") + F.lit(0.5)).cast("long")
+    cells = (logs
+             .filter(F.col("latency_ms").isNotNull())
+             .select("service",
+                     F.expr("(unix_micros(ts) - pmod(unix_micros(ts), "
+                            "86400000000)) DIV 86400000000")
+                     .cast("long").alias("day"),
+                     ms.alias("v"))
+             .groupBy("service", "day", "v")
+             .agg(F.count("*").cast("long").alias("c"))
+             .localCheckpoint())
+    rng = cells.groupBy().agg(
+        int_div(F.min("day") + F.max("day"), F.lit(2)).alias("mid"))
+    hist = (cells.crossJoin(F.broadcast(rng))
+            .groupBy("service", "v")
+            .agg(F.coalesce(F.sum(F.when(F.col("day") <= F.col("mid"),
+                                         F.col("c"))), F.lit(0))
+                 .cast("long").alias("ca"),
+                 F.coalesce(F.sum(F.when(F.col("day") > F.col("mid"),
+                                         F.col("c"))), F.lit(0))
+                 .cast("long").alias("cb")))
+    rep = wasserstein_from_counts(hist, group_cols=["service"])
+    return rep.select("service",
+                      F.col("n_a").alias("n_base"),
+                      F.col("n_b").alias("n_curr"),
+                      F.col("w1").alias("w1_ms"))
+
+
+def _latency_wasserstein_sql() -> str:
+    from ..operators.drift import wasserstein_report_sql
+
+    body = wasserstein_report_sql("hist", ["service"])
+    # rename the generic report columns to this query's aliases
+    body = body.replace("SELECT service, n_a, n_b,",
+                        "SELECT service, n_a AS n_base, n_b AS n_curr,") \
+               .replace("END AS w1", "END AS w1_ms")
+    return f"""
+WITH {LOGS_CTE},
+cells AS (
+    SELECT service, epoch_us(ts) // 86400000000 AS day,
+           CAST(floor(latency_ms + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM logs WHERE latency_ms IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+rng AS (SELECT (min(day) + max(day)) // 2 AS mid FROM cells),
+hist AS (
+    SELECT service, v,
+           CAST(coalesce(sum(CASE WHEN day <= mid THEN c END), 0)
+                AS BIGINT) AS ca,
+           CAST(coalesce(sum(CASE WHEN day > mid THEN c END), 0)
+                AS BIGINT) AS cb
+    FROM cells CROSS JOIN rng
+    GROUP BY 1, 2
+),
+{body}
 """
 
 
@@ -2338,6 +2639,10 @@ QUERIES: dict[str, QuerySpec] = {
     "latency_changepoint": QuerySpec(q_latency_changepoint,
                                      _latency_changepoint_sql()),
     "latency_psi": QuerySpec(q_latency_psi, _latency_psi_sql()),
+    "latency_wasserstein": QuerySpec(q_latency_wasserstein,
+                                     _latency_wasserstein_sql()),
+    "conversion_survival": QuerySpec(q_conversion_survival,
+                                     _conversion_survival_sql()),
     "error_latency_auc": QuerySpec(q_error_latency_auc,
                                    _error_latency_auc_sql()),
     "error_rate_calibration": QuerySpec(q_error_rate_calibration,

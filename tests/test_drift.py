@@ -234,3 +234,71 @@ def test_flag_agrees_with_printed_statistic(spark):
         # every planted case sits >1e-3 from the boundary, so the
         # scale-4 rounding of ks_d cannot flip the comparison
         assert r.drifted == (r.ks_d > crit), (r.ks_d, crit, r.drifted)
+
+
+# --- Wasserstein-1 ----------------------------------------------------------
+
+def _w1(spark, a_vals, b_vals, unit_div=1):
+    from realtime_log_analytics_flink_kafka_spark.operators.drift import (
+        wasserstein_from_counts)
+    df = _rows(spark, a_vals, b_vals)
+    hist = (df.groupBy("g", "v")
+            .agg(F.sum("in_a").cast("long").alias("ca"),
+                 F.sum(1 - F.col("in_a")).cast("long").alias("cb")))
+    return wasserstein_from_counts(
+        hist, group_cols=["g"], unit_div=unit_div).collect()[0]
+
+
+def test_w1_translation_faithful(spark):
+    """The property KS and PSI both lack: shift a distribution by Δ and
+    W1 = Δ EXACTLY, whether Δ is 3 or 300 (KS saturates at 1, PSI at
+    its bucket grid)."""
+    base = list(range(0, 100)) * 2
+    for delta in (3, 50, 300):
+        r = _w1(spark, base, [v + delta for v in base])
+        assert r.w1 == float(delta), (delta, r.w1)
+
+
+def test_w1_identical_distributions_zero(spark):
+    r = _w1(spark, list(range(50)) * 3, list(range(50)) * 3)
+    assert r.w1 == 0.0
+
+
+def test_w1_textbook_two_point(spark):
+    """Hand-checkable mass split: a = all at 0, b = half at 0, half at
+    10 ⟹ half the mass moves 10 units ⟹ W1 = 5."""
+    r = _w1(spark, [0] * 10, [0] * 5 + [10] * 5)
+    assert r.w1 == 5.0
+
+
+def test_w1_side_symmetry(spark):
+    a, b = list(range(0, 60)), list(range(30, 120))
+    r1, r2 = _w1(spark, a, b), _w1(spark, b, a)
+    assert r1.w1 == r2.w1
+
+
+def test_w1_unbalanced_sizes_normalize(spark):
+    """W1 compares NORMALIZED ECDFs: duplicating one side's sample
+    leaves the distance unchanged."""
+    a, b = list(range(100)), [v + 7 for v in range(100)]
+    assert _w1(spark, a, b).w1 == _w1(spark, a * 3, b).w1 == 7.0
+
+
+def test_w1_unit_div_rescales(spark):
+    """unit_div folds the quantization grid back out: values on a
+    ×100 grid with unit_div=100 read in natural units."""
+    a = [v * 100 for v in range(50)]
+    b = [(v + 4) * 100 for v in range(50)]
+    assert _w1(spark, a, b, unit_div=100).w1 == 4.0
+
+
+def test_w1_empty_side_yields_null(spark):
+    r = _w1(spark, list(range(10)), [])
+    assert r.w1 is None and r.n_b == 0
+
+
+def test_w1_single_distinct_value_both_sides(spark):
+    """One shared distinct value: no lead row, numerator coalesces to
+    0 — the distributions coincide."""
+    r = _w1(spark, [42] * 8, [42] * 3)
+    assert r.w1 == 0.0

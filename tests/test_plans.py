@@ -100,9 +100,13 @@ NESTED_LOOP_SANCTIONED = {
     "source_ks_drift": 1,
     # single-row (mid-day) broadcast onto the bounded cells relation
     "latency_psi": 1,
+    # single-row (mid-day) broadcast onto the bounded cells relation
+    "latency_wasserstein": 1,
     # single-row N broadcast onto cells + onto each margin-entropy leg,
     # then the 3-way single-row report assembly (the ARI scalar class)
     "source_lang_mi": 6,
+    # single-row window-end (max ts) broadcast onto the per-user cohort
+    "conversion_survival": 1,
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
     "leakage_safe_split": 1,       # single-row straddle-audit broadcast
     "token_budget_cut": 1,         # single-row token-budget broadcast
@@ -267,6 +271,19 @@ def test_r12_ks_plan_shapes(spark):
     df5 = QUERIES["source_lang_mi"].fn(spark, SF_SMOKE)
     n = len(scan_read_schemas(df5))
     assert n == 0, f"source_lang_mi: {n} scans in final plan"
+
+    # conversion_survival: exactly the two declared pushed scans (the
+    # click∪purchase cohort slice and the window-end scalar) — a third
+    # means a derived branch re-planned the events read
+    df6 = QUERIES["conversion_survival"].fn(spark, SF_SMOKE)
+    schemas = scan_read_schemas(df6)
+    assert len(schemas) <= 2, f"conversion_survival: {schemas}"
+
+    # latency_wasserstein: split-day scalar, both halves, and the
+    # transport window all run on the localCheckpointed cells relation
+    df7 = QUERIES["latency_wasserstein"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df7))
+    assert n == 0, f"latency_wasserstein: {n} scans in final plan"
 
 
 def test_near_dup_pair_join_is_equi(spark):

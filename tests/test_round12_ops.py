@@ -85,6 +85,60 @@ class TestSourceLangMI:
         assert r.h_lang == 0.0 and r.mi == 0.0 and r.nmi is None
 
 
+class TestConversionSurvival:
+    def test_planted_censoring_textbook_km(self, spark):
+        """Hand-checkable KM: 5 clickers on one service — conversions
+        at 10/30/50 min, one user censored at the window end, one whose
+        only purchase PREDATES their first click (must count as
+        censored, not converted).  S steps 0.8 → 0.6 → 0.4, so the
+        median is the 0.5-crossing at 50 min and the plateau is 0.4 —
+        a naive conversion rate (3/5) treats the censored pair as
+        failures and cannot produce that curve, which is the
+        distinction this query exists for."""
+        import datetime as dt
+        import os
+        import tempfile
+        from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+            q_conversion_survival)
+
+        t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        rows = [
+            (1, ts(0), 0, "click", 1.0, "{}"),
+            (2, ts(10), 0, "purchase", 1.0, "{}"),
+            (3, ts(0), 4, "click", 1.0, "{}"),
+            (4, ts(30), 4, "purchase", 1.0, "{}"),
+            (5, ts(0), 8, "click", 1.0, "{}"),          # never converts
+            (6, ts(0), 12, "click", 1.0, "{}"),
+            (7, ts(50), 12, "purchase", 1.0, "{}"),
+            # a purchase BEFORE the user's first click must not count
+            (8, ts(5), 16, "purchase", 1.0, "{}"),
+            (9, ts(20), 16, "click", 1.0, "{}"),
+            # window-end marker fixing the censor horizon at 100 min
+            (10, ts(100), 1, "view", 1.0, "{}"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+        d = tempfile.mkdtemp()
+        ev.write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet"))
+        out = {r.service: r
+               for r in q_conversion_survival(spark, d).collect()}
+        r = out["svc-0"]
+        assert r.n_users == 5 and r.n_converted == 3 and r.n_censored == 2
+        # risk set 5: S(10) = 4/5 = 0.8, S(30) = 0.8·(3/4) = 0.6,
+        # S(50) = 0.6·(2/3) = 0.4 — first <= 0.5 crossing at 50; the
+        # censored exposures (80, 100 min) shrink the risk set but
+        # never the survival curve
+        assert r.km_median_min == 50
+        assert r.s_7d == 0.4 and r.s_end == 0.4
+        assert "svc-1" not in out  # a never-clicking service has no cohort
+
+
 class TestIncrementalSelfMatchGuard:
     def test_overlapping_inputs_never_self_match(self, spark):
         """ADVICE r11 #1: _fingerprint_incremental carries an explicit
