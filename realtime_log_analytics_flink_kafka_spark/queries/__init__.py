@@ -49,7 +49,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # alert_metrics_unpivot, as many as fit.  With the r12-new
     # queries in front, the r8 entries that do NOT fit this window
     # and stay r8-stale (rotate them first in r13) are:
-    # metrics_reconciliation, mixture_temperature_sweep,
+    # media_decode, metrics_reconciliation, mixture_temperature_sweep,
     # order_priority_check, pq_codes, quarter_top_supplier,
     # retrieval_ndcg,
     # returned_revenue_customers, robust_trend, semantic_dup_clusters,
@@ -61,7 +61,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #
     # -- (a) never driver-checked: r12-new first, then the post-window
     #    r11 six ------------------------------------------------------------
-    "audio_modality_agreement", "conversion_survival",
+    "audio_modality_agreement", "conversion_logrank",
+    "conversion_survival",
     "latency_changepoint", "latency_ks_drift", "latency_psi",
     "latency_wasserstein", "source_ks_drift", "source_lang_mi",
     "dedup_modality_agreement", "lexical_pair_agreement",
@@ -81,7 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_top_eigen", "embedding_truncation", "event_transitions",
     "hard_negatives", "knn_ivf_pq", "knn_recall", "lang_confusion",
     "large_volume_orders", "latency_anomalies", "latency_bands_daily",
-    "log_templates", "media_decode",
+    "log_templates",
 )
 
 

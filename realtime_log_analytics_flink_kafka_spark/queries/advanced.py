@@ -2110,6 +2110,167 @@ FROM st GROUP BY service
 """
 
 
+#: χ²(1 dof) upper-5% critical value in parts-per-million for the
+#: log-rank divergence flag — compared against det_round(chi2, 4) so
+#: the flag can never disagree with the printed statistic.
+CHI2_1_PPM = 3_841_459
+
+
+def q_conversion_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does any service's time-to-convert CURVE differ from the rest?
+    The log-rank (Mantel-Cox) test, one-vs-rest per service, over the
+    same cohort the KM estimator (conversion_survival) reports — the
+    inference half of the survival pair: KM draws each curve, log-rank
+    says whether a curve's difference is real or sampling noise, using
+    the WHOLE curve (a fixed-horizon rate comparison throws away
+    everything after its cutoff and is biased by censoring).
+
+    At each pooled conversion minute t with d_t total conversions, the
+    service's conversions d_st are compared to the hypergeometric
+    expectation under "no difference":
+
+        E = Σ_t d_t·n_st/n_t,
+        V = Σ_t d_t·n_st·(n_t−n_st)·(n_t−d_t) / (n_t²·(n_t−1)),
+        χ² = (O − E)² / V  ~  χ²₁ under H0   (O = Σ_t d_st),
+
+    n_st / n_t = service / pooled users still at risk entering t.
+
+    Determinism: every at-risk and event count is an exact BIGINT from
+    the shared cohort histogram (one definition with the KM query —
+    _conversion_hist); each E/V term is the identical double DAG on
+    those integers; the per-service sums fold SORTED term lists (the
+    chisq discipline — no sequential recursion needed, unlike the KM
+    product); det_round(…, 4) at the edge, and the flag compares the
+    ROUNDED χ² against {CHI2_1_PPM}e-6 so print and flag always agree.
+    χ²/diverges NULL when V = 0 (degenerate — e.g. a single service or
+    no conversions at all).
+
+    Scale shape: the cohort histogram (bounded by services × window
+    MINUTES) is localCheckpointed once; the (duration × service) risk
+    grid is the cross of two aggregates OF THAT CHECKPOINT — both
+    attribute-bounded, the chisq-margins class — and every window runs
+    on the grid, never on events.  The left join back to the histogram
+    is an equi-join on (service, dur)."""
+    from ..functions.detmath import det_round
+
+    hist = _conversion_hist(spark, sf_dir).localCheckpoint()
+    durd = hist.groupBy("dur").agg(
+        F.sum("d").cast("long").alias("dt"),
+        F.sum("c").cast("long").alias("ct"))
+    svc = hist.groupBy("service").agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_cohort"),
+        F.sum("d").cast("long").alias("n_converted"))
+    grid = durd.crossJoin(F.broadcast(svc))
+    gj = (grid.join(hist, ["service", "dur"], "left")
+          .select("service", "dur", "dt", "ct", "n_cohort", "n_converted",
+                  F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("ds"),
+                  F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cs")))
+    wprev = (Window.partitionBy("service").orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy("service")
+    rsk = gj.select(
+        "service", "dur", "dt", "n_cohort", "n_converted",
+        (F.col("n_cohort")
+         - F.coalesce(F.sum(F.col("ds") + F.col("cs")).over(wprev),
+                      F.lit(0))).cast("long").alias("nst"),
+        (F.sum(F.col("dt") + F.col("ct")).over(wall)
+         - F.coalesce(F.sum(F.col("dt") + F.col("ct")).over(wprev),
+                      F.lit(0))).cast("long").alias("nt"))
+    dtd = F.col("dt").cast("double")
+    nstd = F.col("nst").cast("double")
+    ntd = F.col("nt").cast("double")
+    terms = (rsk.filter(F.col("dt") > 0)
+             .select("service",
+                     (dtd * nstd / ntd).alias("e_term"),
+                     F.when(F.col("nt") > 1,
+                            (dtd * nstd * (ntd - nstd) * (ntd - dtd))
+                            / (ntd * ntd * (ntd - F.lit(1.0))))
+                     .otherwise(F.lit(0.0)).alias("v_term")))
+    fold = (lambda c: F.aggregate(F.array_sort(F.collect_list(c)),
+                                  F.lit(0.0), lambda a, x: a + x))
+    per = (terms.groupBy("service")
+           .agg(fold("e_term").alias("_e"), fold("v_term").alias("_v")))
+    rep = svc.join(per, ["service"], "left")
+    chi2 = det_round((F.col("n_converted").cast("double") - F.col("_e"))
+                     * (F.col("n_converted").cast("double") - F.col("_e"))
+                     / F.col("_v"), 4)
+    crit = (F.lit(CHI2_1_PPM).cast("double")
+            / F.lit(1_000_000).cast("double"))
+    return rep.select(
+        "service", "n_cohort", "n_converted",
+        det_round(F.col("_e"), 4).alias("expected_conv"),
+        F.when(F.col("_v") > 0, chi2).alias("logrank_chi2"),
+        F.when(F.col("_v") > 0, chi2 > crit).alias("diverges"))
+
+
+def _conversion_logrank_sql() -> str:
+    from ..functions.detmath import det_round_sql
+
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list({0}))), "
+            "(acc, x) -> acc + x)")
+    chi2 = det_round_sql(
+        "(CAST(n_converted AS DOUBLE) - _e)"
+        " * (CAST(n_converted AS DOUBLE) - _e) / _v", 4)
+    return f"""
+WITH {_conversion_hist_cte()},
+durd AS (
+    SELECT dur, CAST(sum(d) AS BIGINT) AS dt,
+           CAST(sum(c) AS BIGINT) AS ct
+    FROM hist GROUP BY dur
+),
+svc AS (
+    SELECT service, CAST(sum(d + c) AS BIGINT) AS n_cohort,
+           CAST(sum(d) AS BIGINT) AS n_converted
+    FROM hist GROUP BY service
+),
+gj AS (
+    SELECT g.service, g.dur, g.dt, g.ct, g.n_cohort, g.n_converted,
+           CAST(coalesce(h.d, 0) AS BIGINT) AS ds,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS cs
+    FROM (SELECT * FROM durd CROSS JOIN svc) g
+    LEFT JOIN hist h ON h.service = g.service AND h.dur = g.dur
+),
+rsk AS (
+    SELECT service, dur, dt, n_cohort, n_converted,
+           CAST(n_cohort - coalesce(sum(ds + cs) OVER (
+                PARTITION BY service ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nst,
+           CAST(sum(dt + ct) OVER (PARTITION BY service)
+                - coalesce(sum(dt + ct) OVER (
+                      PARTITION BY service ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS nt
+    FROM gj
+),
+terms AS (
+    SELECT service,
+           CAST(dt AS DOUBLE) * CAST(nst AS DOUBLE) / CAST(nt AS DOUBLE)
+               AS e_term,
+           CASE WHEN nt > 1 THEN
+                CAST(dt AS DOUBLE) * CAST(nst AS DOUBLE)
+                * (CAST(nt AS DOUBLE) - CAST(nst AS DOUBLE))
+                * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                   * (CAST(nt AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+           ELSE CAST('0.0' AS DOUBLE) END AS v_term
+    FROM rsk WHERE dt > 0
+),
+per AS (
+    SELECT service, {fold.format('e_term')} AS _e,
+           {fold.format('v_term')} AS _v
+    FROM terms GROUP BY service
+)
+SELECT s.service, s.n_cohort, s.n_converted,
+       {det_round_sql('_e', 4)} AS expected_conv,
+       CASE WHEN _v > 0 THEN {chi2} END AS logrank_chi2,
+       CASE WHEN _v > 0 THEN {chi2}
+            > CAST({CHI2_1_PPM} AS DOUBLE)
+              / CAST(1000000 AS DOUBLE) END AS diverges
+FROM svc s LEFT JOIN per USING (service)
+"""
+
+
 def q_latency_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of each service's latency
     distribution, second half of the observed window vs the first —
@@ -2643,6 +2804,8 @@ QUERIES: dict[str, QuerySpec] = {
                                      _latency_wasserstein_sql()),
     "conversion_survival": QuerySpec(q_conversion_survival,
                                      _conversion_survival_sql()),
+    "conversion_logrank": QuerySpec(q_conversion_logrank,
+                                    _conversion_logrank_sql()),
     "error_latency_auc": QuerySpec(q_error_latency_auc,
                                    _error_latency_auc_sql()),
     "error_rate_calibration": QuerySpec(q_error_rate_calibration,

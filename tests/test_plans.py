@@ -107,6 +107,11 @@ NESTED_LOOP_SANCTIONED = {
     "source_lang_mi": 6,
     # single-row window-end (max ts) broadcast onto the per-user cohort
     "conversion_survival": 1,
+    # the duration×service risk grid — a cross of two bounded
+    # aggregates of the CHECKPOINTED cohort histogram (the
+    # chisq-margins class); the cohort builder's own window-end
+    # broadcast sits below the checkpoint barrier
+    "conversion_logrank": 1,
     "skew_audit": 1,               # single-row (total, n_keys) broadcast
     "leakage_safe_split": 1,       # single-row straddle-audit broadcast
     "token_budget_cut": 1,         # single-row token-budget broadcast
@@ -284,6 +289,13 @@ def test_r12_ks_plan_shapes(spark):
     df7 = QUERIES["latency_wasserstein"].fn(spark, SF_SMOKE)
     n = len(scan_read_schemas(df7))
     assert n == 0, f"latency_wasserstein: {n} scans in final plan"
+
+    # conversion_logrank: the risk grid, both cumulative windows, the
+    # term folds, and the report join all run on the localCheckpointed
+    # cohort histogram — 0 event scans in the final plan
+    df8 = QUERIES["conversion_logrank"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df8))
+    assert n == 0, f"conversion_logrank: {n} scans in final plan"
 
 
 def test_near_dup_pair_join_is_equi(spark):

@@ -157,3 +157,104 @@ class TestIncrementalSelfMatchGuard:
         assert rep[1].matched_index_doc == 2
         assert rep[2].matched_index_doc == 1
         assert 3 not in rep  # no self-match inflation anywhere
+
+
+class TestConversionLogrank:
+    @staticmethod
+    def _events(spark, rows):
+        import datetime as dt
+        import os
+        import tempfile
+        t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+        data = [(i + 1, t0 + dt.timedelta(minutes=m), uid, et, 1.0, "{}")
+                for i, (uid, m, et) in enumerate(rows)]
+        ev = spark.createDataFrame(
+            data, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+        d = tempfile.mkdtemp()
+        ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    def test_textbook_two_service_split(self, spark):
+        """Hand-computed Mantel-Cox: svc-0's 3 users all convert at
+        minute 10, svc-1's 3 at minute 20.  Pooled event times for
+        svc-0 one-vs-rest: t=10 (n=6, n_0=3, d=3 -> E += 1.5,
+        V += 81/180 = 0.45), t=20 (svc-0 exhausted, n_0=0 -> E += 0,
+        V += 0).  O_0 = 3, E_0 = 1.5 -> chi2 = 2.25/0.45 = 5.0 >
+        3.8415: the fast service genuinely diverges.  Symmetrically
+        svc-1 (the slow side of the same 2x2 at every t): E_1 = 1.5 +
+        3·3/3 = 4.5, same V, same chi2 = (3-4.5)²/0.45 = 5.0."""
+        from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+            q_conversion_logrank)
+        rows = []
+        for uid in (0, 4, 8):                     # svc-0: convert at 10
+            rows += [(uid, 0, "click"), (uid, 10, "purchase")]
+        for uid in (1, 5, 9):                     # svc-1: convert at 20
+            rows += [(uid, 0, "click"), (uid, 20, "purchase")]
+        d = self._events(spark, rows)
+        out = {r.service: r for r in q_conversion_logrank(spark, d).collect()}
+        for svc, exp in (("svc-0", 1.5), ("svc-1", 4.5)):
+            r = out[svc]
+            assert r.n_cohort == 3 and r.n_converted == 3
+            assert r.expected_conv == exp
+            assert r.logrank_chi2 == 5.0
+            assert r.diverges is True
+
+    def test_identical_curves_do_not_diverge(self, spark):
+        """Both services convert one user each at 10/20/30: identical
+        curves, O = E exactly at every event time (d·n_g/n = d/2 with
+        the groups always symmetric), chi2 = 0, no flag.  The schedule
+        is STAGGERED so intermediate event times keep n > d and V > 0
+        (everyone converting at one shared minute would make every
+        (n−d) factor zero and V degenerate-NULL)."""
+        from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+            q_conversion_logrank)
+        rows = []
+        for uid0, uid1, t in ((0, 1, 10), (4, 5, 20), (8, 9, 30)):
+            rows += [(uid0, 0, "click"), (uid0, t, "purchase"),
+                     (uid1, 0, "click"), (uid1, t, "purchase")]
+        d = self._events(spark, rows)
+        out = {r.service: r for r in q_conversion_logrank(spark, d).collect()}
+        for svc in ("svc-0", "svc-1"):
+            assert out[svc].logrank_chi2 == 0.0
+            assert out[svc].diverges is False
+
+    def test_all_censored_degenerate_is_null(self, spark):
+        """No conversions anywhere: no event times, V = 0 — chi2 and
+        the flag must be NULL, never a division error or a false
+        positive; cohort counts still report."""
+        from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+            q_conversion_logrank)
+        rows = [(0, 0, "click"), (1, 0, "click"), (4, 5, "click"),
+                (0, 60, "view")]  # view fixes the censor horizon
+        d = self._events(spark, rows)
+        out = {r.service: r for r in q_conversion_logrank(spark, d).collect()}
+        assert out["svc-0"].n_cohort == 2 and out["svc-0"].n_converted == 0
+        assert out["svc-0"].logrank_chi2 is None
+        assert out["svc-0"].diverges is None
+
+    def test_censoring_shrinks_risk_not_events(self, spark):
+        """A user censored before a later event time must leave that
+        time's at-risk denominator (KM/logrank's whole point).  svc-0:
+        users 0/4 click at 0 and convert at 10; user 8 clicks at 10
+        and never purchases, so its censor duration is tmax−10 =
+        40−10 = 30 — BEFORE svc-1's conversions (users 1/5, click 0,
+        purchase 40, duration 40).  One-vs-rest svc-1: t=10 (n=5,
+        n_1=2, d=2 -> E += 0.8, V += 2·2·3·3/(25·4) = 0.36); t=40
+        (user 8 already censored out, n=2=n_1, d=2 -> E += 2, V += 0).
+        O_1=2, E_1=2.8, chi2 = 0.64/0.36 = 1.7778, no flag — without
+        the censor the t=40 pool would be 3 and E_1 only 2.1333."""
+        from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+            q_conversion_logrank)
+        rows = [(0, 0, "click"), (0, 10, "purchase"),
+                (4, 0, "click"), (4, 10, "purchase"),
+                (8, 10, "click"),           # censored at dur 40-10=30
+                (1, 0, "click"), (1, 40, "purchase"),
+                (5, 0, "click"), (5, 40, "purchase")]
+        d = self._events(spark, rows)
+        out = {r.service: r for r in q_conversion_logrank(spark, d).collect()}
+        r = out["svc-1"]
+        assert r.n_cohort == 2 and r.n_converted == 2
+        assert r.expected_conv == 2.8
+        assert r.logrank_chi2 == 1.7778
+        assert r.diverges is False
