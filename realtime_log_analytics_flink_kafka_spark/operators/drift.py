@@ -245,6 +245,174 @@ FROM per
 """
 
 
+#: χ² upper-5% critical values in parts-per-million, indexed by
+#: degrees of freedom 1..15 (the standard table) — the Kruskal-Wallis
+#: flag looks up the OBSERVED group count's dof; beyond 15 groups the
+#: flag reports NULL rather than extrapolate.
+CHI2_95_PPM_BY_DOF = (
+    3_841_459, 5_991_465, 7_814_728, 9_487_729, 11_070_498,
+    12_591_587, 14_067_140, 15_507_313, 16_918_978, 18_307_038,
+    19_675_138, 21_026_070, 22_362_032, 23_684_791, 24_995_790)
+
+
+def kruskal_from_counts(cells: DataFrame, *, group_col: str = "g",
+                        value_col: str = "v", count_col: str = "c",
+                        scale: int = 4) -> DataFrame:
+    """Kruskal-Wallis H: ONE nonparametric test for "do ANY of the k
+    groups draw this column from a different distribution?" — the
+    k-sample extension of the two-sample rank family (KS/W1 compare
+    two samples; running k·(k−1)/2 pairwise tests inflates false
+    alarms, which is exactly what KW exists to avoid).  With midranks
+    r over the pooled sample and R_g = Σ ranks in group g,
+
+        H = [ 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1) ] / C,
+        C = 1 − Σ_v (t_v³ − t_v) / (n³ − n)        (tie correction),
+
+    H ~ χ²_{k−1} under H0.  Returns ONE row: n, k, h, dof,
+    significant (h/significant NULL when k < 2 or every value is tied
+    — C = 0 leaves no rank information).
+
+    CONTRACT: ``cells`` (one row per (group, value) with the count in
+    ``count_col``) should be a MATERIALIZED relation (localCheckpoint
+    or table) — it is consumed by three branches (the value histogram,
+    its cumulative ranks, and the group join-back), and an
+    un-materialized subtree would re-plan its upstream scan per
+    branch (the psi_report lesson).
+
+    Determinism: doubled midranks R2 = 2·cum_{<v} + t_v + 1 keep every
+    rank integer; R2_g and the tie sum are exact DECIMAL(38,0)/HUGEINT
+    (overflow: R2_g² needs (2n²)² inside int128/decimal38 — fine to
+    ~2e9 events);
+    each Σ R_g²/n_g term is one decimal→double cast and one division
+    of identical integers, summed by SORTED fold over the k-bounded
+    term list; H's assembly is the same explicit IEEE DAG on both
+    engines; det_round(…, {scale}) at the edge and the flag compares
+    the ROUNDED H against the ppm critical value, so print and flag
+    always agree.
+
+    Scale shape: the global cumulative window runs on the DISTINCT-
+    VALUE histogram (bounded by the quantization grid — callers
+    quantize, e.g. whole ms), the seasonal_decompose bounded-relation
+    precedent; the rank join-back is an equi-join on the value; the
+    final assembly crosses two single-row aggregates."""
+    from ..functions.detmath import det_round
+
+    vh = (cells.groupBy(value_col)
+          .agg(F.sum(count_col).cast("long").alias("tv")))
+    wv = (Window.orderBy(value_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    vh2 = vh.select(
+        value_col, "tv",
+        (2 * F.coalesce(F.sum("tv").over(wv), F.lit(0)) + F.col("tv")
+         + 1).cast(_DEC).alias("r2"))
+    tvd = F.col("tv").cast(_DEC)
+    stats = vh.groupBy().agg(
+        F.sum("tv").cast("long").alias("n"),
+        F.sum(tvd * tvd * tvd - tvd).cast(_DEC).alias("tie"))
+    per = (cells.join(vh2, value_col)
+           .groupBy(group_col)
+           .agg(F.sum(F.col(count_col).cast(_DEC) * F.col("r2"))
+                .cast(_DEC).alias("r2g"),
+                F.sum(count_col).cast("long").alias("ng")))
+    sterm = ((F.col("r2g") * F.col("r2g")).cast("double")
+             / (F.lit(4).cast("long") * F.col("ng")).cast("double"))
+    srow = (per.select(sterm.alias("_t"))
+            .groupBy()
+            .agg(F.count("*").cast("long").alias("k"),
+                 F.aggregate(F.array_sort(F.collect_list("_t")),
+                             F.lit(0.0), lambda a, x: a + x).alias("_s")))
+    row = stats.crossJoin(F.broadcast(srow))
+    nd = F.col("n").cast("double")
+    h0 = (F.lit(12.0) * F.col("_s") / (nd * (nd + F.lit(1.0)))
+          - F.lit(3.0) * (nd + F.lit(1.0)))
+    nn = F.col("n").cast(_DEC)
+    corr = (F.lit(1.0)
+            - F.col("tie").cast("double")
+            / (nn * nn * nn - nn).cast("double"))
+    h = det_round(h0 / corr, scale)
+    dof = (F.col("k") - 1).cast("int")
+    crit = (F.element_at(
+        F.array(*[F.lit(p) for p in CHI2_95_PPM_BY_DOF]), dof)
+        .cast("double") / F.lit(1_000_000).cast("double"))
+    ok = (F.col("k") >= 2) & (F.col("tie").cast("double")
+                              < (nn * nn * nn - nn).cast("double"))
+    return row.select(
+        F.col("n"), F.col("k").alias("n_groups"),
+        F.when(ok, h).alias("h"),
+        dof.alias("dof"),
+        F.when(ok & (dof <= len(CHI2_95_PPM_BY_DOF)),
+               h > crit).alias("significant"))
+
+
+def kruskal_report_sql(cells_cte: str, *, group_col: str = "g",
+                       value_col: str = "v", count_col: str = "c",
+                       scale: int = 4) -> str:
+    """DuckDB twin of :func:`kruskal_from_counts` — emits the CTE
+    chain + final single-row SELECT for a cells CTE named
+    ``cells_cte`` with columns (group, value, count)."""
+    from ..functions.detmath import det_round_sql
+
+    crit_list = "[" + ", ".join(str(p) for p in CHI2_95_PPM_BY_DOF) + "]"
+    fold = ("list_reduce(list_prepend(0.0, list_sort(list(_t))), "
+            "(acc, x) -> acc + x)")
+    h_expr = det_round_sql("_h0 / _corr", scale)
+    return f"""
+vh AS (
+    SELECT {value_col} AS v, CAST(sum({count_col}) AS BIGINT) AS tv
+    FROM {cells_cte} GROUP BY 1
+),
+vh2 AS (
+    SELECT v, tv,
+           CAST(2 * coalesce(sum(tv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) + tv + 1 AS HUGEINT) AS r2
+    FROM vh
+),
+kstats AS (
+    SELECT CAST(sum(tv) AS BIGINT) AS n,
+           CAST(sum(CAST(tv AS HUGEINT) * tv * tv - tv) AS HUGEINT)
+               AS tie
+    FROM vh
+),
+kper AS (
+    SELECT {group_col},
+           CAST(sum(CAST({count_col} AS HUGEINT) * r2) AS HUGEINT)
+               AS r2g,
+           CAST(sum({count_col}) AS BIGINT) AS ng
+    FROM {cells_cte} JOIN vh2 ON {cells_cte}.{value_col} = vh2.v
+    GROUP BY 1
+),
+ksrow AS (
+    SELECT CAST(count(*) AS BIGINT) AS k, {fold} AS _s
+    FROM (SELECT CAST(r2g * r2g AS DOUBLE)
+                 / CAST(4 * ng AS DOUBLE) AS _t FROM kper)
+),
+kassembly AS (
+    SELECT n, k, tie,
+           CAST('12.0' AS DOUBLE) * _s
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                                   + CAST('1.0' AS DOUBLE)))
+           - CAST('3.0' AS DOUBLE) * (CAST(n AS DOUBLE)
+                                      + CAST('1.0' AS DOUBLE)) AS _h0,
+           CAST('1.0' AS DOUBLE)
+           - CAST(tie AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS _corr,
+           CAST(tie AS DOUBLE)
+             < CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS _hasinfo
+    FROM kstats CROSS JOIN ksrow
+)
+SELECT n, k AS n_groups,
+       CASE WHEN k >= 2 AND _hasinfo THEN {h_expr} END AS h,
+       CAST(k - 1 AS INT) AS dof,
+       CASE WHEN k >= 2 AND _hasinfo
+                 AND k - 1 <= {len(CHI2_95_PPM_BY_DOF)}
+            THEN {h_expr} > CAST({crit_list}[CAST(k - 1 AS INT)]
+                                 AS DOUBLE)
+                            / CAST(1000000 AS DOUBLE) END AS significant
+FROM kassembly
+"""
+
+
 #: PSI "significant shift" convention threshold (industry standard:
 #: < 0.1 stable, 0.1-0.2 moderate, > 0.2 action) — compared against
 #: det_round(psi, 4) so the flag can never disagree with the printed

@@ -2548,6 +2548,60 @@ series AS (
 """
 
 
+def q_latency_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does ANY service draw its latency from a different distribution
+    than the others?  ONE Kruskal-Wallis H test across all services —
+    the k-sample gate that belongs BEFORE the pairwise/two-sample
+    drill-downs (latency_ks_drift, latency_wasserstein): running
+    k·(k−1)/2 pairwise comparisons at α = 5 % each inflates the
+    family-wide false-alarm rate (the latency_fdr_audit lesson, solved
+    here by a single omnibus statistic instead of a correction).
+    Rank-based, so it sees shift/spread/shape without normality, and a
+    monotone latency transform cannot change it.
+
+    Statistic, tie correction, midrank integerization, overflow
+    bounds, and the dof-indexed χ² critical table:
+    operators/drift.kruskal_from_counts.  Latencies enter on the
+    whole-ms grid (floor(ms + 0.5), the latency_wasserstein
+    convention — the grid is part of the statistic's definition and
+    bounds the rank state by the latency RANGE).
+
+    Scale shape: ONE event scan into (service, ms) cells — bounded by
+    services × latency-range — localCheckpointed (the operator's
+    three-branch CONTRACT); the global cumulative rank window runs on
+    the DISTINCT-ms histogram (the seasonal_decompose bounded-relation
+    precedent); the rank join-back is an equi-join on ms; the final
+    assembly crosses two single-row aggregates."""
+    from ..operators.drift import kruskal_from_counts
+    from ..operators.logs import as_logs
+
+    logs = as_logs(_t(spark, sf_dir, "events"))
+    ms = F.floor(F.col("latency_ms") + F.lit(0.5)).cast("long")
+    cells = (logs
+             .filter(F.col("latency_ms").isNotNull())
+             .select("service", ms.alias("v"))
+             .groupBy("service", "v")
+             .agg(F.count("*").cast("long").alias("c"))
+             .localCheckpoint())
+    return kruskal_from_counts(cells, group_col="service")
+
+
+def _latency_kruskal_sql() -> str:
+    from ..operators.drift import kruskal_report_sql
+
+    return f"""
+WITH {LOGS_CTE},
+cells AS (
+    SELECT service, CAST(floor(latency_ms + 0.5) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM logs WHERE latency_ms IS NOT NULL
+    GROUP BY 1, 2
+),
+{kruskal_report_sql('cells', group_col='service', value_col='v',
+                    count_col='c')}
+"""
+
+
 def q_latency_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Do ERROR events draw their latency from a different distribution
     than healthy traffic?  Per-service two-sample Kolmogorov-Smirnov D
@@ -2802,6 +2856,8 @@ QUERIES: dict[str, QuerySpec] = {
     "latency_psi": QuerySpec(q_latency_psi, _latency_psi_sql()),
     "latency_wasserstein": QuerySpec(q_latency_wasserstein,
                                      _latency_wasserstein_sql()),
+    "latency_kruskal": QuerySpec(q_latency_kruskal,
+                                 _latency_kruskal_sql()),
     "conversion_survival": QuerySpec(q_conversion_survival,
                                      _conversion_survival_sql()),
     "conversion_logrank": QuerySpec(q_conversion_logrank,

@@ -302,3 +302,90 @@ def test_w1_single_distinct_value_both_sides(spark):
     0 — the distributions coincide."""
     r = _w1(spark, [42] * 8, [42] * 3)
     assert r.w1 == 0.0
+
+
+# --- Kruskal-Wallis ---------------------------------------------------------
+
+def _kw(spark, groups):
+    """groups: dict name -> list of int values."""
+    from realtime_log_analytics_flink_kafka_spark.operators.drift import (
+        kruskal_from_counts)
+    rows = [(g, int(v)) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    cells = df.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    return kruskal_from_counts(cells, group_col="g").collect()[0]
+
+
+def test_kw_textbook_no_ties(spark):
+    """Hand-computed: A={1,2}, B={3,4} -> ranks 1..4, R_A=3, R_B=7,
+    H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 2.4; dof=1, crit 3.8415 -> not
+    significant at this tiny n even though the separation is total."""
+    r = _kw(spark, {"A": [1, 2], "B": [3, 4]})
+    assert r.n == 4 and r.n_groups == 2 and r.dof == 1
+    assert r.h == 2.4
+    assert r.significant is False
+
+
+def test_kw_planted_separation_fires(spark):
+    """Three disjoint blocks of 50: the omnibus must reject."""
+    r = _kw(spark, {"A": list(range(0, 50)),
+                    "B": list(range(100, 150)),
+                    "C": list(range(200, 250))})
+    assert r.n == 150 and r.dof == 2
+    assert r.significant is True
+    assert r.h > 100  # near the theoretical max (n-1)=149 for full separation
+
+
+def test_kw_identical_distributions_quiet(spark):
+    """Three groups drawing the same values (heavy ties): H ~ 0."""
+    vals = list(range(10)) * 5
+    r = _kw(spark, {"A": vals, "B": vals, "C": vals})
+    assert r.h == 0.0
+    assert r.significant is False
+
+
+def test_kw_monotone_invariance(spark):
+    """Rank-based: squaring the (positive) values changes nothing."""
+    g = {"A": [1, 5, 9, 14], "B": [2, 6, 11, 17], "C": [3, 8, 12, 20]}
+    r1 = _kw(spark, g)
+    r2 = _kw(spark, {k: [v * v for v in vs] for k, vs in g.items()})
+    assert r1.h == r2.h and r1.significant == r2.significant
+
+
+def test_kw_single_group_null(spark):
+    r = _kw(spark, {"A": [1, 2, 3]})
+    assert r.h is None and r.significant is None and r.dof == 0
+
+
+def test_kw_all_tied_null(spark):
+    """Every observation identical: the tie correction removes ALL
+    rank information (C = 0) — H must be NULL, not a 0/0 artifact."""
+    r = _kw(spark, {"A": [7] * 5, "B": [7] * 5})
+    assert r.h is None and r.significant is None
+
+
+def test_kw_agrees_with_scipy_formula(spark):
+    """Cross-check H (with tie correction) against an independent
+    textbook implementation on a tied, unbalanced case."""
+    groups = {"A": [3, 7, 7, 12, 1], "B": [5, 7, 9], "C": [2, 2, 14, 20]}
+    import itertools
+    pooled = sorted(itertools.chain.from_iterable(groups.values()))
+    n = len(pooled)
+    # midranks
+    rank = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        rank[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    s = sum(sum(rank[v] for v in vs) ** 2 / len(vs)
+            for vs in groups.values())
+    h0 = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    from collections import Counter
+    ties = sum(t ** 3 - t for t in Counter(pooled).values())
+    h = h0 / (1 - ties / (n ** 3 - n))
+    r = _kw(spark, groups)
+    # the operator reports det_round(h, 4) — compare at that scale
+    assert abs(r.h - h) < 5.1e-5, (r.h, h)

@@ -102,6 +102,8 @@ NESTED_LOOP_SANCTIONED = {
     "latency_psi": 1,
     # single-row (mid-day) broadcast onto the bounded cells relation
     "latency_wasserstein": 1,
+    # the single-row (n, tie) × (k, Σterms) assembly cross
+    "latency_kruskal": 1,
     # single-row N broadcast onto cells + onto each margin-entropy leg,
     # then the 3-way single-row report assembly (the ARI scalar class)
     "source_lang_mi": 6,
@@ -296,6 +298,13 @@ def test_r12_ks_plan_shapes(spark):
     df8 = QUERIES["conversion_logrank"].fn(spark, SF_SMOKE)
     n = len(scan_read_schemas(df8))
     assert n == 0, f"conversion_logrank: {n} scans in final plan"
+
+    # latency_kruskal: value histogram, global rank window, join-back,
+    # and both single-row aggregates all run on the localCheckpointed
+    # (service, ms) cells — 0 event scans in the final plan
+    df9 = QUERIES["latency_kruskal"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df9))
+    assert n == 0, f"latency_kruskal: {n} scans in final plan"
 
 
 def test_near_dup_pair_join_is_equi(spark):
