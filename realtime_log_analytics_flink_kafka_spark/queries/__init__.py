@@ -49,8 +49,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # alert_metrics_unpivot, as many as fit.  With the r12-new
     # queries in front, the r8 entries that do NOT fit this window
     # and stay r8-stale (rotate them first in r13) are:
-    # log_templates, media_decode, metrics_reconciliation,
-    # mixture_temperature_sweep,
+    # latency_bands_daily, log_templates, media_decode,
+    # metrics_reconciliation, mixture_temperature_sweep,
     # order_priority_check, pq_codes, quarter_top_supplier,
     # retrieval_ndcg,
     # returned_revenue_customers, robust_trend, semantic_dup_clusters,
@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "latency_changepoint", "latency_kruskal", "latency_ks_drift",
     "latency_psi",
     "latency_wasserstein", "source_ks_drift", "source_lang_mi",
+    "spearman_signal_correlations",
     "dedup_modality_agreement", "lexical_pair_agreement",
     "audio_near_dups_incremental", "latency_fdr_audit",
     "source_lang_chisq", "service_burstiness",
@@ -83,7 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_audit", "embedding_effective_rank",
     "embedding_top_eigen", "embedding_truncation", "event_transitions",
     "hard_negatives", "knn_ivf_pq", "knn_recall", "lang_confusion",
-    "large_volume_orders", "latency_anomalies", "latency_bands_daily",
+    "large_volume_orders", "latency_anomalies",
 )
 
 

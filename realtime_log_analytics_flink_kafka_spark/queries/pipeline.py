@@ -2809,6 +2809,192 @@ FROM f
 """
 
 
+def q_spearman_signal_correlations(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-source SPEARMAN rank correlations between the same three
+    curation signals signal_correlations runs Pearson on — the
+    robustness twin read side-by-side with it: token counts are
+    heavy-tailed, so a handful of huge documents can dominate the
+    Pearson length correlations, while Spearman (Pearson on midranks)
+    is invariant to any monotone transform and bounded by rank
+    agreement alone.  A large |pearson − spearman| gap on the same
+    pair IS the outlier-distortion diagnostic.
+
+    Determinism — the exact-integer rank path: per (source, signal)
+    DOUBLED midranks R2 = 2·cum_{<v} + t_v + 1 (the Kruskal-Wallis
+    integerization) are computed from marginal histograms of ONE
+    (source, x, y, z) cell relation, so every rank is an exact
+    integer; all nine weighted moment sums are order-free
+    DECIMAL(38,0)/HUGEINT arithmetic (bound: n·Σc·rx·ry needs
+    4n⁴ < 10^38 — exact to ~1e8 docs per source, decimals beyond);
+    the only doubles are the signal_correlations epilogue —
+    decimal→string→double crossover, then num/sqrt(den·den), three
+    correctly-rounded IEEE ops on identical inputs.  A constant
+    signal (zero rank variance) reports NULL for its correlations.
+
+    Scale shape: ONE corpus scan into the (source, x, y, z) cells —
+    bounded by distinct signal triples, in practice far below doc
+    count — localCheckpointed (four consumers: three marginals + the
+    join-back spine); each marginal's cumulative window runs on its
+    per-source DISTINCT-VALUE histogram (the spend_gini discipline);
+    the three rank join-backs are equi-joins on (source, value)."""
+    docs = _docs(spark, sf_dir)
+    ent = text.token_entropy(docs)
+    e = text.quality_exprs()
+    q = docs.select("doc_id", "source",
+                    e["quality_score_e4"].alias("q_e4"))
+    j = (
+        ent.join(q, "doc_id")
+        .filter(F.col("q_e4").isNotNull())
+        .select(
+            "source",
+            F.col("q_e4").alias("x"),
+            F.floor(F.col("entropy") * F.lit(1000.0) + F.lit(0.5))
+                .cast("long").alias("y"),
+            F.col("n_tokens").alias("z"),
+        )
+    )
+    cells = (j.groupBy("source", "x", "y", "z")
+             .agg(F.count("*").cast("long").alias("c"))
+             .localCheckpoint())
+
+    def ranked(col: str) -> DataFrame:
+        marg = (cells.groupBy("source", col)
+                .agg(F.sum("c").cast("long").alias("_t")))
+        w = (Window.partitionBy("source").orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return marg.select(
+            "source", col,
+            (2 * F.coalesce(F.sum("_t").over(w), F.lit(0))
+             + F.col("_t") + 1).cast("decimal(38,0)")
+            .alias(f"_r{col}"))
+
+    jr = (cells
+          .join(ranked("x"), ["source", "x"])
+          .join(ranked("y"), ["source", "y"])
+          .join(ranked("z"), ["source", "z"]))
+    cd = F.col("c").cast("decimal(38,0)")
+    rx, ry, rz = F.col("_rx"), F.col("_ry"), F.col("_rz")
+
+    def dsum(expr, name):
+        return F.sum(expr).cast("decimal(38,0)").alias(name)
+
+    mo = jr.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        dsum(cd * rx, "sx"), dsum(cd * ry, "sy"), dsum(cd * rz, "sz"),
+        dsum(cd * rx * rx, "sxx"), dsum(cd * ry * ry, "syy"),
+        dsum(cd * rz * rz, "szz"),
+        dsum(cd * rx * ry, "sxy"), dsum(cd * rx * rz, "sxz"),
+        dsum(cd * ry * rz, "syz"),
+    )
+    nh = F.col("n").cast("decimal(20,0)")
+    mo = mo.withColumns({
+        "_num_xy": nh * F.col("sxy") - F.col("sx") * F.col("sy"),
+        "_num_xz": nh * F.col("sxz") - F.col("sx") * F.col("sz"),
+        "_num_yz": nh * F.col("syz") - F.col("sy") * F.col("sz"),
+        "_den_x": nh * F.col("sxx") - F.col("sx") * F.col("sx"),
+        "_den_y": nh * F.col("syy") - F.col("sy") * F.col("sy"),
+        "_den_z": nh * F.col("szz") - F.col("sz") * F.col("sz"),
+    })
+
+    def dd(name):
+        return F.col(name).cast("string").cast("double")
+
+    def rho(num, d1, d2):
+        return F.when(
+            (F.col(d1) > 0) & (F.col(d2) > 0),
+            dd(num) / F.sqrt(dd(d1) * dd(d2)))
+
+    return mo.select(
+        "source", F.col("n").cast("long").alias("n_docs"),
+        rho("_num_xy", "_den_x", "_den_y").alias("rho_quality_entropy"),
+        rho("_num_xz", "_den_x", "_den_z").alias("rho_quality_length"),
+        rho("_num_yz", "_den_y", "_den_z").alias("rho_entropy_length"),
+    )
+
+
+def _spearman_signal_correlations_sql() -> str:
+    ent = _token_entropy_sql()
+
+    def marg(col):
+        return f"""(
+    SELECT source, {col},
+           CAST(2 * coalesce(sum(_t) OVER (PARTITION BY source
+                    ORDER BY {col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) + _t + 1 AS HUGEINT) AS _r{col}
+    FROM (SELECT source, {col}, CAST(sum(c) AS BIGINT) AS _t
+          FROM cells GROUP BY 1, 2)
+)"""
+
+    moments = ",\n           ".join(
+        f"CAST(sum(CAST(c AS HUGEINT) * {expr}) AS HUGEINT) AS {name}"
+        for expr, name in [
+            ("_rx", "sx"), ("_ry", "sy"), ("_rz", "sz"),
+            ("_rx*_rx", "sxx"), ("_ry*_ry", "syy"), ("_rz*_rz", "szz"),
+            ("_rx*_ry", "sxy"), ("_rx*_rz", "sxz"), ("_ry*_rz", "syz"),
+        ])
+
+    def rho(num, d1, d2):
+        def dd(m):
+            return f"CAST(CAST({m} AS VARCHAR) AS DOUBLE)"
+        return (f"CASE WHEN {d1} > 0 AND {d2} > 0 THEN "
+                f"{dd(num)} / sqrt({dd(d1)} * {dd(d2)}) END")
+
+    return f"""
+WITH {TOKENS_CTE},
+{_QUALITY_M_CTES},
+qd AS (
+    SELECT q0.doc_id, d.source, q0.q_e4
+    FROM (SELECT doc_id, ({_QUALITY_E4}) AS q_e4 FROM m2) q0
+    JOIN documents d ON q0.doc_id = d.doc_id
+),
+ent AS ({ent}),
+j AS (
+    SELECT source, q_e4 AS x,
+           CAST(floor(entropy * CAST('1000.0' AS DOUBLE)
+                      + CAST('0.5' AS DOUBLE)) AS BIGINT) AS y,
+           ent.n_tokens AS z
+    FROM ent JOIN qd ON ent.doc_id = qd.doc_id
+    WHERE q_e4 IS NOT NULL
+),
+cells AS (
+    SELECT source, x, y, z, CAST(count(*) AS BIGINT) AS c
+    FROM j GROUP BY 1, 2, 3, 4
+),
+mx AS {marg('x')},
+my AS {marg('y')},
+mz AS {marg('z')},
+jr AS (
+    SELECT cells.source, c, _rx, _ry, _rz
+    FROM cells
+    JOIN mx ON mx.source = cells.source AND mx.x = cells.x
+    JOIN my ON my.source = cells.source AND my.y = cells.y
+    JOIN mz ON mz.source = cells.source AND mz.z = cells.z
+),
+mo AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           {moments}
+    FROM jr GROUP BY source
+),
+f AS (
+    SELECT *,
+           CAST(n AS HUGEINT) * sxy - sx * sy AS num_xy,
+           CAST(n AS HUGEINT) * sxz - sx * sz AS num_xz,
+           CAST(n AS HUGEINT) * syz - sy * sz AS num_yz,
+           CAST(n AS HUGEINT) * sxx - sx * sx AS den_x,
+           CAST(n AS HUGEINT) * syy - sy * sy AS den_y,
+           CAST(n AS HUGEINT) * szz - sz * sz AS den_z
+    FROM mo
+)
+SELECT source, n AS n_docs,
+       {rho('num_xy', 'den_x', 'den_y')} AS rho_quality_entropy,
+       {rho('num_xz', 'den_x', 'den_z')} AS rho_quality_length,
+       {rho('num_yz', 'den_y', 'den_z')} AS rho_entropy_length
+FROM f
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity stratification: each document assigned a
     head/middle/tail tercile of the per-language surprisal distribution
@@ -7033,6 +7219,9 @@ QUERIES: dict[str, QuerySpec] = {
     "perplexity_buckets": QuerySpec(q_perplexity_buckets,
                                     SQL_PERPLEXITY_BUCKETS),
     "token_entropy": QuerySpec(q_token_entropy, _token_entropy_sql()),
+    "spearman_signal_correlations": QuerySpec(
+        q_spearman_signal_correlations,
+        _spearman_signal_correlations_sql()),
     "signal_correlations": QuerySpec(q_signal_correlations,
                                      _signal_correlations_sql()),
     "unigram_surprisal": QuerySpec(q_unigram_surprisal,

@@ -306,6 +306,14 @@ def test_r12_ks_plan_shapes(spark):
     n = len(scan_read_schemas(df9))
     assert n == 0, f"latency_kruskal: {n} scans in final plan"
 
+    # spearman_signal_correlations: all three marginal rank windows and
+    # the join-back spine run on the localCheckpointed signal cells —
+    # 0 corpus scans in the final plan (the corpus is scanned once, at
+    # cells construction)
+    df10 = QUERIES["spearman_signal_correlations"].fn(spark, SF_SMOKE)
+    n = len(scan_read_schemas(df10))
+    assert n == 0, f"spearman_signal_correlations: {n} scans in final plan"
+
 
 def test_near_dup_pair_join_is_equi(spark):
     """The registry near-dup query's pair join is a hash/merge equi-join

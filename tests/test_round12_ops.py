@@ -258,3 +258,103 @@ class TestConversionLogrank:
         assert r.expected_conv == 2.8
         assert r.logrank_chi2 == 1.7778
         assert r.diverges is False
+
+
+class TestSpearmanSignalCorrelations:
+    def test_matches_independent_midrank_pearson(self, spark):
+        """Recompute every per-source rho in pure Python — midranks via
+        sorted scan, Pearson on ranks via float sums — from the SAME
+        (x, y, z) signal projection the query uses, and require
+        agreement to 1e-9.  This independently exercises the entire
+        rank/moment path (marginal cumulative windows, the doubled-
+        midrank integerization, the decimal moment algebra) against a
+        formulation that shares none of it."""
+        from realtime_log_analytics_flink_kafka_spark.operators import text
+        from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+            _docs, q_spearman_signal_correlations)
+
+        docs = _docs(spark, SF_SMOKE)
+        ent = text.token_entropy(docs)
+        e = text.quality_exprs()
+        q = docs.select("doc_id", "source",
+                        e["quality_score_e4"].alias("q_e4"))
+        j = (ent.join(q, "doc_id")
+             .filter(F.col("q_e4").isNotNull())
+             .select("source", F.col("q_e4").alias("x"),
+                     F.floor(F.col("entropy") * F.lit(1000.0)
+                             + F.lit(0.5)).cast("long").alias("y"),
+                     F.col("n_tokens").alias("z")))
+        rows = j.collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append((r.x, r.y, r.z))
+
+        def midranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                k = i
+                while (k < len(order)
+                       and vals[order[k]] == vals[order[i]]):
+                    k += 1
+                mr = (i + 1 + k) / 2.0
+                for t in range(i, k):
+                    ranks[order[t]] = mr
+                i = k
+            return ranks
+
+        def pearson(a, b):
+            n = len(a)
+            sa, sb = sum(a), sum(b)
+            num = n * sum(x * y for x, y in zip(a, b)) - sa * sb
+            da = n * sum(x * x for x in a) - sa * sa
+            db = n * sum(y * y for y in b) - sb * sb
+            if da <= 0 or db <= 0:
+                return None
+            return num / (da * db) ** 0.5
+
+        out = {r.source: r for r in
+               q_spearman_signal_correlations(spark, SF_SMOKE).collect()}
+        assert set(out) == set(by_src)
+        checked = 0
+        for src, triples in by_src.items():
+            xs, ys, zs = (midranks([t[i] for t in triples])
+                          for i in range(3))
+            exp = {"rho_quality_entropy": pearson(xs, ys),
+                   "rho_quality_length": pearson(xs, zs),
+                   "rho_entropy_length": pearson(ys, zs)}
+            r = out[src]
+            assert r.n_docs == len(triples)
+            for k, v in exp.items():
+                got = getattr(r, k)
+                if v is None:
+                    assert got is None, (src, k, got)
+                else:
+                    assert abs(got - v) < 1e-9, (src, k, got, v)
+                    checked += 1
+        assert checked >= 9  # several sources, all three pairs live
+
+    def test_constant_signal_is_null_not_nan(self, spark):
+        """A source whose quality signal has zero rank variance must
+        report NULL for its quality correlations (the den>0 guard),
+        never NaN — and the surviving pair still reports."""
+        import os
+        import tempfile
+        from realtime_log_analytics_flink_kafka_spark.queries.pipeline import (
+            q_spearman_signal_correlations)
+        # identical text -> identical quality/entropy; n_tokens also
+        # identical, so EVERY signal is constant and all three are NULL
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta", "en", "sA", 23)
+             for i in range(6)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        d = tempfile.mkdtemp()
+        docs.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        [r] = q_spearman_signal_correlations(spark, d).collect()
+        assert r.n_docs == 6
+        assert r.rho_quality_entropy is None
+        assert r.rho_quality_length is None
+        assert r.rho_entropy_length is None
