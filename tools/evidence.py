@@ -427,6 +427,61 @@ def main() -> None:
         "point.  Documented here so the r11→r12 driver suite delta "
         "(+~17.7 s intrinsic) is not misread as drift.",
         "",
+        "## Round-12 additions: intrinsic bench cost, declared in "
+        "advance",
+        "",
+        "The eleven r12-new queries (the statistical-testing suite: "
+        "drift, survival, rank machinery, plus the audio agreement "
+        "leg) add ~18.8 s to the full-registry suite metric.  Measured "
+        "on the settled build in quiet isolation (tools/isolate_r11.py "
+        "protocol: untimed warmup, clearCache+GC, median-of-5, sf0.1, "
+        "2026-08-16) so the next driver bench's suite-total growth is "
+        "attributable BEFORE the driver runs:",
+        "",
+        "| query | median [min, max] | cost class |",
+        "|---|---|---|",
+        "| spearman_signal_correlations | 5.31 [4.43, 6.52] | the "
+        "signal_correlations class (token entropy + quality over the "
+        "corpus) + three marginal rank windows on the checkpointed "
+        "cells |",
+        "| audio_modality_agreement | 4.86 [4.30, 5.73] | composes the "
+        "FULL MinHash-LSH pipeline AND the eHash pipeline (the "
+        "ARI/modality-agreement cost class) + one pair-key full outer "
+        "join |",
+        "| source_lang_mi | 2.75 [2.52, 2.97] | the chisq contingency "
+        "scan + three entropy folds and six sanctioned single-row "
+        "crosses on the checkpointed cells |",
+        "| latency_psi | 1.49 [1.39, 1.62] | one (service, day, "
+        "HDR-bucket) cell shuffle + checkpoint; det_ln folds on the "
+        "checkpoint |",
+        "| conversion_logrank | 0.80 [0.72, 0.90] | the conversion "
+        "cohort (click∪purchase window + max-ts scalar) + the bounded "
+        "duration×service risk grid |",
+        "| latency_changepoint | 0.70 [0.69, 0.76] | the FDR-audit "
+        "days relation + two Pettitt windows on the checkpoint |",
+        "| latency_wasserstein | 0.69 [0.63, 0.84] | one (service, "
+        "day, ms) cell shuffle + checkpoint; transport window on the "
+        "value-domain histogram |",
+        "| latency_kruskal | 0.67 [0.61, 0.77] | one (service, ms) "
+        "cell shuffle + checkpoint; global rank window on the "
+        "distinct-ms histogram |",
+        "| source_ks_drift | 0.59 [0.56, 0.73] | one distinct-length "
+        "histogram + the one-vs-rest margins on the checkpoint |",
+        "| conversion_survival | 0.57 [0.53, 0.59] | the shared "
+        "cohort histogram + one KM fold per service |",
+        "| latency_ks_drift | 0.41 [0.39, 0.44] | one (service, "
+        "value) count — the only event-sized shuffle — + the "
+        "cumulative ECDF window |",
+        "",
+        "The two multi-second entries are COMPOSITION costs, not new "
+        "machinery: audio_modality_agreement re-runs two full detector "
+        "pipelines to compare them (the established agreement-matrix "
+        "class), and spearman_signal_correlations recomputes the same "
+        "two corpus signals signal_correlations pays for, then adds "
+        "only bounded rank windows.  Everything else in the round is "
+        "sub-1.5 s because every statistic runs on a checkpointed "
+        "bounded relation after ONE event-sized shuffle.",
+        "",
         "## Bench-drift audit, round 12 (VERDICT r11, next-round #1)",
         "",
         "r11 driver tail: the r11 driver bench session ran at median "
