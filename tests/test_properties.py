@@ -260,3 +260,112 @@ def test_bm25_is_monotone_in_tf_for_fixed_length(spark, tfs):
     want = [i for i, _ in sorted(
         enumerate(tfs), key=lambda p: (-p[1], p[0]))]
     assert got == want
+
+
+# --- survival: randomized KM + log-rank consistency -------------------------
+
+def _km_reference(cohort, horizon_min):
+    """Brute-force Kaplan-Meier over (t0_min, tc_min_or_None) user
+    tuples: per-duration risk-set walk in pure Python floats."""
+    durs = {}
+    for t0, tc in cohort:
+        if tc is not None:
+            d = tc - t0
+            durs.setdefault(d, [0, 0])[0] += 1
+        else:
+            d = horizon_min - t0
+            durs.setdefault(d, [0, 0])[1] += 1
+    s, at_risk = 1.0, len(cohort)
+    med = None
+    s_end = 1.0
+    for d in sorted(durs):
+        ev, cn = durs[d]
+        if ev:
+            s = s * ((at_risk - ev) / at_risk)
+            if med is None and s <= 0.5:
+                med = d
+        at_risk -= ev + cn
+        s_end = s
+    return med, s_end
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_km_survival_matches_bruteforce(spark, data):
+    """conversion_survival vs a pure-Python risk-set walk on random
+    censored cohorts (random click minutes, ~half the users purchasing
+    at a random later minute, horizon fixed by a final marker event):
+    n/median/plateau must agree exactly — the fold's at-risk
+    bookkeeping and the reference's walk share no code."""
+    import datetime as dt
+    import os
+    import tempfile
+    from realtime_log_analytics_flink_kafka_spark.queries.advanced import (
+        q_conversion_survival)
+
+    n_users = data.draw(st.integers(min_value=1, max_value=12))
+    horizon = 500
+    cohort = []
+    rows = []
+    eid = 0
+    t0d = dt.datetime(2026, 1, 1)
+
+    def ts(m):
+        return t0d + dt.timedelta(minutes=m)
+
+    for u in range(n_users):
+        uid = u * 4  # all on svc-0
+        t0 = data.draw(st.integers(min_value=0, max_value=100))
+        conv = data.draw(st.booleans())
+        eid += 1
+        rows.append((eid, ts(t0), uid, "click", 1.0, "{}"))
+        if conv:
+            tc = t0 + data.draw(st.integers(min_value=0, max_value=300))
+            eid += 1
+            rows.append((eid, ts(tc), uid, "purchase", 1.0, "{}"))
+            cohort.append((t0, tc))
+        else:
+            cohort.append((t0, None))
+    eid += 1
+    rows.append((eid, ts(horizon), 1, "view", 1.0, "{}"))  # horizon marker
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    [r] = [x for x in q_conversion_survival(spark, d).collect()
+           if x.service == "svc-0"]
+    med, s_end = _km_reference(cohort, horizon)
+    assert r.n_users == len(cohort)
+    assert r.n_converted == sum(1 for _, tc in cohort if tc is not None)
+    assert r.km_median_min == med
+    # the engine reports det_round(s, 4); the reference's float walk
+    # multiplies the same exact-integer ratios in the same order, so
+    # agreement is exact up to that rounding
+    assert abs(r.s_end - s_end) < 5.1e-5, (r.s_end, s_end)
+
+
+@given(st.lists(st.integers(0, 60), min_size=1, max_size=25),
+       st.lists(st.integers(0, 60), min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None)
+def test_wasserstein_matches_bruteforce(spark, a_vals, b_vals):
+    """wasserstein_from_counts vs the sorted-quantile brute force
+    (W1 of two empirical distributions = mean |q_a(i) - q_b(i)| over
+    the lcm-expanded sorted samples) on random integer samples — the
+    histogram transport sum and the quantile coupling share nothing."""
+    import math
+    from realtime_log_analytics_flink_kafka_spark.operators.drift import (
+        wasserstein_from_counts)
+    rows = ([("g", int(v), 1) for v in a_vals]
+            + [("g", int(v), 0) for v in b_vals])
+    df = spark.createDataFrame(rows, "g string, v long, in_a int")
+    hist = (df.groupBy("g", "v")
+            .agg(F.sum("in_a").cast("long").alias("ca"),
+                 F.sum(1 - F.col("in_a")).cast("long").alias("cb")))
+    r = wasserstein_from_counts(hist, group_cols=["g"]).collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    m = na * nb // math.gcd(na, nb)
+    ea = sorted(v for v in a_vals for _ in range(m // na))
+    eb = sorted(v for v in b_vals for _ in range(m // nb))
+    ref = sum(abs(x - y) for x, y in zip(ea, eb)) / m
+    assert abs(r.w1 - ref) < 5.1e-5, (r.w1, ref)

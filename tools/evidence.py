@@ -427,6 +427,34 @@ def main() -> None:
         "point.  Documented here so the r11→r12 driver suite delta "
         "(+~17.7 s intrinsic) is not misread as drift.",
         "",
+        "## Round-12 validation record (builder, 2026-08-17)",
+        "",
+        "On the settled r12 build (218 queries — the 11-query "
+        "statistical-testing round: KS/PSI/Wasserstein-1/"
+        "Kruskal-Wallis/Pettitt drift, MI+NMI, Spearman rank "
+        "correlations, the KM + log-rank survival pair, and the audio "
+        "agreement leg), in this order: full pytest suite **1192 "
+        "passed, 1 skipped** (the formally-closed Kafka connector; 218 "
+        "sf0.01 parity marks deselected, run separately below) in "
+        "52:37; full-registry sf0.01 harness sweep (strict string "
+        "canonicalization — stricter than the driver hash) **218/218** "
+        "in the default session timezone; the SAME sweep under "
+        "`TZ=America/New_York` **218/218**; full bench refresh at "
+        "sf0.1 committed to BENCH_DETAIL.json (harness: "
+        "builder-uncontended, suite 279.4 s / 218 queries, headline-16 "
+        "vs the r1 baseline = 0.377×, common-query median vs the r11 "
+        "builder refresh 0.925 — faster).  Every query added this "
+        "round additionally got a targeted sf0.01 harness compare at "
+        "the commit that introduced it, plus planted statistical power "
+        "tests (a shifted distribution must reject, an identical one "
+        "must not) and hand-computed textbook cases; the KM estimator "
+        "and the Wasserstein operator each also carry a RANDOMIZED "
+        "brute-force cross-check (Hypothesis: risk-set walk / "
+        "lcm-expanded quantile coupling) sharing no code with the "
+        "engine path.  Three earlier full sweeps bracketed the "
+        "session's commits (214/214, 215/215, then the final 218/218 "
+        "pair).",
+        "",
         "## Round-12 additions: intrinsic bench cost, declared in "
         "advance",
         "",
