@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
 from ..functions.detmath import exact_round_div, int_div
+from ..functions.scale import fan_out
 from ..functions.textnorm import WS_REGEX, ascii_lower
 from .text import ws_tokens
 
@@ -78,9 +79,16 @@ def shingle_strings(docs: DataFrame, text_col: str = "text",
     once per shingle index — O(tokens^2) regex work per document.
     CollapseProject leaves the projection alone (non-cheap expression
     referenced more than once), so tokenization runs once per row.
+
+    The input is fanned out first (functions/scale.fan_out): the
+    tokenize + per-shingle md5 work is the dominant per-row cost of
+    every consumer, and on a one-split fixture scan it would otherwise
+    run as a single task (no-op at real scale, where the scan is
+    already wide).
     """
-    toked = docs.select("doc_id", *carry_cols,
-                        ws_tokens(F.col(text_col)).alias("_toks"))
+    toked = fan_out(docs.select("doc_id", *carry_cols, text_col)) \
+        .select("doc_id", *carry_cols,
+                ws_tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     sh = F.when(
         F.size(toks) >= n,
@@ -193,18 +201,23 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", *,
     shingle-hash set and computes exact Jaccard.
 
     The sketch aggregate (hset + signatures in one pass) feeds four plan
-    subtrees (two self-join sides twice).  ``reuse_sets`` persists it
-    once (MEMORY_AND_DISK) instead of recomputing the explode+aggregate
-    4x — measured *slower* at single-node bench scale (the subtrees run
-    concurrently on otherwise-idle cores; the persist serializes them
-    behind a materialization barrier), hence default off.  Re-measured
-    at sf0.1 on local[32] with the round-3 suite (3 trials, cache
-    cleared per run): recompute 2.38-2.84 s vs persist 2.71-2.87 s —
-    recompute still wins, default stays off.  At 100 TB the trade
-    flips: checkpoint the sketch to storage between the signature and
+    subtrees (two self-join sides twice).  It is localCheckpointed (r12)
+    so the shingle scan + sketch aggregation run ONCE: the r3-era
+    recompute-vs-persist measurement (recompute 2.38-2.84 s vs persist
+    2.71-2.87 s at sf0.1 — concurrent recompute won because all four
+    subtrees were SINGLE-TASK scan stages filling idle cores) inverted
+    once shingle_strings fanned the scan out across the machine: with
+    the wide tokenize stage one materialization replaces four recomputes
+    at parity standalone, and — the real point — gives the composed
+    consumers (the agreement/detector/cluster family) a materialized leg
+    they can build CONCURRENTLY with the other leg (scale.par_build;
+    per-query before/after in OPTIMIZATION_r12.md).  This also matches
+    the 100 TB design: checkpoint the sketch between the signature and
     verification stages rather than re-scanning the corpus 4x.
+    ``reuse_sets`` (kept for API compat) additionally persists the
+    checkpointed table — redundant now, default off.
     """
-    sets = minhash_sketch(docs, text_col, n)
+    sets = minhash_sketch(docs, text_col, n).localCheckpoint()
     if reuse_sets:
         from pyspark import StorageLevel
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -301,14 +314,15 @@ def prefix_jaccard_pairs(docs: DataFrame, text_col: str = "text", *,
     candidate pairs only.
     """
     from pyspark.sql import Window
-    from pyspark import StorageLevel
 
     # the distinct shingle relation feeds FOUR plan branches (sizes, df,
-    # the ordered prefix, and the verification arrays) — persist it so
-    # the tokenize+shingle+md5 scan runs once, not four times (measured
-    # 11.2 s -> 3.9 s at sf0.1; at 100 TB: checkpoint to storage)
-    sh = shingle_hashes(docs, text_col, n).distinct() \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the ordered prefix, and the verification arrays) — materialize it
+    # so the tokenize+shingle+md5 scan runs once, not four times
+    # (measured 11.2 s -> 3.9 s at sf0.1 when this was a persist; r12
+    # switches to localCheckpoint, which also truncates the corpus-scale
+    # lineage out of every downstream plan; at 100 TB: checkpoint to
+    # storage)
+    sh = shingle_hashes(docs, text_col, n).distinct().localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_h = sh.groupBy("h").agg(F.count("*").alias("df"))
     ordered = (
@@ -319,8 +333,11 @@ def prefix_jaccard_pairs(docs: DataFrame, text_col: str = "text", *,
     # prefix length = sz − ceil(t·sz) + 1, all-integer
     ceil_t_sz = int_div(F.col("sz") * t_num + F.lit(t_den - 1),
                         F.lit(t_den))
+    # materialized (r12): the prefix relation feeds BOTH candidate-join
+    # sides — without the barrier the df join + per-doc rank window ran
+    # twice.  Prefix rows are a small fraction of sh.
     pre = ordered.filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1) \
-                 .select("doc_id", "h", "sz")
+                 .select("doc_id", "h", "sz").localCheckpoint()
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -353,9 +370,12 @@ def prefix_jaccard_pairs(docs: DataFrame, text_col: str = "text", *,
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc: each token hash votes +-1 on each bit."""
+    """32-bit SimHash per doc: each token hash votes +-1 on each bit.
+    The input is fanned out first (see shingle_strings) so the
+    tokenize + per-token md5 cost runs wide on narrow fixture scans."""
     tok = (
-        docs.select("doc_id", F.explode(ws_tokens(F.col(text_col))).alias("t"))
+        fan_out(docs.select("doc_id", text_col))
+        .select("doc_id", F.explode(ws_tokens(F.col(text_col))).alias("t"))
         .select("doc_id", md5_long(F.col("t")).alias("h"))
     )
     votes = tok.groupBy("doc_id").agg(*[
@@ -378,13 +398,17 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", *,
     hamming <= 3 over 4 chunks implies at least one identical 8-bit chunk
     (pigeonhole), so candidates come from 4 equi-joins, not a cross join.
 
-    The fingerprint aggregate feeds both self-join sides and is computed
-    twice by design: persisting the (doc_id, simhash) table measured
-    *slower* here (the two subtrees run concurrently on otherwise-idle
-    cores; a persist serializes them behind a materialization barrier).
-    At 100 TB the trade flips — checkpoint the fingerprints between the
-    sketch and pairing stages instead of recomputing the token explode."""
-    fps = simhash_fingerprints(docs, text_col)
+    The fingerprint aggregate feeds both self-join sides; it is
+    localCheckpointed (r12) so the token explode + 32-bit vote
+    aggregation run ONCE.  The r3-era measurement that recompute beat a
+    persist held only while the fingerprint subtree was a single-task
+    scan stage (two serial recomputes filled otherwise-idle cores);
+    with the fanned-out tokenize stage (simhash_fingerprints) the
+    materialization is at parity standalone and lets the composed
+    consumers build this leg concurrently with the MinHash leg
+    (scale.par_build) — and it matches the 100 TB design of
+    checkpointing fingerprints between the sketch and pairing stages."""
+    fps = simhash_fingerprints(docs, text_col).localCheckpoint()
     chunked = fps.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -456,29 +480,63 @@ def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+    # fused round 0 (r12): with labels initialized to own ids, the first
+    # propagation round computes exactly min(node, min neighbor id) —
+    # so start THERE, folding the old init (distinct + identity labels +
+    # baseline-sum job) and the first round into one aggregation.
+    labels = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.min(F.least("src", "dst")).alias("label"))
+              .localCheckpoint())
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iters):
         prop = (edges.join(labels, edges["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), "label"))
-        # checkpoint BEFORE the self-join: stepped feeds both sides, and
-        # the shortcut over the materialized table is two tiny scans
+        # checkpoint BEFORE the shortcut self-joins: stepped feeds both
+        # sides of each jump, and the shortcuts over the materialized
+        # table are tiny scans inside the NEXT round's checkpoint job
         stepped = (labels.union(prop).groupBy("node")
                    .agg(F.min("label").alias("label")).localCheckpoint())
-        x, y = stepped.alias("x"), stepped.alias("y")
-        labels = (x.join(y, F.col("x.label") == F.col("y.node"))
-                  .select(F.col("x.node").alias("node"),
-                          F.col("y.label").alias("label")))
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        # convergence probe on STEPPED (r12; was on the post-jump labels,
+        # which re-executed the jump join once under the agg and again
+        # inside the next round's plan).  Equivalent stop: labels only
+        # decrease elementwise and stepped is propagation-stable when
+        # its sum is unchanged, which on symmetrized edges forces a
+        # per-component constant label = the component minimum — i.e.
+        # stepped itself IS the converged table, so the loop returns it
+        # directly (the old post-loop jump is the identity there).
+        cur_sum = stepped.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            labels = stepped
             break
         prev_sum = cur_sum
+        # DOUBLE pointer jump (r12; was single): label := label[label]
+        # applied twice per round quarters the distance-to-root, so the
+        # loop converges in about half the rounds — and each round is a
+        # fixed-cost driver job (fresh codegen + AQE scheduling dwarf
+        # the tiny shuffles), so rounds ARE the cost.  Lazy: both jumps
+        # are broadcast-sized joins over the checkpointed stepped table,
+        # executed once inside the next round's checkpoint job.  Sound
+        # for the same reason as one jump: labels are node ids whose own
+        # label never exceeds them, so shortcutting never passes the
+        # component minimum.
+        x, y = stepped.alias("x"), stepped.alias("y")
+        j1 = (x.join(y, F.col("x.label") == F.col("y.node"))
+              .select(F.col("x.node").alias("node"),
+                      F.col("y.label").alias("label")))
+        z = stepped.alias("z")
+        labels = (j1.alias("p")
+                  .join(z, F.col("p.label") == F.col("z.node"))
+                  .select(F.col("p.node").alias("node"),
+                          F.col("z.label").alias("label")))
     else:
         raise RuntimeError(
             f"duplicate_components did not converge in {max_iters} rounds")
 
+    # the returned table is the just-checkpointed stepped relation, so
+    # every consumer (ARI reads it 8x, modularity 3x, cluster windows
+    # 2x) scans a materialized id-sized table instead of re-running the
+    # propagation plan.
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -509,9 +567,14 @@ def adjusted_rand_index(ca: DataFrame, cb: DataFrame) -> DataFrame:
     ca = ca.select("doc_id", F.col("cluster_id").alias("_ca"))
     cb = cb.select("doc_id", F.col("cluster_id").alias("_cb"))
     univ = ca.select("doc_id").unionAll(cb.select("doc_id")).distinct()
+    # localCheckpoint (r12): the labeled-universe relation feeds FOUR
+    # aggregation branches (contingency, both marginals, n) — without
+    # the barrier each branch re-ran the universe union + both coalesce
+    # joins (and whatever pipelines produced ca/cb).  Node-sized.
     j = (univ.join(ca, "doc_id", "left").join(cb, "doc_id", "left")
          .select(F.coalesce("_ca", "doc_id").alias("ca"),
-                 F.coalesce("_cb", "doc_id").alias("cb")))
+                 F.coalesce("_cb", "doc_id").alias("cb"))
+         .localCheckpoint())
 
     def pairs2(c: Column) -> Column:
         return F.sum(int_div(c * (c - 1), F.lit(2))).cast("long")
@@ -634,8 +697,13 @@ def incremental_dedup_flags(corpus: DataFrame, batch: DataFrame,
     the corpus split; per-doc signatures are identical either way
     because MinHash is a per-document aggregate.
     """
-    csk = minhash_sketch(corpus, text_col, n)
-    bsk = minhash_sketch(batch, text_col, n)
+    # each sketch feeds its banding subtree AND its verify side —
+    # localCheckpoint (r12) so each side's shingle scan runs once; the
+    # two independent sketch jobs overlap via driver threads (§2.6)
+    from ..functions.scale import par_build
+    csk, bsk = par_build(
+        lambda: minhash_sketch(corpus, text_col, n).localCheckpoint(),
+        lambda: minhash_sketch(batch, text_col, n).localCheckpoint())
     cand = (
         lsh_band_buckets(bsk).alias("x")
         .join(lsh_band_buckets(csk).alias("y"),
@@ -705,8 +773,12 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text", *,
     equi-join downstream.  The token and gram-hash arrays are staged
     through named projections (cf. shingle_hashes) so the tokenizer and
     the md5 fold each run once per row, not once per lambda reference.
+    The input is fanned out first (see shingle_strings) — the k-gram
+    hash + window-min HOF chain is the widest per-row pipeline in the
+    registry and must not run as one task on a one-split scan.
     """
-    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    toked = fan_out(docs.select("doc_id", text_col)) \
+        .select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     ghs = F.when(
         F.size(toks) >= k + w - 1,
@@ -849,19 +921,21 @@ def triangle_stats(pairs: DataFrame, *, left_col: str = "doc_a",
     graph).  Input pairs must be canonical (left < right, distinct),
     which every pair generator in this module guarantees.
 
-    The edge list is PERSISTED: the plan references it five times
-    (degrees twice, wedge self-join twice, closure once), and unlike
-    the minhash reuse_sets trade-off (module note at
-    minhash_lsh_pairs) the subtree here is the whole LSH+verify
-    pipeline while the materialization is only dup-graph-sized —
-    measured 4.0 s → 3.1 s warm at sf0.1, and at 100 TB it is the
-    difference between one and five corpus scans.
+    The edge list is materialized via localCheckpoint (r12; was a
+    persist since r7): the plan references it five times (degrees
+    twice, wedge self-join twice, closure once), and unlike the minhash
+    reuse_sets trade-off (module note at minhash_lsh_pairs) the subtree
+    here is the whole LSH+verify pipeline while the materialization is
+    only dup-graph-sized.  localCheckpoint over persist additionally
+    truncates the corpus-scale lineage out of the final plan (smaller
+    analysis, no first-action cache race between the five concurrent
+    branches).  The ORIENTED relation is also materialized: it feeds
+    the wedge self-join twice plus the closure probe, each of which
+    would re-run the two degree joins.
     """
-    from pyspark import StorageLevel
-
     edges = pairs.select(F.col(left_col).alias("u"),
                          F.col(right_col).alias("v")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     ends = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node")))
     deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
@@ -875,7 +949,7 @@ def triangle_stats(pairs: DataFrame, *, left_col: str = "doc_a",
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+    ).localCheckpoint()
 
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedge = (
@@ -925,13 +999,12 @@ def local_clustering(pairs: DataFrame, *, left_col: str = "doc_a",
     be canonical (left < right, distinct), as every generator in this
     module guarantees.
 
-    The edge list is persisted for the same five-reference reason as
-    triangle_stats (see its docstring's measured trade)."""
-    from pyspark import StorageLevel
-
+    The edge list (and the oriented relation) are materialized via
+    localCheckpoint for the same multi-reference reason as
+    triangle_stats (see its docstring)."""
     edges = pairs.select(F.col(left_col).alias("u"),
                          F.col(right_col).alias("v")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     ends = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node")))
     deg = ends.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
@@ -945,7 +1018,7 @@ def local_clustering(pairs: DataFrame, *, left_col: str = "doc_a",
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+    ).localCheckpoint()
 
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedge = (
@@ -1011,27 +1084,22 @@ def pagerank(pairs: DataFrame, *, iters: int = PAGERANK_ITERS,
     the dup graph); every node has deg >= 1 so there are no dangling
     redistributions.
     """
-    from pyspark import StorageLevel
-
-    # The directed edge list is persisted only for the duration of the
-    # one eager pass that materializes deg and g: without it, that pass
-    # would re-run the upstream pair generator (the whole LSH+verify
-    # pipeline for dup graphs) twice.  Once g — the only dataset the
-    # power iterations reference — and deg (final join) are cached, ed
-    # is a redundant third copy of the edge list and is dropped
-    # immediately (ADVICE r7: executor storage accumulates across a
-    # 165-query session).
+    # localCheckpoint (r12, replacing the r7-era persist + count +
+    # unpersist dance): the upstream pair generator (the whole
+    # LSH+verify pipeline for dup graphs) runs ONCE into the ed
+    # barrier, deg and g materialize from it, and — unlike persist —
+    # every per-iteration action's plan starts at a LogicalRDD instead
+    # of re-analyzing the corpus-scale lineage (the kcore/components
+    # plan-truncation rationale).  No unpersist bookkeeping: the blocks
+    # free with the RDD when the query's references drop.
     ed = pairs.select(F.col(left_col).alias("u"),
                       F.col(right_col).alias("v")).unionAll(
         pairs.select(F.col(right_col).alias("u"),
                      F.col(left_col).alias("v"))) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     deg = (ed.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    g = (ed.join(deg, "u")
-         .persist(StorageLevel.MEMORY_AND_DISK))
-    g.count()  # materializes g and (via the join) deg
-    ed.unpersist()
+           .localCheckpoint())
+    g = ed.join(deg, "u").localCheckpoint()
     n_row = deg.agg(F.count("*").cast("long").alias("n"))
 
     r = (deg.crossJoin(F.broadcast(n_row))  # single-row broadcast
@@ -1117,7 +1185,9 @@ def kcore_membership(pairs: DataFrame, *, ks: tuple[int, ...] = KCORE_KS,
     deg = ed.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
 
     out = deg.select(F.col("u").alias("doc_id"), "deg")
-    for k in ks:
+
+    def peel(k: int):
+        """The per-k peel loop: a sequential chain of round jobs."""
         cur = ed
         nodes_prev = None   # node set after round rounds-1
         nodes = None
@@ -1135,6 +1205,14 @@ def kcore_membership(pairs: DataFrame, *, ks: tuple[int, ...] = KCORE_KS,
                      .localCheckpoint(eager=True))
             cur = (ed.join(nodes, "u")
                    .join(nodes.select(F.col("u").alias("v")), "v"))
+        return nodes, nodes_prev
+
+    # the per-k loops are independent chains over the one checkpointed
+    # edge list — run them from driver threads so their round jobs
+    # overlap (functions/scale.par_build, guide §2.6)
+    from ..functions.scale import par_build
+    peeled = par_build(*(lambda k=k: peel(k) for k in ks))
+    for k, (nodes, nodes_prev) in zip(ks, peeled):
         in_core = nodes.select(F.col("u").alias("doc_id"),
                                F.lit(True).alias(f"in_{k}core"))
         in_prev = nodes_prev.select(F.col("u").alias("doc_id"),
@@ -1195,7 +1273,13 @@ def partition_modularity(pairs: DataFrame, labels: DataFrame, *,
     """
     from ..functions.detmath import det_round
 
-    edges = pairs.select(left_col, right_col)
+    # localCheckpoint (r12): the edge relation feeds SIX plan branches
+    # (node union x2, internal join, degree union x2, m) and `pairs` is
+    # typically the whole LSH+verify pipeline — without the barrier the
+    # corpus-scale pair generator re-ran once per branch (the lbl
+    # checkpoint below already existed for the same reason; before/after
+    # for dup_modularity in OPTIMIZATION_r12.md).
+    edges = pairs.select(left_col, right_col).localCheckpoint()
     nodes = (edges.select(F.col(left_col).alias("node"))
              .union(edges.select(F.col(right_col).alias("node")))
              .distinct())

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scale import fan_out
+
 #: Synthetic format assignment for fixture rows (documents have no real
 #: blobs; text bytes play the payload).
 FORMATS = ("jpeg", "png", "webp")
@@ -501,7 +503,7 @@ def wav_frame_features(media: DataFrame, *,
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
 
-    return media.select("doc_id", "payload").mapInPandas(
+    return fan_out(media.select("doc_id", "payload")).mapInPandas(
         _frames, schema=WAV_FRAMES_SCHEMA)
 
 
@@ -795,8 +797,11 @@ def _fingerprint_incremental(idx_fps: DataFrame, new_fps: DataFrame, *,
     disjointly.  A doc present on both sides can still match its
     OTHER-side near-duplicates, which is the intended re-ingest
     semantics."""
-    new_fps = new_fps.localCheckpoint()
-    idx_fps = idx_fps.localCheckpoint()
+    # the two fingerprint materializations are independent decode
+    # passes — overlap their jobs via driver threads (scale.par_build)
+    from ..functions.scale import par_build
+    new_fps, idx_fps = par_build(lambda: new_fps.localCheckpoint(),
+                                 lambda: idx_fps.localCheckpoint())
     x = _band_fingerprints(new_fps, hash_col=hash_col).alias("x")
     y = _band_fingerprints(idx_fps, hash_col=hash_col).alias("y")
     hamming = F.bit_count(F.expr(f"x.{hash_col} ^ y.{hash_col}"))
@@ -893,7 +898,7 @@ def audio_ehash(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
                     "doc_id": pdf["doc_id"], "fmt": pdf["fmt"],
                     "ehash": pd.array(out, dtype="Int64"),
                 })
-        return media.select("doc_id", "fmt", "payload").mapInPandas(
+        return fan_out(media.select("doc_id", "fmt", "payload")).mapInPandas(
             _hash, schema="doc_id long, fmt string, ehash long")
 
     from ..functions.hashing import md5_long

@@ -72,7 +72,9 @@ def _broadcast_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     pair (join predicate + projection) — measured ~15% of knn_bruteforce
     at sf0.1, and at 100 TB the join condition is the innermost loop.
     The semantics are identical: a pair's cosine is NULL iff either
-    side's norm is zero."""
+    side's norm is zero.  (fan_out measured NEGATIVE here, r12 — the
+    bounded query set keeps the per-row fold small enough that the
+    extra exchange+stages lose; contrast _centroid_ranked.)"""
     c = with_norm(corpus, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("corpus_id"),
         *[F.col(col).alias(f"c_{col}") for col in carry_cols],
@@ -132,11 +134,17 @@ def _dist2(a: Column, b: Column) -> Column:
 def _centroid_ranked(corpus: DataFrame, centroids: DataFrame, *,
                      vec_col: str, id_col: str) -> DataFrame:
     """Every (row, centroid) pair ranked by distance — the shared step of
-    cluster assignment (rank 1) and multiprobe (rank <= n_probe)."""
+    cluster assignment (rank 1) and multiprobe (rank <= n_probe).  The
+    corpus side is fanned out (functions/scale.fan_out): the n x C
+    distance fold is the dominant per-row cost of the whole IVF family
+    and must not run as a single task on a one-split fixture scan
+    (no-op at real scale)."""
+    from ..functions.scale import fan_out
+
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
     scored = (
-        corpus.crossJoin(F.broadcast(cent))
+        fan_out(corpus).crossJoin(F.broadcast(cent))
         .withColumn("dist2", _dist2(F.col(vec_col), F.col("cent_vec")))
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("centroid_id"))

@@ -509,7 +509,20 @@ def hll_source_overlap(items: DataFrame, key_col: str,
     """
     from ..functions.detmath import det_round, exact_round_div, with_det_ln
 
-    regs = hll_registers(items, key_col, hash_col)
+    # r12: materialize the DISTINCT (key, hash) relation once and derive
+    # EVERYTHING from it — registers (max rho is duplicate-invariant, so
+    # register files over the distinct set are identical), the spine's
+    # key list, the exact sizes, and both exact-intersection sides.  The
+    # item pipeline (for the registry query: shingle explode + join +
+    # md5) previously re-ran once per branch (~6x); now it runs once.
+    # At 100 TB the exact-audit columns are dropped anyway (docstring),
+    # and the registers-from-distinct shape keeps the same one
+    # map-side-combined shuffle.
+    ex = (items.select(F.col(key_col), F.col(hash_col).alias("h"))
+          .distinct().localCheckpoint())
+    regs = hll_registers(ex.select(F.col(key_col),
+                                   F.col("h").alias(hash_col)),
+                         key_col, hash_col)
     a = regs.select(F.col(key_col).alias("source_a"), "bucket",
                     F.col("M").alias("ma"))
     b = regs.select(F.col(key_col).alias("source_b"),
@@ -555,7 +568,6 @@ def hll_source_overlap(items: DataFrame, key_col: str,
     jac = F.when(F.col("est_u") > 0,
                  inter / F.col("est_u")).otherwise(F.lit(0.0))
 
-    ex = items.select(F.col(key_col), F.col(hash_col).alias("h")).distinct()
     sizes = ex.groupBy(key_col).agg(F.count("*").cast("long").alias("n"))
     ia = ex.select(F.col(key_col).alias("_ka"), "h")
     ib = ex.select(F.col(key_col).alias("_kb"), F.col("h").alias("hb"))

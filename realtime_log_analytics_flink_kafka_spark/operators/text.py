@@ -62,9 +62,13 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Zero-token / zero-char / NULL documents get NULL ratio metrics
     (guarded division) instead of raising — under ANSI mode a bare
     ``x / 0`` is a job-killing SparkArithmeticException, and one empty
-    document in a 100 TB corpus must not abort the pass."""
+    document in a 100 TB corpus must not abort the pass.
+    Fanned out (functions/scale.fan_out): the tokenizer + stopword +
+    regex expressions dominate per row; no-op at real scale."""
+    from ..functions.scale import fan_out
+
     e = quality_exprs(text_col)
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id",
         e["n_tokens"].alias("n_tokens"),
         e["avg_token_len"].alias("avg_token_len"),
@@ -156,9 +160,12 @@ def language_pred(scores: dict[str, Column]) -> Column:
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID.  Scores = stopword hits per language;
-    argmax with deterministic tie-break in STOPWORDS insertion order."""
+    argmax with deterministic tie-break in STOPWORDS insertion order.
+    Fanned out: one tokenizer + |langs| filter passes per row."""
+    from ..functions.scale import fan_out
+
     scores = language_scores(text_col)
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id", "lang",
         *[scores[f"score_{lang}"].alias(f"score_{lang}")
           for lang in STOPWORDS],
@@ -169,7 +176,9 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id -> (term, tf).  One explode + one aggregation; partial
     aggregation combines map-side so the shuffle carries (doc, term)
-    pairs, not token instances."""
+    pairs, not token instances.  (fan_out measured NEGATIVE here, r12:
+    the one-task partial aggregation beats the extra exchange+stages —
+    see OPTIMIZATION_r12.md "fan-out placement".)"""
     return (
         docs.select("doc_id", F.explode(ws_tokens(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
@@ -261,7 +270,10 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Documents with zero tokens have no grams and are absent.
     """
-    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    from ..functions.scale import fan_out
+
+    toked = fan_out(docs.select("doc_id", text_col)) \
+        .select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
 
     def tagged_grams(n: int) -> Column:
@@ -584,7 +596,10 @@ def ngram_spans(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     re-runs an inlined tokenizer on every reference — O(tokens²) regex
     per document.
     """
-    toked = docs.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+    from ..functions.scale import fan_out
+
+    toked = fan_out(docs.select("doc_id", text_col)) \
+        .select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
@@ -1228,7 +1243,10 @@ def ngram_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     source with no document of length >= n has no row at that n —
     identical group-dropping in both engines.
     """
-    toked = docs.select("source", ws_tokens(F.col(text_col)).alias("_toks"))
+    from ..functions.scale import fan_out
+
+    toked = fan_out(docs.select("source", text_col)) \
+        .select("source", ws_tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     sep = F.lit(NGRAM_SEP)
 

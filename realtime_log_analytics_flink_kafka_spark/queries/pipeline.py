@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.detmath import det_ln_sql_items, det_round, det_round_sql, \
     exact_round_div, exact_round_div_sql, int_div, with_det_exp, with_det_ln
 from ..functions.hashing import HASH_PRIME, affine_hashes, md5_long
+from ..functions.scale import fan_out, par_build
 from ..functions.textnorm import PUNCT_REGEX, WS_REGEX, ascii_lower_sql
 from ..operators import (decontam, dedup, drift, multimodal, packing,
                          sampling, similarity, sketches, text)
@@ -1617,7 +1618,7 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     scores = text.language_scores()
-    row = docs.select(
+    row = fan_out(docs).select(
         "doc_id", "source",
         text.quality_exprs()["quality_score_e4"].alias("q_e4"),
         (F.col("lang") == text.language_pred(scores)).alias("lang_ok"),
@@ -2101,7 +2102,7 @@ def q_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scores = text.language_scores()
     qe4 = text.quality_exprs()["quality_score_e4"]
-    row = docs.select(
+    row = fan_out(docs).select(
         "source",
         F.coalesce(qe4 >= _KAPPA_Q_GATE_E4, F.lit(False))
         .cast("long").alias("ga"),
@@ -2704,8 +2705,8 @@ def q_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ent = text.token_entropy(docs)
     e = text.quality_exprs()
-    q = docs.select("doc_id", "source",
-                    e["quality_score_e4"].alias("q_e4"))
+    q = fan_out(docs).select("doc_id", "source",
+                             e["quality_score_e4"].alias("q_e4"))
     j = (
         ent.join(q, "doc_id")
         .filter(F.col("q_e4").isNotNull())
@@ -2841,8 +2842,8 @@ def q_spearman_signal_correlations(spark: SparkSession,
     docs = _docs(spark, sf_dir)
     ent = text.token_entropy(docs)
     e = text.quality_exprs()
-    q = docs.select("doc_id", "source",
-                    e["quality_score_e4"].alias("q_e4"))
+    q = fan_out(docs).select("doc_id", "source",
+                             e["quality_score_e4"].alias("q_e4"))
     j = (
         ent.join(q, "doc_id")
         .filter(F.col("q_e4").isNotNull())
@@ -3559,7 +3560,7 @@ def q_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     e = text.quality_exprs()
-    base = docs.select(
+    base = fan_out(docs).select(
         "doc_id", "source",
         e["n_tokens"].alias("n_tokens"),
         F.coalesce(e["quality_score_e4"], F.lit(-1)).cast("long")
@@ -3903,8 +3904,9 @@ def q_dedup_modality_agreement(spark: SparkSession,
     pipeline whether the cheap two-longs-per-image fingerprint can
     stand in for the shingle pipeline on mixed-modality shards."""
     docs = _docs(spark, sf_dir)
-    lex = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
-    per = multimodal.dhash_near_dups(multimodal.as_media(docs))
+    lex, per = par_build(
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD),
+        lambda: multimodal.dhash_near_dups(multimodal.as_media(docs)))
     return dedup.pair_set_agreement(lex, per)
 
 
@@ -3945,8 +3947,12 @@ def q_lexical_pair_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector families is complete at both levels.  Same operator, same
     bounded shape (operators/dedup.pair_set_agreement)."""
     docs = _docs(spark, sf_dir)
-    mh = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
-    sh = dedup.simhash_pairs(docs)
+    # both legs materialize eagerly (sketch/fingerprint checkpoints) —
+    # build them from two driver threads so their jobs overlap
+    # (functions/scale.par_build, guide §2.6)
+    mh, sh = par_build(
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD),
+        lambda: dedup.simhash_pairs(docs))
     return dedup.pair_set_agreement(mh, sh)
 
 
@@ -3989,8 +3995,9 @@ def q_audio_modality_agreement(spark: SparkSession,
     bounded shape: both pair relations come from banded equi-joins,
     never all-pairs, and the report is one map-combinable aggregate."""
     docs = _docs(spark, sf_dir)
-    lex = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
-    aud = multimodal.audio_near_dups(multimodal.as_media(docs))
+    lex, aud = par_build(
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD),
+        lambda: multimodal.audio_near_dups(multimodal.as_media(docs)))
     return dedup.pair_set_agreement(lex, aud)
 
 
@@ -4047,9 +4054,13 @@ def q_dedup_detector_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sb = 0 forces sij = 0; sa = sb = C(n,2) forces sij = C(n,2)),
     and that degenerate perfect agreement reports ARI = 1."""
     docs = _docs(spark, sf_dir)
-    ca = dedup.duplicate_components(
-        dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD))
-    cb = dedup.duplicate_components(dedup.simhash_pairs(docs))
+    # each component propagation is a sequential chain of round jobs —
+    # run the two detectors' chains from two driver threads so both
+    # fill the machine together (functions/scale.par_build, §2.6)
+    ca, cb = par_build(
+        lambda: dedup.duplicate_components(
+            dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)),
+        lambda: dedup.duplicate_components(dedup.simhash_pairs(docs)))
     return dedup.adjusted_rand_index(ca, cb)
 
 
@@ -4135,8 +4146,9 @@ def q_dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes are singletons): size, internal MinHash edges, degree sum,
     and the modularity contribution e_c/m − (d_c/2m)²."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
-    part = dedup.duplicate_components(dedup.simhash_pairs(docs))
+    pairs, part = par_build(
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD),
+        lambda: dedup.duplicate_components(dedup.simhash_pairs(docs)))
     return dedup.partition_modularity(pairs, part)
 
 
@@ -4229,7 +4241,7 @@ def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = dedup.minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD)
     comp = dedup.duplicate_components(pairs)
     e = text.quality_exprs()
-    q = docs.select(
+    q = fan_out(docs).select(
         "doc_id",
         F.coalesce(e["quality_score_e4"], F.lit(-1)).cast("long")
             .alias("q_e4"))
@@ -4385,7 +4397,7 @@ def q_quality_vs_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = text.unigram_surprisal(docs).select("doc_id", "mean_surprisal")
     e = text.quality_exprs()
     base = (
-        docs.select(
+        fan_out(docs).select(
             "doc_id", "lang",
             F.coalesce(e["quality_score_e4"], F.lit(-1)).cast("long")
                 .alias("q_e4"))
@@ -4925,7 +4937,7 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text.quality_exprs()
     toks = text.ws_tokens(F.col("text"))
     all_stops = [w for ws in text.STOPWORDS.values() for w in ws]
-    row_flags = docs.select(
+    row_flags = fan_out(docs).select(
         "doc_id",
         ((q["n_tokens"] >= FUNNEL_MIN_TOKENS)
          & (q["n_tokens"] <= FUNNEL_MAX_TOKENS)).alias("f_len"),
