@@ -64,8 +64,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     dead code and no extra exchange is ever planned).  Inputs that are
     not a narrow project/filter chain over a scan pass through
     untouched: they are post-shuffle (already wide) and probing their
-    partitioning would execute them."""
-    if not _is_narrow_over_scan(df):
+    partitioning would execute them.  Streaming inputs also pass
+    through untouched (stream-polymorphism contract of the text
+    operators: a micro-batch's parallelism is the source's), and the
+    batch QueryExecution probe would reject them anyway."""
+    if df.isStreaming or not _is_narrow_over_scan(df):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
