@@ -40,20 +40,38 @@ def par_build(*thunks):
         return [f.result() for f in futures]
 
 
-#: Logical nodes whose presence means the input is NOT a narrow chain
-#: over a scan.  Two reasons to bail: (a) such inputs are already wide
-#: (their parallelism came from a shuffle, not the scan split count);
-#: (b) probing ``df.rdd`` under AQE EXECUTES the upstream query stages
-#: eagerly — safe and job-free only on an exchange-free plan.
-_BARRIER_NODES = ("Join", "Aggregate", "Window", "Sort", "Repartition",
-                  "Deduplicate", "GlobalLimit", "LogicalRDD", "Generate",
-                  "MapInPandas", "MapInArrow", "FlatMap", "CoGroup",
-                  "Union", "Expand")
+#: Logical node names that make up a NARROW chain over a scan: bare
+#: projections/filters directly over a file-source relation.  Anything
+#: else — joins, aggregates, windows, generators, Python nodes,
+#: repartitions, RDD scans, …  — means the input either is already wide
+#: (its parallelism came from a shuffle, not the scan split count) or
+#: must not be probed at all: probing ``df.rdd`` under AQE EXECUTES the
+#: upstream query stages eagerly, so only exchange-free plans are safe
+#: to probe.  ADVICE r12 #1: this is a WHITELIST on ``nodeName()``
+#: (exact node classes), replacing the r12 substring blacklist over the
+#: full plan string — that match also saw column aliases and relation
+#: paths (a capitalized 'Sort' in a path silently disabled fan_out),
+#: and any shuffle-inducing node missing from the blacklist would have
+#: let the probe execute upstream stages.  The whitelist fails CLOSED:
+#: an unlisted node family is treated as not-narrow and passes through
+#: untouched, which can only ever cost a missed optimization.
+_NARROW_NODES = frozenset((
+    "Project", "Filter", "LogicalRelation", "Relation",
+    "DataSourceV2Relation", "DataSourceV2ScanRelation",
+    "LocalRelation", "OneRowRelation",
+))
 
 
 def _is_narrow_over_scan(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    return not any(node in plan for node in _BARRIER_NODES)
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() not in _NARROW_NODES:
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -355,6 +355,14 @@ def prefix_jaccard_pairs(docs: DataFrame, text_col: str = "text", *,
                       F.col("hset").alias("hset_a"))
     hb = hsets.select(F.col("doc_id").alias("doc_b"),
                       F.col("hset").alias("hset_b"))
+    # r13 negative results, recorded (VERDICT r12 #5): (a) replacing the
+    # rank window above with a groupBy + array_sort(collect_list(struct))
+    # + slice prefix selection measured SLOWER (3.7 vs 3.1 s interleaved
+    # at sf0.1) — the window was never the bottleneck, the verify join
+    # below is; (b) F.broadcast hints on ha/hb measured a wash-to-loss
+    # in the full query (3.37/3.63 vs 3.18/2.87 interleaved): the two
+    # broadcast builds serialize ahead of the join stage, while the
+    # shuffled plan overlaps everything.  Shape kept as r12.
     verified = (
         cand.join(ha, "doc_a").join(hb, "doc_b")
         .withColumn("inter",
@@ -474,6 +482,8 @@ def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
     ``max_iters`` rounds don't converge rather than returning
     silently-partial clusters.
     """
+    from pyspark.sql import Observation
+
     half = pairs.select(F.col(left_col).alias("src"),
                         F.col(right_col).alias("dst"))
     edges = half.union(
@@ -484,19 +494,47 @@ def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
     # propagation round computes exactly min(node, min neighbor id) —
     # so start THERE, folding the old init (distinct + identity labels +
     # baseline-sum job) and the first round into one aggregation.
+    # r13: the label sum rides the checkpoint job as an observed metric
+    # (CollectMetrics is a pass-through node computed while the rows
+    # stream into the checkpoint), so the old separate
+    # ``agg(sum).first()`` probe job disappears — here and once per
+    # round below.  Profiling showed each round is a fixed-cost DRIVER
+    # job (codegen + AQE scheduling dwarf the tiny shuffles), so
+    # halving the jobs per round halves the loop.
+    obs0 = Observation()
     labels = (edges.groupBy(F.col("src").alias("node"))
               .agg(F.min(F.least("src", "dst")).alias("label"))
+              .observe(obs0, F.sum("label").alias("s"))
               .localCheckpoint())
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = obs0.get["s"]
 
     for _ in range(max_iters):
-        prop = (edges.join(labels, edges["src"] == labels["node"])
-                .select(F.col("dst").alias("node"), "label"))
+        # r13: TWO propagation steps per materialized round (VERDICT r12
+        # #2 — the round floor is fixed driver cost: codegen + AQE
+        # scheduling per job, not the tiny shuffles, so folding more
+        # logical steps into each checkpoint job cuts the loop by its
+        # round count; measured 6 -> 4 rounds on the sf0.1 SimHash
+        # graph with CHEAPER rounds).  Each step is min(labels ∪
+        # prop(labels)) — monotone elementwise — so an unchanged sum
+        # across the folded round still forces the FIRST step to be the
+        # identity, i.e. propagation-stable, the same fixed-point
+        # witness as one step per round.  (An inner pointer jump
+        # between the two steps was measured SLOWER: it deepens the
+        # round plan with two self-joins of a non-materialized
+        # aggregate; the double jump stays where it was, folded lazily
+        # between rounds over the checkpointed table.)
+        cur = labels
+        for _ in range(2):
+            prop = (edges.join(cur, edges["src"] == cur["node"])
+                    .select(F.col("dst").alias("node"), "label"))
+            cur = (cur.union(prop).groupBy("node")
+                   .agg(F.min("label").alias("label")))
         # checkpoint BEFORE the shortcut self-joins: stepped feeds both
         # sides of each jump, and the shortcuts over the materialized
         # table are tiny scans inside the NEXT round's checkpoint job
-        stepped = (labels.union(prop).groupBy("node")
-                   .agg(F.min("label").alias("label")).localCheckpoint())
+        obs = Observation()
+        stepped = (cur.observe(obs, F.sum("label").alias("s"))
+                   .localCheckpoint())
         # convergence probe on STEPPED (r12; was on the post-jump labels,
         # which re-executed the jump join once under the agg and again
         # inside the next round's plan).  Equivalent stop: labels only
@@ -505,7 +543,7 @@ def duplicate_components(pairs: DataFrame, *, left_col: str = "doc_a",
         # per-component constant label = the component minimum — i.e.
         # stepped itself IS the converged table, so the loop returns it
         # directly (the old post-loop jump is the identity there).
-        cur_sum = stepped.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             labels = stepped
             break

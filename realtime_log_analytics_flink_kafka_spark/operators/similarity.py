@@ -134,17 +134,19 @@ def _dist2(a: Column, b: Column) -> Column:
 def _centroid_ranked(corpus: DataFrame, centroids: DataFrame, *,
                      vec_col: str, id_col: str) -> DataFrame:
     """Every (row, centroid) pair ranked by distance — the shared step of
-    cluster assignment (rank 1) and multiprobe (rank <= n_probe).  The
-    corpus side is fanned out (functions/scale.fan_out): the n x C
-    distance fold is the dominant per-row cost of the whole IVF family
-    and must not run as a single task on a one-split fixture scan
-    (no-op at real scale)."""
-    from ..functions.scale import fan_out
+    cluster assignment (rank 1) and multiprobe (rank <= n_probe).
 
+    fan_out on the corpus side was tried in r12 and REVERTED in r13
+    after the driver regressed knn_ivf_pq (0.77x) and the re-adjudication
+    A/B confirmed it (6 interleaved pairs: fan_out-on mean 2.03 s vs off
+    1.86 s for knn_ivf_pq; kmeans_refine a wash) — the n x C fold over
+    the bounded embedding fixture is too small to buy back the extra
+    exchange + AQE stages, and at real scale the scan is already wide so
+    fan_out would be a no-op there anyway."""
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
     scored = (
-        fan_out(corpus).crossJoin(F.broadcast(cent))
+        corpus.crossJoin(F.broadcast(cent))
         .withColumn("dist2", _dist2(F.col(vec_col), F.col("cent_vec")))
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("centroid_id"))

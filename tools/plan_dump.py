@@ -1,8 +1,16 @@
-"""Dump ``explain("formatted")`` for registry queries to plans/r12/.
+"""Dump ``explain("formatted")`` for registry queries to plans/<dir>/.
 
 Usage: python tools/plan_dump.py <suffix> <query> [<query> ...]
-Writes /root/repo/plans/r12/<query>_<suffix>.txt (suffix: before/after).
-Plan capture only — no job is executed beyond planning.
+Writes /root/repo/plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt
+(suffix: before/after; dir defaults to r13).
+
+Cost note (ADVICE r12 #2): since r12 the dedup/sketch query builders run
+eager localCheckpoint jobs (and par_build legs) at DataFrame-CONSTRUCTION
+time, so dumping those plans executes the heavy upstream pipelines — the
+dump is no longer planning-only and takes seconds per query at sf0.1.
+The dumped plan is correspondingly the POST-barrier plan (RDD scans where
+the checkpoints sit), which is exactly what the committed before/after
+artifacts are meant to show.
 """
 import os
 import sys
@@ -15,7 +23,8 @@ from realtime_log_analytics_flink_kafka_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r12")
+    os.path.abspath(__file__))), "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13"))
 
 
 def main() -> None:
